@@ -1,0 +1,186 @@
+"""The five top-level jobs of the reference (SURVEY.md §2.7), as parameterized
+DataFrame pipelines.
+
+| here                               | reference                                   |
+|------------------------------------|---------------------------------------------|
+| ``write_job``                      | bulk write half of every job (App.scala:242-245) |
+| ``write_read_same_table``          | oneClusterWriteReadSameTable (App.scala:88-116)  |
+| ``copy_table``                     | oneClusterCopyTable (App.scala:123-161)          |
+| ``two_clusters_copy_table``        | twoClustersCopyTable (App.scala:168-206)         |
+| ``two_clusters_coordinated_write`` | twoClustersCoordinatedWrite (App.scala:208-235)  |
+| ``table_to_parquet``               | sstableToParquet (App.scala:35-82)               |
+
+Differences by design (Spark-first, 100 TB):
+
+* One lineage, cached when two actions share it. The reference recomputes the
+  whole pipeline for its follow-up ``count()`` (``App.scala:239,244``); we
+  ``persist()`` across the write+count action pair and unpersist after.
+* No driver-side ``collect()`` of file lists (the reference's
+  ``App.scala:76``); output inventories are computed distributed and only
+  small summaries come back.
+* ``table_to_parquet`` needs no work-unit RDD: Spark's task model already
+  parallelizes per input split, and ``maxRecordsPerFile`` bounds output files
+  exactly like the transformer's ``maxRowsPerFile(100000)``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from cassandra_analytics_example_spark.config import JobConfiguration
+from cassandra_analytics_example_spark.datagen import (
+    gen_dataset,
+    gen_dataset_deterministic,
+)
+from cassandra_analytics_example_spark.plans.listeners import (
+    CoordinatedStorageTransportListener,
+    StorageTransportListener,
+)
+from cassandra_analytics_example_spark.sources import read, write
+
+
+def _generate(spark: SparkSession, config: JobConfiguration):
+    """Reference ``write()`` front half (SparkUtils.scala:76-92): generate
+    ``rows`` across ``splits`` partitions."""
+    splits = config.splits(spark.sparkContext.defaultParallelism)
+    deterministic = config.write_options.get("deterministic", "true") == "true"
+    gen = gen_dataset_deterministic if deterministic else gen_dataset
+    return gen(spark, config.row_count, splits)
+
+
+def write_job(spark: SparkSession, config: JobConfiguration) -> int:
+    """Generate N rows → bulk-write → count. Returns written row count
+    (reference logs "Written rows", App.scala:244)."""
+    df = _generate(spark, config)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write(df, config.write_options)
+        return df.count()
+    finally:
+        df.unpersist()
+
+
+def read_job(spark: SparkSession, config: JobConfiguration) -> int:
+    """Snapshot-read a table → count (reference "Read rows", App.scala:249)."""
+    return read(spark, config.read_options).count()
+
+
+def write_read_same_table(spark: SparkSession, config: JobConfiguration) -> tuple[int, int]:
+    """oneClusterWriteReadSameTable: write N rows, snapshot-read the same
+    table back, return (written, read)."""
+    written = write_job(spark, config)
+    read_back = read_job(spark, config)
+    return written, read_back
+
+
+def copy_table(spark: SparkSession, config: JobConfiguration) -> int:
+    """oneClusterCopyTable: read source → bulk-write into target → count
+    (reference ``copyTable`` = ``writeExisting(read()).get.count()``,
+    App.scala:237-240). One cached lineage serves both the write and the
+    count instead of re-reading the source."""
+    df = read(spark, config.read_options)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write(df, config.write_options)
+        return df.count()
+    finally:
+        df.unpersist()
+
+
+def two_clusters_copy_table(
+    spark: SparkSession, config: JobConfiguration, second_write_options: dict[str, str]
+) -> tuple[int, int]:
+    """twoClustersCopyTable: write on cluster 1 → read cluster 1 → write the
+    same data into cluster 2. Returns (written_first, copied_to_second)."""
+    written = write_job(spark, config)
+    df = read(spark, config.read_options)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write(df, second_write_options)
+        copied = df.count()
+    finally:
+        df.unpersist()
+    return written, copied
+
+
+def two_clusters_coordinated_write(
+    spark: SparkSession,
+    config: JobConfiguration,
+    targets: dict[str, dict[str, str]],
+    listener: CoordinatedStorageTransportListener | None = None,
+) -> int:
+    """twoClustersCoordinatedWrite: all-or-nothing write into N targets via a
+    staging area (reference S3_COMPAT transport + coordination signals,
+    App.scala:208-235).
+
+    Two-phase: (1) stage the dataset once into a staging directory, firing
+    object-persisted/stage-succeeded callbacks per target; (2) only when every
+    target staged successfully, import (rename/copy) into each target path.
+    On any staging failure nothing is imported. Returns written rows.
+    """
+    listener = listener or CoordinatedStorageTransportListener(list(targets))
+    df = _generate(spark, config).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_rows = df.count()
+        listener.on_transport_start()
+        stage_dir = config.write_options.get(
+            "staging_dir", os.path.join("/tmp", f"staged-{uuid.uuid4().hex}")
+        )
+        write(df, {**config.write_options, "path": stage_dir, "mode": "overwrite"})
+        staged_files = [
+            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+        ]
+        for f in staged_files:
+            listener.on_object_persisted(
+                "staging", f, os.path.getsize(os.path.join(stage_dir, f))
+            )
+        listener.on_all_objects_persisted(len(staged_files), n_rows)
+        for cluster in targets:
+            listener.on_stage_succeeded(cluster)
+        if not listener.all_staged:  # pragma: no cover - defensive
+            raise RuntimeError("coordinated write: staging incomplete")
+        staged = spark.read.parquet(stage_dir)
+        for cluster, opts in targets.items():
+            write(staged, {**opts, "mode": "overwrite"})
+            listener.on_import_succeeded(cluster)
+        listener.on_job_succeeded(0.0)
+        return n_rows
+    finally:
+        df.unpersist()
+
+
+def table_to_parquet(
+    spark: SparkSession, config: JobConfiguration, output_dir: str
+) -> tuple[int, int]:
+    """sstableToParquet: re-materialize a table into parquet files of at most
+    100 000 rows each (reference App.scala:35-82).
+
+    The reference resolves token partitions on the driver and maps an RDD of
+    work units through an SSTableTransformer; Spark's native task-per-split
+    read + ``maxRecordsPerFile`` write is the same physical shape with no
+    driver-side work-unit bookkeeping and no ``collect()`` of file names.
+    Returns (rows, files_produced).
+    """
+    df = read(spark, config.read_options)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write(
+            df,
+            {
+                **config.write_options,
+                "path": output_dir,
+                "mode": "overwrite",
+                "maxRecordsPerFile": config.write_options.get(
+                    "maxRecordsPerFile", 100_000
+                ),
+            },
+        )
+        rows = df.count()
+    finally:
+        df.unpersist()
+    n_files = sum(1 for f in os.listdir(output_dir) if f.endswith(".parquet"))
+    return rows, n_files

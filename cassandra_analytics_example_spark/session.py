@@ -1,0 +1,82 @@
+"""SparkSession factory.
+
+Counterpart of the reference's Spark bootstrap (``SparkUtils.scala:20-32``:
+``initialize()`` building a SparkConf with ``BulkSparkConf.setupSparkConf`` +
+Kryo registration). In PySpark the equivalent is a tuned ``SparkSession``
+builder; Kryo is irrelevant (Arrow + Tungsten), and the bulk-connector conf is
+applied only when the Cassandra connector is actually on the classpath.
+
+Scale notes: AQE is always on (runtime coalescing, skew-join splitting),
+shuffle partitions default to the local core count (the 200 default is wrong
+in both directions), session timezone is pinned to UTC so results are
+comparable across engines and clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "cassandra-analytics-example-spark"
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when launched
+    standalone; under a real cluster manager pass ``master=None`` with
+    ``spark.master`` preset in the environment.
+    """
+    cpus = _cpus()
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = {
+        # AQE: runtime partition coalescing, skew-join handling, join re-plan.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Shuffle width ~ cores locally; on a 1000-executor cluster this is
+        # overridden to ~2-3x total cores (or left to AQE coalescing from a
+        # high initial value).
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        # Deterministic cross-engine timestamps (duckdb is UTC-naive).
+        "spark.sql.session.timeZone": "UTC",
+        # Arrow for every pandas_udf / toPandas boundary.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Input split sizing: 128 MB keeps ~100TB/128MB ≈ 800k tasks, fine for
+        # a large cluster; local test files are far smaller anyway.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,125 @@
+"""Source/sink registry — counterpart of the reference's reader/writer
+builders (``SparkUtils.scala:56-65``: ``getReader``/``getWriter`` binding the
+Cassandra bulk DataSource by class name, ``:94-100`` ``read()``, ``:67-74``
+``writeExisting``).
+
+Two backends:
+
+* ``parquet`` (default, offline harness): immutable directory per table —
+  the snapshot-isolation analogue of the reference's ``createSnapshot`` read
+  (``App.scala:113-114``).
+* ``cassandra``: Spark Cassandra Connector options pass-through; gated because
+  the connector jar is not on the classpath in this environment. The write
+  path applies the bulk-writer discipline (repartition by partition key +
+  sort within partitions) that the reference's library does via token-sorting.
+
+At 100 TB the parquet path is the scale path: reads are split by
+``spark.sql.files.maxPartitionBytes`` (no driver bottleneck) and writes shard
+per task with ``maxRecordsPerFile`` bounding file sizes (the reference's
+``maxRowsPerFile(100000)``, ``App.scala:68``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, DataFrameReader, DataFrameWriter, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+MAX_RECORDS_PER_FILE = 100_000  # reference App.scala:68
+
+
+def get_reader(spark: SparkSession, options: dict[str, str]) -> DataFrameReader:
+    """Reader bound to the configured backend (default parquet)."""
+    fmt = options.get("format", "parquet")
+    reader = spark.read
+    if fmt == "cassandra":
+        reader = reader.format(CASSANDRA_FORMAT).options(
+            **{k: v for k, v in options.items() if k != "format"}
+        )
+    else:
+        reader = reader.format(fmt)
+    return reader
+
+
+def read(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    """Load the table the option map names (reference ``read()``,
+    ``SparkUtils.scala:94-100`` — schema comes from the source, never
+    hand-declared on read)."""
+    fmt = options.get("format", "parquet")
+    if fmt == "cassandra":
+        return get_reader(spark, options).load()
+    path = options.get("path")
+    if path is None:
+        raise ValueError("parquet read requires a 'path' option")
+    return get_reader(spark, options).load(path)
+
+
+def get_writer(df: DataFrame, options: dict[str, str]) -> DataFrameWriter:
+    """Writer bound to the configured backend, append mode (reference
+    ``getWriter``, ``SparkUtils.scala:56-60``)."""
+    fmt = options.get("format", "parquet")
+    mode = options.get("mode", "append")
+    if fmt == "cassandra":
+        return (
+            df.write.format(CASSANDRA_FORMAT)
+            .options(**{k: v for k, v in options.items() if k not in ("format", "mode")})
+            .mode(mode)
+        )
+    writer = df.write.format(fmt).mode(mode)
+    writer = writer.option(
+        "maxRecordsPerFile", options.get("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+    )
+    return writer
+
+
+def write(df: DataFrame, options: dict[str, str]) -> DataFrame:
+    """Write ``df`` through the configured sink and return it (reference
+    ``writeExisting``, ``SparkUtils.scala:67-74``).
+
+    When ``partition_key`` is given, apply the bulk-writer discipline the
+    reference's library performs internally (token-sort before SSTable
+    generation): hash-partition on the key and sort within partitions, so
+    each task emits one contiguous, clustered shard. On parquet this gives
+    key-clustered files (row-group pruning on later reads).
+    """
+    pk = options.get("partition_key")
+    out = df
+    if pk:
+        splits = int(options["splits"]) if "splits" in options else None
+        cols = [F.col(c) for c in pk.split(",")]
+        out = (df.repartition(splits, *cols) if splits else df.repartition(*cols))
+        out = out.sortWithinPartitions(*cols)
+    path = options.get("path")
+    fmt = options.get("format", "parquet")
+    if fmt == "cassandra":
+        get_writer(out, options).save()
+    else:
+        if path is None:
+            raise ValueError("parquet write requires a 'path' option")
+        get_writer(out, options).save(path)
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from a scale-factor directory (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
