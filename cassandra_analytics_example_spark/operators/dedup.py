@@ -1,0 +1,259 @@
+"""Deduplication operators over document corpora — the LLM-training-data
+surface (SURVEY.md §7 M4): exact, MinHash+LSH, SimHash, token-Jaccard,
+embedding-cosine near-dup.
+
+Scale discipline: every operator is candidate-generation + verification.
+Candidate generation is a hash/bucket equi-join (shuffle on the bucket key,
+never all-pairs); verification runs only within buckets. Hashing is md5-based
+so signatures are engine-portable and reproducible across runs/clusters
+(murmur/xxhash seeds differ between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.functions.text import (
+    distinct_tokens,
+    md5_u60,
+    normalized_text,
+    shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = False
+) -> DataFrame:
+    """Exact dedup by content hash: one survivor (min id) per md5(text).
+
+    Adds ``content_hash``; keeps first-by-id. Hash-groupBy = single shuffle
+    on the 128-bit hash — uniform keys, no skew, the canonical 100 TB-safe
+    exact dedup. ``normalize=True`` fingerprints the canonical text form
+    instead (case/punctuation-insensitive dedup)."""
+    text = normalized_text(text_col) if normalize else F.col(text_col)
+    hashed = df.withColumn("content_hash", F.md5(text))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures over character-k-gram shingle sets.
+
+    For each of ``num_hashes`` seeded hash functions h_i, the signature
+    component is min over shingles of h_i(shingle) — all computed as one
+    column expression per component (transform + array_min), so signatures
+    for a document are produced in a single pass with no explode/shuffle.
+    Returns (id, sig array<bigint>).
+    """
+    sh = F.array_distinct(shingles(text_col, shingle_k))
+
+    # NB: closures, not `lambda s, i=i`. A two-parameter lambda is treated by
+    # F.transform as an (element, index) lambda — the second parameter would
+    # silently shadow the seed with the array index.
+    def component(i: int):
+        return F.array_min(F.transform(sh, lambda s: md5_u60(s, i))).alias(f"h{i}")
+
+    components = [component(i) for i in range(num_hashes)]
+    return df.select(F.col(id_col), F.array(*components).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into bands, hash each band, and
+    equi-join on (band_index, band_hash) to produce candidate pairs.
+
+    Documents agreeing on *any* full band collide. The band join is the only
+    shuffle; pairs are deduplicated by (id_a < id_b). Returns distinct
+    (id_a, id_b).
+    """
+    bands = []
+    for b in range(num_bands):
+        lo = b * rows_per_band + 1  # slice() is 1-based
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[
+                        F.element_at("sig", lo + r).cast("string")
+                        for r in range(rows_per_band)
+                    ])
+                ).alias("bhash"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band", "b.bhash")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bhash") == F.col(f"b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+    num_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact Jaccard verification on shingle sets → pairs ≥ threshold.
+
+    Returns (id_a, id_b, jaccard). Verification joins shingle sets only for
+    candidate pairs (explode + groupBy on pair), so cost is proportional to
+    collisions, not N²."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup by word-token Jaccard with min-token blocking.
+
+    Candidates = documents sharing their lexicographically smallest distinct
+    token (a 1-permutation MinHash in token space — fully expressible in
+    ANSI SQL, hence oracle-checkable, unlike seeded-hash MinHash). Exact
+    Jaccard verifies candidates. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    toks = df.select(
+        F.col(id_col),
+        distinct_tokens(text_col).alias("toks"),
+    ).withColumn("min_tok", F.array_min("toks"))
+    a = toks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        "min_tok",
+    )
+    b = toks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        "min_tok",
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        a.join(b, "min_tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 64
+) -> DataFrame:
+    """SimHash document fingerprint: sign of per-bit vote sums over token
+    hashes. Near-dup docs differ in few bits (compare via hamming distance).
+
+    Bit b of the fingerprint = 1 iff sum over distinct tokens of
+    (bit b of md5-hash(token) ? +1 : -1) > 0. Computed as pure column
+    algebra: token array → per-token 60-bit hash → per-bit aggregate via
+    transform/aggregate — no explode, no shuffle beyond the final projection.
+    Returns (id, simhash bigint).
+    """
+    if not 0 < n_bits <= 60:
+        raise ValueError("n_bits must be in (0, 60] (60-bit portable hashes)")
+    hashes = F.transform(distinct_tokens(text_col), lambda t: md5_u60(t))
+
+    def bit_vote(b: int):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        return F.when(votes > 0, F.lit(2**b)).otherwise(F.lit(0))
+
+    bit_cols = [bit_vote(b) for b in range(n_bits)]
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return df.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two bigint fingerprints (bit_count of XOR)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bucket LSH blocking + exact cosine
+    verification within buckets. Returns (id_a, id_b, cosine ≥ threshold).
+
+    Near-identical vectors share all sign bits, so true near-dups collide;
+    the bucket join bounds comparisons to ~N²/2^n_bits."""
+    from cassandra_analytics_example_spark.functions.vector import (
+        cosine_similarity,
+        sign_bucket,
+    )
+
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, n_bits).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed through Arrow-batched ``mapInPandas`` (SURVEY.md §7 M4).
+
+This mirrors the reference's only binary column (the ``course`` blob,
+``SparkUtils.scala:82``) scaled up to media payloads: the engine treats
+image/audio/video as bytes + a metadata struct, and runs decode/feature
+steps as vectorized pandas batches. The actual media decode is STUBBED
+(image/audio libraries are not in this environment — ``decode_image``
+raises ``NotImplementedError``); the Spark-side plumbing — schema, batch
+shape, partitioning, deterministic fake features — is real and tested.
+
+Scale notes: payloads stay in executor-side Arrow batches end-to-end (never
+driver-collected); ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+batch memory for fat rows; partition count follows the input, so a 100 TB
+media corpus processes as ordinary map tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAYLOAD_SCHEMA = (
+    "doc_id bigint, payload binary, media_type string, width int, height int"
+)
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, payload_md5 string, "
+    "width int, height int, aspect double"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a multimodal table from the documents fixture: payload = UTF-8
+    bytes of the text (a deterministic stand-in for image bytes), plus a
+    typed metadata struct derived from the content."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        (F.length(text_col) % 640 + 1).cast("int").alias("width"),
+        (F.length(text_col) % 480 + 1).cast("int").alias("height"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real media decode — requires an image library (PIL/cv2), not present
+    in this environment. The feature pipeline uses deterministic fake
+    features instead (``extract_features``)."""
+    raise NotImplementedError(
+        "media decode requires an image library not available in this build; "
+        "extract_features() computes deterministic byte-level features instead"
+    )
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Per-payload feature extraction via Arrow-batched ``mapInPandas``.
+
+    Features are byte-level and deterministic (length, md5, aspect ratio
+    from metadata) — the stand-in for an embedding/decode step. Batches are
+    processed whole (vectorized hashlib over a pandas column), never per-row
+    Python in a UDF call loop.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "aspect": pdf["width"].astype("float64")
+                    / pdf["height"].astype("float64"),
+                }
+            )
+
+    return payloads.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' over opaque payloads: deterministic byte-stride
+    sampling via mapInPandas — the plumbing shape of video frame extraction
+    (payload in → many smaller payloads out, one row per sample)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["frame_bytes"].append(data[off : off + every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        _sample, schema="doc_id bigint, frame_no int, frame_bytes binary"
+    )

@@ -1,0 +1,142 @@
+"""Composite relational operators the built-in DataFrame surface lacks as
+single calls: top-k per group, last-write-wins reconciliation, sessionization,
+as-of join. All are compositions of window/join primitives — no UDFs, fully
+Catalyst-optimizable, shuffle-once on their natural keys.
+
+``lww_latest`` is the engine's stand-in for the Cassandra read semantics the
+reference exercises through its library: multiple SSTables/replicas may hold
+versions of one row; reads reconcile last-write-wins by timestamp
+(SURVEY.md §7 "custom": the `[lib]` reconcile step of the bulk read,
+App.scala:151-160). Here that's an explicit operator over any (key, ts) pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group. ``order_by`` must be a *total* order (add a key
+    tie-break) or results are nondeterministic. One shuffle on ``group_by``;
+    with AQE the per-group sort never materializes the full global sort."""
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def lww_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    version_order: Sequence[Column],
+) -> DataFrame:
+    """Last-write-wins: keep exactly one row per key — the maximum under
+    ``version_order`` (e.g. ``[desc(ts), desc(event_id)]``; include a unique
+    tie-break so timestamp ties resolve deterministically, the way Cassandra
+    breaks ties by cell value). Single hash-shuffle on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(*version_order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time since
+    the previous event of the same user exceeds ``gap_seconds``.
+
+    Adds ``session_id`` (1-based per user). Classic lag+cumsum composition:
+    one shuffle on ``user_col``; both window passes share the partitioning.
+    Streaming twin: ``F.session_window`` (streaming/windows.py).
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` within the same ``on`` keys (NULLs when none).
+
+    Spark has no native as-of join. Union-and-carry composition: tag both
+    inputs, union on aligned schemas, sort within key partitions by (ts,
+    right-before-left at equal ts), carry the last seen right values forward
+    with ``last(..., ignorenulls)``, keep left rows. Exactly ONE shuffle on
+    ``on`` — no join at all — which beats the bucketize+equi-join alternative
+    whenever the right side is large, and never explodes on skewed keys the
+    way a range join can. (merge_asof semantics, allow_exact_matches=True.)
+    """
+    on = list(on)
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # right rows (is_left=0) sort before left rows at the same timestamp so
+    # an exact match is visible to the left row.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("__is_left"),
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in right_values
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")

@@ -1,0 +1,113 @@
+"""Text-analysis operators over document corpora (SURVEY.md §7 M4):
+language identification, quality scoring, token counting, fingerprinting.
+
+All pure column algebra (JVM codegen; zero Python in the hot path) and all
+ANSI-portable, so every operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.functions.text import (
+    distinct_tokens,
+    normalized_text,
+    tokens,
+)
+
+# Tiny stopword marker sets per language for the n-gram/stopword-voting
+# heuristic. On a real corpus these would be the top-N function words per
+# language; the shape of the operator (per-language token-overlap score →
+# argmax) is what matters.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "y", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    """Whitespace token count (BPE-ish proxy: words + punctuation runs)."""
+    return F.size(tokens(text_col)).alias("n_tokens")
+
+
+def lang_scores(text_col: str | Column = "text") -> list[Column]:
+    """Per-language marker-overlap scores (count of marker tokens present)."""
+    toks = distinct_tokens(text_col)
+    return [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax of marker scores, 'und' when all zero.
+
+    Deterministic argmax: ties resolve by language code ascending."""
+    scored = df.select("*", *lang_scores(text_col))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties via later overwrite
+    for l in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{l}") == best), F.lit(l)
+        ).otherwise(pred)
+    return scored.withColumn("pred_lang", pred).drop(
+        *[f"score_{l}" for l in langs]
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality features: length, token stats, punctuation/digit
+    ratios, stopword share, mean word length — the standard pre-training
+    quality-filter signals (C4/Gopher-style rules), as exact arithmetic.
+
+    Adds: n_chars_calc, n_tokens, mean_tok_len, punct_ratio, digit_ratio,
+    stop_ratio, quality_score (a fixed linear blend, deterministic)."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c).cast("double")
+    n_toks = F.size(toks).cast("double")
+    # character-class counts by strip-and-diff (identical across engines)
+    n_punct = (n_chars - F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))).cast(
+        "double"
+    )
+    n_digit = (n_chars - F.length(F.regexp_replace(c, "[0-9]", ""))).cast("double")
+    stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, t))
+    ).cast("double")
+    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks  # chars net of separators
+    punct_ratio = n_punct / n_chars
+    digit_ratio = n_digit / n_chars
+    stop_ratio = n_stop / n_toks
+    quality = (
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + stop_ratio * 0.3
+    )
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Canonical-form document fingerprint: md5 over the normalized text
+    (lowercase, alnum+space only, collapsed whitespace) — robust to
+    case/punctuation edits, the cheap tier of near-dup detection."""
+    return df.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
+    )

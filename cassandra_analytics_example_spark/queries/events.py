@@ -1,0 +1,187 @@
+"""Event-time analytics over the ``events`` table — the batch twins of the
+streaming operators (SURVEY.md §7 M3), each oracle-checked; the streaming
+variants (streaming/windows.py) reuse the same logic with watermarks.
+
+Timestamps surface as integer epoch-µs (``ts_us``) or truncated ISO strings,
+never raw timestamps — see queries/_tables.py for the ns handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.functions.numeric import money_sum
+from cassandra_analytics_example_spark.operators.relational import (
+    asof_join,
+    lww_latest,
+    sessionize,
+)
+from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.queries._tables import table
+
+# --------------------------------------------------------------------------
+# q15 — tumbling window aggregate (batch twin of the streaming hourly roll).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q15_hourly_event_windows",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="tumbling 1h window aggregate (F.window batch form)",
+    tags=("events", "window"),
+)
+def q15_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — gap-based sessionization (lag + cumulative session ids).
+# --------------------------------------------------------------------------
+
+GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+@register(
+    "q16_user_sessions",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       count(DISTINCT session_id) AS n_sessions,
+       count(*) AS n_events,
+       max(ts_us) - min(ts_us) AS active_span_us
+FROM sessions
+GROUP BY user_id
+""",
+    doc="sessionize operator: 30-min-gap sessions per user",
+    tags=("events", "session"),
+)
+def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts_us", "event_id")
+    sess = sessionize(
+        ev, user_col="user_id", ts_col="ts_us",
+        gap_seconds=GAP_US, order_tiebreak="event_id",
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("active_span_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — last-write-wins reconciliation (the Cassandra read semantics).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q17_lww_latest_events",
+    oracle="""
+SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+    doc="lww_latest operator: newest version per (user, event_type) — the "
+    "last-write-wins reconcile of the reference's bulk read (SURVEY §7)",
+    tags=("events", "dedup"),
+)
+def q17_lww_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    latest = lww_latest(
+        ev,
+        keys=["user_id", "event_type"],
+        version_order=[F.col("ts_ns").desc(), F.col("event_id").desc()],
+    )
+    return latest.select("user_id", "event_type", "ts_us", "value")
+
+
+# --------------------------------------------------------------------------
+# q18 — as-of join: attach the most recent prior signup per purchase.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q18_asof_purchase_signup",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, 1 AS is_left
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, 0 AS is_left
+  FROM events WHERE event_type = 'signup'
+),
+carried AS (
+  SELECT user_id, event_id, ts_us, value, is_left,
+         last_value(CASE WHEN is_left = 0 THEN ts_us END IGNORE NULLS) OVER w AS signup_ts_us,
+         last_value(CASE WHEN is_left = 0 THEN value END IGNORE NULLS) OVER w AS signup_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_left
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_us, value, signup_ts_us, signup_value
+FROM carried WHERE is_left = 1
+""",
+    doc="asof_join operator: purchases ← most recent prior signup per user "
+    "(single shuffle, no range-join explosion)",
+    tags=("events", "asof"),
+)
+def q18_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("signup_ts"), F.col("value").alias("sv")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="signup_ts",
+        right_values=["signup_ts", "sv"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("signup_ts").alias("signup_ts_us"),
+        F.col("sv").alias("signup_value"),
+    )

@@ -1,0 +1,422 @@
+"""LLM-training-data pipeline queries (SURVEY.md §7 M4) over the
+``documents`` and ``embeddings`` fixtures: dedup (exact / MinHash-LSH /
+SimHash / token-Jaccard / embedding-cosine), similarity search (brute-force
++ LSH), text analysis (lang-id, quality, tokens, fingerprints), multimodal
+binary plumbing.
+
+Oracles: the operators hash with md5 and compute similarity in ordered
+float64 folds precisely so these pipelines stay SQL-expressible — each
+oracle below recomputes signatures/scores from scratch in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash,
+    token_jaccard_pairs,
+)
+from cassandra_analytics_example_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    frame_sample,
+)
+from cassandra_analytics_example_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from cassandra_analytics_example_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    quality_features,
+)
+from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.queries._tables import table
+
+# ---------------------------------------------------------------- dedup ---
+
+
+@register(
+    "q20_exact_dedup",
+    oracle="""
+SELECT doc_id, content_hash FROM (
+  SELECT doc_id, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""",
+    doc="exact dedup by content hash (one survivor per md5)",
+    tags=("llm", "dedup"),
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id", "content_hash")
+
+
+# DuckDB twin of functions.text.md5_u60
+_U60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_MINHASH_SEEDS = 16
+_MINHASH_BANDS = 4
+_SHINGLE_K = 5
+
+_sig_cols = ",\n         ".join(
+    "list_min(list_transform(range(1, length(text) - %d), i -> %s)) AS h%d"
+    % (
+        _SHINGLE_K - 2,
+        _U60.format(expr=f"'{s}' || substr(text, i, {_SHINGLE_K})"),
+        s,
+    )
+    for s in range(_MINHASH_SEEDS)
+)
+_band_structs = ", ".join(
+    "{band: %d, bhash: md5(concat_ws(',', %s))}"
+    % (b, ", ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4)))
+    for b in range(_MINHASH_BANDS)
+)
+
+
+@register(
+    "q21_minhash_lsh_neardup",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_sig_cols}
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, b.band AS band, b.bhash AS bhash
+  FROM sig, UNNEST([{_band_structs}]) AS t(b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+                                      i -> substr(text, i, {_SHINGLE_K}))) AS sh
+  FROM documents
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM cands c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+""",
+    doc="MinHash(16)+LSH(4 bands) near-dup candidates, exact Jaccard ≥ 0.5 "
+    "verification on 5-gram shingle sets",
+    tags=("llm", "dedup"),
+)
+def q21_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_SEEDS,
+        shingle_k=_SHINGLE_K,
+        num_bands=_MINHASH_BANDS,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "q22_token_jaccard_neardup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         list_min(list_distinct(string_split(text, ' '))) AS min_tok
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM toks a JOIN toks b ON a.min_tok = b.min_tok AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.3
+""",
+    doc="token-set Jaccard near-dup with min-token blocking (1-perm MinHash)",
+    tags=("llm", "dedup"),
+)
+def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+
+
+_SIMHASH_BITS = 32
+_simhash_votes = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(list_distinct(string_split(text, ' ')), "
+    f"t -> (({_U60.format(expr='t')} >> {b}) & 1) * 2 - 1)) > 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "q23_simhash_hamming",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, CAST({_simhash_votes} AS BIGINT) AS simhash
+  FROM documents
+)
+SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+       count(*) AS n_pairs
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+GROUP BY 1
+""",
+    doc="SimHash(32-bit) fingerprints + all-pairs hamming-distance histogram",
+    tags=("llm", "dedup"),
+)
+def q23_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = simhash(docs, "doc_id", "text", n_bits=_SIMHASH_BITS)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "q24_embedding_neardup",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       list_cosine_similarity(a.v, b2.v) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.6
+""",
+    doc="embedding-cosine near-dup: 8-bit sign-LSH blocking + exact verify",
+    tags=("llm", "dedup"),
+)
+def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.6, n_bits=8)
+
+
+# ----------------------------------------------------------- similarity ---
+
+
+@register(
+    "q25_knn_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.query_id, c.neighbor_id,
+         list_cosine_similarity(q.qv, c.cv) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                     c.neighbor_id ASC) AS rnk
+  FROM q JOIN c ON q.query_id <> c.neighbor_id
+) WHERE rnk <= 5
+""",
+    doc="exact ANN baseline: brute-force cosine top-5 for 10 query vectors",
+    tags=("llm", "similarity"),
+)
+def q25_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "q26_knn_lsh",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rnk
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rnk <= 5
+""",
+    doc="LSH-bucketed approximate ANN (4 sign bits) — the scale path",
+    tags=("llm", "similarity"),
+)
+def q26_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, n_bits=4)
+
+
+# ------------------------------------------------------------- text ------
+
+
+@register(
+    "q27_text_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS DOUBLE) AS n_chars_calc,
+       len(string_split(text, ' ')) AS n_tokens,
+       (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+         / len(string_split(text, ' ')) AS mean_tok_len,
+       (CAST(length(text) AS DOUBLE)
+         - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         / length(text) AS punct_ratio,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stop_ratio,
+       least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+         + (1.0 - (CAST(length(text) AS DOUBLE)
+              - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+              / length(text)) * 0.3
+         + CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+              / len(string_split(text, ' ')) * 0.3 AS quality_score
+FROM documents
+""",
+    doc="quality-filter features: length/token/punct/stopword signals",
+    tags=("llm", "text"),
+)
+def q27_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "mean_tok_len",
+        "punct_ratio",
+        "stop_ratio",
+        "quality_score",
+    )
+
+
+_LANG_CASES = """
+SELECT doc_id, lang,
+  len(list_intersect(toks, ['the','and','of','to','a'])) AS s_en,
+  len(list_intersect(toks, ['der','die','und','das','ist'])) AS s_de,
+  len(list_intersect(toks, ['le','la','et','les','des'])) AS s_fr,
+  len(list_intersect(toks, ['el','la','de','y','que'])) AS s_es,
+  len(list_intersect(toks, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+"""
+
+
+@register(
+    "q28_langid_confusion",
+    oracle=f"""
+WITH scored AS ({_LANG_CASES}),
+pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+""",
+    doc="heuristic language-ID (stopword-marker voting) confusion matrix",
+    tags=("llm", "text"),
+)
+def q28_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        detect_language(docs, "text")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q29_fingerprint_groups",
+    oracle="""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+""",
+    doc="canonical-form fingerprint groups (case/punct-insensitive dedup)",
+    tags=("llm", "text"),
+)
+def q29_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        fingerprint(docs, "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+# ---------------------------------------------------------- multimodal ---
+
+
+@register(
+    "q30_multimodal_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(length(text) % 640 + 1 AS DOUBLE)
+         / CAST(length(text) % 480 + 1 AS DOUBLE) AS aspect
+FROM documents
+""",
+    doc="multimodal plumbing: binary payload + metadata → mapInPandas "
+    "feature extraction (Arrow-batched; media decode stubbed)",
+    tags=("llm", "multimodal"),
+)
+def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(docs))
+    return feats.select("doc_id", "n_bytes", "payload_md5", "aspect")
+
+
+@register(
+    "q31_frame_sampling",
+    oracle="""
+SELECT doc_id,
+       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+       octet_length(encode(text)) AS total_bytes
+FROM documents
+""",
+    doc="frame-sampling plumbing: payload → byte-stride samples via "
+    "mapInPandas, re-aggregated",
+    tags=("llm", "multimodal"),
+)
+def q31_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_payload(docs), every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame_bytes")).alias("total_bytes"),
+    )

@@ -1,0 +1,78 @@
+"""Reference-parity queries: the reference's own workload (generate →
+bulk-write → read-back → copy → count, App.scala:123-161 / SURVEY.md §2.7)
+as oracle-checkable queries.
+
+The DuckDB twin regenerates the same deterministic rows from ``range()`` —
+proving not just counts but content parity across the write/read/copy chain.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.config import JobConfiguration
+from cassandra_analytics_example_spark.datagen import gen_dataset_deterministic
+from cassandra_analytics_example_spark.plans.jobs import copy_table
+from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.sources import write
+
+N_ROWS = 10_000  # reference default rowCount (SparkUtils.scala:121)
+
+# count + content digest over the generated table; course is decoded back
+# from the blob so the digest covers the binary column's round trip.
+_AGG_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       sum(i) AS sum_marks,
+       count(DISTINCT md5('crs-' || lpad(CAST(i AS VARCHAR), 32, '0'))) AS n_distinct_course,
+       min(i) AS min_id,
+       max(i) AS max_id
+FROM range(0, {N_ROWS}) t(i)
+"""
+
+
+def _digest(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.count("*").alias("n_rows"),
+        F.sum("marks").alias("sum_marks"),
+        F.countDistinct(F.md5(F.col("course"))).alias("n_distinct_course"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+@register(
+    "ref_datagen_digest",
+    oracle=_AGG_ORACLE,
+    doc="S2 synthetic source: deterministic generator content digest",
+    tags=("reference",),
+)
+def ref_datagen_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _digest(gen_dataset_deterministic(spark, N_ROWS, 8))
+
+
+@register(
+    "ref_copy_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="flagship job: generate → write → copy test→test2 → digest of test2 "
+    "(oneClusterCopyTable, App.scala:123-161)",
+    tags=("reference",),
+)
+def ref_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="ref-roundtrip-")
+    src, dst = os.path.join(tmp, "test"), os.path.join(tmp, "test2")
+    write(
+        gen_dataset_deterministic(spark, N_ROWS, 8),
+        {"path": src, "mode": "overwrite", "partition_key": "id", "splits": "8"},
+    )
+    copy_table(
+        spark,
+        JobConfiguration(
+            read_options={"path": src},
+            write_options={"path": dst, "mode": "overwrite"},
+        ),
+    )
+    return _digest(spark.read.parquet(dst))

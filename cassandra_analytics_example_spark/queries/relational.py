@@ -1,0 +1,562 @@
+"""Relational analytics surface (SURVEY.md §7 M2): filters/projections,
+joins (broadcast + shuffle, semi/anti), grouped aggregation incl. distinct,
+windows, top-k, set ops, rollup, scalar string/date/math/JSON functions,
+correlated subqueries. Everything is built-in DataFrame algebra — Catalyst
+pushes filters/prunes columns into the parquet scan, AQE picks join
+strategies; small dimension tables are broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.functions.numeric import (
+    dec,
+    money_avg,
+    money_sum,
+    revenue_expr,
+)
+from cassandra_analytics_example_spark.operators.relational import top_k_per_group
+from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.queries._tables import table
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan-filter → hash aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)                    AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)        AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)           AS sum_charge,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)         AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / count(l_extendedprice)                                         AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         / count(l_discount)                                              AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: pushed filter + 8-way hash aggregate",
+    tags=("relational", "aggregate"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            F.sum(revenue_expr()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                revenue_expr() * (F.lit(1) + dec("l_tax", 4, 2))
+            ).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty"),
+            money_avg("l_extendedprice", "avg_price"),
+            money_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — revenue forecast (TPC-H Q6 shape): tight filter → scalar aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q02_revenue_filter",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: all predicates pushed to the parquet scan, scalar agg",
+    tags=("relational", "filter"),
+)
+def q02_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — star join: fact ⋈ broadcast dims, grouped revenue.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q03_revenue_by_nation",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('AMERICA', 'ASIA')
+GROUP BY n.n_name
+""",
+    doc="star join lineitem⋈supplier⋈nation⋈region with broadcast dims",
+    tags=("relational", "join"),
+)
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    dims = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — semi join: order priority counts where at least one lineitem exists.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q04_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+""",
+    doc="EXISTS → left-semi join, grouped count (TPC-H Q4 shape)",
+    tags=("relational", "join"),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — top-k with join: ten biggest customers by order volume.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q05_top_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+""",
+    doc="join + aggregate + total-order top-k (sort/limit)",
+    tags=("relational", "topk"),
+)
+def q05_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(dec("o_totalprice", 18, 6)).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — window functions: rank + running sum per customer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q06_window_order_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, rnk, running_spent
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS rnk,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rnk <= 3
+""",
+    doc="window ranking + rows-frame running aggregate, top-3 per customer",
+    tags=("relational", "window"),
+)
+def q06_window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rnk"),
+            F.sum(dec("o_totalprice", 18, 6))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            .alias("running_spent"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — distinct aggregates per group.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q07_segment_stats",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS avg_acctbal,
+       min(c_name) AS first_name,
+       max(c_name) AS last_name
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="grouped distinct-count + deterministic avg + min/max",
+    tags=("relational", "aggregate"),
+)
+def q07_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        money_avg("c_acctbal", "avg_acctbal"),
+        F.min("c_name").alias("first_name"),
+        F.max("c_name").alias("last_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — set operations.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q08_set_ops",
+    oracle="""
+SELECT 'union' AS op, count(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'intersect' AS op, count(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+    doc="union/intersect/except distinct semantics",
+    tags=("relational", "setops"),
+)
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bldg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    def tagged_count(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    parts = [
+        tagged_count(rich.union(bldg).distinct(), "union"),
+        tagged_count(rich.intersect(bldg), "intersect"),
+        tagged_count(rich.subtract(bldg), "except"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# q09 — anti join: customers with no orders, per nation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q09_customers_without_orders",
+    oracle="""
+SELECT c_nationkey, count(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""",
+    doc="NOT EXISTS → left-anti join, grouped",
+    tags=("relational", "join"),
+)
+def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — rollup (grouping sets).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q10_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="hierarchical rollup aggregate (subtotals + grand total)",
+    tags=("relational", "aggregate"),
+)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — scalar string/math functions (projection-only; prune to 4 columns).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q11_scalar_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_uc,
+       substr(p_name, 1, 8) AS name_pfx,
+       length(p_name) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       p_size % 5 AS size_mod,
+       abs(p_size - 25) AS size_dist,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS marked_up
+FROM part
+""",
+    doc="scalar string/math projection (upper/substr/length/concat/mod/abs)",
+    tags=("relational", "scalar"),
+)
+def q11_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (dec("p_retailprice", 12, 2) * F.lit(1.1).cast("decimal(3,1)"))
+        .cast("double")
+        .alias("marked_up"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — date functions + conditional aggregation (hand pivot).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q12_orders_by_year",
+    oracle="""
+SELECT CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(extract(quarter FROM o_orderdate) AS INT) AS order_quarter,
+       count(*) AS n_orders,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       CAST(sum(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                     THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS urgent_value
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="date extraction + CASE pivot aggregation",
+    tags=("relational", "scalar"),
+)
+def q12_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").startswith("1-") | F.col(
+        "o_orderpriority"
+    ).startswith("2-")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.sum(F.when(urgent, dec("o_totalprice", 18, 6)))
+            .cast("double")
+            .alias("urgent_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — correlated subquery (orders above their customer's average).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q13_above_avg_orders",
+    oracle="""
+WITH cust_avg AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderstatus, count(*) AS n_above,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS value_above
+FROM orders o JOIN cust_avg a ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > a.avg_price
+GROUP BY o.o_orderstatus
+""",
+    doc="correlated-subquery shape: per-key average joined back (decorrelated)",
+    tags=("relational", "subquery"),
+)
+def q13_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice", 18, 6)).cast("double") / F.count("*")).alias(
+            "avg_price"
+        )
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.sum(dec("o_totalprice", 18, 6)).cast("double").alias("value_above"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — JSON extraction over the events props payload.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_json_events",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON field extraction (get_json_object) + grouped aggregates",
+    tags=("relational", "json"),
+)
+def q14_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum("value", "sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — top-k per group via the operator (part sizes per brand).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q19_topk_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part) WHERE rnk <= 5
+""",
+    doc="top_k_per_group operator: priciest 5 parts per brand",
+    tags=("relational", "topk"),
+)
+def q19_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return top_k_per_group(
+        part.select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        k=5,
+        rank_col="rnk",
+    )

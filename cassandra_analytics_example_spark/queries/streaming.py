@@ -1,0 +1,54 @@
+"""Streaming queries registered in the driver contract.
+
+Structured Streaming results aren't ANSI-SQL-expressible (watermarks,
+session-window merging, stateful dedup), so these register WITHOUT oracles —
+the driver records rows-only checks. Their deterministic batch twins
+(q15/q16/q17 in queries/events.py) carry the value-level correctness gate
+for the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.streaming import (
+    run_sessionized_stream,
+    run_stream_dedup,
+    run_tumbling_stream,
+)
+
+
+@register(
+    "s01_stream_tumbling_windows",
+    oracle=None,
+    doc="Structured Streaming: watermarked tumbling 1h windows over a "
+    "file-source stream, memory sink (batch twin: q15)",
+    tags=("streaming",),
+)
+def s01_stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_tumbling_stream(spark, sf_dir)
+
+
+@register(
+    "s02_stream_session_windows",
+    oracle=None,
+    doc="Structured Streaming: F.session_window 30-min-gap sessions "
+    "(batch twin: q16)",
+    tags=("streaming",),
+)
+def s02_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sessionized_stream(spark, sf_dir)
+
+
+@register(
+    "s03_stream_dedup",
+    oracle=None,
+    doc="Structured Streaming: dropDuplicatesWithinWatermark on "
+    "(user_id, event_type) (batch twin: q17)",
+    tags=("streaming",),
+)
+def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = run_stream_dedup(spark, sf_dir)
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_first_seen"))

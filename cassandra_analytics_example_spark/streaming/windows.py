@@ -1,0 +1,165 @@
+"""Structured Streaming over the events table (SURVEY.md §7 M3).
+
+The reference has no streaming surface; this supplies the M3 layer the north
+star demands: watermarked tumbling/sliding/session windows, stateful
+streaming dedup, late-data handling. Each streaming transformation is a
+plain function over an (un)bounded DataFrame, so the SAME logic runs:
+
+* in streaming mode — ``readStream`` + watermark + ``writeStream``;
+* in batch mode — the oracle-checked twins in queries/events.py.
+
+Local smoke path: file-source readStream over the fixture parquet, memory
+sink, ``processAllAvailable()`` — bounded input drives the stream to
+completion synchronously. At scale the source becomes Kafka/object-store
+listing and sinks become parquet/Delta with checkpointing; the
+transformations are unchanged.
+
+The ns-timestamp fixture needs the same ``nanosAsLong`` handling as batch
+(queries/_tables.py); the stream schema therefore reads ``ts`` as bigint ns
+and derives a proper µs timestamp column before watermarking.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events fixture (one file = one microbatch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+    )
+
+
+def tumbling_aggregate(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type. Late rows
+    beyond the watermark are dropped; in append mode a window emits once
+    its watermark passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-merged) per user — the streaming twin of the
+    batch ``sessionize`` operator (stateful merge via F.session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): first occurrence
+    wins; state for a key expires once the watermark passes it."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink; return the
+    materialized result as a batch DataFrame."""
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the watermarked tumbling aggregate end-to-end in streaming mode.
+
+    With a single bounded microbatch nothing passes the watermark before
+    input ends, so append-mode would emit nothing; ``complete`` shows the
+    full aggregate state — matching the batch twin q15 minus the watermark
+    drop (no late data in the fixture)."""
+    agg = tumbling_aggregate(stream_events(spark, sf_dir))
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+def run_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sessionized_counts(stream_events(spark, sf_dir))
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = dedup_within_watermark(stream_events(spark, sf_dir))
+    return _run_to_memory(
+        deduped.select("event_id", "user_id", "event_type"), spark
+    )
