@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through a `noop` write (computes every output column —
+`count()` would let Catalyst prune projections and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_analytics_example_spark.queries import load_all
+from cassandra_analytics_example_spark.session import get_spark
+
+# Headline set: reference flagship ETL + one per operator family.
+HEADLINE = [
+    "ref_copy_roundtrip",       # generate → write → copy → digest (the reference's job)
+    "q01_pricing_summary",      # scan + hash aggregate
+    "q03_revenue_by_nation",    # star join, broadcast dims
+    "q05_top_customers",        # join + agg + top-k
+    "q06_window_order_rank",    # window functions
+    "q13_above_avg_orders",     # decorrelated subquery (self-join)
+    "q15_hourly_event_windows", # event-time tumbling windows
+    "q16_user_sessions",        # sessionization
+    "q18_asof_purchase_signup", # as-of join
+    "q20_exact_dedup",          # hash dedup
+    "q21_minhash_lsh_neardup",  # MinHash+LSH near-dup
+    "q25_knn_bruteforce",       # similarity search
+    "q27_text_quality",         # text analysis
+    "q30_multimodal_features",  # Arrow mapInPandas plumbing
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark(app_name="bench")
+    # JVM/codegen warm-up on a trivial job so q1 isn't charged startup cost.
+    force(spark.range(1_000_000).selectExpr("sum(id) as s"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = registry[name]
+        t0 = time.perf_counter()
+        force(qd.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
