@@ -41,6 +41,27 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram array (space-joined consecutive token windows; positional,
+    not deduplicated). Texts with fewer than ``n`` tokens yield an empty
+    array.
+
+    SQL twin (DuckDB, where ``w = string_split(s, ' ')`` and slices are
+    1-based inclusive): ``list_transform(range(1, len(w) - n + 2),
+    i -> array_to_string(w[i:i+n-1], ' '))`` — DuckDB ``range`` is already
+    empty when the upper bound is below the lower; Spark ``sequence`` would
+    DESCEND, hence the explicit guard here.
+    """
+    w = tokens(col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def md5_u60(col: Column, seed: int | Column | None = None) -> Column:
     """Deterministic 60-bit hash of a string column: first 15 hex chars of
     md5(seed || value) as a non-negative bigint (no seed prefix when None).

@@ -11,6 +11,8 @@ so signatures are engine-portable and reproducible across runs/clusters
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -19,7 +21,23 @@ from cassandra_analytics_example_spark.functions.text import (
     md5_u60,
     normalized_text,
     shingles,
+    word_ngrams,
 )
+
+#: Mersenne prime 2^31 - 1: universal-hash modulus. With h < p and a < p the
+#: product a*h < 2^62 stays inside signed-64 range in every engine.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_seeds(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficient pairs for the universal-hash
+    family h_i(x) = (a_i * x + b_i) mod MINHASH_P. Fixed seed so signatures
+    are reproducible across runs/clusters and in the DuckDB oracle twin."""
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(n)
+    ]
 
 
 def exact_dedup(
@@ -50,22 +68,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over character-k-gram shingle sets.
 
-    For each of ``num_hashes`` seeded hash functions h_i, the signature
-    component is min over shingles of h_i(shingle) — all computed as one
-    column expression per component (transform + array_min), so signatures
-    for a document are produced in a single pass with no explode/shuffle.
-    Returns (id, sig array<bigint>).
+    Each shingle is md5-hashed ONCE (the expensive step), reduced mod
+    MINHASH_P, and materialized as an array in its own projection; the
+    ``num_hashes`` signature components are then derived from that array by
+    the cheap universal-hash family h_i(x) = (a_i*x + b_i) mod p — 16 passes
+    of bigint arithmetic instead of 16 md5 evaluations per shingle. No
+    explode, no shuffle. (The separate projection matters: CollapseProject
+    won't inline a non-cheap alias referenced num_hashes times, so the md5
+    pass runs once.) Returns (id, sig array<bigint>).
     """
-    sh = F.array_distinct(shingles(text_col, shingle_k))
+    sh = shingles(text_col, shingle_k)  # min() ignores duplicates — no distinct
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: md5_u60(s) % MINHASH_P).alias("__hv"),
+    )
 
-    # NB: closures, not `lambda s, i=i`. A two-parameter lambda is treated by
-    # F.transform as an (element, index) lambda — the second parameter would
-    # silently shadow the seed with the array index.
+    ab = minhash_seeds(num_hashes)
+
     def component(i: int):
-        return F.array_min(F.transform(sh, lambda s: md5_u60(s, i))).alias(f"h{i}")
+        a, b = ab[i]
+        return F.array_min(
+            F.transform(F.col("__hv"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        ).alias(f"h{i}")
 
     components = [component(i) for i in range(num_hashes)]
-    return df.select(F.col(id_col), F.array(*components).alias("sig"))
+    return hashed.select(F.col(id_col), F.array(*components).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -141,8 +168,10 @@ def minhash_lsh_dedup(
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
+    # |A∪B| = |A|+|B|-|A∩B|: avoids materializing the union array per pair
+    # (same fold order as the DuckDB oracle, so float64 results are identical).
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         joined.select(
             "id_a",
@@ -158,31 +187,46 @@ def token_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.3,
+    ngram_n: int = 3,
 ) -> DataFrame:
-    """Near-dup by word-token Jaccard with min-token blocking.
+    """Near-dup by word-n-gram Jaccard with rarest-gram blocking.
 
-    Candidates = documents sharing their lexicographically smallest distinct
-    token (a 1-permutation MinHash in token space — fully expressible in
-    ANSI SQL, hence oracle-checkable, unlike seeded-hash MinHash). Exact
-    Jaccard verifies candidates. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    Set elements are word ``ngram_n``-grams (n>1 matters: on small-vocabulary
+    or templated corpora unigram sets are near-identical across documents,
+    making unigram Jaccard inherently O(N²); n-gram vocabulary grows
+    combinatorially, so both candidate blocks and the true result stay
+    small). Candidates = documents sharing their RAREST n-gram (minimal
+    corpus document-frequency, ties broken lexicographically) — the classic
+    record-linkage blocker: block size is bounded by that gram's document
+    frequency, so no stopword-style O(N²) block is possible; near-dups still
+    collide because they share almost all grams, including their rarest.
+    Fully ANSI-SQL-expressible (explode → df-count → min(struct) →
+    equi-join), hence oracle-checkable. Exact Jaccard verifies candidates.
+    Returns (id_a, id_b, jaccard ≥ threshold)."""
     toks = df.select(
         F.col(id_col),
-        distinct_tokens(text_col).alias("toks"),
-    ).withColumn("min_tok", F.array_min("toks"))
-    a = toks.select(
-        F.col(id_col).alias("id_a"),
-        F.col("toks").alias("toks_a"),
-        "min_tok",
+        F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
     )
-    b = toks.select(
-        F.col(id_col).alias("id_b"),
-        F.col("toks").alias("toks_b"),
-        "min_tok",
+    tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    # per doc: token with min (dfreq, tok) — min(struct) avoids a window sort
+    block = (
+        tok.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dfreq", "tok")).alias("m"))
+        .select(F.col(id_col), F.col("m.tok").alias("block_tok"))
+    )
+    keyed = toks.join(block, id_col)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), "block_tok"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), "block_tok"
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     return (
-        a.join(b, "min_tok")
+        a.join(b, "block_tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -64,14 +64,21 @@ _MINHASH_SEEDS = 16
 _MINHASH_BANDS = 4
 _SHINGLE_K = 5
 
+# DuckDB twin of operators.dedup.minhash_signatures: md5 once per shingle,
+# then the (a,b) universal-hash family over the reduced hash values.
+from cassandra_analytics_example_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    minhash_seeds,
+)
+
+_AB = minhash_seeds(_MINHASH_SEEDS)
+_hv_expr = (
+    "list_transform(range(1, length(text) - %d), i -> %s %% %d)"
+    % (_SHINGLE_K - 2, _U60.format(expr=f"substr(text, i, {_SHINGLE_K})"), MINHASH_P)
+)
 _sig_cols = ",\n         ".join(
-    "list_min(list_transform(range(1, length(text) - %d), i -> %s)) AS h%d"
-    % (
-        _SHINGLE_K - 2,
-        _U60.format(expr=f"'{s}' || substr(text, i, {_SHINGLE_K})"),
-        s,
-    )
-    for s in range(_MINHASH_SEEDS)
+    f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {MINHASH_P})) AS h{i}"
+    for i, (a, b) in enumerate(_AB)
 )
 _band_structs = ", ".join(
     "{band: %d, bhash: md5(concat_ws(',', %s))}"
@@ -83,10 +90,14 @@ _band_structs = ", ".join(
 @register(
     "q21_minhash_lsh_neardup",
     oracle=f"""
-WITH sig AS (
+WITH hvals AS (
+  SELECT doc_id, {_hv_expr} AS hv
+  FROM documents
+),
+sig AS (
   SELECT doc_id,
          {_sig_cols}
-  FROM documents
+  FROM hvals
 ),
 bands AS (
   SELECT doc_id, b.band AS band, b.bhash AS bhash
@@ -130,19 +141,39 @@ def q21_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_token_jaccard_neardup",
     oracle="""
-WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
-         list_min(list_distinct(string_split(text, ' '))) AS min_tok
-  FROM documents
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS toks
+  FROM w
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+),
+dfreq AS (
+  SELECT tok, count(*) AS dfreq FROM tok GROUP BY tok
+),
+blocked AS (
+  SELECT doc_id, tok AS block_tok FROM (
+    SELECT t.doc_id, t.tok,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.tok) AS rn
+    FROM tok t JOIN dfreq d USING (tok)) WHERE rn = 1
+),
+keyed AS (
+  SELECT t.doc_id, t.toks, b.block_tok FROM toks t JOIN blocked b USING (doc_id)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-FROM toks a JOIN toks b ON a.min_tok = b.min_tok AND a.doc_id < b.doc_id
+FROM keyed a JOIN keyed b ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.3
 """,
-    doc="token-set Jaccard near-dup with min-token blocking (1-perm MinHash)",
+    doc="word-3-gram Jaccard near-dup with rarest-gram (min document "
+    "frequency) blocking + exact Jaccard verification",
     tags=("llm", "dedup"),
 )
 def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
