@@ -23,6 +23,7 @@ from cassandra_analytics_example_spark.functions.text import (
     shingles,
     word_ngrams,
 )
+from cassandra_analytics_example_spark.session import spread
 
 #: Mersenne prime 2^31 - 1: universal-hash modulus. With h < p and a < p the
 #: product a*h < 2^62 stays inside signed-64 range in every engine.
@@ -78,7 +79,7 @@ def minhash_signatures(
     pass runs once.) Returns (id, sig array<bigint>).
     """
     sh = shingles(text_col, shingle_k)  # min() ignores duplicates — no distinct
-    hashed = df.select(
+    hashed = spread(df).select(
         F.col(id_col),
         F.transform(sh, lambda s: md5_u60(s) % MINHASH_P).alias("__hv"),
     )
@@ -158,6 +159,7 @@ def minhash_lsh_dedup(
     candidate pairs (explode + groupBy on pair), so cost is proportional to
     collisions, not N²."""
     rows_per_band = num_hashes // num_bands
+    df = spread(df)  # CPU-bound shingle/hash stages need full parallelism
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
     sh = df.select(
@@ -203,7 +205,7 @@ def token_jaccard_pairs(
     Fully ANSI-SQL-expressible (explode → df-count → min(struct) →
     equi-join), hence oracle-checkable. Exact Jaccard verifies candidates.
     Returns (id_a, id_b, jaccard ≥ threshold)."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
     )
@@ -234,24 +236,38 @@ def token_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, n_bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 64, gram_n: int = 3
 ) -> DataFrame:
-    """SimHash document fingerprint: sign of per-bit vote sums over token
+    """SimHash document fingerprint: sign of per-bit vote sums over feature
     hashes. Near-dup docs differ in few bits (compare via hamming distance).
 
-    Bit b of the fingerprint = 1 iff sum over distinct tokens of
-    (bit b of md5-hash(token) ? +1 : -1) > 0. Computed as pure column
-    algebra: token array → per-token 60-bit hash → per-bit aggregate via
-    transform/aggregate — no explode, no shuffle beyond the final projection.
-    Returns (id, simhash bigint).
+    Features are distinct word ``gram_n``-grams (``gram_n=1`` → plain
+    tokens; n>1 is essential on small-vocabulary corpora, where unigram
+    feature sets are near-identical across documents and fingerprints
+    collapse into giant identical-value clusters). Bit b of the fingerprint
+    = 1 iff sum over features of (bit b of md5-hash(feature) ? +1 : -1) > 0.
+    Computed as pure column algebra: feature array → per-feature 60-bit
+    hash → per-bit aggregate via transform/aggregate — no explode, no
+    shuffle. Returns (id, simhash bigint).
     """
     if not 0 < n_bits <= 60:
         raise ValueError("n_bits must be in (0, 60] (60-bit portable hashes)")
-    hashes = F.transform(distinct_tokens(text_col), lambda t: md5_u60(t))
+    df = spread(df)
+    features = (
+        F.array_distinct(word_ngrams(text_col, gram_n))
+        if gram_n > 1
+        else distinct_tokens(text_col)
+    )
+    # Materialize the hash array in its own projection so the md5 pass runs
+    # once, not once per bit (CollapseProject won't inline a non-cheap alias
+    # referenced n_bits times — same trick as minhash_signatures).
+    hv = df.select(
+        F.col(id_col), F.transform(features, lambda t: md5_u60(t)).alias("__hv")
+    )
 
     def bit_vote(b: int):
         votes = F.aggregate(
-            hashes,
+            F.col("__hv"),
             F.lit(0).cast("bigint"),
             lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
         )
@@ -261,12 +277,68 @@ def simhash(
     fp = bit_cols[0]
     for c in bit_cols[1:]:
         fp = fp + c
-    return df.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    return hv.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
 def hamming64(a, b):
     """Hamming distance between two bigint fingerprints (bit_count of XOR)."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole band blocking + exact hamming
+    verification (Manku et al., WWW'07 style).
+
+    The ``n_bits`` fingerprint is split into ``n_bands`` contiguous bit
+    bands; by pigeonhole, any pair with hamming ≤ n_bands-1 agrees EXACTLY
+    on at least one band, so an equi-join on (band_index, band_bits) finds
+    every qualifying pair — full recall, no cross join, scales as the band
+    collision count rather than N². Returns (id_a, id_b, hamming ≤
+    max_hamming)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole recall requires max_hamming <= n_bands-1 "
+            f"({max_hamming} > {n_bands - 1})"
+        )
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    band_width = n_bits // n_bands
+    mask = (1 << band_width) - 1
+    fp = simhash(df, id_col, text_col, n_bits)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", i * band_width).bitwiseAND(F.lit(mask)).alias("bb"),
+        )
+        for i in range(n_bands)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.bb")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band", "bb"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band", "bb"
+    )
+    return (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def embedding_near_dup_pairs(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.operators.dedup import (
+    simhash_near_dup_pairs,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_dedup,
@@ -182,41 +183,51 @@ def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_BITS = 32
+# votes over a precomputed per-feature hash list `hv` (md5 once per 3-gram)
 _simhash_votes = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(list_distinct(string_split(text, ' ')), "
-    f"t -> (({_U60.format(expr='t')} >> {b}) & 1) * 2 - 1)) > 0 "
+    f"(CASE WHEN list_sum(list_transform(hv, "
+    f"h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
     f"THEN {1 << b} ELSE 0 END)"
     for b in range(_SIMHASH_BITS)
+)
+_simhash_hv = (
+    "list_transform(list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> array_to_string(w[i:i+2], ' '))), g -> %s)"
+    % _U60.format(expr="g")
 )
 
 
 @register(
     "q23_simhash_hamming",
     oracle=f"""
-WITH fp AS (
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+hvals AS (
+  SELECT doc_id, {_simhash_hv} AS hv FROM w
+),
+fp AS (
   SELECT doc_id, CAST({_simhash_votes} AS BIGINT) AS simhash
-  FROM documents
+  FROM hvals
+),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bb
+  FROM fp, UNNEST([0, 1, 2, 3]) AS t(band)
 )
-SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
-       count(*) AS n_pairs
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-GROUP BY 1
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-    doc="SimHash(32-bit) fingerprints + all-pairs hamming-distance histogram",
+    doc="SimHash(32-bit) near-dup pairs, hamming <= 3, via pigeonhole "
+    "4-band blocking (full recall, no cross join) + exact hamming verify",
     tags=("llm", "dedup"),
 )
 def q23_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    fp = simhash(docs, "doc_id", "text", n_bits=_SIMHASH_BITS)
-    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming")
-        )
-        .groupBy("hamming")
-        .agg(F.count("*").alias("n_pairs"))
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", n_bits=_SIMHASH_BITS, n_bands=4, max_hamming=3
     )
 
 

@@ -76,6 +76,21 @@ def get_spark(
     return spark
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition a DataFrame only if it is under-partitioned for CPU-bound
+    per-row work (hashing, shingling, feature extraction).
+
+    Small parquet inputs arrive as a single split (maxPartitionBytes ≫ file
+    size), which would serialize md5/shingle pipelines onto one core. At
+    100 TB the file splits already provide ≥ the target parallelism and this
+    is a no-op — the round-robin shuffle only triggers when input partitions
+    < defaultParallelism, and then it moves only the small input."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
