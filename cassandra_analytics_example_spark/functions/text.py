@@ -78,6 +78,38 @@ def md5_u60(col: Column, seed: int | Column | None = None) -> Column:
     return F.conv(F.substring(hashed, 1, 15), 16, 10).cast("bigint")
 
 
+def rolling_hash(
+    col: Column | str, base: int = 31, mod: int = (1 << 31) - 1
+) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over the character stream:
+    fold acc → (acc*base + codepoint) mod ``mod``. With mod < 2^31 the
+    intermediate acc*base + c < 2^36 stays far inside bigint range.
+
+    SQL twin (DuckDB list_reduce seeds from the FIRST element, so prepend
+    the zero accumulator): ``list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * base + x) % mod)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-style pre-tokenization: lowercase, then alphanumeric runs and
+    individual punctuation marks as separate tokens (the GPT-2-ish regex
+    pre-tokenizer shape, minus unicode classes).
+
+    SQL twin: ``regexp_extract_all(lower(s), '[a-z0-9]+|[^a-z0-9 ]')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, strip everything but
     [a-z0-9 ], collapse runs of spaces, trim.

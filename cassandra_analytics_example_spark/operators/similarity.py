@@ -11,8 +11,12 @@ Two tiers (SURVEY.md §7 M4):
   (fewer bits → bigger buckets → higher recall, more compute).
 
 At 100 TB the corpus stays partitioned; queries are broadcast (dim tables).
-An IVF variant would replace ``sign_bucket`` with learned centroid ids — the
-plumbing (bucket → join → verify → top-k) is identical.
+* ``ivf_topk`` — IVF-style cell search: vectors are assigned to their
+  nearest centroid (argmax cosine, broadcast centroid table), then search
+  runs only within the query's cell. Centroid choice here is deterministic
+  (first ``n_cells`` corpus vectors) so the whole pipeline stays
+  oracle-checkable; swapping in KMeans-learned centroids changes ONLY the
+  centroid table — assignment/search plumbing is identical.
 """
 
 from __future__ import annotations
@@ -45,6 +49,75 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("qv", "cv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine, ties to
+    the smallest centroid id). ``centroids`` must be small — it is broadcast
+    and the assignment is a map-side cross product + per-row argmax (no
+    shuffle of the corpus)."""
+    scored = df.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cent_id"),
+        cosine_similarity(vec_col, "centv").alias("__cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cs").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+) -> DataFrame:
+    """IVF(1-probe) approximate top-k: partition the corpus into Voronoi
+    cells around ``n_cells`` centroids, search only the query's own cell.
+
+    Centroids are the first ``n_cells`` corpus vectors by id — a
+    deterministic stand-in for KMeans means that keeps the operator
+    oracle-checkable; the assignment/search plumbing is exactly what a
+    learned-centroid IVF uses. Same output shape as ``brute_force_topk``."""
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    )
+    cells = assign_cells(corpus, cents, id_col, vec_col)
+    q = assign_cells(queries, cents, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -11,8 +11,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.functions.text import (
+    bpe_ish_tokens,
     distinct_tokens,
     normalized_text,
+    rolling_hash,
     tokens,
 )
 
@@ -101,6 +103,33 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         digit_ratio.alias("digit_ratio"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality_score"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Token-count accounting per document: whitespace tokens vs BPE-ish
+    regex tokens (alnum runs + punctuation marks), plus chars-per-token —
+    the signals a training-data pipeline uses for budget estimates and
+    heuristic quality cuts. Pure column algebra."""
+    c = F.col(text_col)
+    n_ws = F.size(tokens(text_col)).cast("bigint")
+    n_re = F.size(bpe_ish_tokens(text_col)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("bigint").alias("n_chars"),
+        n_ws.alias("n_ws_tokens"),
+        n_re.alias("n_re_tokens"),
+        (F.length(c).cast("double") / n_re.cast("double")).alias("chars_per_tok"),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document (polynomial fold
+    over the character stream) — the cheap streaming-friendly fingerprint
+    tier: O(len) integer ops, no crypto hash, same value computable
+    incrementally by any scanner."""
+    return df.select(
+        F.col(id_col), rolling_hash(text_col).alias("rhash")
     )
 
 

@@ -29,12 +29,15 @@ from cassandra_analytics_example_spark.operators.multimodal import (
 )
 from cassandra_analytics_example_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from cassandra_analytics_example_spark.operators.text import (
     detect_language,
     fingerprint,
     quality_features,
+    rolling_fingerprint,
+    token_stats,
 )
 from cassandra_analytics_example_spark.queries import register
 from cassandra_analytics_example_spark.queries._tables import table
@@ -317,6 +320,42 @@ def q26_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_bits=4)
 
 
+@register(
+    "q32_knn_ivf",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT v.vec_id, v.v, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM v, cents c) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rnk
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rnk <= 5
+""",
+    doc="IVF(1-probe) approximate ANN: 8 Voronoi cells around deterministic "
+    "centroids, search within the query's cell only",
+    tags=("llm", "similarity"),
+)
+def q32_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_cells=8)
+
+
 # ------------------------------------------------------------- text ------
 
 
@@ -417,6 +456,56 @@ def q29_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(docs, "doc_id", "text")
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "q33_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         AS n_re_tokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))
+         AS chars_per_tok
+FROM documents
+""",
+    doc="token accounting: whitespace vs BPE-ish regex tokenization + "
+    "chars-per-token, per document",
+    tags=("llm", "text"),
+)
+def q33_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "q34_rolling_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(text, ''),
+                                                 c -> CAST(ascii(c) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+  FROM documents
+)
+SELECT rhash, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM fp GROUP BY rhash HAVING count(*) > 1
+""",
+    doc="Rabin-Karp rolling-hash fingerprints; duplicate groups (n>1) with "
+    "their first doc id",
+    tags=("llm", "text"),
+)
+def q34_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        rolling_fingerprint(docs, "doc_id", "text")
+        .groupBy("rhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
     )
 
 

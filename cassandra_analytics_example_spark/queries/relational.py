@@ -560,3 +560,97 @@ def q19_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         rank_col="rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — cube: multi-dimensional aggregate with grouping-id (super-aggregate
+# rows for every dimension subset), the OLAP twin of q10's rollup.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q35_cube_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over (status, priority) with grouping-id + per-cell aggregates",
+    tags=("relational", "aggregate"),
+)
+def q35_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            money_sum("o_totalprice", "total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — deterministic hash sampling: engine-portable Bernoulli sample via
+# md5(key) mod 100 < rate. Unlike TABLESAMPLE this is reproducible across
+# engines, partitionings and runs — the correct way to sample a 100 TB
+# corpus for eyeballing/holdout without a nondeterministic RNG.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q36_hash_sample",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS total
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 100 < 5
+""",
+    doc="deterministic 5% Bernoulli sample by md5(key) mod 100 (reproducible "
+    "across engines/partitionings, unlike TABLESAMPLE)",
+    tags=("relational", "sampling"),
+)
+def q36_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        md5_u60(F.col("o_orderkey").cast("string")) % 100 < 5
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — approx_count_distinct (HyperLogLog++): the sketch path for distinct
+# counts at 100 TB (exact distinct = full shuffle of all keys; HLL = fixed
+# 2^p registers per group, merged map-side). Sketch values are
+# engine-specific, so this entry is rows-only checked by design; the exact
+# twin q14 (count(DISTINCT user_id)) covers value correctness.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q37_approx_distinct",
+    oracle=None,
+    doc="approx_count_distinct(HLL++, rsd=1%) users per event_type vs exact "
+    "count - rows-only check (sketch estimates are engine-specific)",
+    tags=("relational", "aggregate", "sketch"),
+)
+def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

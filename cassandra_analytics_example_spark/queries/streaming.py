@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cassandra_analytics_example_spark.queries import register
 from cassandra_analytics_example_spark.streaming import (
     run_sessionized_stream,
+    run_stateful_totals,
     run_stream_dedup,
     run_tumbling_stream,
 )
@@ -52,3 +53,15 @@ def s02_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = run_stream_dedup(spark, sf_dir)
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_first_seen"))
+
+
+@register(
+    "s04_stream_stateful_totals",
+    oracle=None,
+    doc="Structured Streaming: custom stateful operator "
+    "(applyInPandasWithState) - per-user running count/sum state "
+    "across microbatches",
+    tags=("streaming", "stateful"),
+)
+def s04_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stateful_totals(spark, sf_dir)

@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import os
 import uuid
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -163,3 +166,54 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         deduped.select("event_id", "user_id", "event_type"), spark
     )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value sum) carried in explicit group
+    state across microbatches — the escape hatch for stateful logic the
+    built-in windowed aggregates can't express (counters, custom sessions,
+    ML feature state).
+
+    State is one (bigint, double) tuple per user — fixed-size, keyed,
+    partitioned by the stream's groupBy hash shuffle, so state volume
+    scales with distinct users, not event volume. Emits the updated totals
+    for every user seen in the microbatch (update semantics)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the custom stateful operator over the bounded fixture stream."""
+    totals = running_user_totals(stream_events(spark, sf_dir))
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)

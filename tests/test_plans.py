@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the 100 TB design gates.
+
+Correctness tests (oracle parity) prove the VALUES are right; these prove
+the PLANS are right: filters reach the parquet scan, projections prune the
+read schema, small dimensions broadcast, candidate-generation dedup never
+degenerates into a cross product, and hot aggregates keep map-side partial
+aggregation. A regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_analytics_example_spark.queries import load_all
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(spark, registry, name: str) -> str:
+    df = registry[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_scan(spark, registry):
+    """q02's shipdate/discount/quantity predicates must reach the parquet
+    reader as PushedFilters, not run post-scan only."""
+    plan = plan_of(spark, registry, "q02_revenue_filter")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the lineitem scan"
+    assert "l_shipdate" in pushed or "l_discount" in pushed
+
+
+def test_column_pruning(spark, registry):
+    """q01 touches 7 of lineitem's 16 columns; the scan schema must shrink
+    accordingly (no SELECT * reads)."""
+    plan = plan_of(spark, registry, "q01_pricing_summary")
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema, "unused column not pruned"
+    assert "l_comment" not in read_schema, "unused column not pruned"
+    assert "l_quantity" in read_schema
+
+
+def test_broadcast_join_for_small_dims(spark, registry):
+    """q03 joins lineitem against customer/orders/nation dims — the small
+    dimension side must broadcast, not shuffle the fact table extra times."""
+    plan = plan_of(spark, registry, "q03_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_partial_aggregation(spark, registry):
+    """q01's hash aggregate must run partial (map-side) + final — two
+    HashAggregate operators around the exchange."""
+    plan = plan_of(spark, registry, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
+
+
+def test_relational_path_stays_jvm_side(spark, registry):
+    """No Python evaluation nodes in the relational hot path: every
+    expression must be JVM-side (codegen/vectorized), Python only at the
+    deliberate mapInPandas boundaries (q30/q31)."""
+    for name in (
+        "q01_pricing_summary",
+        "q03_revenue_by_nation",
+        "q21_minhash_lsh_neardup",
+        "q25_knn_bruteforce",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} fell back to Python UDF"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q21_minhash_lsh_neardup",
+        "q22_token_jaccard_neardup",
+        "q23_simhash_hamming",
+        "q24_embedding_neardup",
+        "q26_knn_lsh",
+    ],
+)
+def test_dedup_similarity_never_cross_product(spark, registry, name):
+    """Candidate generation must stay an equi-join on bucket/band/cell keys.
+    A CartesianProduct here means the blocking key was lost — O(N²) at
+    scale. (BroadcastNestedLoopJoin is allowed only where it is the design:
+    the brute-force q25 baseline, and q32's centroid assignment — a
+    broadcast against a CONSTANT-size centroid table, excluded here.)"""
+    plan = plan_of(spark, registry, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle(spark, registry):
+    """The as-of join is a union + one window pass: exactly one shuffle on
+    the join keys, and no join operator at all."""
+    plan = plan_of(spark, registry, "q18_asof_purchase_signup")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_exact_dedup_single_shuffle(spark, registry):
+    """Exact dedup = one hash-partition on content_hash; a second exchange
+    would mean the window partitioning diverged from the hash."""
+    plan = plan_of(spark, registry, "q20_exact_dedup")
+    assert plan.count("Exchange hashpartitioning") <= 1
