@@ -33,8 +33,14 @@ HEADLINE = [
     "q18_asof_purchase_signup", # as-of join
     "q20_exact_dedup",          # hash dedup
     "q21_minhash_lsh_neardup",  # MinHash+LSH near-dup
-    "q25_knn_bruteforce",       # similarity search
+    "q22_token_jaccard_neardup",# 3-gram Jaccard, rarest-gram blocking
+    "q23_simhash_hamming",      # SimHash pigeonhole-band near-dup
+    "q25_knn_bruteforce",       # similarity search (exact baseline)
+    "q26_knn_lsh",              # similarity search (LSH scale path)
+    "q32_knn_ivf",              # similarity search (IVF scale path)
     "q27_text_quality",         # text analysis
+    "q34_rolling_fingerprint",  # rolling-hash fingerprint dedup groups
+    "q35_cube_order_stats",     # CUBE multi-dimensional aggregate
     "q30_multimodal_features",  # Arrow mapInPandas plumbing
 ]
 

@@ -102,12 +102,17 @@ def lsh_candidate_pairs(
     num_bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: split each signature into bands, hash each band, and
-    equi-join on (band_index, band_hash) to produce candidate pairs.
+    """LSH banding: split each signature into bands, hash each band, group
+    ids by (band_index, band_hash) bucket, and emit all in-bucket pairs.
 
-    Documents agreeing on *any* full band collide. The band join is the only
-    shuffle; pairs are deduplicated by (id_a < id_b). Returns distinct
-    (id_a, id_b).
+    Documents agreeing on *any* full band collide. Grouping instead of a
+    banded self-join keeps ONE signature lineage (a self-join computes the
+    expensive signature pipeline once per side unless AQE happens to reuse
+    the exchange) and exactly one shuffle on the bucket key. In-bucket pair
+    expansion is quadratic in bucket size — identical to the join's output —
+    and the per-bucket id array is bounded by the duplicate-cluster size;
+    run exact dedup (``exact_dedup``) first so byte-identical documents
+    don't inflate buckets. Returns distinct (id_a, id_b).
     """
     bands = []
     for b in range(num_bands):
@@ -126,19 +131,15 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band", "b.bhash")
-    a = banded.alias("a")
-    b_ = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b_,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bhash") == F.col(f"b.bhash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -218,18 +219,26 @@ def token_jaccard_pairs(
         .agg(F.min(F.struct("dfreq", "tok")).alias("m"))
         .select(F.col(id_col), F.col("m.tok").alias("block_tok"))
     )
-    keyed = toks.join(block, id_col)
-    a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), "block_tok"
+    # Pair generation from id-only buckets (single block lineage, one
+    # shuffle); each doc has exactly one block key, so pairs are unique
+    # without a distinct. Verification joins the n-gram sets back by id.
+    buckets = (
+        block.groupBy("block_tok")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), "block_tok"
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
     )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     return (
-        a.join(b, "block_tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -322,23 +331,30 @@ def simhash_near_dup_pairs(
     banded = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "simhash", "b.band", "b.bb")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band", "bb"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band", "bb"
-    )
-    return (
-        a.join(b, ["band", "bb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+    # bucket-group instead of self-join: one fingerprint lineage, one
+    # shuffle; the (id, simhash) structs carried per bucket are scalars.
+    buckets = (
+        banded.groupBy("band", "bb")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias(
+                "ms"
+            )
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .filter(F.size("ms") > 1)
     )
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def embedding_near_dup_pairs(
