@@ -185,3 +185,48 @@ def q18_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("signup_ts").alias("signup_ts_us"),
         F.col("sv").alias("signup_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — sliding windows: each event lands in width/slide overlapping
+# windows (F.window with a slide). The DuckDB twin materializes the same
+# window set arithmetically: starts = floor(t/slide)*slide - j*slide for
+# j in [0, width/slide).
+# --------------------------------------------------------------------------
+
+_SLIDE_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "q38_sliding_windows",
+    oracle=f"""
+WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+wins AS (
+  SELECT CAST(make_timestamp((tus // {_SLIDE_US}) * {_SLIDE_US} - j * {_SLIDE_US})
+              AS VARCHAR) AS window_start,
+         event_type, value
+  FROM e, UNNEST([0, 1]) AS t(j)
+)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM wins
+GROUP BY 1, 2
+""",
+    doc="sliding 1h/30min overlapping windows (each event in 2 windows)",
+    tags=("events", "window"),
+)
+def q38_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

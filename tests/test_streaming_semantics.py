@@ -1,0 +1,97 @@
+"""Streaming watermark semantics: late data beyond the watermark is
+dropped; windows emit (append mode) only after the watermark closes them.
+
+The fixture-driven smoke checks (s01-s04) prove the streaming operators run;
+this test proves the *semantics* — two microbatches via maxFilesPerTrigger=1,
+with a late row in the second batch that arrives after the watermark passed
+its window.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from cassandra_analytics_example_spark.streaming.windows import (
+    EVENTS_STREAM_SCHEMA,
+    tumbling_aggregate,
+)
+from pyspark.sql import functions as F
+
+H = 3_600 * 1_000_000_000  # one hour in ns
+
+
+def _write_batch(path: str, rows: list[tuple[int, int]], mtime: float) -> None:
+    """One parquet file = one microbatch: rows are (event_id, ts_ns)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t0 = 1_700_000_000 * 1_000_000_000  # base event time (ns)
+    now = time.time()
+    # batch 1: two on-time events in window W0 = [t0h, t0h+1h), plus one
+    # 4 hours later that advances the watermark (2h delay) past W0's end.
+    _write_batch(
+        str(src / "batch1.parquet"),
+        [(1, t0), (2, t0 + 60 * 1_000_000_000), (3, t0 + 4 * H)],
+        now - 90,
+    )
+    # batch 2: on-time buffer batch. Spark (3.4+, SPARK-40925) filters late
+    # events against the PREVIOUS batch's watermark, so the advanced
+    # watermark takes effect for input filtering one batch later.
+    _write_batch(str(src / "batch2.parquet"), [(9, t0 + 4 * H + 1)], now - 60)
+    # batch 3: a LATE event for W0 — its window end is below the (now
+    # effective) watermark, so it must be dropped; W0 emits n=2, not 3.
+    _write_batch(str(src / "batch3.parquet"), [(4, t0 + 1)], now - 30)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    events = raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+    )
+    agg = tumbling_aggregate(events, width="1 hour", watermark="2 hours")
+
+    name = "late_data_check"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append: only watermark-closed windows emit
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    out = {r["window_start"]: r["n"] for r in spark.table(name).collect()}
+    w0 = [k for k in out if k.startswith("2023-11-14 22:")]
+    assert w0, f"window W0 never emitted: {out}"
+    assert out[w0[0]] == 2, (
+        f"late event was not dropped by the watermark: {out}"
+    )
