@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_analytics_example_spark.session import spread
+
 PAYLOAD_SCHEMA = (
     "doc_id bigint, payload binary, media_type string, width int, height int"
 )
@@ -83,7 +85,9 @@ def extract_features(payloads: DataFrame) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    # spread: a small single-split input would otherwise serialize all
+    # Arrow batches through ONE Python worker; no-op at scale.
+    return spread(payloads).mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
@@ -102,6 +106,6 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                     out["frame_bytes"].append(data[off : off + every_n_bytes])
             yield pd.DataFrame(out)
 
-    return payloads.mapInPandas(
+    return spread(payloads).mapInPandas(
         _sample, schema="doc_id bigint, frame_no int, frame_bytes binary"
     )
