@@ -654,3 +654,77 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# q39 — pivot: long→wide reshape (one column per order status) with
+# conditional aggregation as the engine-portable SQL twin.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q39_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_open
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="pivot (long->wide): per-priority counts by order status + pivoted "
+    "money sum",
+    tags=("relational", "pivot"),
+)
+def q39_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid inside pivot
+            F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+        F.col("P_n").alias("n_partial"),
+        F.col("O_total").alias("total_open"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — exact percentiles: linear-interpolated quantiles (Spark
+# percentile == DuckDB quantile_cont, both exact). The approximate tier
+# (percentile_approx / KLL) is the 100 TB path but engine-specific, like
+# q37's HLL sketch.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q40_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)  AS p50,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99,
+       CAST(max(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS mx
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="exact interpolated percentiles (p50/p95/p99) per return flag",
+    tags=("relational", "aggregate"),
+)
+def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.lit(0.5)).alias("p50"),
+        F.percentile(price, F.lit(0.95)).alias("p95"),
+        F.percentile(price, F.lit(0.99)).alias("p99"),
+        F.max(price).alias("mx"),
+    )

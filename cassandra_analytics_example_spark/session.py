@@ -64,7 +64,10 @@ def get_spark(
         # a large cluster; local test files are far smaller anyway.
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Local mode = one JVM: driver memory is the only heap knob. The
+        # array-heavy dedup pipelines GC-thrash in a small heap; size to
+        # the machine (128 GiB here), overridable via SPARK_GRAFT_DRIVER_MEM.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
     }
     if extra_conf:
         conf.update(extra_conf)
