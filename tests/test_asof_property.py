@@ -1,0 +1,112 @@
+"""Property check for the union+carry as-of join: on randomized data it
+must agree exactly with pandas ``merge_asof`` (allow_exact_matches=True),
+including duplicate timestamps, keys with no right-side rows, and right
+rows newer than every left row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cassandra_analytics_example_spark.operators.relational import asof_join
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(20260813)
+    n_left, n_right, n_keys = 2000, 1500, 37
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "lts": rng.integers(0, 10_000, n_left),
+            "lid": np.arange(n_left),
+        }
+    )
+    # key 0 never appears on the right; right rows cluster in a narrower
+    # time range so some left rows precede every right row.
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(1, n_keys, n_right),
+            "rts": rng.integers(2_000, 8_000, n_right),
+            "payload": rng.normal(size=n_right),
+        }
+    )
+    # merge_asof with duplicate right timestamps keeps the LAST duplicate;
+    # make (k, rts) unique so the expected value is well-defined under any
+    # tie order.
+    right = right.drop_duplicates(subset=["k", "rts"], keep="last")
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_ts="lts",
+            right_ts="rts",
+            right_values=["payload"],
+        )
+        .select("lid", "payload_asof")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    expected = (
+        pd.merge_asof(
+            left.sort_values("lts", kind="stable"),
+            right.sort_values("rts", kind="stable"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == n_left
+    pd.testing.assert_series_equal(
+        got["payload_asof"],
+        expected["payload"].rename("payload_asof"),
+        check_exact=True,
+    )
+
+
+def test_sessionize_matches_pandas_reference(spark):
+    from cassandra_analytics_example_spark.operators.relational import sessionize
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "u": rng.integers(0, 50, n),
+            "ts": rng.integers(0, 100_000, n).astype("float64"),
+            "eid": np.arange(n),
+        }
+    )
+    pdf = pdf.drop_duplicates(subset=["u", "ts"])  # unique order within user
+    gap = 600
+
+    got = (
+        sessionize(spark.createDataFrame(pdf), "u", "ts", gap)
+        .select("eid", "session_id")
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+
+    def ref(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="stable")
+        new = (g["ts"].diff().isna() | (g["ts"].diff() > gap)).astype("int64")
+        return pd.DataFrame({"eid": g["eid"], "session_id": new.cumsum()})
+
+    expected = (
+        pdf.groupby("u", group_keys=False)[["ts", "eid"]]
+        .apply(ref)
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert (got["session_id"].values == expected["session_id"].values).all()
