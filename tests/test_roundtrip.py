@@ -173,3 +173,42 @@ def test_write_with_partition_key_clusters_files(spark, tmp_path):
     )
     back = spark.read.parquet(path)
     assert back.count() == 1000
+
+
+def test_multi_format_roundtrip(spark, tmp_path):
+    """The source/sink registry is format-agnostic: the same option map
+    drives parquet/orc/json/csv round-trips (schema re-asserted on read for
+    the text formats, which don't persist types)."""
+    from cassandra_analytics_example_spark.sources import read, write
+    from cassandra_analytics_example_spark.datagen import (
+        TEST_SCHEMA_DDL,
+        gen_dataset_deterministic,
+    )
+    from pyspark.sql import functions as F
+
+    df = gen_dataset_deterministic(spark, 300, 2)
+    # text formats can't hold raw binary: ship course as base64 text
+    textable = df.select(
+        "id", F.base64("course").alias("course_b64"), "marks"
+    )
+    for fmt, data, opts in (
+        ("parquet", df, {}),
+        ("orc", df, {}),
+        ("json", textable, {}),
+        ("csv", textable, {"header": "true"}),
+    ):
+        path = str(tmp_path / f"rt_{fmt}")
+        write(data, {"format": fmt, "path": path, "mode": "overwrite", **opts})
+        reader = spark.read.format(fmt).options(**opts)
+        if fmt in ("json", "csv"):
+            reader = reader.schema("id BIGINT, course_b64 STRING, marks BIGINT")
+        back = reader.load(path)
+        assert back.count() == 300, fmt
+        if fmt in ("parquet", "orc"):
+            # Spark re-reads columnar files as nullable; compare name+type
+            assert [(f.name, f.dataType) for f in back.schema.fields] == [
+                (f.name, f.dataType) for f in df.schema.fields
+            ], fmt
+            assert df.exceptAll(back).count() == 0, fmt
+        else:
+            assert textable.exceptAll(back.select("id", "course_b64", "marks")).count() == 0, fmt
