@@ -42,6 +42,22 @@ TABLES = (
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 MAX_RECORDS_PER_FILE = 100_000  # reference App.scala:68
 
+#: option-map keys consumed by the registry itself, never forwarded to the
+#: underlying DataFrameReader/Writer.
+CONTROL_KEYS = frozenset(
+    {
+        "format",
+        "mode",
+        "path",
+        "partition_key",
+        "splits",
+        "staging_dir",
+        "rows",
+        "deterministic",
+        "maxRecordsPerFile",
+    }
+)
+
 
 def get_reader(spark: SparkSession, options: dict[str, str]) -> DataFrameReader:
     """Reader bound to the configured backend (default parquet)."""
@@ -52,7 +68,9 @@ def get_reader(spark: SparkSession, options: dict[str, str]) -> DataFrameReader:
             **{k: v for k, v in options.items() if k != "format"}
         )
     else:
-        reader = reader.format(fmt)
+        reader = reader.format(fmt).options(
+            **{k: v for k, v in options.items() if k not in CONTROL_KEYS}
+        )
     return reader
 
 
@@ -83,6 +101,10 @@ def get_writer(df: DataFrame, options: dict[str, str]) -> DataFrameWriter:
     writer = df.write.format(fmt).mode(mode)
     writer = writer.option(
         "maxRecordsPerFile", options.get("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+    )
+    # forward format-specific options (csv header, json compression, ...)
+    writer = writer.options(
+        **{k: v for k, v in options.items() if k not in CONTROL_KEYS}
     )
     return writer
 
