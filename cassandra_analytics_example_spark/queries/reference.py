@@ -26,7 +26,7 @@ N_ROWS = 10_000  # reference default rowCount (SparkUtils.scala:121)
 # from the blob so the digest covers the binary column's round trip.
 _AGG_ORACLE = f"""
 SELECT count(*) AS n_rows,
-       sum(i) AS sum_marks,
+       CAST(sum(i) AS BIGINT) AS sum_marks,
        count(DISTINCT md5('crs-' || lpad(CAST(i AS VARCHAR), 32, '0'))) AS n_distinct_course,
        min(i) AS min_id,
        max(i) AS max_id

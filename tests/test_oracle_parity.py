@@ -54,23 +54,68 @@ def _rows(pairs):
     )
 
 
+def _type_kind(t: str) -> str:
+    """Canonical type family, mirroring the driver's typed value-hash.
+
+    The driver hashes Arrow-typed values, so DuckDB ``sum(BIGINT)`` surfacing
+    as ``decimal128(38,0)`` hash-mismatches a Spark ``bigint`` even when the
+    Python values are equal ints (round-1 red rows). Collapse both sides'
+    type names into families and require them to match.
+    """
+    t = t.lower()
+    if t.startswith(("int", "uint", "bigint", "smallint", "tinyint", "long", "short", "byte")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t.startswith(("decimal", "hugeint", "int128")):
+        return "decimal"
+    if t.startswith(("string", "large_string", "varchar", "utf8")):
+        return "string"
+    if t.startswith(("bool",)):
+        return "bool"
+    if t.startswith(("timestamp",)):
+        return "timestamp"
+    if t.startswith(("date",)):
+        return "date"
+    if t.startswith(("binary", "large_binary", "blob")):
+        return "binary"
+    if t.startswith(("list", "array")):
+        return "array"
+    return t
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, name):
     qd = REGISTRY[name]
     sdf = qd.fn(spark, SF_DIR)
     scols = sorted(sdf.columns)
+    stypes = dict(sdf.dtypes)
     spark_rows = [
         tuple(row[c] for c in scols) for row in sdf.collect()
     ]
 
-    res = duck.execute(qd.oracle)
-    dcols_full = [d[0] for d in res.description]
-    drows_raw = res.fetchall()
+    atable = duck.execute(qd.oracle).fetch_arrow_table()
+    dtypes = {f.name: str(f.type) for f in atable.schema}
+    dcols_full = atable.column_names
+    drows_raw = [
+        tuple(col[i] for col in cols)
+        for cols in [[c.to_pylist() for c in atable.columns]]
+        for i in range(atable.num_rows)
+    ]
     dcols = sorted(dcols_full)
     idx = [dcols_full.index(c) for c in dcols]
     duck_rows = [tuple(r[i] for i in idx) for r in drows_raw]
 
     assert scols == dcols, f"{name}: column mismatch {scols} vs {dcols}"
+    type_mismatch = {
+        c: (stypes[c], dtypes[c])
+        for c in scols
+        if _type_kind(stypes[c]) != _type_kind(dtypes[c])
+    }
+    assert not type_mismatch, (
+        f"{name}: Arrow type-family mismatch (driver would hash-fail): "
+        f"{type_mismatch}"
+    )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
