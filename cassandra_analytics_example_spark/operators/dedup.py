@@ -78,7 +78,11 @@ def minhash_signatures(
     won't inline a non-cheap alias referenced num_hashes times, so the md5
     pass runs once.) Returns (id, sig array<bigint>).
     """
-    sh = shingles(text_col, shingle_k)  # min() ignores duplicates — no distinct
+    # Distinct the shingle set BEFORE hashing: min() ignores duplicates, so
+    # the signature is unchanged, but on templated/repetitive text the
+    # distinct array is far shorter than the raw one — one md5 per UNIQUE
+    # shingle, and the 16 universal-hash passes below scan the short array.
+    sh = F.array_distinct(shingles(text_col, shingle_k))
     hashed = spread(df).select(
         F.col(id_col),
         F.transform(sh, lambda s: md5_u60(s) % MINHASH_P).alias("__hv"),
@@ -101,6 +105,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band, group
     ids by (band_index, band_hash) bucket, and emit all in-bucket pairs.
@@ -109,11 +114,30 @@ def lsh_candidate_pairs(
     banded self-join keeps ONE signature lineage (a self-join computes the
     expensive signature pipeline once per side unless AQE happens to reuse
     the exchange) and exactly one shuffle on the bucket key. In-bucket pair
-    expansion is quadratic in bucket size — identical to the join's output —
-    and the per-bucket id array is bounded by the duplicate-cluster size;
-    run exact dedup (``exact_dedup``) first so byte-identical documents
-    don't inflate buckets. Returns distinct (id_a, id_b).
+    expansion is quadratic in bucket size, so a single degenerate bucket
+    (templated boilerplate agreeing on a band across millions of docs) is a
+    straggler/OOM at corpus scale: ``max_bucket_size`` drops buckets above
+    the bound — recall on *those* pairs is sacrificed explicitly, and
+    ``lsh_bucket_stats`` reports exactly which buckets were dropped (run
+    ``exact_dedup`` first so byte-identical documents don't inflate buckets
+    to begin with; ``minhash_lsh_dedup`` does). Returns distinct
+    (id_a, id_b).
     """
+    buckets = _lsh_buckets(signatures, id_col, num_bands, rows_per_band)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def _lsh_buckets(
+    signatures: DataFrame, id_col: str, num_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(band, bhash, ids) collision buckets with >1 member."""
     bands = []
     for b in range(num_bands):
         lo = b * rows_per_band + 1  # slice() is 1-based
@@ -131,16 +155,36 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band", "b.bhash")
-    buckets = (
+    return (
         banded.groupBy("band", "bhash")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Accounting twin of ``lsh_candidate_pairs``: one row per collision
+    bucket with its size and whether the cap would drop it. Distributed
+    aggregate (no collect) — at scale, write it next to the dedup output so
+    dropped-recall is auditable instead of silent."""
+    buckets = _lsh_buckets(signatures, id_col, num_bands, rows_per_band)
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.size("ids") > max_bucket_size
+    )
+    return buckets.select(
+        "band",
+        "bhash",
+        F.size("ids").alias("n_ids"),
+        (F.size("ids") * (F.size("ids") - 1) / 2).cast("bigint").alias("n_pairs"),
+        dropped.alias("dropped"),
     )
 
 
@@ -152,17 +196,30 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     num_bands: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact Jaccard verification on shingle sets → pairs ≥ threshold.
+    """Full MinHash-LSH near-dup pipeline: exact-dedup pre-pass → signatures
+    → banded candidates (bucket-capped) → exact Jaccard verification on
+    shingle sets → pairs ≥ threshold.
 
-    Returns (id_a, id_b, jaccard). Verification joins shingle sets only for
-    candidate pairs (explode + groupBy on pair), so cost is proportional to
-    collisions, not N²."""
+    The pre-pass keeps one representative (min id) per byte-identical text,
+    so duplicate clusters — the dominant bucket inflator on real corpora —
+    never reach LSH: a cluster of 1M identical docs is one bucket member,
+    not 10^12 candidate pairs. ``max_bucket_size`` then bounds the residual
+    near-dup buckets (templated boilerplate); audit drops with
+    ``lsh_bucket_stats``. Returns (id_a, id_b, jaccard) over the
+    representatives. Verification joins shingle sets only for candidate
+    pairs, so cost is proportional to collisions, not N²."""
     rows_per_band = num_hashes // num_bands
-    df = spread(df)  # CPU-bound shingle/hash stages need full parallelism
+    # spread AFTER the pre-pass window: AQE coalesces the window's small
+    # shuffle to one partition, and without the explicit re-spread the
+    # expensive shingle-hash projection fuses into that single task.
+    df = exact_dedup(spread(df), id_col, text_col).drop("content_hash")
+    df = spread(df)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size
+    )
     sh = df.select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),

@@ -94,9 +94,15 @@ _band_structs = ", ".join(
 @register(
     "q21_minhash_lsh_neardup",
     oracle=f"""
-WITH hvals AS (
+WITH reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+hvals AS (
   SELECT doc_id, {_hv_expr} AS hv
-  FROM documents
+  FROM reps
 ),
 sig AS (
   SELECT doc_id,
@@ -107,16 +113,20 @@ bands AS (
   SELECT doc_id, b.band AS band, b.bhash AS bhash
   FROM sig, UNNEST([{_band_structs}]) AS t(b)
 ),
+bsize AS (
+  SELECT band, bhash, count(*) AS n FROM bands GROUP BY 1, 2
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.bhash = a.bhash AND s.n <= 1000
 ),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
                                       i -> substr(text, i, {_SHINGLE_K}))) AS sh
-  FROM documents
+  FROM reps
 )
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -125,8 +135,8 @@ FROM cands c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
 """,
-    doc="MinHash(16)+LSH(4 bands) near-dup candidates, exact Jaccard ≥ 0.5 "
-    "verification on 5-gram shingle sets",
+    doc="MinHash(16)+LSH(4 bands) near-dup: exact-dedup pre-pass, bucket "
+    "cap 1000, exact Jaccard ≥ 0.5 verification on 5-gram shingle sets",
     tags=("llm", "dedup"),
 )
 def q21_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

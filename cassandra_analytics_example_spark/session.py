@@ -80,18 +80,54 @@ def get_spark(
 
 
 def spread(df, min_partitions: int | None = None):
-    """Repartition a DataFrame only if it is under-partitioned for CPU-bound
-    per-row work (hashing, shingling, feature extraction).
+    """Repartition a DataFrame for CPU-bound per-row work (hashing,
+    shingling, feature extraction) when — and only when — the data is small
+    enough that the shuffle is cheap and the gained parallelism matters.
 
-    Small parquet inputs arrive as a single split (maxPartitionBytes ≫ file
-    size), which would serialize md5/shingle pipelines onto one core. At
-    100 TB the file splits already provide ≥ the target parallelism and this
-    is a no-op — the round-robin shuffle only triggers when input partitions
-    < defaultParallelism, and then it moves only the small input."""
+    Two failure modes this guards:
+
+    - Small parquet inputs arrive as a single split (maxPartitionBytes ≫
+      file size), serializing md5/shingle pipelines onto one core.
+    - AQE coalesces a small shuffle (e.g. a dedup window over a few MB) down
+      to ONE post-shuffle partition, and whole-stage codegen then fuses the
+      expensive downstream projection into that single task. An explicit
+      ``repartition(n)`` is exempt from AQE coalescing, so inserting it
+      re-widens the heavy stage.
+
+    The gate is the optimizer's size estimate (driver-side, no job, no
+    RDD materialization): repartition only when estimated bytes <
+    target × maxPartitionBytes — i.e. when the scan/shuffle would yield
+    fewer than ``target`` full splits anyway. At 100 TB the estimate is
+    huge and this is a no-op; the file splits already provide the
+    parallelism. Back-to-back calls are idempotent (an existing top-level
+    ``Repartition(n ≥ target)`` is detected and left alone)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        name = plan.getClass().getSimpleName()
+        if name in ("Repartition", "RepartitionByExpression"):
+            if plan.numPartitions() >= target:
+                return df
+        max_split = int(
+            "".join(
+                c
+                for c in str(
+                    df.sparkSession.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    )
+                )
+                if c.isdigit()
+            )
+            or "134217728"
+        )
+        size = int(plan.stats().sizeInBytes().toString())
+        if size >= target * max_split:
+            return df
+    except Exception:
+        # plan introspection is a perf hint, never a correctness dependency
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    return df.repartition(target)
 
 
 def stop_spark() -> None:

@@ -1,0 +1,76 @@
+"""Scale-discipline behavior of the MinHash-LSH dedup pipeline: the
+exact-dedup pre-pass (duplicate clusters never inflate LSH buckets) and the
+bucket-size cap with auditable drop accounting.
+
+These are the 100 TB safety valves: a corpus with 1M byte-identical docs or
+one templated boilerplate bucket must not go quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from cassandra_analytics_example_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+)
+
+SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sig", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def _sigs(spark, groups):
+    """One signature row per (doc_id, sig); docs in the same group share a
+    signature and therefore collide in every band."""
+    rows = [(i, [int(g)] * 16) for i, g in enumerate(groups)]
+    return spark.createDataFrame(rows, SIG_SCHEMA)
+
+
+def test_bucket_cap_drops_oversized_buckets(spark):
+    # group 1: 5 members (over cap 4); group 2: 2 members (within cap)
+    sigs = _sigs(spark, [1, 1, 1, 1, 1, 2, 2])
+
+    uncapped = lsh_candidate_pairs(sigs, "doc_id").collect()
+    assert len(uncapped) == 10 + 1  # C(5,2) + C(2,2)
+
+    capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=4).collect()
+    assert sorted((r.id_a, r.id_b) for r in capped) == [(5, 6)]
+
+
+def test_bucket_stats_report_drops(spark):
+    sigs = _sigs(spark, [1, 1, 1, 1, 1, 2, 2])
+    stats = lsh_bucket_stats(sigs, "doc_id", max_bucket_size=4).collect()
+    # 4 bands × 2 collision buckets
+    assert len(stats) == 8
+    by_size = {r.n_ids: r for r in stats}
+    assert by_size[5].dropped and by_size[5].n_pairs == 10
+    assert not by_size[2].dropped and by_size[2].n_pairs == 1
+    # every dropped pair is accounted for: sum over dropped buckets
+    dropped_pairs = sum(r.n_pairs for r in stats if r.dropped)
+    assert dropped_pairs == 4 * 10
+
+
+def test_exact_dedup_prepass_collapses_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " indeed"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base), (3, near), (4, "zq xv jw kp " * 6)],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    ids_seen = {i for r in pairs for i in (r.id_a, r.id_b)}
+    # byte-identical docs 1 and 2 were collapsed into representative 0
+    # before LSH: they appear in no pair, and the 1.0-jaccard pairs
+    # (0,1),(0,2),(1,2) are gone.
+    assert 1 not in ids_seen and 2 not in ids_seen
+    # the genuine near-dup still surfaces via the representative
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 3)]
+    assert all(r.jaccard >= 0.5 for r in pairs)
