@@ -71,22 +71,33 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (argmax cosine, ties to
-    the smallest centroid id). ``centroids`` must be small — it is broadcast
-    and the assignment is a map-side cross product + per-row argmax (no
-    shuffle of the corpus)."""
-    scored = df.join(F.broadcast(centroids)).select(
+    the smallest centroid id) with ZERO shuffle of the corpus.
+
+    The centroid table is collapsed to a single array-of-structs row and
+    broadcast (BroadcastNestedLoopJoin against one row = a map-side column
+    append); the argmax is then a per-row ``array_max`` over
+    (cosine, -cent_id) structs — one projection, no corpus×n_cells row
+    expansion, no Exchange between the corpus scan and the cell column.
+    Struct comparison is lexicographic, so max picks highest cosine and,
+    on exact float ties, the smallest centroid id (via the negated id)."""
+    cents = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("centv")))
+        ).alias("__cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine_similarity(F.col(vec_col), c["centv"]).alias("cs"),
+                (-c["cent_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    return df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("cent_id"),
-        cosine_similarity(vec_col, "centv").alias("__cs"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cs").desc(), F.col("cent_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+        (-best["neg_id"]).alias("cell"),
     )
 
 

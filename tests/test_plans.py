@@ -110,3 +110,30 @@ def test_exact_dedup_single_shuffle(spark, registry):
     would mean the window partitioning diverged from the hash."""
     plan = plan_of(spark, registry, "q20_exact_dedup")
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ivf_assignment_no_corpus_shuffle(spark, registry):
+    """IVF cell assignment must be a broadcast of the one-row centroid
+    array + a per-row argmax projection: no Exchange (shuffle) may sit
+    between the corpus scan and the cell column, and the corpus×n_cells
+    scored-row expansion (the round-1 window argmax) must be gone."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    plan = (
+        assign_cells(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row build side, by design
