@@ -248,37 +248,49 @@ def token_jaccard_pairs(
     text_col: str,
     threshold: float = 0.3,
     ngram_n: int = 3,
+    n_blocks: int = 3,
 ) -> DataFrame:
-    """Near-dup by word-n-gram Jaccard with rarest-gram blocking.
+    """Near-dup by word-n-gram Jaccard with K-rarest-gram blocking.
 
     Set elements are word ``ngram_n``-grams (n>1 matters: on small-vocabulary
     or templated corpora unigram sets are near-identical across documents,
     making unigram Jaccard inherently O(N²); n-gram vocabulary grows
     combinatorially, so both candidate blocks and the true result stay
-    small). Candidates = documents sharing their RAREST n-gram (minimal
-    corpus document-frequency, ties broken lexicographically) — the classic
-    record-linkage blocker: block size is bounded by that gram's document
-    frequency, so no stopword-style O(N²) block is possible; near-dups still
-    collide because they share almost all grams, including their rarest.
-    Fully ANSI-SQL-expressible (explode → df-count → min(struct) →
-    equi-join), hence oracle-checkable. Exact Jaccard verifies candidates.
-    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    small). Candidates = documents sharing any of their ``n_blocks`` RAREST
+    n-grams (minimal corpus document-frequency, ties broken
+    lexicographically) — prefix filtering from set-similarity joins. A
+    single rarest gram is brittle: one edit can mint a brand-new dfreq-1
+    gram that becomes one side's block key and the true pair never
+    co-buckets; K rarest keys tolerate K-1 novel grams per doc. Block size
+    stays bounded by each gram's document frequency, so no stopword-style
+    O(N²) block is possible. Fully ANSI-SQL-expressible (explode →
+    df-count → sorted top-K → equi-join), hence oracle-checkable. Exact
+    Jaccard verifies candidates. Returns (id_a, id_b, jaccard ≥ threshold).
+    """
     toks = spread(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
     )
     tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    # per doc: token with min (dfreq, tok) — min(struct) avoids a window sort
+    # per doc: K tokens with min (dfreq, tok) — aggregate + per-group array
+    # sort instead of a row_number window (partial aggregation map-side, no
+    # partition-wide sort).
     block = (
         tok.join(dfreq, "tok")
         .groupBy(id_col)
-        .agg(F.min(F.struct("dfreq", "tok")).alias("m"))
-        .select(F.col(id_col), F.col("m.tok").alias("block_tok"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("dfreq", "tok"))),
+                1,
+                n_blocks,
+            ).alias("m")
+        )
+        .select(F.col(id_col), F.explode("m.tok").alias("block_tok"))
     )
     # Pair generation from id-only buckets (single block lineage, one
-    # shuffle); each doc has exactly one block key, so pairs are unique
-    # without a distinct. Verification joins the n-gram sets back by id.
+    # shuffle); a pair may share several block keys, so dedupe pairs before
+    # the verification join.
     buckets = (
         block.groupBy("block_tok")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -288,6 +300,7 @@ def token_jaccard_pairs(
         buckets.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
     )
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))

@@ -123,14 +123,24 @@ def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
-def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def rolling_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    prefix_len: int | None = None,
+) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint per document (polynomial fold
     over the character stream) — the cheap streaming-friendly fingerprint
     tier: O(len) integer ops, no crypto hash, same value computable
-    incrementally by any scanner."""
-    return df.select(
-        F.col(id_col), rolling_hash(text_col).alias("rhash")
-    )
+    incrementally by any scanner.
+
+    ``prefix_len`` fingerprints only the leading chunk — boilerplate /
+    shared-header detection (whole-document hashes only ever collide for
+    byte-identical docs, which exact dedup already catches)."""
+    c: Column = F.col(text_col)
+    if prefix_len is not None:
+        c = F.substring(c, 1, prefix_len)
+    return df.select(F.col(id_col), rolling_hash(c).alias("rhash"))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -174,25 +174,27 @@ blocked AS (
   SELECT doc_id, tok AS block_tok FROM (
     SELECT t.doc_id, t.tok,
            row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.tok) AS rn
-    FROM tok t JOIN dfreq d USING (tok)) WHERE rn = 1
+    FROM tok t JOIN dfreq d USING (tok)) WHERE rn <= 3
 ),
-keyed AS (
-  SELECT t.doc_id, t.toks, b.block_tok FROM toks t JOIN blocked b USING (doc_id)
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a JOIN blocked b
+    ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-FROM keyed a JOIN keyed b ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
+FROM cands c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.3
 """,
-    doc="word-3-gram Jaccard near-dup with rarest-gram (min document "
+    doc="word-3-gram Jaccard near-dup with 3-rarest-gram (min document "
     "frequency) blocking + exact Jaccard verification",
     tags=("llm", "dedup"),
 )
 def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return token_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    return token_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, n_blocks=3)
 
 
 _SIMHASH_BITS = 32
@@ -262,14 +264,14 @@ WITH b AS (
 SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        list_cosine_similarity(a.v, b2.v) AS cosine
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE list_cosine_similarity(a.v, b2.v) >= 0.6
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.4
 """,
     doc="embedding-cosine near-dup: 8-bit sign-LSH blocking + exact verify",
     tags=("llm", "dedup"),
 )
 def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.6, n_bits=8)
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_bits=8)
 
 
 # ----------------------------------------------------------- similarity ---
@@ -497,7 +499,7 @@ def q33_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH fp AS (
   SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                  list_transform(string_split(text, ''),
+                                  list_transform(string_split(substr(text, 1, 64), ''),
                                                  c -> CAST(ascii(c) AS BIGINT))),
                      (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
   FROM documents
@@ -505,14 +507,14 @@ WITH fp AS (
 SELECT rhash, count(*) AS n_docs, min(doc_id) AS first_doc
 FROM fp GROUP BY rhash HAVING count(*) > 1
 """,
-    doc="Rabin-Karp rolling-hash fingerprints; duplicate groups (n>1) with "
-    "their first doc id",
+    doc="Rabin-Karp rolling-hash fingerprint of the leading 64-char chunk "
+    "(shared-boilerplate detection); duplicate groups (n>1) with first doc",
     tags=("llm", "text"),
 )
 def q34_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (
-        rolling_fingerprint(docs, "doc_id", "text")
+        rolling_fingerprint(docs, "doc_id", "text", prefix_len=64)
         .groupBy("rhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") > 1)
