@@ -25,22 +25,54 @@ Differences by design (Spark-first, 100 TB):
 
 from __future__ import annotations
 
-import os
+import logging
+import tempfile
 import uuid
+from typing import Callable, TypeVar
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-from cassandra_analytics_example_spark.config import JobConfiguration
+from cassandra_analytics_example_spark.config import DataTransport, JobConfiguration
 from cassandra_analytics_example_spark.datagen import (
     gen_dataset,
     gen_dataset_deterministic,
 )
+from cassandra_analytics_example_spark.plans import fs
 from cassandra_analytics_example_spark.plans.listeners import (
     CoordinatedStorageTransportListener,
     StorageTransportListener,
 )
 from cassandra_analytics_example_spark.sources import read, write
+
+log = logging.getLogger(__name__)
+
+T = TypeVar("T")
+
+
+def execute(fn: Callable[[], T], on_failure: T | None = None) -> T:
+    """O2 error-reporting executor (reference ``SparkUtils.execute``,
+    ``SparkUtils.scala:34-47``): run, and on failure log it with the stack
+    trace and rethrow. ``on_failure`` is kept for signature parity with the
+    reference, whose rethrow makes the fallback unreachable on errors — it
+    is never returned here either."""
+    try:
+        return fn()
+    except Exception as exc:
+        log.error("job failed: %s", exc, exc_info=True)
+        raise
+
+
+def execute_job(spark: SparkSession, fn: Callable[[], object]) -> None:
+    """O1 job runner (reference ``App.executeJob``, ``App.scala:26-29``):
+    run the job, swallow any failure (``Try.apply(r)`` discards the
+    result), always close the session."""
+    try:
+        fn()
+    except Exception:
+        log.exception("job failed (swallowed by executeJob, session closing)")
+    finally:
+        spark.stop()
 
 
 def _generate(spark: SparkSession, config: JobConfiguration):
@@ -52,12 +84,70 @@ def _generate(spark: SparkSession, config: JobConfiguration):
     return gen(spark, config.row_count, splits)
 
 
-def write_job(spark: SparkSession, config: JobConfiguration) -> int:
+def staged_write(
+    spark: SparkSession,
+    df: DataFrame,
+    write_options: dict[str, str],
+    targets: dict[str, dict[str, str]],
+    listener: StorageTransportListener,
+    n_rows: int,
+) -> None:
+    """S3_COMPAT transport: two-phase stage→import with lifecycle callbacks
+    (the reference's storage-transport extension path, App.scala:208-235).
+
+    Phase 1 stages the dataset once into ``staging_dir`` and fires
+    object-persisted/stage-succeeded per target; phase 2 imports into every
+    target only after ALL targets staged (all-or-nothing when the listener
+    is coordinated). File inventory goes through the Hadoop FileSystem API,
+    so staging may live on s3a://hdfs:// as well as file:/."""
+    listener.on_transport_start()
+    stage_dir = write_options.get(
+        "staging_dir", f"{tempfile.gettempdir()}/staged-{uuid.uuid4().hex}"
+    )
+    write(df, {**write_options, "path": stage_dir, "mode": "overwrite"})
+    staged_files = fs.list_data_files(spark, stage_dir, suffix=".parquet")
+    for fpath, size in staged_files:
+        listener.on_object_persisted("staging", fpath, size)
+    listener.on_all_objects_persisted(len(staged_files), n_rows)
+    for cluster in targets:
+        listener.on_stage_succeeded(cluster)
+    if isinstance(listener, CoordinatedStorageTransportListener):
+        if not listener.all_staged:  # pragma: no cover - defensive
+            raise RuntimeError("coordinated write: staging incomplete")
+    staged = spark.read.parquet(stage_dir)
+    for cluster, opts in targets.items():
+        write(staged, opts)
+        listener.on_import_succeeded(cluster)
+    listener.on_job_succeeded(0.0)
+
+
+def write_job(
+    spark: SparkSession,
+    config: JobConfiguration,
+    listener: StorageTransportListener | None = None,
+) -> int:
     """Generate N rows → bulk-write → count. Returns written row count
-    (reference logs "Written rows", App.scala:244)."""
+    (reference logs "Written rows", App.scala:244).
+
+    ``data_transport`` steers the write path exactly as in the reference
+    (``App.scala:98,229-231``): DIRECT writes straight to the sink;
+    S3_COMPAT routes through the staged two-phase path, firing the
+    storage-transport lifecycle callbacks."""
+    transport = DataTransport(config.write_options.get("data_transport", "DIRECT"))
     df = _generate(spark, config)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        if transport is DataTransport.S3_COMPAT:
+            n_rows = df.count()
+            staged_write(
+                spark,
+                df,
+                config.write_options,
+                {"default": config.write_options},
+                listener or StorageTransportListener(),
+                n_rows,
+            )
+            return n_rows
         write(df, config.write_options)
         return df.count()
     finally:
@@ -126,28 +216,14 @@ def two_clusters_coordinated_write(
     df = _generate(spark, config).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_rows = df.count()
-        listener.on_transport_start()
-        stage_dir = config.write_options.get(
-            "staging_dir", os.path.join("/tmp", f"staged-{uuid.uuid4().hex}")
+        staged_write(
+            spark,
+            df,
+            config.write_options,
+            {c: {**opts, "mode": "overwrite"} for c, opts in targets.items()},
+            listener,
+            n_rows,
         )
-        write(df, {**config.write_options, "path": stage_dir, "mode": "overwrite"})
-        staged_files = [
-            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
-        ]
-        for f in staged_files:
-            listener.on_object_persisted(
-                "staging", f, os.path.getsize(os.path.join(stage_dir, f))
-            )
-        listener.on_all_objects_persisted(len(staged_files), n_rows)
-        for cluster in targets:
-            listener.on_stage_succeeded(cluster)
-        if not listener.all_staged:  # pragma: no cover - defensive
-            raise RuntimeError("coordinated write: staging incomplete")
-        staged = spark.read.parquet(stage_dir)
-        for cluster, opts in targets.items():
-            write(staged, {**opts, "mode": "overwrite"})
-            listener.on_import_succeeded(cluster)
-        listener.on_job_succeeded(0.0)
         return n_rows
     finally:
         df.unpersist()
@@ -182,5 +258,5 @@ def table_to_parquet(
         rows = df.count()
     finally:
         df.unpersist()
-    n_files = sum(1 for f in os.listdir(output_dir) if f.endswith(".parquet"))
+    n_files = len(fs.list_data_files(spark, output_dir, suffix=".parquet"))
     return rows, n_files

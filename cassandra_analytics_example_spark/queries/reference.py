@@ -18,6 +18,7 @@ from cassandra_analytics_example_spark.config import JobConfiguration
 from cassandra_analytics_example_spark.datagen import gen_dataset_deterministic
 from cassandra_analytics_example_spark.plans.jobs import copy_table
 from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.sources import read as sources_read
 from cassandra_analytics_example_spark.sources import write
 
 N_ROWS = 10_000  # reference default rowCount (SparkUtils.scala:121)
@@ -52,6 +53,29 @@ def _digest(df: DataFrame) -> DataFrame:
 )
 def ref_datagen_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest(gen_dataset_deterministic(spark, N_ROWS, 8))
+
+
+@register(
+    "ref_snapshot_isolation",
+    oracle=_AGG_ORACLE,
+    doc="snapshot-isolation read (createSnapshot/snapshotName, "
+    "App.scala:113-114): digest of a manifest snapshot taken BEFORE a "
+    "late append — the append must be invisible",
+    tags=("reference",),
+)
+def ref_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="ref-snapshot-")
+    path = os.path.join(tmp, "test")
+    write(
+        gen_dataset_deterministic(spark, N_ROWS, 8),
+        {"path": path, "mode": "overwrite", "partition_key": "id", "splits": "8"},
+    )
+    snap = sources_read(
+        spark, {"path": path, "createSnapshot": "true", "snapshotName": "s1"}
+    )
+    # post-snapshot append: rows the digest must NOT see
+    write(gen_dataset_deterministic(spark, 1234, 4), {"path": path})
+    return _digest(snap)
 
 
 @register(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cassandra_analytics_example_spark.queries import register
 from cassandra_analytics_example_spark.streaming import (
     run_sessionized_stream,
+    run_sliding_stream,
     run_stateful_totals,
     run_stream_dedup,
     run_tumbling_stream,
@@ -65,3 +66,14 @@ def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s04_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_totals(spark, sf_dir)
+
+
+@register(
+    "s05_stream_sliding_windows",
+    oracle=None,
+    doc="Structured Streaming: watermarked SLIDING 1h/30min windows over a "
+    "file-source stream, memory sink (batch twin: q38)",
+    tags=("streaming",),
+)
+def s05_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sliding_stream(spark, sf_dir)

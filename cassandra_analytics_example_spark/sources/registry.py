@@ -26,6 +26,11 @@ import os
 from pyspark.sql import DataFrame, DataFrameReader, DataFrameWriter, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_analytics_example_spark.sources.options import (
+    CONTROL_KEYS,
+    cassandra_options,
+)
+
 TABLES = (
     "region",
     "nation",
@@ -42,22 +47,6 @@ TABLES = (
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 MAX_RECORDS_PER_FILE = 100_000  # reference App.scala:68
 
-#: option-map keys consumed by the registry itself, never forwarded to the
-#: underlying DataFrameReader/Writer.
-CONTROL_KEYS = frozenset(
-    {
-        "format",
-        "mode",
-        "path",
-        "partition_key",
-        "splits",
-        "staging_dir",
-        "rows",
-        "deterministic",
-        "maxRecordsPerFile",
-    }
-)
-
 
 def get_reader(spark: SparkSession, options: dict[str, str]) -> DataFrameReader:
     """Reader bound to the configured backend (default parquet)."""
@@ -65,7 +54,7 @@ def get_reader(spark: SparkSession, options: dict[str, str]) -> DataFrameReader:
     reader = spark.read
     if fmt == "cassandra":
         reader = reader.format(CASSANDRA_FORMAT).options(
-            **{k: v for k, v in options.items() if k != "format"}
+            **cassandra_options(options, "read")
         )
     else:
         reader = reader.format(fmt).options(
@@ -77,13 +66,35 @@ def get_reader(spark: SparkSession, options: dict[str, str]) -> DataFrameReader:
 def read(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     """Load the table the option map names (reference ``read()``,
     ``SparkUtils.scala:94-100`` — schema comes from the source, never
-    hand-declared on read)."""
+    hand-declared on read).
+
+    ``createSnapshot=true`` + ``snapshotName`` mirror the reference's
+    snapshot-isolation read (``App.scala:113-114``): the parquet backend
+    freezes the current file set under the name (manifest, no copy) and
+    reads the frozen set; a bare ``snapshotName`` reads an existing
+    snapshot. The cassandra backend forwards both options to the connector,
+    which snapshots server-side."""
     fmt = options.get("format", "parquet")
     if fmt == "cassandra":
         return get_reader(spark, options).load()
     path = options.get("path")
     if path is None:
         raise ValueError("parquet read requires a 'path' option")
+    snap_name = options.get("snapshotName")
+    if options.get("createSnapshot") == "true":
+        from cassandra_analytics_example_spark.sources.snapshot import (
+            create_snapshot,
+            read_snapshot,
+        )
+
+        name = create_snapshot(spark, path, snap_name)
+        return read_snapshot(spark, path, name)
+    if snap_name:
+        from cassandra_analytics_example_spark.sources.snapshot import (
+            read_snapshot,
+        )
+
+        return read_snapshot(spark, path, snap_name)
     return get_reader(spark, options).load(path)
 
 
@@ -95,7 +106,7 @@ def get_writer(df: DataFrame, options: dict[str, str]) -> DataFrameWriter:
     if fmt == "cassandra":
         return (
             df.write.format(CASSANDRA_FORMAT)
-            .options(**{k: v for k, v in options.items() if k not in ("format", "mode")})
+            .options(**cassandra_options(options, "write"))
             .mode(mode)
         )
     writer = df.write.format(fmt).mode(mode)
@@ -109,23 +120,26 @@ def get_writer(df: DataFrame, options: dict[str, str]) -> DataFrameWriter:
     return writer
 
 
+def apply_write_discipline(df: DataFrame, options: dict[str, str]) -> DataFrame:
+    """Bulk-writer discipline (the reference library's token-sort before
+    SSTable generation): hash-partition on ``partition_key`` and sort within
+    partitions, so each task emits one contiguous, clustered shard. On
+    parquet this gives key-clustered files (row-group pruning on later
+    reads); on the cassandra path it matches the bulk writer's expectation
+    of token-contiguous input. No-op without ``partition_key``."""
+    pk = options.get("partition_key")
+    if not pk:
+        return df
+    splits = int(options["splits"]) if "splits" in options else None
+    cols = [F.col(c) for c in pk.split(",")]
+    out = df.repartition(splits, *cols) if splits else df.repartition(*cols)
+    return out.sortWithinPartitions(*cols)
+
+
 def write(df: DataFrame, options: dict[str, str]) -> DataFrame:
     """Write ``df`` through the configured sink and return it (reference
-    ``writeExisting``, ``SparkUtils.scala:67-74``).
-
-    When ``partition_key`` is given, apply the bulk-writer discipline the
-    reference's library performs internally (token-sort before SSTable
-    generation): hash-partition on the key and sort within partitions, so
-    each task emits one contiguous, clustered shard. On parquet this gives
-    key-clustered files (row-group pruning on later reads).
-    """
-    pk = options.get("partition_key")
-    out = df
-    if pk:
-        splits = int(options["splits"]) if "splits" in options else None
-        cols = [F.col(c) for c in pk.split(",")]
-        out = (df.repartition(splits, *cols) if splits else df.repartition(*cols))
-        out = out.sortWithinPartitions(*cols)
+    ``writeExisting``, ``SparkUtils.scala:67-74``)."""
+    out = apply_write_discipline(df, options)
     path = options.get("path")
     fmt = options.get("format", "parquet")
     if fmt == "cassandra":

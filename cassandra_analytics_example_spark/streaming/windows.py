@@ -74,6 +74,28 @@ def tumbling_aggregate(
     )
 
 
+def sliding_aggregate(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts/sums per event type (each event
+    lands in width/slide overlapping windows — the streaming twin of batch
+    q38). Same append/watermark semantics as the tumbling variant."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sessionized_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -100,14 +122,22 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
-def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
     """Drive a bounded stream to completion into a memory sink; return the
-    materialized result as a batch DataFrame."""
+    materialized result as a batch DataFrame.
+
+    Aggregates run in ``complete`` mode here: with a single bounded
+    microbatch nothing passes the watermark before input ends, so
+    append-mode would emit nothing; complete shows the full aggregate
+    state — matching the batch twins minus the watermark drop (no late
+    data in the fixture)."""
     name = f"s_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -120,45 +150,21 @@ def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the watermarked tumbling aggregate end-to-end in streaming mode.
-
-    With a single bounded microbatch nothing passes the watermark before
-    input ends, so append-mode would emit nothing; ``complete`` shows the
-    full aggregate state — matching the batch twin q15 minus the watermark
-    drop (no late data in the fixture)."""
+    """Run the watermarked tumbling aggregate end-to-end in streaming mode."""
     agg = tumbling_aggregate(stream_events(spark, sf_dir))
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-    return spark.table(name)
+    return _run_to_memory(agg, spark, "complete")
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the watermarked sliding-window aggregate (1h window / 30min
+    slide) end-to-end in streaming mode — streaming twin of batch q38."""
+    agg = sliding_aggregate(stream_events(spark, sf_dir))
+    return _run_to_memory(agg, spark, "complete")
 
 
 def run_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sessionized_counts(stream_events(spark, sf_dir))
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-    return spark.table(name)
+    return _run_to_memory(agg, spark, "complete")
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,17 +209,4 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the custom stateful operator over the bounded fixture stream."""
     totals = running_user_totals(stream_events(spark, sf_dir))
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-    return spark.table(name)
+    return _run_to_memory(totals, spark, "update")
