@@ -77,17 +77,35 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    report = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+
+    # diff against the recorded anchor (BENCH_BASELINE.json, round-1 best-of-2
+    # numbers) so "within 2x" is mechanically checkable per round: ratio < 1
+    # means faster than the anchor.
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if anchor.get("sf") == report["sf"]:
+            base_q = anchor.get("queries", {})
+            report["baseline_round"] = anchor.get("round")
+            report["baseline_total"] = anchor.get("total")
+            report["vs_baseline"] = round(report["value"] / anchor["total"], 3)
+            report["vs_baseline_queries"] = {
+                n: round(t / base_q[n], 3)
+                for n, t in timings.items()
+                if base_q.get(n)
+            }
+
+    print(json.dumps(report))
     spark.stop()
 
 

@@ -315,7 +315,7 @@ def token_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, n_bits: int = 64, gram_n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 32, gram_n: int = 3
 ) -> DataFrame:
     """SimHash document fingerprint: sign of per-bit vote sums over feature
     hashes. Near-dup docs differ in few bits (compare via hamming distance).
@@ -327,7 +327,10 @@ def simhash(
     = 1 iff sum over features of (bit b of md5-hash(feature) ? +1 : -1) > 0.
     Computed as pure column algebra: feature array → per-feature 60-bit
     hash → per-bit aggregate via transform/aggregate — no explode, no
-    shuffle. Returns (id, simhash bigint).
+    shuffle. Returns (id, simhash bigint); simhash is NULL for documents
+    with an EMPTY feature set (fewer than ``gram_n`` tokens) — an all-zero
+    vote vector is not a fingerprint, and emitting 0 for every such doc
+    would make them all mutually "identical".
     """
     if not 0 < n_bits <= 60:
         raise ValueError("n_bits must be in (0, 60] (60-bit portable hashes)")
@@ -356,7 +359,8 @@ def simhash(
     fp = bit_cols[0]
     for c in bit_cols[1:]:
         fp = fp + c
-    return hv.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    fp = F.when(F.size("__hv") > 0, fp.cast("bigint"))
+    return hv.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming64(a, b):
@@ -379,8 +383,11 @@ def simhash_near_dup_pairs(
     bands; by pigeonhole, any pair with hamming ≤ n_bands-1 agrees EXACTLY
     on at least one band, so an equi-join on (band_index, band_bits) finds
     every qualifying pair — full recall, no cross join, scales as the band
-    collision count rather than N². Returns (id_a, id_b, hamming ≤
-    max_hamming)."""
+    collision count rather than N². Documents with no features (NULL
+    fingerprint from ``simhash``) are excluded before banding: they carry
+    no signal, and at scale the shared all-zero fingerprint would form one
+    quadratic bucket of false-positive "hamming 0" pairs. Returns
+    (id_a, id_b, hamming ≤ max_hamming)."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"pigeonhole recall requires max_hamming <= n_bands-1 "
@@ -390,7 +397,9 @@ def simhash_near_dup_pairs(
         raise ValueError("n_bits must divide evenly into n_bands")
     band_width = n_bits // n_bands
     mask = (1 << band_width) - 1
-    fp = simhash(df, id_col, text_col, n_bits)
+    fp = simhash(df, id_col, text_col, n_bits).filter(
+        F.col("simhash").isNotNull()
+    )
     bands = [
         F.struct(
             F.lit(i).alias("band"),
@@ -433,29 +442,79 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_bits: int = 8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup: sign-bucket LSH blocking + exact cosine
     verification within buckets. Returns (id_a, id_b, cosine ≥ threshold).
 
-    Near-identical vectors share all sign bits, so true near-dups collide;
-    the bucket join bounds comparisons to ~N²/2^n_bits."""
+    Near-identical vectors share all sign bits, so true near-dups collide.
+    Scale shape: candidate ids are grouped per bucket (ids only — the
+    vectors do NOT ride through the quadratic pair expansion; they join
+    back per-candidate for verification), and ``max_bucket_size`` bounds
+    the in-bucket expansion the same way ``lsh_candidate_pairs`` does —
+    one degenerate bucket (e.g. a near-duplicate embedding cluster) cannot
+    go quadratic. Size ``n_bits`` to the corpus: expected bucket size is
+    N/2^n_bits, so 100TB-scale corpora want 24-32 bits where this fixture
+    uses 8. Audit capped drops with ``embedding_bucket_stats``."""
     from cassandra_analytics_example_spark.functions.vector import (
         cosine_similarity,
         sign_bucket,
     )
 
-    bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, n_bits).alias("bucket")
-    )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    buckets = _sign_buckets(emb, id_col, vec_col, n_bits)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # each doc has exactly ONE bucket key, so a pair can collide in at most
+    # one bucket — no distinct needed (unlike multi-band LSH).
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
+    )
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _sign_buckets(
+    emb: DataFrame, id_col: str, vec_col: str, n_bits: int
+) -> DataFrame:
+    """(bucket, ids) sign-LSH collision buckets with >1 member."""
+    from cassandra_analytics_example_spark.functions.vector import sign_bucket
+
+    return (
+        emb.select(F.col(id_col), sign_bucket(vec_col, n_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def embedding_bucket_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Accounting twin of ``embedding_near_dup_pairs`` (same contract as
+    ``lsh_bucket_stats``): one row per sign-LSH collision bucket with its
+    size, pair count, and whether the cap drops it — write next to the
+    dedup output so sacrificed recall is auditable, never silent."""
+    buckets = _sign_buckets(emb, id_col, vec_col, n_bits)
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.size("ids") > max_bucket_size
+    )
+    return buckets.select(
+        "bucket",
+        F.size("ids").alias("n_ids"),
+        (F.size("ids") * (F.size("ids") - 1) / 2).cast("bigint").alias("n_pairs"),
+        dropped.alias("dropped"),
     )

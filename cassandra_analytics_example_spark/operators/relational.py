@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _cols(cols: Sequence[str | Column]) -> list[Column]:
@@ -100,19 +101,35 @@ def asof_join(
 
     Spark has no native as-of join. Union-and-carry composition: tag both
     inputs, union on aligned schemas, sort within key partitions by (ts,
-    right-before-left at equal ts), carry the last seen right values forward
+    right-before-left at equal ts), carry the last seen right row forward
     with ``last(..., ignorenulls)``, keep left rows. Exactly ONE shuffle on
     ``on`` — no join at all — which beats the bucketize+equi-join alternative
     whenever the right side is large, and never explodes on skewed keys the
     way a range join can. (merge_asof semantics, allow_exact_matches=True.)
+
+    The right values travel as ONE struct, not independent columns: with
+    per-column ``last(ignorenulls)`` a right row holding NULL in some value
+    column would contribute its non-null columns while an older row fills
+    the null one — combining values from different rows. The struct is
+    non-null whenever a right row exists, so the whole matched row stays
+    together (NULL fields included). Ties among right rows on (key, ts)
+    break deterministically by the value struct itself (max wins) rather
+    than by partition-dependent arrival order.
     """
     on = list(on)
     lcols = [c for c in left.columns]
+    r_struct = F.struct(*[F.col(v).alias(v) for v in right_values])
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("__is_left"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField(v, right.schema[v].dataType) for v in right_values]
+            )
+        )
+        .alias("__r"),
     )
     tagged_right = right.select(
         *[
@@ -121,22 +138,23 @@ def asof_join(
         ],
         F.lit(0).alias("__is_left"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+        r_struct.alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows (is_left=0) sort before left rows at the same timestamp so
-    # an exact match is visible to the left row.
+    # an exact match is visible to the left row; equal-(ts, side) right rows
+    # order by the value struct so the carried row is deterministic.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__is_left"),
-        *[
-            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}")
-            for v in right_values
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rc"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__rc")[v].alias(f"{v}{suffix}") for v in right_values],
+    )

@@ -222,8 +222,10 @@ hvals AS (
   SELECT doc_id, {_simhash_hv} AS hv FROM w
 ),
 fp AS (
+  -- empty feature set (< 3 tokens) => no fingerprint, excluded from banding
+  -- (mirrors simhash() returning NULL instead of an all-zero "fingerprint")
   SELECT doc_id, CAST({_simhash_votes} AS BIGINT) AS simhash
-  FROM hvals
+  FROM hvals WHERE len(hv) > 0
 ),
 banded AS (
   SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bb

@@ -73,6 +73,28 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     )
 
 
+def test_asof_join_null_value_columns_stay_with_matched_row(spark):
+    """The matched right ROW travels whole: a NULL field in the newest
+    matching right row must surface as NULL, not be back-filled from an
+    older row (per-column last(ignorenulls) would mix rows)."""
+    left = spark.createDataFrame([(1, 20, 0), (1, 7, 1)], ["k", "lts", "lid"])
+    right = spark.createDataFrame(
+        [(1, 5, 5.0, 50.0), (1, 10, None, 100.0)],
+        "k int, rts int, a double, b double",
+    )
+    got = {
+        r.lid: (r.a_asof, r.b_asof)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_values=["a", "b"],
+        ).collect()
+    }
+    # lid=0 (ts 20) matches the ts-10 row: a stays NULL, not 5.0 from ts 5
+    assert got[0] == (None, 100.0)
+    # lid=1 (ts 7) matches the ts-5 row fully
+    assert got[1] == (5.0, 50.0)
+
+
 def test_sessionize_matches_pandas_reference(spark):
     from cassandra_analytics_example_spark.operators.relational import sessionize
     import pandas as pd

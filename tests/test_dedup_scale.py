@@ -56,6 +56,67 @@ def test_bucket_stats_report_drops(spark):
     assert dropped_pairs == 4 * 10
 
 
+def test_simhash_empty_feature_docs_never_pair(spark):
+    """Docs with fewer than gram_n tokens have no features: they get a NULL
+    fingerprint and are excluded from banding — an all-zero fingerprint
+    would make every such doc a mutual hamming-0 'near-dup' (and one
+    quadratic bucket at scale)."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hi"), (1, "yo"), (2, "one two"), (3, "a b c d e f g h i j")],
+        ["doc_id", "text"],
+    )
+    fp = {
+        r.doc_id: r.simhash
+        for r in simhash(docs, "doc_id", "text", n_bits=32).collect()
+    }
+    assert fp[0] is None and fp[1] is None and fp[2] is None
+    assert fp[3] is not None
+
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    assert pairs == []  # the featureless docs must not pair with each other
+
+
+def test_embedding_bucket_cap_and_stats(spark):
+    """Sign-LSH near-dup: an oversized bucket is dropped by the cap and the
+    audit twin reports exactly what was sacrificed."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        embedding_bucket_stats,
+        embedding_near_dup_pairs,
+    )
+
+    # 5 identical-direction vectors (one bucket, all-positive signs) and 2
+    # in a different bucket (first component negative).
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(5)] + [
+        (5, [-1.0, 1.0, 1.0, 1.0]),
+        (6, [-1.0, 1.0, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    uncapped = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_bits=4, max_bucket_size=None
+    ).collect()
+    assert len(uncapped) == 10 + 1  # C(5,2) + C(2,2)
+
+    capped = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_bits=4, max_bucket_size=4
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in capped) == [(5, 6)]
+
+    stats = {
+        r.n_ids: r
+        for r in embedding_bucket_stats(
+            emb, n_bits=4, max_bucket_size=4
+        ).collect()
+    }
+    assert stats[5].dropped and stats[5].n_pairs == 10
+    assert not stats[2].dropped and stats[2].n_pairs == 1
+
+
 def test_exact_dedup_prepass_collapses_identical_docs(spark):
     base = "the quick brown fox jumps over the lazy dog again and again"
     near = base + " indeed"
