@@ -481,6 +481,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the clustering step
+    that turns pairwise evidence into dedup groups (one representative per
+    cluster = keep-list). Returns (id, cluster_id) for every id appearing
+    in ``pairs``, where cluster_id is the minimum id in the component.
+
+    Iterative min-label propagation: each round, every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup components are band/bucket
+    cliques and unions of cliques, so the diameter is tiny (2-4) in
+    practice — pathological long chains are bounded by ``max_iter``
+    (raise on non-convergence rather than return wrong clusters). Each
+    round is one equi-join + one partial-aggregated groupBy on the node
+    id; ``localCheckpoint`` truncates the lineage so the plan stays flat
+    across rounds (on a multi-executor cluster prefer a reliable
+    ``checkpoint`` dir — localCheckpoint does not survive executor loss).
+    The per-round ``count()`` is a convergence test (an aggregate action,
+    no data collected to the driver).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)  # scanned every round
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("cluster_id").alias("nbr")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr").alias("nbr_min"))
+        )
+        updated = labels.join(
+            nbr_min.select(F.col("a").alias("id"), "nbr_min"), "id", "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+            (F.col("nbr_min") < F.col("cluster_id")).alias("__chg"),
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(component diameter exceeds max_iter; raise max_iter)"
+    )
+
+
 def _sign_buckets(
     emb: DataFrame, id_col: str, vec_col: str, n_bits: int
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.operators.dedup import (
     simhash_near_dup_pairs,
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_dedup,
@@ -91,9 +92,8 @@ _band_structs = ", ".join(
 )
 
 
-@register(
-    "q21_minhash_lsh_neardup",
-    oracle=f"""
+# shared by q21 (pairs) and q41 (clusters over those pairs)
+_Q21_ORACLE = f"""
 WITH reps AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
@@ -134,7 +134,12 @@ SELECT c.id_a, c.id_b,
 FROM cands c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-""",
+"""
+
+
+@register(
+    "q21_minhash_lsh_neardup",
+    oracle=_Q21_ORACLE,
     doc="MinHash(16)+LSH(4 bands) near-dup: exact-dedup pre-pass, bucket "
     "cap 1000, exact Jaccard ≥ 0.5 verification on 5-gram shingle sets",
     tags=("llm", "dedup"),
@@ -150,6 +155,45 @@ def q21_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bands=_MINHASH_BANDS,
         jaccard_threshold=0.5,
     )
+
+
+@register(
+    "q41_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_Q21_ORACLE}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+""",
+    doc="dedup clustering: connected components (min-label propagation) "
+    "over the q21 MinHash-LSH near-dup pairs — (doc_id, cluster_id) where "
+    "cluster_id is the min doc_id in the component; oracle is a recursive "
+    "transitive closure",
+    tags=("llm", "dedup"),
+)
+def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_SEEDS,
+        shingle_k=_SHINGLE_K,
+        num_bands=_MINHASH_BANDS,
+        jaccard_threshold=0.5,
+    )
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), F.col("cluster_id"))
 
 
 @register(

@@ -117,6 +117,37 @@ def test_embedding_bucket_cap_and_stats(spark):
     assert not stats[2].dropped and stats[2].n_pairs == 1
 
 
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation: a path graph needs multiple rounds (label 1
+    must walk the chain), separate components stay separate, and every id
+    from the pair list gets exactly one cluster."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (8, 9), (7, 9)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from cassandra_analytics_example_spark.operators.dedup import (
+        connected_components,
+    )
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
 def test_exact_dedup_prepass_collapses_identical_docs(spark):
     base = "the quick brown fox jumps over the lazy dog again and again"
     near = base + " indeed"
