@@ -1,0 +1,79 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A train/val/test split over a 100 TB corpus must be (a) reproducible across
+engines, runs, and repartitionings — so no RNG, no ``rand()``, no
+``randomSplit`` (partition-order dependent) — and (b) computable row-locally
+with no shuffle. Hash-bucketing the document id does both: the split label
+is a pure projection, the same doc lands in the same split everywhere, and
+adding data never moves existing docs between splits.
+
+The hash is the engine-portable md5 convention shared with the dedup
+operators (``functions.text.md5_u60``), so the assignment is
+DuckDB-oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.functions.text import md5_u60
+
+#: bucket granularity: weights are resolved to integer counts out of 10_000
+#: (0.01% resolution) so thresholds are exact integers in every engine.
+SPLIT_BUCKETS = 10_000
+
+
+def split_column(
+    id_col: str | Column,
+    weights: Sequence[tuple[str, float]],
+    salt: str = "",
+) -> Column:
+    """Split-label column from hash-bucketing ``id_col``.
+
+    ``weights`` is an ORDERED (name, weight) list; weights are normalized
+    and mapped to contiguous integer bucket ranges out of ``SPLIT_BUCKETS``.
+    ``salt`` derives independent assignments from the same ids (e.g. a new
+    holdout that is uncorrelated with the previous one).
+
+    SQL twin: ``CASE WHEN CAST(('0x' || substr(md5(salt || CAST(id AS
+    VARCHAR)), 1, 15)) AS BIGINT) % 10000 < t1 THEN n1 WHEN ... END``.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty (name, weight) list")
+    total = float(sum(w for _, w in weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = md5_u60(F.concat(F.lit(salt), c.cast("string"))) % SPLIT_BUCKETS
+
+    # cumulative integer thresholds; the last split absorbs rounding slack
+    # so every bucket is assigned.
+    acc = 0.0
+    thresholds: list[tuple[str, int]] = []
+    for name, w in weights:
+        acc += w / total
+        thresholds.append((name, round(acc * SPLIT_BUCKETS)))
+    out = F.lit(thresholds[-1][0])
+    for name, t in reversed(thresholds[:-1]):
+        out = F.when(bucket < t, F.lit(name)).otherwise(out)
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split assignment column (default
+    train/val/test 90/5/5). Pure projection — no shuffle, no RNG, stable
+    under repartitioning and incremental corpus growth."""
+    return df.withColumn(split_col, split_column(id_col, list(weights), salt))

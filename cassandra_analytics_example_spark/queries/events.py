@@ -230,3 +230,72 @@ def q38_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q45 — interval (range) join: purchases attributed to the same user's view
+# within 1 hour. Equi-join on user_id + time-range residual — scale-safe
+# (the shuffle key is user_id; no cross product). Batch twin of streaming
+# s06 (stream-stream join with watermark-bounded state).
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "q45_view_purchase_attribution",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts_us
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id,
+         CAST(value AS DOUBLE) AS purchase_value,
+         epoch_us(ts) AS purchase_ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, view_id, purchase_id, purchase_value,
+       view_ts_us, purchase_ts_us
+FROM v JOIN p ON v.user_id = p.user_id
+ AND purchase_ts_us >= view_ts_us
+ AND purchase_ts_us <= view_ts_us + {ATTRIBUTION_WINDOW_US}
+""",
+    doc="interval join: purchases within 1h after a view by the same user "
+    "(equi-join on user_id + time-range residual; batch twin of s06)",
+    tags=("events", "join"),
+)
+def q45_view_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("view_ts_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("double").alias("purchase_value"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts_us") >= F.col("view_ts_us"))
+            & (
+                F.col("purchase_ts_us")
+                <= F.col("view_ts_us") + F.lit(ATTRIBUTION_WINDOW_US)
+            ),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            "purchase_value",
+            "view_ts_us",
+            "purchase_ts_us",
+        )
+    )

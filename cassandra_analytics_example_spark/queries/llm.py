@@ -609,3 +609,114 @@ def q31_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum(F.length("frame_bytes")).alias("total_bytes"),
     )
+
+
+# ------------------------------------------------- pipeline operations ---
+# split / decontamination / filter: the steps between "corpus" and
+# "training set" that every pre-training pipeline runs after dedup.
+
+
+@register(
+    "q42_hash_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="deterministic train/val/test split (90/5/5) by md5 hash-bucket of "
+    "doc_id — no RNG, stable under repartitioning and corpus growth, pure "
+    "projection (no shuffle)",
+    tags=("llm", "sampling"),
+)
+def q42_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+_CONTAM_N = 4
+
+
+@register(
+    "q43_eval_contamination",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - {_CONTAM_N - 2}),
+             i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+),
+cg AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+  FROM g WHERE doc_id % 97 <> 0
+)
+SELECT cg.doc_id, cg.n_grams, count(*) AS n_hit_grams,
+       CAST(count(*) AS DOUBLE) / cg.n_grams AS contamination
+FROM cg JOIN ev USING (gram)
+GROUP BY cg.doc_id, cg.n_grams
+""",
+    doc=f"benchmark decontamination: corpus docs sharing any word "
+    f"{_CONTAM_N}-gram with the eval slice (doc_id % 97 = 0) — broadcast "
+    f"eval-gram join, corpus never shuffled by the join",
+    tags=("llm", "contamination"),
+)
+def q43_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = ngram_contamination(corpus, eval_set, "doc_id", "text", _CONTAM_N)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "n_hit_grams",
+        "contamination",
+    )
+
+
+@register(
+    "q44_quality_filter",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS stop_ratio,
+    (CAST(length(text) AS DOUBLE)
+      - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+      / length(text) AS punct_ratio
+  FROM documents)
+SELECT doc_id, n_tokens, stop_ratio,
+       CASE WHEN n_tokens < 15 THEN 'too_short'
+            WHEN punct_ratio > 0.2 THEN 'too_much_punct'
+            WHEN stop_ratio = 0 THEN 'no_stopwords'
+            ELSE 'keep' END AS verdict
+FROM f
+""",
+    doc="C4/Gopher-style quality filter verdicts: first failing rule wins "
+    "(too_short < 15 tokens, punct > 0.2, zero stopwords), else keep — "
+    "composition of quality_features, pure codegen projection",
+    tags=("llm", "text"),
+)
+def q44_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    f = quality_features(docs, "text")
+    verdict = (
+        F.when(F.col("n_tokens") < 15, F.lit("too_short"))
+        .when(F.col("punct_ratio") > 0.2, F.lit("too_much_punct"))
+        .when(F.col("stop_ratio") == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+    return f.select("doc_id", "n_tokens", "stop_ratio", verdict.alias("verdict"))

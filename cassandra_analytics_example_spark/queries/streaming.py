@@ -77,3 +77,19 @@ def s04_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s05_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sliding_stream(spark, sf_dir)
+
+
+@register(
+    "s06_stream_stream_join",
+    oracle=None,
+    doc="Structured Streaming: watermarked stream-stream inner join — "
+    "purchases attributed to same-user views within 1h; the time-range "
+    "predicate bounds the join state store (batch twin: q45)",
+    tags=("streaming", "join"),
+)
+def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_stream_join,
+    )
+
+    return run_stream_stream_join(spark, sf_dir)

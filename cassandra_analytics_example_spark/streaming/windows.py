@@ -174,6 +174,62 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_attribution(
+    events: DataFrame, watermark: str = "2 hours", within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to the same user's
+    view within ``within`` — the canonical two-unbounded-sides join.
+
+    Both sides carry a watermark and the join predicate bounds the event
+    time difference, so Spark can expire buffered state: a view older than
+    (watermark + within) can never match a future purchase and is evicted.
+    Without the time-range condition the state store grows without bound —
+    that is the 100 TB failure mode this shape exists to avoid. State is
+    hash-partitioned on user_id by the stream-stream join exchange."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+        .alias("v")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+        .alias("p")
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            f"""v.user_id = p.user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval {within}"""
+        ),
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "purchase_value",
+        F.col("view_ts").cast("string").alias("view_ts"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    )
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the watermarked stream-stream attribution join end-to-end."""
+    joined = stream_stream_attribution(stream_events(spark, sf_dir))
+    return _run_to_memory(joined, spark, "append")
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (event count, value sum) carried in explicit group

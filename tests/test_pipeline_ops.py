@@ -1,0 +1,107 @@
+"""Training-pipeline operators: deterministic hash split, eval-set
+contamination, and the attribution interval join — behavior + plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.contamination import (
+    ngram_contamination,
+)
+from cassandra_analytics_example_spark.operators.sampling import hash_split
+from cassandra_analytics_example_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_hash_split_is_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # assignment independent of partitioning
+    # rough proportions: 90/5/5 within generous hash-noise bounds
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / n < 0.95
+    assert 0.02 < c["val"] / n < 0.08
+    assert 0.02 < c["test"] / n < 0.08
+
+
+def test_hash_split_salt_gives_independent_assignment(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df, "doc_id", salt="v2").collect()
+    }
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 0  # a salted split is a different split
+
+
+def test_hash_split_growth_stability(spark):
+    """Adding documents never reassigns existing ones (incremental corpus)."""
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(small, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", weights=[])
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", weights=[("a", 0.0)])
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta zeta eta"),  # shares 2 distinct 4-grams? no — 1
+            (2, "zeta eta theta iota kappa"),  # clean
+            (3, "x y alpha beta gamma delta epsilon z"),  # shares grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit_grams)
+        for r in ngram_contamination(
+            corpus, eval_set, "doc_id", "text", ngram_n=4
+        ).collect()
+    }
+    assert 2 not in got  # clean doc absent (inner join)
+    assert got[1] == (3, 1)  # "alpha beta gamma delta" only
+    assert got[3] == (5, 2)  # both eval 4-grams present
+    assert set(got) == {1, 3}
+
+
+def test_contamination_plan_broadcasts_eval_side(spark, registry):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(spark, registry, "q43_eval_contamination")
+    assert "BroadcastHashJoin" in plan  # eval grams broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_join_plan_is_equi_join(spark, registry):
+    """The interval join must keep user_id as the join key: no cartesian or
+    nested-loop fallback (the range predicate is a residual filter)."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(spark, registry, "q45_view_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
