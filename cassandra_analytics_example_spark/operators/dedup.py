@@ -546,6 +546,30 @@ def connected_components(
     )
 
 
+def dedup_keep_list(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end dedup keep-list: the ids that SURVIVE both exact and
+    near-dup dedup — exact-dedup representatives, minus every near-dup
+    cluster member that is not its cluster's representative (min id).
+
+    This is the pipeline a training run actually consumes: pairs and
+    clusters are diagnostics; the keep-list is the training set. Composed
+    from ``exact_dedup`` → ``minhash_lsh_dedup`` → ``connected_components``
+    → anti-join, all shuffle-bounded pieces. Returns a single ``id_col``
+    column."""
+    reps = exact_dedup(df, id_col, text_col).select(F.col(id_col))
+    pairs = minhash_lsh_dedup(df, id_col, text_col, **minhash_kwargs)
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return reps.join(drop, id_col, "left_anti")
+
+
 def _sign_buckets(
     emb: DataFrame, id_col: str, vec_col: str, n_bits: int
 ) -> DataFrame:

@@ -182,3 +182,45 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group per-dimension embedding statistics: centroid (mean), min,
+    max, count — the feature-space profile behind centroid initialization
+    (IVF), drift monitoring, and normalization checks.
+
+    posexplode expands each vector into (dim, value) rows, but the groupBy
+    partial-aggregates map-side: the shuffle carries only
+    |groups| x |dims| partial rows per task, never the expanded data. The
+    centroid uses FIXED-POINT accumulation: each element is quantized to
+    1e-9 (round to bigint), summed exactly in integers, and divided back —
+    double summation is order-dependent across partitions, integer
+    summation is associative, so the mean is bit-identical at any
+    parallelism (and in any engine; casting doubles to wide DECIMAL is NOT
+    portable — engines disagree on the rounding of the final decimal
+    digit). min/max are order-independent and stay exact doubles.
+    """
+    from cassandra_analytics_example_spark.session import spread
+
+    ex = spread(emb).select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    q = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    return ex.groupBy(group_col, "dim").agg(
+        ((F.sum(q).cast("double") / F.count("*")) / F.lit(1e9)).alias("centroid"),
+        F.min("x").alias("dmin"),
+        F.max("x").alias("dmax"),
+        F.count("*").alias("n"),
+    ).select(
+        F.col(group_col),
+        F.col("dim").cast("bigint").alias("dim"),
+        "centroid",
+        "dmin",
+        "dmax",
+        "n",
+    )

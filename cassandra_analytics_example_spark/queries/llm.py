@@ -720,3 +720,118 @@ def q44_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     return f.select("doc_id", "n_tokens", "stop_ratio", verdict.alias("verdict"))
+
+
+@register(
+    "q46_dedup_keep_list",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_Q21_ORACLE}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+),
+clusters AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+reps AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+)
+SELECT doc_id FROM reps
+WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+""",
+    doc="end-to-end dedup keep-list: exact-dedup representatives minus "
+    "non-representative near-dup cluster members — the surviving training "
+    "set (exact_dedup -> MinHash-LSH pairs -> connected components -> "
+    "anti-join)",
+    tags=("llm", "dedup"),
+)
+def q46_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import dedup_keep_list
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_keep_list(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_SEEDS,
+        shingle_k=_SHINGLE_K,
+        num_bands=_MINHASH_BANDS,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "q47_embedding_dim_stats",
+    oracle="""
+WITH ex AS (
+  SELECT label, CAST(t.i AS BIGINT) AS dim,
+         CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+)
+SELECT label, dim,
+       (CAST(sum(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / count(*)) / 1e9
+         AS centroid,
+       min(x) AS dmin, max(x) AS dmax, count(*) AS n
+FROM ex GROUP BY label, dim
+""",
+    doc="per-label per-dimension embedding stats (centroid/min/max/count) — "
+    "posexplode + map-side partial aggregation; fixed-point (1e-9) integer "
+    "accumulation makes the mean parallelism- and engine-invariant",
+    tags=("llm", "similarity"),
+)
+def q47_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb, "label", "embedding")
+
+
+@register(
+    "q48_top_ngrams_per_lang",
+    oracle="""
+WITH g AS (
+  SELECT lang, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         i -> array_to_string(w[i:i+2], ' ')))) AS gram
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+),
+df AS (
+  SELECT lang, gram, count(*) AS dfreq FROM g GROUP BY lang, gram
+)
+SELECT lang, gram, dfreq, CAST(rnk AS INT) AS rnk FROM (
+  SELECT lang, gram, dfreq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY dfreq DESC, gram ASC) AS rnk
+  FROM df) WHERE rnk <= 5
+""",
+    doc="corpus vocabulary profile: top-5 word-3-grams per language by "
+    "document frequency (deterministic tiebreak), explode + count + "
+    "windowed top-k",
+    tags=("llm", "text"),
+)
+def q48_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import word_ngrams
+    from cassandra_analytics_example_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang", F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram")
+    )
+    dfreq = g.groupBy("lang", "gram").agg(F.count("*").alias("dfreq"))
+    top = top_k_per_group(
+        dfreq, ["lang"], [F.desc("dfreq"), F.asc("gram")], 5, rank_col="rnk"
+    )
+    return top.select("lang", "gram", "dfreq", F.col("rnk").cast("int").alias("rnk"))
