@@ -44,17 +44,27 @@ def lww_latest(
     df: DataFrame,
     keys: Sequence[str],
     version_order: Sequence[Column],
+    tombstone: Column | None = None,
 ) -> DataFrame:
     """Last-write-wins: keep exactly one row per key — the maximum under
     ``version_order`` (e.g. ``[desc(ts), desc(event_id)]``; include a unique
     tie-break so timestamp ties resolve deterministically, the way Cassandra
-    breaks ties by cell value). Single hash-shuffle on ``keys``."""
+    breaks ties by cell value). Single hash-shuffle on ``keys``.
+
+    ``tombstone`` (boolean column) adds Cassandra delete semantics: the
+    reconcile first picks the newest version per key INCLUDING tombstones,
+    then drops keys whose winning version is a tombstone — a delete newer
+    than every write suppresses the row, while a write newer than a delete
+    resurrects it. (Same single shuffle; the filter is post-window.)"""
     w = Window.partitionBy(*keys).orderBy(*version_order)
-    return (
+    out = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if tombstone is not None:
+        out = out.filter(~tombstone)
+    return out
 
 
 def sessionize(

@@ -299,3 +299,37 @@ def q45_view_purchase_attribution(
             "purchase_ts_us",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q49 — LWW reconcile WITH tombstones (delete semantics). The fixture has no
+# real deletion markers, so 'error' events stand in as tombstones: a user's
+# newest event being an error suppresses the user from the reconciled view;
+# any later non-error event resurrects them. Same single-shuffle plan as q17
+# plus a post-window filter.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q49_lww_with_tombstones",
+    oracle="""
+SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="lww_latest with tombstone semantics: newest event per user wins; "
+    "a tombstone (stand-in: event_type='error') as the newest version "
+    "suppresses the key, a newer write resurrects it",
+    tags=("events", "dedup"),
+)
+def q49_lww_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    latest = lww_latest(
+        ev,
+        keys=["user_id"],
+        version_order=[F.col("ts_ns").desc(), F.col("event_id").desc()],
+        tombstone=F.col("event_type") == "error",
+    )
+    return latest.select("user_id", "event_type", "ts_us", "value")

@@ -93,3 +93,19 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "s07_stream_file_sink",
+    oracle=None,
+    doc="Structured Streaming: streaming dedup written to a checkpointed "
+    "parquet FILE sink (exactly-once commit log; the production sink "
+    "shape) and read back — same output shape as s03",
+    tags=("streaming", "sink"),
+)
+def s07_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_dedup_to_files,
+    )
+
+    return run_stream_dedup_to_files(spark, sf_dir)

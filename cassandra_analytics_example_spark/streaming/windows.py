@@ -230,6 +230,44 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, spark, "append")
 
 
+def run_stream_dedup_to_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup → PARQUET FILE SINK with a checkpoint location —
+    the production sink shape (exactly-once via the file-sink commit log +
+    checkpointed state), where the memory-sink entries are smoke-only.
+
+    Uses the dedup stream because the file sink requires append mode, and
+    watermarked aggregates emit nothing in append mode on a single bounded
+    microbatch (nothing passes the watermark before input ends) — row-level
+    streams append immediately. Returns the sink read back, re-aggregated
+    to match s03's output shape. On a cluster the paths become object-store
+    URIs; the checkpoint makes restarts resume, not recompute."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    deduped = dedup_within_watermark(stream_events(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_first_seen"))
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (event count, value sum) carried in explicit group

@@ -105,3 +105,28 @@ def test_attribution_join_plan_is_equi_join(spark, registry):
     plan = plan_of(spark, registry, "q45_view_purchase_attribution")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lww_tombstone_semantics(spark):
+    """A tombstone newer than every write suppresses the key; a write newer
+    than a delete resurrects it; keys without tombstones are untouched."""
+    from cassandra_analytics_example_spark.operators.relational import (
+        lww_latest,
+    )
+
+    rows = [
+        # key 1: delete is newest -> suppressed
+        (1, 10, "w", False), (1, 20, "d", True),
+        # key 2: write after delete -> resurrected with the newer write
+        (2, 10, "d", True), (2, 20, "w", False),
+        # key 3: no tombstone -> newest write wins
+        (3, 10, "w1", False), (3, 20, "w2", False),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "payload", "deleted"])
+    got = {
+        r.k: r.payload
+        for r in lww_latest(
+            df, ["k"], [F.desc("ts")], tombstone=F.col("deleted")
+        ).collect()
+    }
+    assert got == {2: "w", 3: "w2"}
