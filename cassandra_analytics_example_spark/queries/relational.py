@@ -728,3 +728,95 @@ def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(price, F.lit(0.99)).alias("p99"),
         F.max(price).alias("mx"),
     )
+
+
+# --------------------------------------------------------------------------
+# q50 — analytic window functions beyond ranking: lag/lead navigation within
+# a customer's order history, ntile quartiles and percent_rank within the
+# order-priority class. Every window carries a key tiebreak so the order is
+# total (deterministic at any parallelism); no global single-partition
+# window anywhere — all windows are keyed, so the sort is per-group.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q50_window_analytics",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(prev_total AS DOUBLE) AS prev_total,
+       CAST(next_total AS DOUBLE) AS next_total,
+       CAST(quartile AS INT) AS quartile,
+       pr
+FROM (
+  SELECT o_orderkey, o_custkey,
+         lag(o_totalprice)  OVER wc AS prev_total,
+         lead(o_totalprice) OVER wc AS next_total,
+         ntile(4)           OVER wp AS quartile,
+         percent_rank()     OVER wp AS pr
+  FROM orders
+  WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+         wp AS (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+""",
+    doc="analytic windows: lag/lead over each customer's order history, "
+    "ntile(4) + percent_rank within the priority class (all keyed windows "
+    "with total-order tiebreaks)",
+    tags=("relational", "window"),
+)
+def q50_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wp = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(wc).cast("double").alias("prev_total"),
+        F.lead("o_totalprice").over(wc).cast("double").alias("next_total"),
+        F.ntile(4).over(wp).cast("int").alias("quartile"),
+        F.percent_rank().over(wp).alias("pr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — GROUPING SETS through the SQL-TEXT interface: the engine's queries
+# are DataFrame-built elsewhere; this entry goes through spark.sql() over a
+# registered view to pin down (a) arbitrary grouping-set aggregates (rollup
+# q10 and cube q35 are the special cases) and (b) the SQL text front end
+# itself. GROUPING() disambiguates "NULL because subtotal" from data NULLs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q51_grouping_sets_sql",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+""",
+    doc="GROUPING SETS aggregate via the spark.sql text interface "
+    "(status / priority / both / grand total in one pass), GROUPING() "
+    "flags distinguish subtotal NULLs from data NULLs",
+    tags=("relational", "agg", "sql"),
+)
+def q51_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+    """)

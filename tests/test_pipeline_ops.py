@@ -130,3 +130,13 @@ def test_lww_tombstone_semantics(spark):
         ).collect()
     }
     assert got == {2: "w", 3: "w2"}
+
+
+def test_embedding_dim_stats_partial_aggregation(spark, registry):
+    """The posexplode×64 expansion must partial-aggregate map-side: two
+    HashAggregate levels, so the shuffle carries |labels|x|dims| partial
+    rows, never the exploded data."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(spark, registry, "q47_embedding_dim_stats")
+    assert plan.count("HashAggregate") >= 2
