@@ -224,3 +224,79 @@ def embedding_dim_stats(
         "dmax",
         "n",
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's KMeans on DataFrames — the learned-centroid upgrade for
+    ``ivf_topk`` (whose deterministic first-k init is a stand-in). Returns
+    (cent_id, centv array<double>) after ``n_iter`` fixed iterations.
+
+    Each iteration is two shuffle-bounded steps: (1) assignment via the
+    broadcast argmax of ``assign_cells`` (zero corpus shuffle), (2) mean
+    recomputation via posexplode + map-side partial aggregation (the
+    shuffle carries k x dims partial rows). Means use the fixed-point
+    convention (quantize 1e-9, exact integer sums) so centroids — and
+    therefore every subsequent assignment — are bit-identical at any
+    parallelism. Fixed iteration count, no convergence action: the loop
+    cost is known up front (n_iter x 2 jobs), and ``localCheckpoint``
+    keeps the plan flat. A centroid that loses all members drops out
+    (standard Lloyd's behavior; k may shrink).
+    """
+    cents = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+    q = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    for _ in range(n_iter):
+        assigned = assign_cells(emb, cents, id_col, vec_col)
+        ex = assigned.select(
+            "cell",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        )
+        means = ex.groupBy("cell", "dim").agg(
+            ((F.sum(q).cast("double") / F.count("*")) / F.lit(1e9)).alias("m")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ).alias("s")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform(F.col("s"), lambda p: p["m"]).alias("centv"),
+            )
+        )
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
+def kmeans_cell_profile(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Summary of the learned KMeans partition: per cell, member count and
+    centroid L2 norm (deterministic scalars — the checkable surface of the
+    iterative pipeline)."""
+    from cassandra_analytics_example_spark.functions.vector import l2_norm
+
+    cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col)
+    assigned = assign_cells(emb, cents, id_col, vec_col)
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return counts.join(
+        cents.select(
+            F.col("cent_id").alias("cell"),
+            l2_norm(F.col("centv")).alias("centroid_norm"),
+        ),
+        "cell",
+    ).select("cell", "n_members", "centroid_norm")

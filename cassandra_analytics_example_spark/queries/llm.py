@@ -835,3 +835,22 @@ def q48_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         dfreq, ["lang"], [F.desc("dfreq"), F.asc("gram")], 5, rank_col="rnk"
     )
     return top.select("lang", "gram", "dfreq", F.col("rnk").cast("int").alias("rnk"))
+
+
+@register(
+    "q52_kmeans_cells",
+    oracle=None,  # iterative algorithm — rows-only by design (like streaming)
+    doc="Lloyd's KMeans (3 fixed iterations, fixed-point means) over the "
+    "embeddings: per-cell member counts + centroid norms — the "
+    "learned-centroid path for IVF; deterministic at any parallelism but "
+    "not SQL-expressible, so driver-checked rows-only (pytest asserts "
+    "determinism and SSE descent)",
+    tags=("llm", "similarity", "iterative"),
+)
+def q52_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        kmeans_cell_profile,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_cell_profile(emb, k=8, n_iter=3)

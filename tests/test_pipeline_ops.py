@@ -140,3 +140,36 @@ def test_embedding_dim_stats_partial_aggregation(spark, registry):
 
     plan = plan_of(spark, registry, "q47_embedding_dim_stats")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_kmeans_centroids_deterministic_and_descending(spark, sf_dir):
+    """Fixed-point means make the learned centroids identical under
+    repartitioning, and Lloyd's iterations never increase the summed
+    distance to the assigned centroid (cosine form: 1 - cos)."""
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+    from cassandra_analytics_example_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    a = kmeans_centroids(emb, k=4, n_iter=2).collect()
+    b = kmeans_centroids(emb.repartition(13), k=4, n_iter=2).collect()
+    assert sorted((r.cent_id, tuple(r.centv)) for r in a) == sorted(
+        (r.cent_id, tuple(r.centv)) for r in b
+    )
+
+    def sse(n_iter):
+        cents = kmeans_centroids(emb, k=4, n_iter=n_iter)
+        assigned = assign_cells(emb, cents)
+        joined = assigned.join(
+            cents.select(F.col("cent_id").alias("cell"), "centv"), "cell"
+        )
+        return joined.select(
+            F.sum(1 - cosine_similarity("embedding", "centv")).alias("s")
+        ).collect()[0].s
+
+    assert sse(3) <= sse(1) + 1e-9  # Lloyd's objective descends
