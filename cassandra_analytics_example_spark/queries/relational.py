@@ -820,3 +820,37 @@ def q51_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority), ())
     """)
+
+
+# --------------------------------------------------------------------------
+# q53 — semi join (EXISTS): customers having at least one high-priority
+# order. Completes the join-type surface: inner/broadcast (q03), anti
+# (q09), scalar subquery (q13), range (q45), as-of (q18), stream-stream
+# (s06). A semi join shuffles only the key column of the probe side and
+# short-circuits on first match — never duplicates the left side.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q53_customers_with_urgent_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+""",
+    doc="EXISTS semi join: customers with at least one urgent order "
+    "(left_semi — probe side deduplicated by the join itself, no fanout)",
+    tags=("relational", "join"),
+)
+def q53_customers_with_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
