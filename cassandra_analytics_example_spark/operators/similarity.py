@@ -300,3 +300,53 @@ def kmeans_cell_profile(
         ),
         "cell",
     ).select("cell", "n_members", "centroid_norm")
+
+
+def multiprobe_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query probes its own bucket PLUS
+    every bucket at hamming distance 1 (one sign bit flipped) — the
+    standard recall fix for vectors whose components sit near a hyperplane
+    (sign flips under tiny perturbation lose the neighbor in single-probe).
+
+    Scale shape is unchanged from ``lsh_topk``: the small query side fans
+    out ×(n_bits+1) and is broadcast; every corpus vector still lives in
+    exactly ONE bucket, so the equi-join emits each (query, neighbor) pair
+    at most once — no dedup pass needed. Recall strictly dominates
+    single-probe at ~(n_bits+1)× the candidate-scoring cost."""
+    base = sign_bucket(vec_col, n_bits)
+    probes = F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        base.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("qv", "cv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

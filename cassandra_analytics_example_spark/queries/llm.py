@@ -854,3 +854,44 @@ def q52_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_cell_profile(emb, k=8, n_iter=3)
+
+
+@register(
+    "q54_knn_multiprobe",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id, v, unnest([bucket,
+                            xor(bucket, 1), xor(bucket, 2),
+                            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM b WHERE vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rnk
+  FROM probes q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+) WHERE rnk <= 5
+""",
+    doc="multi-probe sign-LSH ANN (own bucket + all hamming-1 buckets): "
+    "the recall fix for near-hyperplane vectors, at (n_bits+1)x scoring "
+    "cost — corpus still lives in exactly one bucket (no dedup needed)",
+    tags=("llm", "similarity"),
+)
+def q54_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return multiprobe_lsh_topk(emb, queries, k=5, n_bits=4)

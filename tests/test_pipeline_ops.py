@@ -173,3 +173,26 @@ def test_kmeans_centroids_deterministic_and_descending(spark, sf_dir):
         ).collect()[0].s
 
     assert sse(3) <= sse(1) + 1e-9  # Lloyd's objective descends
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH must recover at least as many true (brute-force)
+    top-k neighbors as single-probe — the point of probing hamming-1
+    buckets."""
+    from cassandra_analytics_example_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        multiprobe_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(emb, queries, k=5))
+    single = pairs(lsh_topk(emb, queries, k=5, n_bits=4))
+    multi = pairs(multiprobe_lsh_topk(emb, queries, k=5, n_bits=4))
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi & truth) > 0
