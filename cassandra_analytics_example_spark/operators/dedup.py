@@ -249,6 +249,7 @@ def token_jaccard_pairs(
     threshold: float = 0.3,
     ngram_n: int = 3,
     n_blocks: int = 3,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """Near-dup by word-n-gram Jaccard with K-rarest-gram blocking.
 
@@ -266,11 +267,24 @@ def token_jaccard_pairs(
     O(N²) block is possible. Fully ANSI-SQL-expressible (explode →
     df-count → sorted top-K → equi-join), hence oracle-checkable. Exact
     Jaccard verifies candidates. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    ``persist_tokens`` materializes the tokenized layer (MEMORY_AND_DISK):
+    it is consumed THREE times — document-frequency counting, blocking,
+    and both sides of the Jaccard verification — and recomputing the
+    n-gram arrays from the scan per consumer costs more than caching them
+    (~3x wall-clock on the fixture). The cache is the tokenized corpus
+    (≈ corpus size; spills to disk) — the standard deliberate
+    materialization for multi-pass set-similarity; pass False to trade
+    recompute for zero cache footprint.
     """
     toks = spread(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
     )
+    if persist_tokens:
+        from pyspark.storagelevel import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # per doc: K tokens with min (dfreq, tok) — aggregate + per-group array
