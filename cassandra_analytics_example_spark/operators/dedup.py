@@ -82,10 +82,27 @@ def minhash_signatures(
     # the signature is unchanged, but on templated/repetitive text the
     # distinct array is far shorter than the raw one — one md5 per UNIQUE
     # shingle, and the 16 universal-hash passes below scan the short array.
-    sh = F.array_distinct(shingles(text_col, shingle_k))
-    hashed = spread(df).select(
+    sh_df = spread(df).select(
         F.col(id_col),
-        F.transform(sh, lambda s: md5_u60(s) % MINHASH_P).alias("__hv"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"),
+    )
+    return signatures_from_shingles(sh_df, id_col, "__sh", num_hashes)
+
+
+def signatures_from_shingles(
+    sh_df: DataFrame,
+    id_col: str,
+    sh_col: str = "__sh",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures from a PRECOMPUTED distinct-shingle array column —
+    lets a pipeline that also needs the raw shingle sets (exact-Jaccard
+    verification) materialize them once and derive both from it."""
+    hashed = sh_df.select(
+        F.col(id_col),
+        F.transform(F.col(sh_col), lambda s: md5_u60(s) % MINHASH_P).alias(
+            "__hv"
+        ),
     )
 
     ab = minhash_seeds(num_hashes)
@@ -216,13 +233,20 @@ def minhash_lsh_dedup(
     # expensive shingle-hash projection fuses into that single task.
     df = exact_dedup(spread(df), id_col, text_col).drop("content_hash")
     df = spread(df)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(
-        sigs, id_col, num_bands, rows_per_band, max_bucket_size
-    )
+    # Materialize the distinct-shingle layer ONCE (MEMORY_AND_DISK): it
+    # feeds the signature derivation and both sides of the exact-Jaccard
+    # verification — three consumers; recomputing shingle arrays from the
+    # scan per consumer costs more than caching them (same tradeoff as
+    # token_jaccard_pairs.persist_tokens).
+    from pyspark.storagelevel import StorageLevel
+
     sh = df.select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures_from_shingles(sh, id_col, "sh", num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size
     )
     joined = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
