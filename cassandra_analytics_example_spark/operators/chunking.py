@@ -1,0 +1,66 @@
+"""Document chunking for context-window preparation: split each document
+into fixed-size token windows with overlap — the step that turns a cleaned
+corpus into model-ready training sequences.
+
+Pure column algebra: tokenize once, generate chunk start offsets with
+``sequence`` (stride = chunk_tokens - overlap_tokens), slice the token
+array per offset, explode. One narrow projection + explode — no shuffle at
+all until whatever consumes the chunks aggregates them; output size is
+input size x (1 + overlap ratio).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.functions.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    Returns (id, chunk_index, chunk_text, n_chunk_tokens). Offsets step by
+    ``chunk_tokens - overlap_tokens``; the final chunk is the (possibly
+    short) tail — every token belongs to at least one chunk, consecutive
+    chunks share ``overlap_tokens`` tokens, and a document shorter than
+    one window yields exactly one chunk. Deterministic: chunk_index is the
+    0-based offset rank.
+
+    SQL twin (DuckDB): offsets via ``range(1, len(w) + 1, stride)``,
+    slices via 1-based inclusive ``w[i : i + chunk - 1]``.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens "
+            f"({chunk_tokens}) or the stride is not positive"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    # 1-based start offsets: 1, 1+stride, ... while start <= len - overlap
+    # (a chunk starting inside the final overlap region would contain ONLY
+    # tokens the previous chunk already covers); a doc shorter than one
+    # window still yields offset 1.
+    offsets = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__w") - overlap_tokens, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = toked.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.posexplode(offsets).alias("chunk_index", "__start"),
+    )
+    chunk = F.slice(F.col("__w"), F.col("__start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+    )

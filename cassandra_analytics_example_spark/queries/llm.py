@@ -895,3 +895,30 @@ def q54_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return multiprobe_lsh_topk(emb, queries, k=5, n_bits=4)
+
+
+@register(
+    "q55_document_chunking",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+off AS (
+  SELECT doc_id, w, CAST(t.o AS BIGINT) AS start
+  FROM w, UNNEST(range(1, greatest(len(w) - 8, 1) + 1, 56)) AS t(o)
+)
+SELECT doc_id, (start - 1) // 56 AS chunk_index,
+       array_to_string(w[start : start + 63], ' ') AS chunk_text,
+       CAST(len(w[start : start + 63]) AS BIGINT) AS n_chunk_tokens
+FROM off
+""",
+    doc="context-window chunking: 64-token windows, 8-token overlap "
+    "(stride 56) — turns the cleaned corpus into model-ready sequences; "
+    "pure projection + explode, zero shuffle",
+    tags=("llm", "text"),
+)
+def q55_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", 64, 8)

@@ -196,3 +196,31 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     multi = pairs(multiprobe_lsh_topk(emb, queries, k=5, n_bits=4))
     assert len(multi & truth) >= len(single & truth)
     assert len(multi & truth) > 0
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """Chunks cover every token, consecutive chunks share exactly the
+    overlap, no chunk is fully contained in its predecessor, and a short
+    doc yields one whole chunk."""
+    from cassandra_analytics_example_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b")], ["doc_id", "text"])
+    got = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_index, r.chunk_text) for r in got.collect())
+    )
+    # doc 1: stride 3, offsets 1,4,7 over 10 tokens (upper bound 10-1=9)
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, "t0 t1 t2 t3"),
+        (1, 1, "t3 t4 t5 t6"),
+        (1, 2, "t6 t7 t8 t9"),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=4)
