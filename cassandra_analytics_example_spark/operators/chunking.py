@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_analytics_example_spark.functions.text import tokens
+from cassandra_analytics_example_spark.functions.text import md5_u60, tokens
 
 
 def chunk_documents(
@@ -63,4 +63,59 @@ def chunk_documents(
         F.col("chunk_index").cast("bigint").alias("chunk_index"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    budget_tokens: int = 256,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: lay documents end to end in a
+    deterministic order and slice the concatenated token stream into
+    fixed-``budget_tokens`` training sequences, reporting where each
+    document lands (the GPT-style packing layout, minus the actual token
+    copy, which belongs to the downstream writer).
+
+    A single global concatenation order would funnel 100 TB through one
+    sort, so documents are first hash-bucketed (``md5(id) % n_buckets``)
+    and each bucket packs independently — the cumulative-sum window
+    partitions by bucket and the widest partition is corpus/n_buckets.
+    Packing quality is unaffected (each bucket chops into full-budget
+    sequences; waste is at most one partial tail sequence per bucket).
+
+    Returns (id, bucket, n_tokens, start_tok, first_seq, last_seq):
+    ``start_tok`` is the document's 0-based offset in its bucket's token
+    stream and ``first_seq``/``last_seq`` the budget-sized sequence ids
+    its tokens straddle. Deterministic: within a bucket, documents order
+    by (hash, id).
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    h = md5_u60(F.col(id_col).cast("string"))
+    sized = df.select(
+        F.col(id_col),
+        (h % n_buckets).alias("bucket"),
+        h.alias("__h"),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    out = sized.select(F.col(id_col), "bucket", "n_tokens", start)
+    return out.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / budget_tokens).alias("first_seq"),
+        F.floor(
+            (F.col("start_tok") + F.col("n_tokens") - 1) / budget_tokens
+        ).alias("last_seq"),
     )

@@ -62,6 +62,39 @@ def split_column(
     return out
 
 
+def stratified_downsample(
+    df: DataFrame,
+    strat_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample every stratum to the size of the
+    smallest one (class balancing) — no RNG, no per-stratum sort.
+
+    The keep rule is the real-number comparison ``bucket / SPLIT_BUCKETS <
+    min_count / count`` evaluated as the exact integer cross-product
+    ``bucket * count < min_count * SPLIT_BUCKETS`` — no division anywhere,
+    so the decision is bit-identical in every engine at any corpus size
+    (products stay far inside bigint range). Stratum counts come from a
+    tiny groupBy broadcast back onto the corpus; the keep decision is then
+    a pure projection — the corpus itself is never shuffled or ordered.
+    Expected kept size tracks the minimum class exactly in distribution;
+    membership is stable under repartitioning.
+    """
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    mn = counts.agg(F.min("__cnt").alias("__mn"))
+    rates = counts.crossJoin(F.broadcast(mn))
+    bucket = (
+        md5_u60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % SPLIT_BUCKETS
+    )
+    return (
+        df.join(F.broadcast(rates), strat_col)
+        .filter(bucket * F.col("__cnt") < F.col("__mn") * SPLIT_BUCKETS)
+        .drop("__cnt", "__mn")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

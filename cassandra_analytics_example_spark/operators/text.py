@@ -16,6 +16,7 @@ from cassandra_analytics_example_spark.functions.text import (
     normalized_text,
     rolling_hash,
     tokens,
+    word_ngrams,
 )
 
 # Tiny stopword marker sets per language for the n-gram/stopword-voting
@@ -141,6 +142,130 @@ def rolling_fingerprint(
     if prefix_len is not None:
         c = F.substring(c, 1, prefix_len)
     return df.select(F.col(id_col), rolling_hash(c).alias("rhash"))
+
+
+#: PII patterns, ordered — emails first (so their digits can't later be
+#: mistaken for phone fragments), then IPv4, then phone numbers. Every
+#: pattern is RE2-safe (no backrefs/lookaround) so the same regex runs
+#: identically under Spark's Java engine and DuckDB's RE2.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{1,3} \d{3}-\d{3}-\d{4}", "[PHONE]"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub PII spans from a text column: per-pattern match counts plus the
+    redacted text with each span replaced by its placeholder token — the
+    standard pre-training privacy pass.
+
+    Pure projection (regexp_count + chained regexp_replace, all codegen):
+    no shuffle, scales linearly, and the patterns are applied in declared
+    order so overlapping classes resolve deterministically. Adds one
+    ``n_<name>`` count column per pattern and ``out_col``.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in patterns
+    ]
+    red = c
+    for _, pat, repl in patterns:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", *counts, red.alias(out_col))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-token
+    fraction, top-token share, and duplicate word-2-gram fraction — the
+    filters that catch boilerplate and degenerate generations.
+
+    Token-level stats go through explode → two groupBys on (id, token) /
+    (id): the vocabulary is unbounded at corpus scale, so per-row
+    map<token,count> algebra would blow up row width; the shuffle key is
+    the uniform doc id — scale-safe. The 2-gram dup fraction stays a pure
+    array projection (distinct-ratio, no shuffle).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    per_tok = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    stats = per_tok.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("__cnt").alias("__top_cnt"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.size(word_ngrams(text_col, 2)).alias("__ng"),
+        F.size(F.array_distinct(word_ngrams(text_col, 2))).alias("__ndg"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return (
+        stats.join(grams, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.lit(1.0) - F.col("n_distinct").cast("double") / nt).alias(
+                "dup_token_ratio"
+            ),
+            (F.col("__top_cnt").cast("double") / nt).alias("top_token_share"),
+            F.when(
+                F.col("__ng") > 0,
+                F.lit(1.0) - F.col("__ndg").cast("double") / F.col("__ng").cast("double"),
+            ).alias("dup_2gram_ratio"),
+        )
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    Rarity is weighted as the exact rational ``N / df`` (corpus size over
+    document frequency) instead of its logarithm: the ranking is identical
+    (log is monotone) and single IEEE divisions are bit-reproducible
+    across engines, so the scores stay oracle-checkable.
+
+    Plan shape: explode → (id, term) counts → term document-frequency
+    aggregate (small: one row per vocab term) broadcast back onto the
+    per-doc counts → per-doc top-k via row_number over the uniform doc-id
+    key. The corpus-size scalar joins in as a broadcast literal row, never
+    a driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    doc_len = per_doc.groupBy(id_col).agg(F.sum("tf_cnt").alias("__len"))
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        per_doc.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                (F.col("tf_cnt").cast("double") / F.col("__len").cast("double"))
+                * (F.col("__n").cast("double") / F.col("__df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -922,3 +922,192 @@ def q55_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", 64, 8)
+
+
+# ------------------------------------------------- privacy / repetition ---
+
+
+@register(
+    "q56_pii_redaction",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 2 = 0
+         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-000-1234' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(t,
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t,
+      '\\+\\d{1,3} \\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+      '\\+\\d{1,3} \\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g') AS redacted
+FROM p
+""",
+    doc="PII redaction pass: per-class match counts + placeholder-redacted "
+    "text (emails, IPv4, phone numbers; deterministic synthetic PII "
+    "planted per doc_id residue so the scrub is exercised non-trivially) — "
+    "pure regexp projection, zero shuffle, RE2-safe patterns",
+    tags=("llm", "privacy"),
+)
+def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" contact u"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" from 10."), (d % 250).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" call +1 555-000-1234")).otherwise(F.lit("")),
+    )
+    return redact_pii(docs.select("doc_id", planted.alias("text"))).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted"
+    )
+
+
+@register(
+    "q57_repetition_signals",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, max(cnt) AS top_cnt
+      FROM c GROUP BY 1),
+g AS (SELECT doc_id, len(grams) AS ng, len(list_distinct(grams)) AS ndg
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(w)),
+                                  i -> array_to_string(w[i:i+1], ' ')) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)))
+SELECT a.doc_id, a.n_tokens,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+       CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_share,
+       CASE WHEN ng > 0 THEN 1.0 - CAST(ndg AS DOUBLE) / ng END
+         AS dup_2gram_ratio
+FROM a JOIN g USING (doc_id)
+""",
+    doc="Gopher-style repetition filters: duplicate-token fraction, "
+    "top-token share, duplicate word-2-gram fraction — token stats via "
+    "explode + groupBy on the uniform doc id (vocabulary is unbounded at "
+    "scale), 2-gram ratio as a pure array projection",
+    tags=("llm", "quality"),
+)
+def q57_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id")
+
+
+@register(
+    "q58_stratified_sample",
+    oracle="""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+m AS (SELECT min(cnt) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang), m
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       % 10000) * cnt < mn * 10000
+""",
+    doc="class-balancing stratified downsample: every language stratum "
+    "kept at the smallest stratum's rate via exact integer cross-product "
+    "compare (bucket*count < min*10000) — tiny groupBy broadcast back, "
+    "keep decision is a pure hash projection, corpus never shuffled",
+    tags=("llm", "sampling"),
+)
+def q58_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        stratified_downsample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_downsample(docs, "lang", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q59_tfidf_top_terms",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+pd AS (SELECT doc_id, term, count(*) AS tf_cnt FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf_cnt) AS BIGINT) AS len FROM pd GROUP BY 1),
+f AS (SELECT term, count(*) AS dfreq FROM pd GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT pd.doc_id, pd.term,
+             (CAST(tf_cnt AS DOUBLE) / len) * (CAST(n AS DOUBLE) / dfreq)
+               AS tfidf
+      FROM pd JOIN dl USING (doc_id) JOIN f USING (term), n)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM s) WHERE rank <= 3
+""",
+    doc="top-3 characteristic terms per document by tf-idf (rarity as the "
+    "exact rational N/df — same ranking as log idf, bit-reproducible "
+    "across engines); document-frequency table broadcast back, top-k "
+    "window over the uniform doc id",
+    tags=("llm", "text"),
+)
+def q59_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        tf_idf_top_terms,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "doc_id", "text", 3)
+
+
+@register(
+    "q60_sequence_packing",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, h % 64 AS bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY h % 64 ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+  FROM s)
+SELECT doc_id, bucket, n_tokens, start_tok,
+       start_tok // 256 AS first_seq,
+       (start_tok + n_tokens - 1) // 256 AS last_seq
+FROM o
+""",
+    doc="concat-and-chop sequence packing layout: documents hash-bucketed "
+    "(64 buckets) then laid end to end per bucket, 256-token training "
+    "sequences — cumulative-sum window partitioned by bucket so no global "
+    "sort; reports each doc's stream offset and straddled sequence ids",
+    tags=("llm", "chunking"),
+)
+def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", 256, 64)

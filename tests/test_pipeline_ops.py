@@ -224,3 +224,109 @@ def test_chunk_documents_overlap_and_tail(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from cassandra_analytics_example_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org twice x@y.io end"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "dial +44 123-456-7890 now"),
+            (4, "clean text, nothing to scrub"),
+        ],
+        ["id", "text"],
+    )
+    out = {r.id: r for r in redact_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 0, 0)
+    assert out[1].redacted == "mail [EMAIL] twice [EMAIL] end"
+    assert out[2].n_ip == 2
+    assert out[2].redacted == "server [IP] and [IP] up"
+    assert out[3].n_phone == 1
+    assert out[3].redacted == "dial [PHONE] now"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+    assert out[4].redacted == out[4].text
+
+
+def test_repetition_signals_known_values(spark):
+    from cassandra_analytics_example_spark.operators.text import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z"), (3, "w w w w")], ["id", "text"]
+    )
+    out = {r.id: r for r in repetition_signals(df, "id").collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].dup_token_ratio == pytest.approx(1 / 3)
+    assert out[1].top_token_share == pytest.approx(2 / 3)
+    # 2-grams of "a a b": ["a a", "a b"] — all distinct
+    assert out[1].dup_2gram_ratio == 0.0
+    assert out[2].dup_token_ratio == 0.0
+    assert out[3].dup_token_ratio == pytest.approx(3 / 4)
+    # 2-grams of "w w w w": ["w w"] x3 — 2 of 3 are duplicates
+    assert out[3].dup_2gram_ratio == pytest.approx(2 / 3)
+
+
+def test_stratified_downsample_balances_and_is_deterministic(spark):
+    from cassandra_analytics_example_spark.operators.sampling import (
+        stratified_downsample,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 7, "big").otherwise("small").alias("cls"),
+    )
+    kept = stratified_downsample(df, "cls", "doc_id")
+    counts = {r.cls: r.cnt for r in
+              kept.groupBy("cls").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # small stratum (900 rows) kept whole; big (2100) downsampled near 900
+    assert counts["small"] == 900
+    assert 800 < counts["big"] < 1000
+    again = stratified_downsample(df.repartition(13), "cls", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    from cassandra_analytics_example_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * (5 + i % 7))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(df, "doc_id", "text", budget_tokens=16,
+                          n_buckets=4).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) == 4
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: r.start_tok)
+        pos = 0
+        for r in bucket_rows:
+            assert r.start_tok == pos  # end-to-end, no gaps or overlaps
+            assert r.first_seq == r.start_tok // 16
+            assert r.last_seq == (r.start_tok + r.n_tokens - 1) // 16
+            pos += r.n_tokens
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    from cassandra_analytics_example_spark.operators.text import (
+        tf_idf_top_terms,
+    )
+
+    # "common" is in every doc; each doc also has a unique term
+    df = spark.createDataFrame(
+        [(i, f"common common unique{i}") for i in range(10)], ["id", "text"]
+    )
+    out = tf_idf_top_terms(df, "id", "text", k=1).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.term == f"unique{r.id}"
+        # tf = 1/3, idf = 10/1
+        assert r.tfidf == pytest.approx((1 / 3) * 10)
