@@ -24,7 +24,7 @@ from cassandra_analytics_example_spark.functions.text import (
     tokens,
     word_ngrams,
 )
-from cassandra_analytics_example_spark.session import spread
+from cassandra_analytics_example_spark.session import passing, spread
 
 #: Mersenne prime 2^31 - 1: universal-hash modulus. With h < p and a < p the
 #: product a*h < 2^62 stays inside signed-64 range in every engine.
@@ -257,13 +257,13 @@ def minhash_lsh_dedup(
     # (same fold order as the DuckDB oracle, so float64 results are identical).
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            (inter / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
+    # passing(): the intersection fold must not be inlined into the join's
+    # residual condition by predicate pushdown (it would run once per
+    # REJECTED candidate in the join, then again in the projection).
+    return joined.select(
+        "id_a",
+        "id_b",
+        passing(inter / union, lambda j: j >= jaccard_threshold, "jaccard"),
     )
 
 
@@ -348,8 +348,11 @@ def token_jaccard_pairs(
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            passing(inter / union, lambda j: j >= threshold, "jaccard"),
+        )
     )
 
 
@@ -522,8 +525,15 @@ def embedding_near_dup_pairs(
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            passing(
+                cosine_similarity("va", "vb"),
+                lambda c: c >= threshold,
+                "cosine",
+            ),
+        )
     )
 
 

@@ -130,6 +130,37 @@ def spread(df, min_partitions: int | None = None):
     return df.repartition(target)
 
 
+def passing(value, pred, out_name: str):
+    """Emit ``value`` (aliased ``out_name``) only for rows where
+    ``pred(value)`` holds, computing ``value`` exactly ONCE per row. Use as
+    a generator column in a select::
+
+        df.select("id_a", "id_b", passing(jaccard, lambda j: j >= t, "jaccard"))
+
+    Why not ``.select(value.alias(y)).filter(y ≥ t)``: predicate pushdown
+    rewrites that into ``Filter(f(x) ≥ t) → Project[f(x) AS y]`` (or into a
+    join's residual condition), inlining the full expression into the
+    filter — ``f`` then runs twice per surviving row, and once for every
+    REJECTED candidate inside the join itself. For cheap predicates that is
+    the right trade (filter early); for array folds (Jaccard intersections,
+    cosine dot products, hash+vote fingerprints) it measurably doubles the
+    verification stage. Barrier tricks (non-deterministic dummy columns,
+    always-true ``rand()`` conjuncts) don't survive Spark 4's optimizer —
+    column pruning deletes unused non-deterministic columns and conjunct
+    splitting re-isolates the deterministic predicate.
+
+    ``explode(filter(array(value), pred))`` sidesteps the rewrite
+    structurally: there is no Filter node to push. The expression is
+    evaluated once to build the one-element array, the lambda tests the
+    BOUND VALUE, and rejected rows vanish as empty arrays inside the
+    Generate node. NULL values are dropped, matching ``Filter(NULL)``
+    semantics.
+    """
+    from pyspark.sql import functions as F
+
+    return F.explode(F.filter(F.array(value), pred)).alias(out_name)
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -137,3 +137,35 @@ def test_ivf_assignment_no_corpus_shuffle(spark, registry):
     assert "Exchange rangepartitioning" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # one-row build side, by design
+
+
+@pytest.mark.parametrize(
+    "name,fold_marker",
+    [
+        ("q22_token_jaccard_neardup", "array_intersect"),
+        ("q21_minhash_lsh_neardup", "array_intersect"),
+        ("q24_embedding_neardup", "aggregate("),
+        ("q23_simhash_hamming", "md5("),
+    ],
+)
+def test_expensive_folds_compute_once(spark, registry, name, fold_marker):
+    """Threshold filters over expensive computed columns (Jaccard
+    intersection folds, cosine folds, hash+vote fingerprints) must test the
+    MATERIALIZED column, not get pushed below the computing projection —
+    pushdown inlines the whole expression into a Filter/join-residual and
+    runs it twice per row (and for every rejected candidate). The
+    barrier_filter helper pins them above; this locks that no Filter node
+    or join residual condition carries the fold expression."""
+    plan = plan_of(spark, registry, name)
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("+-: ")
+        if stripped.startswith(("Filter ", "*(") ) and "Filter" in stripped.split("[")[0]:
+            cond = stripped
+        elif stripped.startswith(("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")):
+            cond = stripped
+        else:
+            continue
+        assert fold_marker not in cond, (
+            f"{name}: expensive fold recomputed in filter/join condition: "
+            f"{stripped[:200]}"
+        )
