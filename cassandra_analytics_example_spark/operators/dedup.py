@@ -61,6 +61,31 @@ def exact_dedup(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seen_hash_col: str = "content_hash",
+    normalize: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of ``df`` whose content hash
+    already appears in ``seen`` (a prior corpus's hash inventory) — the
+    batch-over-batch dedup step of a continuously-ingesting pipeline.
+
+    LEFT ANTI join on the md5 hash: one shuffle on the uniform 128-bit
+    key (or none on the new-batch side when ``seen`` is small enough for
+    AQE to broadcast it — the common case, since the inventory is hashes
+    only, 32 bytes/doc, not documents). Composes with ``exact_dedup``:
+    dedup the new batch internally first, then against the inventory, and
+    append the survivors' hashes to ``seen`` for the next batch.
+    """
+    text = normalized_text(text_col) if normalize else F.col(text_col)
+    hashed = df.withColumn("content_hash", F.md5(text))
+    inventory = seen.select(F.col(seen_hash_col).alias("content_hash"))
+    return hashed.join(inventory, "content_hash", "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

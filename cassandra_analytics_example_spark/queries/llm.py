@@ -1111,3 +1111,31 @@ def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "text", 256, 64)
+
+
+@register(
+    "q61_incremental_dedup",
+    oracle="""
+WITH seen AS (SELECT md5(text) AS content_hash FROM documents
+              WHERE doc_id % 7 = 0),
+batch AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+          WHERE doc_id % 3 = 0)
+SELECT b.doc_id, b.content_hash FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM seen s
+                  WHERE s.content_hash = b.content_hash)
+""",
+    doc="incremental exact dedup of a new batch (doc_id % 3) against a "
+    "prior corpus hash inventory (doc_id % 7) — models a partially "
+    "overlapping recrawl; LEFT ANTI join on the uniform md5 key, "
+    "inventory is 32 bytes/doc so it broadcasts",
+    tags=("llm", "dedup"),
+)
+def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import dedup_against
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5("text").alias("content_hash")
+    )
+    return dedup_against(batch, seen, "doc_id").select("doc_id", "content_hash")

@@ -330,3 +330,18 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
         assert r.term == f"unique{r.id}"
         # tf = 1/3, idf = 10/1
         assert r.tfidf == pytest.approx((1 / 3) * 10)
+
+
+def test_dedup_against_drops_seen_hashes_only(spark):
+    from cassandra_analytics_example_spark.operators.dedup import dedup_against
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["id", "text"]
+    )
+    seen = spark.createDataFrame([("beta",), ("delta",)], ["t"]).select(
+        F.md5("t").alias("content_hash")
+    )
+    out = dedup_against(batch, seen, "id")
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    # survivors carry their hash so the inventory can be extended
+    assert "content_hash" in out.columns
