@@ -18,6 +18,7 @@ from cassandra_analytics_example_spark.functions.text import (
     tokens,
     word_ngrams,
 )
+from cassandra_analytics_example_spark.session import spread
 
 # Tiny stopword marker sets per language for the n-gram/stopword-voting
 # heuristic. On a real corpus these would be the top-N function words per
@@ -188,39 +189,52 @@ def repetition_signals(
     fraction, top-token share, and duplicate word-2-gram fraction — the
     filters that catch boilerplate and degenerate generations.
 
-    Token-level stats go through explode → two groupBys on (id, token) /
-    (id): the vocabulary is unbounded at corpus scale, so per-row
-    map<token,count> algebra would blow up row width; the shuffle key is
-    the uniform doc id — scale-safe. The 2-gram dup fraction stays a pure
-    array projection (distinct-ratio, no shuffle).
+    Every signal is PER-DOCUMENT, and a document's token count is bounded
+    by its length — so this is pure zero-shuffle column algebra, not an
+    explode + groupBy (which would shuffle the whole corpus twice on a key
+    that only ever re-groups rows back to themselves). The token counts
+    come from one ``array_sort`` + one ``aggregate`` run-length pass:
+    distinct tokens = number of runs, top token count = longest run.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-    per_tok = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__cnt"))
-    stats = per_tok.groupBy(id_col).agg(
-        F.sum("__cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("__cnt").alias("__top_cnt"),
+    sorted_toks = F.array_sort(tokens(text_col))
+    # run-length fold over the sorted array: (prev, run, runs, best)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("runs"),
+        F.lit(0).cast("bigint").alias("best"),
     )
-    grams = df.select(
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(same, acc["runs"]).otherwise(acc["runs"] + 1).alias("runs"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    base = spread(df).select(
         F.col(id_col),
+        F.aggregate(sorted_toks, acc0, step).alias("__rl"),
         F.size(word_ngrams(text_col, 2)).alias("__ng"),
         F.size(F.array_distinct(word_ngrams(text_col, 2))).alias("__ndg"),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
     )
     nt = F.col("n_tokens").cast("double")
-    return (
-        stats.join(grams, id_col)
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            (F.lit(1.0) - F.col("n_distinct").cast("double") / nt).alias(
-                "dup_token_ratio"
-            ),
-            (F.col("__top_cnt").cast("double") / nt).alias("top_token_share"),
-            F.when(
-                F.col("__ng") > 0,
-                F.lit(1.0) - F.col("__ndg").cast("double") / F.col("__ng").cast("double"),
-            ).alias("dup_2gram_ratio"),
-        )
+    return base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.lit(1.0) - F.col("__rl.runs").cast("double") / nt).alias(
+            "dup_token_ratio"
+        ),
+        (F.col("__rl.best").cast("double") / nt).alias("top_token_share"),
+        F.when(
+            F.col("__ng") > 0,
+            F.lit(1.0)
+            - F.col("__ndg").cast("double") / F.col("__ng").cast("double"),
+        ).alias("dup_2gram_ratio"),
     )
 
 
