@@ -64,10 +64,14 @@ def get_spark(
         # a large cluster; local test files are far smaller anyway.
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.ui.enabled": "false",
-        # Local mode = one JVM: driver memory is the only heap knob. The
-        # array-heavy dedup pipelines GC-thrash in a small heap; size to
-        # the machine (128 GiB here), overridable via SPARK_GRAFT_DRIVER_MEM.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+        # Local mode = one JVM: driver memory is the only heap knob.
+        # Measured at sf0.1: a 64g heap makes G1 young-gen collections
+        # multi-second stalls under the allocation churn of interpreted
+        # higher-order-function folds (q57 swung 0.6-13s run-to-run); a
+        # 16g heap keeps pauses short and every timing stable, and the
+        # array-heavy dedup pipelines still fit comfortably. Overridable
+        # via SPARK_GRAFT_DRIVER_MEM for bigger-than-sf0.1 local runs.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }
     if extra_conf:
         conf.update(extra_conf)
