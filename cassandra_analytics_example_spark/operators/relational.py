@@ -168,3 +168,55 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.col("__rc")[v].alias(f"{v}{suffix}") for v in right_values],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt_id: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: split each hot join key across ``buckets``
+    reducers.
+
+    A plain shuffle join hashes rows to reducers by join key alone, so one
+    hot key (a mega-customer, an empty-string default, a bot user id) lands
+    its entire row population on ONE task — the straggler that dominates the
+    stage at 100 TB. Salting rewrites the join to key' = (key, salt):
+
+    * ``left`` (the LARGE, skewed side) gets a deterministic salt in
+      ``[0, buckets)`` hashed from ``salt_id`` — a row-unique column, so the
+      hot key's rows spread uniformly across all ``buckets`` sub-keys;
+    * ``right`` (the smaller, too-big-to-broadcast side) is replicated
+      ``buckets``-fold via an ``explode(sequence(...))`` projection — a
+      zero-shuffle fan-out that costs ``buckets ×`` its size, the classic
+      replication/partition trade.
+
+    The salt is md5-derived (not ``rand()``/``spark_partition_id``) so runs,
+    retries, and engines agree row-for-row — results are provably identical
+    to the unsalted join, which is exactly what the q62 oracle checks.
+
+    AQE's skew-join handling (``skewJoin.enabled``) solves the same problem
+    reactively for sort-merge joins; explicit salting is the proactive form
+    that also covers grouped aggregation and survives AQE being disabled.
+    ``how`` supports the equi-join types where replication is sound
+    ("inner", "left"); for "left", unmatched left rows survive exactly once
+    because each left row holds ONE salt value.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    salt_l = (md5_u60(F.col(salt_id).cast("string")) % buckets).alias("__salt")
+    lhs = left.select("*", salt_l)
+    rhs = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__salt")
+    )
+    rhs = rhs.withColumn("__salt", F.col("__salt").cast("bigint"))
+    joined = lhs.join(rhs, [on, "__salt"], how)
+    return joined.drop("__salt")

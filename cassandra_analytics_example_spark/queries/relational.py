@@ -854,3 +854,131 @@ def q53_customers_with_urgent_orders(
     return c.join(
         o, c["c_custkey"] == o["o_custkey"], "left_semi"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# q62 — salted skew join. 80% of lineitems are rewritten onto ONE supplier
+# key (the planted hot key); a plain shuffle join would pile those rows on
+# a single reducer. salted_join splits the hot key across 8 sub-keys and
+# replicates the supplier side 8x. The oracle is the UNSALTED join — the
+# whole point is that salting is a pure physical rewrite with identical
+# results.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q62_salted_skew_join",
+    oracle="""
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_suppkey END AS skew_key,
+         l_extendedprice, l_discount
+  FROM lineitem)
+SELECT s.s_nationkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM l JOIN supplier s ON s.s_suppkey = l.skew_key
+GROUP BY s.s_nationkey
+""",
+    doc="salted skew join: planted hot key (80% of rows) split across 8 "
+    "md5-salted sub-keys, supplier side replicated 8x — oracle is the "
+    "unsalted join, proving salting is result-invariant",
+    tags=("relational", "join", "scale"),
+)
+def q62_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.relational import (
+        salted_join,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("line_uid"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(li, sup, "s_suppkey", salt_id="line_uid", buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — Z-order layout: Morton-interleave (customer, order-day) into one
+# clustering key, tile it into 64 Z-range buckets, and surface each
+# bucket's min-max box in BOTH dimensions — the statistics a parquet
+# scan prunes on. The SQL twin is generated from the same bit-algebra
+# spec (operators/layout.py:zvalue_sql), so the layout is checked
+# bit-for-bit, not just shape-wise.
+# --------------------------------------------------------------------------
+
+
+def _q63_oracle() -> str:
+    from cassandra_analytics_example_spark.operators.layout import zvalue_sql
+
+    return f"""
+WITH o AS (
+  SELECT o_custkey,
+         date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+  FROM orders),
+m AS (SELECT max(o_custkey) AS mc, max(day) AS md FROM o),
+s AS (
+  SELECT CAST(floor(o_custkey * 1023 / mc) AS BIGINT) AS x,
+         CAST(floor(day * 1023 / md) AS BIGINT) AS y,
+         o_custkey, day
+  FROM o, m),
+z AS (SELECT o_custkey, day, {zvalue_sql(["x", "y"], 10)} >> 14 AS z_bucket
+      FROM s)
+SELECT z_bucket, count(*) AS n,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
+FROM z GROUP BY z_bucket
+"""
+
+
+@register(
+    "q63_zorder_layout",
+    oracle=_q63_oracle(),
+    doc="Z-order clustering: Morton-interleaved (custkey, order-day) tiled "
+    "into 64 Z-range buckets with per-bucket min-max boxes in both "
+    "dimensions — the write-time layout that lets one sort serve "
+    "multi-column scan pruning",
+    tags=("layout", "scale"),
+)
+def q63_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.layout import (
+        rank_scale,
+        zvalue,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("day"),
+    )
+    mx = o.agg(
+        F.max("o_custkey").alias("mc"), F.max("day").alias("md")
+    )
+    scaled = o.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "day",
+        rank_scale("o_custkey", F.col("mc"), 10).alias("x"),
+        rank_scale("day", F.col("md"), 10).alias("y"),
+    )
+    z = scaled.select(
+        "o_custkey",
+        "day",
+        F.shiftright(zvalue(["x", "y"], 10), 14).alias("z_bucket"),
+    )
+    return z.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("day").cast("bigint").alias("min_day"),
+        F.max("day").cast("bigint").alias("max_day"),
+    )

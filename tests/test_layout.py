@@ -1,0 +1,140 @@
+"""Physical-layout operators: Z-order clustering, bucketed co-located
+joins, small-file compaction (operators/layout.py)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.layout import (
+    compact_files,
+    rank_scale,
+    write_bucketed,
+    zorder_write,
+    zvalue,
+    zvalue_sql,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    # a=0b0011, b=0b0101 → Morton(a,b) = 0b100111 = 39
+    row = spark.range(1).select(
+        zvalue([F.lit(3), F.lit(5)], 4).alias("z")
+    ).first()
+    assert row.z == 39
+
+
+def test_zvalue_sql_twin_agrees(spark):
+    import duckdb
+
+    vals = [(3, 5), (0, 0), (1023, 1023), (17, 900)]
+    df = spark.createDataFrame(vals, "a bigint, b bigint")
+    got = sorted(
+        r.z for r in df.select(zvalue(["a", "b"], 10).alias("z")).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"select {zvalue_sql(['a','b'],10)} as z from (values "
+            + ",".join(str(v) for v in vals)
+            + ") t(a,b)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zvalue_rejects_overflowing_width(spark):
+    with pytest.raises(ValueError):
+        zvalue(["a", "b", "c", "d"], 16)  # 64 bits > 62
+
+
+def test_rank_scale_bounds(spark):
+    df = spark.createDataFrame([(0,), (50,), (100,)], "v bigint")
+    got = [
+        r.s for r in df.select(rank_scale("v", 100, 8).alias("s")).collect()
+    ]
+    assert got == [0, 127, 255]
+
+
+def test_zorder_write_tiles_disjoint_ranges(spark, tmpdir):
+    # 2-D grid; after zorder_write each parquet file must hold a disjoint
+    # Z-range (that is what repartitionByRange on the Z-value guarantees),
+    # which is the property scan pruning relies on.
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x bigint, y bigint"
+    )
+    zorder_write(df, f"{tmpdir}/z", ["x", "y"], bits=6, n_files=8)
+    back = spark.read.parquet(f"{tmpdir}/z")
+    assert back.count() == 64 * 64
+    per_file = (
+        back.select(
+            zvalue(["x", "y"], 6).alias("z"),
+            F.input_file_name().alias("f"),
+        )
+        .groupBy("f")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    assert len(spans) == 8
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "file Z-ranges overlap"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmpdir):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "t_bucket_a", "k", 8, sort_by="k")
+        write_bucketed(b, "t_bucket_b", "k", 8, sort_by="k")
+        joined = spark.table("t_bucket_a").join(
+            spark.table("t_bucket_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_compact_files_reduces_file_count(spark, tmpdir):
+    # 64 tiny files in → ~1 file out (input is far below one target size).
+    spark.range(0, 100_000).repartition(64).write.parquet(f"{tmpdir}/small")
+    n_out = compact_files(
+        spark, f"{tmpdir}/small", f"{tmpdir}/compact",
+        target_file_bytes=256 * 1024 * 1024,
+    )
+    assert n_out == 1
+    assert spark.read.parquet(f"{tmpdir}/compact").count() == 100_000
+
+
+def test_compact_files_respects_target_size(spark, tmpdir):
+    spark.range(0, 200_000).repartition(40).write.parquet(f"{tmpdir}/small")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{tmpdir}/small")
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    target = max(1, total // 4)
+    n_out = compact_files(
+        spark, f"{tmpdir}/small", f"{tmpdir}/c4", target_file_bytes=int(target)
+    )
+    assert 3 <= n_out <= 6
+    assert spark.read.parquet(f"{tmpdir}/c4").count() == 200_000

@@ -345,3 +345,65 @@ def test_dedup_against_drops_seen_hashes_only(spark):
     assert sorted(r.id for r in out.collect()) == [1, 3]
     # survivors carry their hash so the inventory can be extended
     assert "content_hash" in out.columns
+
+
+def test_salted_join_matches_plain_join(spark):
+    from cassandra_analytics_example_spark.operators.relational import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 < 8 else i % 5, f"u{i}") for i in range(1000)],
+        "row_id bigint, k bigint, uid string",
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(5)] + [(1, "dup")],
+        "k bigint, payload string",
+    )
+    plain = left.join(right, "k", "inner")
+    salted = salted_join(left, right, "k", salt_id="uid", buckets=8)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched_rows_once(spark):
+    from cassandra_analytics_example_spark.operators.relational import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "nomatch")], "k bigint, uid string"
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, v string")
+    out = salted_join(left, right, "k", salt_id="uid", buckets=4, how="left")
+    rows = {(r.k, r.v) for r in out.collect()}
+    assert rows == {(1, "x"), (2, "y"), (99, None)}
+    assert out.count() == 3
+
+
+def test_salted_join_spreads_hot_key_across_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    # the salt column itself must be near-uniform over a hot key's rows —
+    # that is the entire skew-splitting claim.
+    hot = spark.range(0, 4000).select(
+        (md5_u60(F.col("id").cast("string")) % 8).alias("salt")
+    )
+    counts = [r.n for r in hot.groupBy("salt").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 8
+    assert max(counts) < 2 * min(counts)
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest as _pytest
+
+    from cassandra_analytics_example_spark.operators.relational import (
+        salted_join,
+    )
+
+    df = spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("uid"))
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "k", salt_id="uid", how="full")
