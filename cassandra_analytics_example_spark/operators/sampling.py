@@ -110,3 +110,60 @@ def hash_split(
     train/val/test 90/5/5). Pure projection — no shuffle, no RNG, stable
     under repartitioning and incremental corpus growth."""
     return df.withColumn(split_col, split_column(id_col, list(weights), salt))
+
+
+def weighted_upsample(
+    df: DataFrame,
+    strat_col: str,
+    id_col: str,
+    *,
+    cap: float = 3.0,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministically upsample every stratum toward the size of the
+    LARGEST one by row replication (the temperature-style rebalancing used
+    for low-resource languages in multilingual training mixes), capped at
+    ``cap``× so tiny strata don't explode into near-identical repeats.
+
+    Each row's copy count is the stratum's replication factor
+    ``min(cap, max_count / count)`` resolved in EXACT integer arithmetic
+    out of ``SPLIT_BUCKETS``: ``tk = min(cap·B, ⌊max·B / n⌋)`` gives
+    ``⌊tk/B⌋`` whole copies plus one more iff ``md5(id) % B < tk % B`` —
+    the fractional part lands on a deterministic hash-selected subset, so
+    the realized stratum size tracks the target exactly in distribution
+    and the decision is bit-identical in every engine.
+
+    Plan shape: tiny stratum-count aggregate → broadcast back onto the
+    corpus → ``explode(sequence(1, n))`` fan-out projection. The corpus is
+    never shuffled; output size is bounded by ``cap × |df|``.
+    """
+    if cap < 1.0:
+        raise ValueError("cap must be >= 1.0 (upsampling never drops rows)")
+    cap_tk = int(round(cap * SPLIT_BUCKETS))
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    mx = counts.agg(F.max("__cnt").alias("__mx"))
+    rates = counts.crossJoin(F.broadcast(mx)).select(
+        strat_col,
+        F.least(
+            F.lit(cap_tk).cast("bigint"),
+            F.floor(F.col("__mx") * SPLIT_BUCKETS / F.col("__cnt")).cast(
+                "bigint"
+            ),
+        ).alias("__tk"),
+    )
+    bucket = (
+        md5_u60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % SPLIT_BUCKETS
+    )
+    n_copies = (
+        F.col("__tk").cast("bigint") / SPLIT_BUCKETS
+    ).cast("bigint") + F.when(
+        bucket < F.col("__tk") % SPLIT_BUCKETS, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(rates), strat_col)
+        .withColumn("__n", n_copies)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__tk", "__n")
+    )

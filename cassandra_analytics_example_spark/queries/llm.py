@@ -1139,3 +1139,143 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash")
     )
     return dedup_against(batch, seen, "doc_id").select("doc_id", "content_hash")
+
+
+# ----------------------------------------------------- balancing / caps ---
+
+
+@register(
+    "q64_language_upsample",
+    oracle="""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT max(n) AS mx FROM c),
+r AS (SELECT lang, least(30000, mx * 10000 // n) AS tk FROM c, m),
+d AS (SELECT doc_id, d.lang,
+             tk // 10000 +
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 10000 < tk % 10000
+                  THEN 1 ELSE 0 END AS nc
+      FROM documents d JOIN r USING (lang))
+SELECT doc_id, lang, CAST(unnest(range(1, nc + 1)) AS BIGINT) AS copy_idx
+FROM d
+""",
+    doc="temperature-style language rebalancing: every language upsampled "
+    "toward the largest one by deterministic row replication, capped at "
+    "3x — exact integer rates, hash-selected fractional copies, "
+    "explode(sequence) fan-out with zero corpus shuffle",
+    tags=("llm", "sampling"),
+)
+def q64_language_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        weighted_upsample,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    up = weighted_upsample(docs, "lang", "doc_id", cap=3.0)
+    return up.select(
+        "doc_id", "lang", F.col("copy_idx").cast("bigint").alias("copy_idx")
+    )
+
+
+@register(
+    "q65_domain_caps",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 2 = 0),
+d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS domain
+      FROM u),
+rk AS (SELECT doc_id, domain,
+              row_number() OVER (
+                PARTITION BY domain
+                ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                              AS BIGINT), doc_id) AS rnk
+       FROM d)
+SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 20
+""",
+    doc="per-domain document caps (web-pipeline boilerplate defense): "
+    "extract the registrable host, keep a deterministic hash-ordered "
+    "sample of at most 20 docs per domain — one shuffle on the domain "
+    "key, md5 order makes the kept set reproducible",
+    tags=("llm", "sampling"),
+)
+def q65_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+    from cassandra_analytics_example_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    domains = with_url.select(
+        "doc_id",
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("domain"),
+    )
+    capped = top_k_per_group(
+        domains,
+        ["domain"],
+        [md5_u60(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()],
+        20,
+    )
+    return capped.select(
+        "doc_id", "domain", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+# ------------------------------------------------------- snapshot diff ---
+
+
+@register(
+    "q66_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(concat_ws(chr(31), text, lang)) AS h
+  FROM documents WHERE doc_id % 7 != 0),
+new AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END,
+             lang)) AS h
+  FROM documents WHERE doc_id % 11 != 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h != n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE NOT (o.h IS NOT NULL AND n.h IS NOT NULL AND o.h = n.h)
+""",
+    doc="snapshot diff for incremental corpus refreshes: full-outer join "
+    "of two snapshot hash inventories (32 bytes/doc, never the payload) "
+    "classifying added/removed/changed — old drops doc_id%7, new drops "
+    "doc_id%11 and revises doc_id%5",
+    tags=("llm", "versioning"),
+)
+def q66_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text", "lang")
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    return snapshot_diff(old, new, "doc_id", ["text", "lang"])

@@ -407,3 +407,74 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("uid"))
     with _pytest.raises(ValueError):
         salted_join(df, df, "k", salt_id="uid", how="full")
+
+
+def test_weighted_upsample_tracks_target_and_caps(spark):
+    from cassandra_analytics_example_spark.operators.sampling import (
+        weighted_upsample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(1000)]
+        + [(10_000 + i, "half") for i in range(500)]
+        + [(20_000 + i, "tiny") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    up = weighted_upsample(df, "lang", "doc_id", cap=3.0)
+    counts = {r.lang: r.n for r in up.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["big"] == 1000          # factor 1.0: untouched
+    assert 960 <= counts["half"] <= 1040  # factor 2.0 exactly → ~1000
+    assert counts["tiny"] == 300          # capped at 3x, factor is integral
+    # deterministic: same input → identical multiset
+    again = weighted_upsample(df, "lang", "doc_id", cap=3.0)
+    assert up.exceptAll(again).count() == 0 and again.exceptAll(up).count() == 0
+    # every source row survives at least once
+    assert up.select("doc_id").distinct().count() == 1600
+
+
+def test_weighted_upsample_rejects_sub_one_cap(spark):
+    from cassandra_analytics_example_spark.operators.sampling import (
+        weighted_upsample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, lang string")
+    with pytest.raises(ValueError):
+        weighted_upsample(df, "lang", "doc_id", cap=0.5)
+
+
+def test_snapshot_diff_classifies_planted_changes(spark):
+    from cassandra_analytics_example_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")],
+        "id bigint, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "en"), (3, "c CHANGED", "de"), (4, "d", "fr")],
+        "id bigint, text string, lang string",
+    )
+    got = {
+        (r.id, r.status)
+        for r in snapshot_diff(old, new, "id", ["text", "lang"]).collect()
+    }
+    assert got == {(1, "removed"), (3, "changed"), (4, "added")}
+    full = snapshot_diff(
+        old, new, "id", ["text", "lang"], keep_unchanged=True
+    )
+    assert {(r.id, r.status) for r in full.collect()} == {
+        (1, "removed"), (2, "unchanged"), (3, "changed"), (4, "added"),
+    }
+
+
+def test_snapshot_diff_null_payload_is_stable(spark):
+    from cassandra_analytics_example_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, None, "en")], "id bigint, text string, lang string")
+    new = spark.createDataFrame([(1, None, "en")], "id bigint, text string, lang string")
+    assert (
+        snapshot_diff(old, new, "id", ["text", "lang"]).count() == 0
+    )
