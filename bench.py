@@ -47,6 +47,10 @@ HEADLINE = [
     "q58_stratified_sample",    # class-balancing downsample (broadcast rates)
     "q59_tfidf_top_terms",      # tf-idf top-k per doc
     "q60_sequence_packing",     # concat-and-chop packing layout
+    "q62_salted_skew_join",     # hot-key salting (result-invariant rewrite)
+    "q63_zorder_layout",        # Morton Z-value clustering buckets
+    "q64_language_upsample",    # replication rebalancing (explode fan-out)
+    "q66_snapshot_diff",        # snapshot hash-inventory diff
 ]
 
 

@@ -109,3 +109,20 @@ def s07_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_dedup_to_files(spark, sf_dir)
+
+
+@register(
+    "s08_stream_first_seen",
+    oracle=None,
+    doc="Structured Streaming: custom stateful first-touch dedup — first "
+    "event per (user, event_type) across microbatches, O(distinct keys) "
+    "state with an opt-in processing-time TTL lease for unbounded key "
+    "domains (batch twin: min-ts per pair)",
+    tags=("streaming", "stateful"),
+)
+def s08_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_first_seen_stream,
+    )
+
+    return run_first_seen_stream(spark, sf_dir)

@@ -304,3 +304,81 @@ def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the custom stateful operator over the bounded fixture stream."""
     totals = running_user_totals(stream_events(spark, sf_dir))
     return _run_to_memory(totals, spark, "update")
+
+
+def first_seen_per_type(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator with BOUNDED state: emit only the
+    FIRST event seen for each (user_id, event_type) pair across
+    microbatches — streaming first-touch dedup.
+
+    The state store holds one timestamp per distinct key, which on an
+    unbounded key domain (user ids on a 100 TB/day stream) grows forever
+    unless evicted: ``ProcessingTimeTimeout`` + ``state.remove()`` gives
+    each key a ``ttl_ms`` lease, the same bounded-state discipline
+    ``dropDuplicatesWithinWatermark`` applies internally and the knob that
+    makes first-touch viable at scale (keys recur within hours, not weeks).
+    Spark 4's state-v2 API (``transformWithStateInPandas``) expresses this
+    as a per-state ``ttlDurationMs`` instead; it needs the protobuf runtime
+    for its state-server protocol, so this engine uses the v1 API that
+    runs everywhere.
+
+    ``ttl_ms=None`` disables eviction (NoTimeout): pending processing-time
+    leases keep scheduling empty microbatches after a bounded source
+    drains, so ``availableNow`` runs over finite fixtures never terminate
+    with a live TTL — enable it only on genuinely continuous streams.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _first(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_ts = None
+        first_val = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            i = pdf["ts_us"].idxmin()
+            if first_ts is None or int(pdf["ts_us"][i]) < first_ts:
+                first_ts = int(pdf["ts_us"][i])
+                first_val = float(pdf["value"][i])
+        if first_ts is not None and not state.exists:
+            state.update((first_ts,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "first_ts_us": [first_ts],
+                    "first_value": [first_val],
+                }
+            )
+
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        _first,
+        outputStructType=(
+            "user_id bigint, event_type string, first_ts_us bigint, "
+            "first_value double"
+        ),
+        stateStructType="first_ts_us bigint",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+
+
+def run_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stateful first-seen operator over the bounded fixture
+    stream; returns one row per distinct (user, event_type)."""
+    out = first_seen_per_type(stream_events(spark, sf_dir))
+    return _run_to_memory(out, spark, "append")

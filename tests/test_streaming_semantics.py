@@ -95,3 +95,33 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     assert out[w0[0]] == 2, (
         f"late event was not dropped by the watermark: {out}"
     )
+
+
+def test_first_seen_matches_batch_min_ts(spark, sf_dir):
+    """The stateful first-seen stream must agree with the batch
+    min-timestamp reduction over the same fixture (value ties on the
+    minimum timestamp are impossible: event ids are unique per ts)."""
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_first_seen_stream,
+    )
+
+    got = run_first_seen_stream(spark, sf_dir)
+    batch = (
+        events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(
+                F.struct(F.col("ts_us").alias("ts_us"), F.col("value").alias("v"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.ts_us").alias("first_ts_us"),
+            F.col("m.v").alias("first_value"),
+        )
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
