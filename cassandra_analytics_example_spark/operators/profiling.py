@@ -1,0 +1,94 @@
+"""Data-profiling operators: key-skew diagnosis and per-column profiles.
+
+At 100 TB you profile BEFORE you run: a join or aggregation keyed on a
+column with one hot value stragglers on a single reducer (the failure mode
+``operators.relational.salted_join`` mitigates), and a column that is 40%
+NULL or constant changes every downstream decision. Both reports are
+two-level aggregations — a keyed count shuffle followed by a tiny scalar
+reduce — so the profile costs one pass over the data and returns rows that
+fit on a screen, never a driver-side collect of the data itself.
+
+Determinism: every ratio surfaces as a SINGLE division of two exact
+integers (IEEE-identical in every engine); no multi-term float sums.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnosis of ``key_col``: key cardinality, row count,
+    the hottest key's count and share, and the max/mean skew ratio.
+
+    ``skew_ratio`` ≈ 1 means uniform keys (safe to shuffle on);
+    ``hot_share`` near 1 means one key owns the stage — reach for
+    ``salted_join``/AQE skew handling before running the real job.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+        F.max("__cnt").cast("bigint").alias("max_cnt"),
+        F.min("__cnt").cast("bigint").alias("min_cnt"),
+        (F.max("__cnt").cast("double") / F.sum("__cnt").cast("double")).alias(
+            "hot_share"
+        ),
+        (
+            (F.max("__cnt") * F.count(F.lit(1))).cast("double")
+            / F.sum("__cnt").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+def hot_keys(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """The ``k`` hottest keys with exact counts — the keys a salting or
+    AQE-skew mitigation will actually split. Deterministic total order:
+    count desc, then key asc."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc(key_col)).limit(k)
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile: row count, NULL count, exact distinct count,
+    min and max (stringified so one schema serves every column type).
+    One row per profiled column.
+
+    Each column's profile is an independent full-column aggregate; Spark
+    computes all of them in ONE pass (a single multi-aggregate projection,
+    partial-aggregated map-side). Exact ``count(distinct)`` over many
+    columns multiplies the aggregation's expand factor — for wide tables
+    swap in ``approx_count_distinct`` per column; exactness is kept here
+    for oracle-checkability.
+    """
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.lit(1)).cast("bigint").alias(f"__{c}__n"),
+                F.sum(F.col(c).isNull().cast("bigint"))
+                .cast("bigint")
+                .alias(f"__{c}__nulls"),
+                F.count_distinct(F.col(c)).cast("bigint").alias(f"__{c}__nd"),
+                F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    profiles = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__{c}__n").alias("n_rows"),
+            F.col(f"__{c}__nulls").alias("n_nulls"),
+            F.col(f"__{c}__nd").alias("n_distinct"),
+            F.col(f"__{c}__min").alias("min_value"),
+            F.col(f"__{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*profiles)).alias("p")
+    ).select("p.*")

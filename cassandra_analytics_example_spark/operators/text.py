@@ -289,3 +289,49 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return df.select(
         F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str = "text", quantum: int = 10_000
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    cheap tier of LM-based quality filtering (documents whose tokens are
+    collectively improbable under the corpus's own unigram distribution
+    are boilerplate, lists, or noise).
+
+    Determinism: floating-point sums are order-dependent, and a grouped
+    aggregation never guarantees an order — so each token's
+    ``ln(count/total)`` is quantized ONCE to an integer number of
+    ``1/quantum`` nats, and per-document totals are INTEGER sums of those
+    — exact under any aggregation order, in any engine. The score surfaces
+    as ``(score_qnats, n_tokens)`` — the caller divides for an average;
+    emitting the ratio would reintroduce a float.
+
+    Plan: one explode→(doc, term) count shuffle; the vocabulary (term →
+    quantized logp) is a second small aggregate of that same layer,
+    broadcast back; final per-doc integer sum re-groups on the uniform doc
+    id. Vocabulary size tracks distinct terms, not corpus size.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per_doc = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    vocab = per_doc.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * quantum
+        )
+        .cast("bigint")
+        .alias("logp_q"),
+    )
+    return (
+        per_doc.join(F.broadcast(scored_vocab), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("logp_q")).cast("bigint").alias("score_qnats"),
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+        )
+    )

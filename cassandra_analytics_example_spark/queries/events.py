@@ -333,3 +333,57 @@ def q49_lww_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         tombstone=F.col("event_type") == "error",
     )
     return latest.select("user_id", "event_type", "ts_us", "value")
+
+
+# --------------------------------------------------------------------------
+# q68 — key-skew diagnosis: the profiling pass you run BEFORE keying a
+# 100 TB shuffle on a column. Pairs with q62 (salted_join): diagnose
+# here, mitigate there. Both output shapes are one aggregate row /
+# top-k rows — never the data.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q68_key_skew_report",
+    oracle="""
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(min(cnt) AS BIGINT) AS min_cnt,
+       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS hot_share,
+       CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         AS skew_ratio
+FROM c
+""",
+    doc="key-skew diagnosis of events.user_id: cardinality, hottest-key "
+    "share, max/mean skew ratio — keyed count + scalar reduce, ratios as "
+    "single divisions of exact integers",
+    tags=("profiling", "scale"),
+)
+def q68_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    return key_skew_report(table(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "q69_hot_keys",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id
+ORDER BY cnt DESC, user_id ASC
+LIMIT 10
+""",
+    doc="the 10 hottest event keys with exact counts and a total order — "
+    "the keys a salting/AQE mitigation would split",
+    tags=("profiling", "scale"),
+)
+def q69_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.profiling import hot_keys
+
+    return hot_keys(table(spark, sf_dir, "events"), "user_id", 10).select(
+        "user_id", F.col("cnt").cast("bigint").alias("cnt")
+    )

@@ -1279,3 +1279,39 @@ def q66_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     return snapshot_diff(old, new, "doc_id", ["text", "lang"])
+
+
+# --------------------------------------------------- unigram LM scoring ---
+
+
+@register(
+    "q67_unigram_logprob",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+pd AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+v AS (SELECT term, sum(tf) AS cnt FROM pd GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM v),
+sv AS (SELECT term,
+              CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                         * 10000) AS BIGINT) AS logp_q
+       FROM v, tot)
+SELECT pd.doc_id,
+       CAST(sum(pd.tf * sv.logp_q) AS BIGINT) AS score_qnats,
+       CAST(sum(pd.tf) AS BIGINT) AS n_tokens
+FROM pd JOIN sv USING (term)
+GROUP BY pd.doc_id
+""",
+    doc="unigram LM quality score: per-token ln(count/total) quantized to "
+    "integer deci-millinats so per-doc sums are order-independent and "
+    "engine-exact — vocabulary broadcast, corpus shuffled only on "
+    "(doc, term) then doc id",
+    tags=("llm", "quality"),
+)
+def q67_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id")

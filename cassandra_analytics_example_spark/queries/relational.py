@@ -982,3 +982,48 @@ def q63_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").cast("bigint").alias("min_day"),
         F.max("day").cast("bigint").alias("max_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# q70 — per-column data profile of orders: one multi-aggregate pass
+# (partial-aggregated) emitting a row per column. The schema-discovery /
+# data-quality report that gates a new 100 TB source onto the pipeline.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q70_column_profile",
+    oracle="""
+SELECT 'o_custkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_value,
+       CAST(max(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+""",
+    doc="per-column profile (rows, NULLs, exact distinct, min/max) of three "
+    "orders columns in ONE multi-aggregate pass, stringified min/max so a "
+    "single schema serves every column type",
+    tags=("profiling",),
+)
+def q70_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.profiling import (
+        column_profile,
+    )
+
+    return column_profile(
+        table(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    )

@@ -478,3 +478,57 @@ def test_snapshot_diff_null_payload_is_stable(spark):
     assert (
         snapshot_diff(old, new, "id", ["text", "lang"]).count() == 0
     )
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    from cassandra_analytics_example_spark.operators.profiling import (
+        hot_keys,
+        key_skew_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1,)] * 900 + [(k,) for k in range(2, 102)], "k bigint"
+    )
+    r = key_skew_report(df, "k").first()
+    assert r.n_keys == 101 and r.n_rows == 1000
+    assert r.max_cnt == 900 and r.min_cnt == 1
+    assert abs(r.hot_share - 0.9) < 1e-12
+    assert abs(r.skew_ratio - 900 * 101 / 1000) < 1e-9
+    top = hot_keys(df, "k", 3).collect()
+    assert [t.k for t in top] == [1, 2, 3]
+    assert [t.cnt for t in top] == [900, 1, 1]
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    from cassandra_analytics_example_spark.operators.profiling import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")],
+        "x bigint, s string",
+    )
+    prof = {r.column: r for r in column_profile(df, ["x", "s"]).collect()}
+    assert prof["x"].n_rows == 4 and prof["x"].n_nulls == 1
+    assert prof["x"].n_distinct == 2
+    assert prof["x"].min_value == "1" and prof["x"].max_value == "2"
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from cassandra_analytics_example_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    # corpus: "a a b" + "b" → counts a:2 b:2 total 4 → logp(a)=logp(b)=ln(0.5)
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.score_qnats, r.n_tokens)
+        for r in unigram_logprob_scores(df, "doc_id").collect()
+    }
+    q = math.floor(math.log(0.5) * 10_000)
+    assert got == {1: (3 * q, 3), 2: (q, 1)}
