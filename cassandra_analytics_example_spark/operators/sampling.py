@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.functions.text import md5_u60
+from cassandra_analytics_example_spark.session import pin_small
 
 #: bucket granularity: weights are resolved to integer counts out of 10_000
 #: (0.01% resolution) so thresholds are exact integers in every engine.
@@ -81,7 +82,9 @@ def stratified_downsample(
     Expected kept size tracks the minimum class exactly in distribution;
     membership is stable under repartitioning.
     """
-    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = pin_small(
+        df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     mn = counts.agg(F.min("__cnt").alias("__mn"))
     rates = counts.crossJoin(F.broadcast(mn))
     bucket = (
@@ -141,7 +144,9 @@ def weighted_upsample(
     if cap < 1.0:
         raise ValueError("cap must be >= 1.0 (upsampling never drops rows)")
     cap_tk = int(round(cap * SPLIT_BUCKETS))
-    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = pin_small(
+        df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     mx = counts.agg(F.max("__cnt").alias("__mx"))
     rates = counts.crossJoin(F.broadcast(mx)).select(
         strat_col,

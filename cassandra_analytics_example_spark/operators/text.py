@@ -248,22 +248,28 @@ def tf_idf_top_terms(
     (log is monotone) and single IEEE divisions are bit-reproducible
     across engines, so the scores stay oracle-checkable.
 
-    Plan shape: explode → (id, term) counts → term document-frequency
-    aggregate (small: one row per vocab term) broadcast back onto the
-    per-doc counts → per-doc top-k via row_number over the uniform doc-id
-    key. The corpus-size scalar joins in as a broadcast literal row, never
-    a driver-side collect.
+    Plan shape: ONE tokenize pass → (id, term) counts, then document
+    length and document frequency attached as WINDOW sums over that same
+    compact layer — a diamond of groupBy branches would recompute the
+    corpus tokenization once per branch (Catalyst prunes each branch
+    differently, so their exchanges are never byte-identical and
+    ReusedExchange cannot fire). Windows keep a single lineage: the
+    (id, term) layer shuffles on ``term`` then on ``id_col`` — the second
+    partitioning is then REUSED by the top-k ranking window, so the whole
+    operator is one tokenize + three exchanges of the compact count
+    layer. The corpus-size scalar is a column-pruned count broadcast in as
+    a literal row, never a driver-side collect.
     """
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
-    doc_len = per_doc.groupBy(id_col).agg(F.sum("tf_cnt").alias("__len"))
-    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy(id_col)
     scored = (
-        per_doc.join(doc_len, id_col)
-        .join(F.broadcast(dfreq), "term")
+        per_doc.withColumn("__df", F.count(F.lit(1)).over(w_term))
+        .withColumn("__len", F.sum("tf_cnt").over(w_doc))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -316,7 +322,9 @@ def unigram_logprob_scores(
     per_doc = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    vocab = per_doc.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    from cassandra_analytics_example_spark.session import pin_small
+
+    vocab = pin_small(per_doc.groupBy("term").agg(F.sum("tf").alias("cnt")))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
         "term",

@@ -1005,9 +1005,9 @@ SELECT a.doc_id, a.n_tokens,
 FROM a JOIN g USING (doc_id)
 """,
     doc="Gopher-style repetition filters: duplicate-token fraction, "
-    "top-token share, duplicate word-2-gram fraction — token stats via "
-    "explode + groupBy on the uniform doc id (vocabulary is unbounded at "
-    "scale), 2-gram ratio as a pure array projection",
+    "top-token share, duplicate word-2-gram fraction — all three as a "
+    "zero-shuffle projection (sorted-array run-length fold per doc); "
+    "the oracle recomputes them via explode + groupBy",
     tags=("llm", "quality"),
 )
 def q57_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,3 +169,20 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def pin_small(df):
+    """Persist a SMALL derived aggregate (stratum counts, vocabulary,
+    broadcast rate tables) that feeds multiple downstream branches.
+
+    Diamond-shaped pipelines recompute their shared top per consumer:
+    Catalyst prunes each branch differently, the resulting exchanges stop
+    being byte-identical, and ReusedExchange never fires — so a corpus-wide
+    tokenize/aggregate runs once per branch (observed: 3 full corpus scans
+    in the unigram scorer before this). Caching the corpus-sized layer is
+    not an option at 100 TB; caching the layer whose size tracks the
+    VOCABULARY/stratum count is — memory-and-disk, LRU-evicted, identical
+    logical plans share one entry across repeated query invocations."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
