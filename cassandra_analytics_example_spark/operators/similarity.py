@@ -350,3 +350,43 @@ def multiprobe_lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale by the vector's own
+    max |x| so q = round(x * 127 / max|x|) ∈ [-127, 127] — 4× memory
+    reduction for the ANN corpus (the difference between an in-memory and
+    a spilling index at 100 TB), with the per-vector scale kept for
+    dequantization.
+
+    Rounding is ``floor(v + 0.5)`` (round-half-up) rather than an engine
+    ``round()``: half-even vs half-away tie-breaking differs across
+    engines, floor arithmetic doesn't. Zero vectors quantize to zeros
+    with scale 0. The quantized vector surfaces as a CSV string so the
+    result is hashable by any oracle harness; ``max_abs_err`` (an
+    order-independent max over dims of |dequantized - original|) bounds
+    the reconstruction error without a float-sum fold.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.when(mx == 0.0, F.transform(x, lambda v: F.lit(0).cast("bigint"))).otherwise(
+        F.transform(x, lambda v: F.floor(v * 127.0 / mx + 0.5).cast("bigint"))
+    )
+    scale = F.when(mx == 0.0, F.lit(0.0)).otherwise(mx / 127.0)
+    err = F.when(mx == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                q,
+                x,
+                lambda qi, xi: F.abs(qi.cast("double") * (mx / 127.0) - xi),
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(q, ",").alias("q_csv"),
+        scale.alias("scale"),
+        err.alias("max_abs_err"),
+    )

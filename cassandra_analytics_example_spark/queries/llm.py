@@ -1315,3 +1315,42 @@ def q67_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return unigram_logprob_scores(docs, "doc_id")
+
+
+# -------------------------------------------------- vector quantization ---
+
+
+@register(
+    "q71_int8_quantization",
+    oracle="""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings)
+SELECT vec_id,
+       CASE WHEN mx = 0 THEN array_to_string(list_transform(x, v -> 0), ',')
+            ELSE array_to_string(list_transform(x,
+                   v -> CAST(floor(v * 127 / mx + 0.5) AS BIGINT)), ',')
+       END AS q_csv,
+       CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127 END AS scale,
+       CASE WHEN mx = 0 THEN 0.0
+            ELSE list_max(list_transform(
+                   list_zip(x, list_transform(x,
+                     v -> CAST(floor(v * 127 / mx + 0.5) AS BIGINT))),
+                   p -> abs(CAST(p[2] AS DOUBLE) * (mx / 127) - p[1])))
+       END AS max_abs_err
+FROM b
+""",
+    doc="symmetric per-vector int8 quantization (4x ANN memory reduction): "
+    "round-half-up via floor arithmetic so tie-breaking is engine-exact; "
+    "per-vector scale + order-independent max reconstruction error",
+    tags=("llm", "similarity", "scale"),
+)
+def q71_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    return quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id")

@@ -1027,3 +1027,48 @@ def q70_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders"),
         ["o_custkey", "o_orderstatus", "o_totalprice"],
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — fixed-n per-stratum sample: exactly n rows per group (eval-set
+# construction wants "200 examples per class", not a rate), chosen by
+# md5 order so the pick is reproducible across engines, runs, and
+# repartitionings, and stable marginally under corpus growth (a new row
+# displaces at most one pick in its own stratum).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q72_fixed_n_per_stratum",
+    oracle="""
+SELECT c_custkey, c_mktsegment, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                         AS BIGINT), c_custkey) AS rnk
+  FROM customer) WHERE rnk <= 25
+""",
+    doc="exactly-25-per-segment deterministic sample: md5-ordered "
+    "row_number per stratum — reproducible eval-set construction, one "
+    "shuffle on the stratum key",
+    tags=("sampling",),
+)
+def q72_fixed_n_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+    from cassandra_analytics_example_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return top_k_per_group(
+        cust,
+        ["c_mktsegment"],
+        [
+            md5_u60(F.col("c_custkey").cast("string")).asc(),
+            F.col("c_custkey").asc(),
+        ],
+        25,
+    ).select(
+        "c_custkey", "c_mktsegment", F.col("rnk").cast("bigint").alias("rnk")
+    )

@@ -532,3 +532,20 @@ def test_unigram_logprob_hand_computed(spark):
     }
     q = math.floor(math.log(0.5) * 10_000)
     assert got == {1: (3 * q, 3), 2: (q, 1)}
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from cassandra_analytics_example_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df, "vec_id").collect()}
+    assert rows[1].q_csv == "127,-63,32,0"  # -63.5 rounds half-UP to -63
+    assert abs(rows[1].scale - 1.0 / 127) < 1e-15
+    # reconstruction error bounded by half a quantization step
+    assert rows[1].max_abs_err <= rows[1].scale / 2 + 1e-12
+    assert rows[2].q_csv == "0,0,0,0" and rows[2].scale == 0.0

@@ -169,3 +169,70 @@ def test_expensive_folds_compute_once(spark, registry, name, fold_marker):
             f"{name}: expensive fold recomputed in filter/join condition: "
             f"{stripped[:200]}"
         )
+
+
+def test_salted_join_no_cartesian_and_single_corpus_shuffle(spark, registry):
+    """q62: salting must stay an equi-join ((key, salt) pair) — never a
+    cartesian/nested-loop — and the replicated dimension side must arrive
+    via explode, not a shuffle of its own."""
+    plan = plan_of(spark, registry, "q62_salted_skew_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_upsample_corpus_never_shuffled(spark, registry):
+    """q64: the corpus side is a broadcast-join + explode projection; the
+    only hashpartitioning exchange allowed is the tiny stratum-count
+    aggregate (cached) — nothing repartitions the corpus."""
+    plan = plan_of(spark, registry, "q64_language_upsample")
+    # the cached stratum-count subtree prints once per consumer; count
+    # DISTINCT exchanges (plan ids), not textual occurrences.
+    import re
+
+    distinct_hash_exchanges = set(
+        re.findall(r"Exchange hashpartitioning.*?plan_id=(\d+)", plan)
+    )
+    assert len(distinct_hash_exchanges) <= 1
+    assert "Generate explode" in plan
+    assert "InMemoryTableScan" in plan  # pinned stratum rates
+
+
+def test_zorder_bucketing_is_projection_plus_one_agg(spark, registry):
+    """q63: the Z-value is pure bit algebra in a projection; the plan may
+    shuffle only for the final bucket aggregate and the scalar max box."""
+    plan = plan_of(spark, registry, "q63_zorder_layout")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_tfidf_single_tokenize_lineage(spark, registry):
+    """q59: document length and document frequency attach as windows over
+    ONE (doc, term) lineage — exactly one Generate (tokenize+explode) in
+    the whole plan, and no join back onto the corpus."""
+    plan = plan_of(spark, registry, "q59_tfidf_top_terms")
+    assert plan.count("Generate explode") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_vocab_pinned_not_recomputed(spark, registry):
+    """q67: the vocabulary feeds both the corpus-total scalar and the
+    scored broadcast side; it must come from the cache, not two more
+    corpus tokenizations."""
+    plan = plan_of(spark, registry, "q67_unigram_logprob")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_profiling_reports_are_two_level_aggregates(spark, registry):
+    """q68: keyed count + scalar reduce — one hashpartitioning exchange,
+    one single-partition exchange, nothing else."""
+    plan = plan_of(spark, registry, "q68_key_skew_report")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_quantization_is_pure_projection(spark, registry):
+    """q71: per-vector quantization has no exchanges at all — it must
+    remain a zero-shuffle projection."""
+    plan = plan_of(spark, registry, "q71_int8_quantization")
+    assert "Exchange" not in plan
