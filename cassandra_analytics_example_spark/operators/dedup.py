@@ -688,3 +688,43 @@ def embedding_bucket_stats(
         (F.size("ids") * (F.size("ids") - 1) / 2).cast("bigint").alias("n_pairs"),
         dropped.alias("dropped"),
     )
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Per-document duplicated-text coverage: the fraction of a document's
+    distinct word ``n``-grams that also occur in at least one OTHER
+    document — the span-level signal behind substring-dedup pipelines
+    (a high value means the document is largely assembled from text that
+    exists elsewhere: mirrors, boilerplate, licenses), graded rather than
+    binary like the pair-finding dedup operators.
+
+    Plan: one tokenize pass to the distinct (doc, gram) layer; the gram's
+    corpus document-frequency attaches as a WINDOW count over the gram
+    partition (single lineage — a dfreq groupBy + join-back would
+    recompute the tokenize per branch); then one per-doc aggregate.
+    Two shuffles of the compact gram layer, both on near-uniform keys.
+    The coverage ratio is a single division of two exact integers.
+    """
+    from cassandra_analytics_example_spark.functions.text import word_ngrams
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    w_gram = Window.partitionBy("gram")
+    flagged = grams.withColumn(
+        "__df", F.count(F.lit(1)).over(w_gram)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum((F.col("__df") >= 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dup_grams"),
+        (
+            F.sum((F.col("__df") >= 2).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_coverage"),
+    )

@@ -1354,3 +1354,39 @@ def q71_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id")
+
+
+# --------------------------------------------- duplicated-span coverage ---
+
+
+@register(
+    "q73_duplicate_ngram_coverage",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+         i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+f AS (SELECT doc_id, gram,
+             count(*) OVER (PARTITION BY gram) AS dfreq
+      FROM g)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_coverage
+FROM f GROUP BY doc_id
+""",
+    doc="duplicated-span coverage: fraction of each doc's distinct word "
+    "5-grams occurring in another document (Lee-et-al-style substring-"
+    "dedup signal) — dfreq as a window over the single gram lineage, "
+    "ratio as one exact-integer division",
+    tags=("llm", "dedup"),
+)
+def q73_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        duplicate_ngram_coverage,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicate_ngram_coverage(docs, "doc_id", "text", 5)
