@@ -220,3 +220,48 @@ def salted_join(
     rhs = rhs.withColumn("__salt", F.col("__salt").cast("bigint"))
     joined = lhs.join(rhs, [on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stages: Sequence[tuple[str, Column]],
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest timestamp of each
+    stage GIVEN that every earlier stage already happened before it —
+    stage k's time is ``min(ts WHERE pred_k AND ts > t_{k-1})``, and with
+    ``max_gap`` also ``ts <= t_{k-1} + max_gap`` (conversion windows:
+    "clicked within an hour of viewing"). Returns one row per user with
+    one nullable ``t_<stage>`` column each; a NULL marks the user falling
+    out of the funnel at that stage.
+
+    Plan: each stage is a full-frame window min over the SAME user
+    partitioning — Catalyst plans one Exchange + one Sort and layers all
+    stage computations on it, so an N-stage funnel costs exactly one
+    shuffle of the event stream regardless of N. No joins, no
+    per-stage re-aggregation.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w = Window.partitionBy(user_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = df
+    prev_t: Column | None = None
+    names = []
+    for name, pred in stages:
+        tcol = f"t_{name}"
+        names.append(tcol)
+        if prev_t is None:
+            cond = pred
+        else:
+            cond = pred & (F.col(ts_col) > prev_t)
+            if max_gap is not None:
+                cond = cond & (F.col(ts_col) <= prev_t + max_gap)
+        out = out.withColumn(
+            tcol, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_t = F.col(tcol)
+    return out.select(user_col, *names).distinct()

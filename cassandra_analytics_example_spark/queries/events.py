@@ -387,3 +387,137 @@ def q69_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot_keys(table(spark, sf_dir, "events"), "user_id", 10).select(
         "user_id", F.col("cnt").cast("bigint").alias("cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — ordered funnel: view → click → purchase. Stage k's timestamp is
+# the earliest event of that type AFTER the user completed stage k-1;
+# all stages are full-frame window mins over ONE user partitioning, so
+# the whole funnel is a single shuffle of the event stream.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q74_funnel_view_click_purchase",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM e),
+s2 AS (
+  SELECT e.user_id, e.event_type, e.ts_us, s.t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts_us > s.t_view
+                   AND e.ts_us <= s.t_view + 21600000000
+                  THEN e.ts_us END)
+           OVER (PARTITION BY e.user_id) AS t_click
+  FROM e JOIN (SELECT DISTINCT user_id, t_view FROM s) s USING (user_id)),
+s3 AS (
+  SELECT DISTINCT user_id, t_view, t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts_us > t_click
+                   AND ts_us <= t_click + 21600000000
+                  THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS conversion_rate
+FROM s3
+""",
+    doc="ordered view→click→purchase funnel with a 6h conversion window "
+    "per stage: earliest-after-previous-stage times via chained "
+    "full-frame windows on ONE user partitioning (single shuffle for "
+    "any stage count), then a scalar conversion summary",
+    tags=("events", "window"),
+)
+def q74_funnel_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.relational import (
+        funnel_stages,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    per_user = funnel_stages(
+        ev,
+        "user_id",
+        "ts_us",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        max_gap=21_600_000_000,  # 6h in µs
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_click"),
+        F.sum(F.col("t_purchase").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_purchase"),
+        (
+            F.sum(F.col("t_purchase").isNotNull().cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 — retention cohorts: users grouped by their first-activity week
+# bucket; each later week bucket counts how many are still active.
+# Week buckets are integer epoch-microsecond divisions (calendar-free,
+# engine-exact); the cohort assignment is a full-frame window min on
+# the same user partitioning discipline as the funnel.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q75_retention_cohorts",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week_idx
+           FROM events),
+c AS (SELECT user_id, week_idx,
+             min(week_idx) OVER (PARTITION BY user_id) AS cohort_week
+      FROM e),
+d AS (SELECT DISTINCT user_id, cohort_week,
+             week_idx - cohort_week AS week_offset
+      FROM c)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM d GROUP BY cohort_week, week_offset
+""",
+    doc="weekly retention cohorts: first-activity week via window min on "
+    "the user partition, distinct (user, cohort, offset), grouped active "
+    "counts — integer week buckets, no calendar/timezone dependence",
+    tags=("events", "window"),
+)
+def q75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts_us") / 604_800_000_000).cast("bigint").alias("week_idx")
+    )
+    w = Window.partitionBy("user_id")
+    d = (
+        ev.withColumn("cohort_week", F.min("week_idx").over(w))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return d.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )

@@ -549,3 +549,49 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     # reconstruction error bounded by half a quantization step
     assert rows[1].max_abs_err <= rows[1].scale / 2 + 1e-12
     assert rows[2].q_csv == "0,0,0,0" and rows[2].scale == 0.0
+
+
+def test_funnel_stages_ordering_and_gap_semantics(spark):
+    from cassandra_analytics_example_spark.operators.relational import (
+        funnel_stages,
+    )
+
+    rows = [
+        # u1: clean view(10) -> click(20) -> buy(30)
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),
+        # u2: click BEFORE view — must not count; no click after view
+        (2, 10, "click"), (2, 20, "view"), (2, 30, "buy"),
+        # u3: view only
+        (3, 10, "view"),
+        # u4: view(10), click too late for gap=15 (ts 30), buy(40)
+        (4, 10, "view"), (4, 30, "click"), (4, 40, "buy"),
+        # u5: two views; click after the FIRST view counts from t=5
+        (5, 5, "view"), (5, 50, "view"), (5, 12, "click"),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, ts bigint, et string")
+    stages = [
+        ("view", F.col("et") == "view"),
+        ("click", F.col("et") == "click"),
+        ("buy", F.col("et") == "buy"),
+    ]
+    unbounded = {
+        r.u: (r.t_view, r.t_click, r.t_buy)
+        for r in funnel_stages(df, "u", "ts", stages).collect()
+    }
+    assert unbounded[1] == (10, 20, 30)
+    assert unbounded[2] == (20, None, None)   # pre-view click ignored
+    assert unbounded[3] == (10, None, None)
+    assert unbounded[4] == (10, 30, 40)
+    assert unbounded[5] == (5, 12, None)
+    gapped = {
+        r.u: (r.t_view, r.t_click, r.t_buy)
+        for r in funnel_stages(df, "u", "ts", stages, max_gap=15).collect()
+    }
+    assert gapped[1] == (10, 20, 30)
+    assert gapped[4] == (10, None, None)      # click at 30 > 10+15
+    # exactly one shuffle regardless of stage count
+    plan = (
+        funnel_stages(df, "u", "ts", stages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct
