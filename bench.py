@@ -51,6 +51,10 @@ HEADLINE = [
     "q63_zorder_layout",        # Morton Z-value clustering buckets
     "q64_language_upsample",    # replication rebalancing (explode fan-out)
     "q66_snapshot_diff",        # snapshot hash-inventory diff
+    "q67_unigram_logprob",      # unigram LM scoring (pinned vocabulary)
+    "q73_duplicate_ngram_coverage",  # duplicated-span coverage (gram window)
+    "q74_funnel_view_click_purchase",  # chained-window funnel
+    "q71_int8_quantization",    # zero-shuffle vector quantization
 ]
 
 

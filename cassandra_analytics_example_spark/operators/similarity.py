@@ -368,25 +368,47 @@ def quantize_int8(
     result is hashable by any oracle harness; ``max_abs_err`` (an
     order-independent max over dims of |dequantized - original|) bounds
     the reconstruction error without a float-sum fold.
+
+    The cast/max/quantize/error steps are STAGED projections, each array
+    aliased before reuse: written as one expression, the error column
+    re-runs the whole quantization transform per row (array lambdas are
+    interpreted, and CollapseProject declines to merge projections only
+    when the reused alias is non-cheap — relying on one giant expression
+    measured 5× slower than the staged form at sf0.1).
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    mx = F.array_max(F.transform(x, lambda v: F.abs(v)))
-    q = F.when(mx == 0.0, F.transform(x, lambda v: F.lit(0).cast("bigint"))).otherwise(
-        F.transform(x, lambda v: F.floor(v * 127.0 / mx + 0.5).cast("bigint"))
+    staged = df.select(F.col(id_col), x.alias("__x")).select(
+        id_col,
+        "__x",
+        F.array_max(F.transform(F.col("__x"), lambda v: F.abs(v))).alias("__mx"),
     )
-    scale = F.when(mx == 0.0, F.lit(0.0)).otherwise(mx / 127.0)
-    err = F.when(mx == 0.0, F.lit(0.0)).otherwise(
+    q = F.when(
+        F.col("__mx") == 0.0,
+        F.transform(F.col("__x"), lambda v: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("__x"),
+            lambda v: F.floor(v * 127.0 / F.col("__mx") + 0.5).cast("bigint"),
+        )
+    )
+    with_q = staged.select(id_col, "__x", "__mx", q.alias("__q"))
+    scale = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
+        F.col("__mx") / 127.0
+    )
+    err = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
         F.array_max(
             F.zip_with(
-                q,
-                x,
-                lambda qi, xi: F.abs(qi.cast("double") * (mx / 127.0) - xi),
+                F.col("__q"),
+                F.col("__x"),
+                lambda qi, xi: F.abs(
+                    qi.cast("double") * (F.col("__mx") / 127.0) - xi
+                ),
             )
         )
     )
-    return df.select(
+    return with_q.select(
         F.col(id_col),
-        F.array_join(q, ",").alias("q_csv"),
+        F.array_join(F.col("__q"), ",").alias("q_csv"),
         scale.alias("scale"),
         err.alias("max_abs_err"),
     )

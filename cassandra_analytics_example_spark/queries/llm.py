@@ -1390,3 +1390,77 @@ def q73_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return duplicate_ngram_coverage(docs, "doc_id", "text", 5)
+
+
+# ------------------------------------------------ deletion propagation ---
+
+
+@register(
+    "q76_forget_propagation",
+    oracle="""
+WITH forget AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+chunks AS (
+  SELECT doc_id, (start - 1) // 56 AS chunk_index
+  FROM (SELECT doc_id, unnest(range(1, greatest(len(string_split(text,' ')) - 7, 1), 56)) AS start
+        FROM documents)),
+kept_docs AS (
+  SELECT d.doc_id FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.doc_id = d.doc_id)),
+kept_chunks AS (
+  SELECT c.doc_id FROM chunks c
+  WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.doc_id = c.doc_id)),
+kept_vecs AS (
+  SELECT e.vec_id FROM embeddings e
+  WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.doc_id = e.vec_id))
+SELECT 'documents' AS table_name,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_before,
+       CAST((SELECT count(*) FROM kept_docs) AS BIGINT) AS n_after
+UNION ALL
+SELECT 'chunks',
+       CAST((SELECT count(*) FROM chunks) AS BIGINT),
+       CAST((SELECT count(*) FROM kept_chunks) AS BIGINT)
+UNION ALL
+SELECT 'embeddings',
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT),
+       CAST((SELECT count(*) FROM kept_vecs) AS BIGINT)
+""",
+    doc="right-to-be-forgotten propagation: a forget list (doc_id % 13) "
+    "anti-joined through every derived table — raw documents, their "
+    "64-token chunks, and doc-keyed embeddings — emitting per-table "
+    "before/after counts; the forget list broadcasts, each table is "
+    "scanned once, nothing shuffles",
+    tags=("llm", "governance"),
+)
+def q76_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    chunks = chunk_documents(docs, "doc_id", "text", 64, 8).select("doc_id")
+    forget = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+
+    def purge(df: DataFrame, key: str, name: str) -> DataFrame:
+        before = df.agg(F.count(F.lit(1)).alias("n_before"))
+        after = df.join(
+            F.broadcast(forget),
+            df[key] == forget["doc_id"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_after"))
+        return (
+            before.crossJoin(after)
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("n_before").cast("bigint"),
+                F.col("n_after").cast("bigint"),
+            )
+        )
+
+    return (
+        purge(docs.select("doc_id"), "doc_id", "documents")
+        .unionByName(purge(chunks, "doc_id", "chunks"))
+        .unionByName(
+            purge(emb.select("vec_id"), "vec_id", "embeddings")
+        )
+    )
