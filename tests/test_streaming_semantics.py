@@ -125,3 +125,52 @@ def test_first_seen_matches_batch_min_ts(spark, sf_dir):
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_checkpoint_recovery_dedups_across_restarts(spark, tmp_path):
+    """Exactly-once across restarts: the dedup state store lives in the
+    checkpoint, so a RESTARTED stream must drop event ids it already
+    emitted in a previous run — the property that makes an incremental
+    ingestion pipeline safe to re-run after a crash."""
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id bigint, v string")
+            .format("parquet")
+            .load(src)
+            .dropDuplicates(["event_id"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    # phase 1: ids 0..99 (id 7 duplicated in-batch)
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)] + [(7, "dup-in-batch")],
+        "event_id bigint, v string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+    assert first.select("event_id").distinct().count() == 100
+
+    # phase 2 (simulated restart): ids 50..149 — 50 replays + 50 new
+    spark.createDataFrame(
+        [(i, f"v{i}-replay") for i in range(50, 150)],
+        "event_id bigint, v string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 150          # replayed ids NOT re-emitted
+    assert final.select("event_id").distinct().count() == 150
