@@ -1464,3 +1464,61 @@ def q76_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             purge(emb.select("vec_id"), "vec_id", "embeddings")
         )
     )
+
+
+# ------------------------------------------- two-stage quantized ANN ---
+
+
+@register(
+    "q77_knn_quantized",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings),
+z AS (
+  SELECT vec_id, v,
+         CASE WHEN mx = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                     x -> CAST(floor(x * 127 / mx + 0.5) AS BIGINT)) END AS q,
+         CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127 END AS s
+  FROM base),
+qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq, s AS qsc
+       FROM z WHERE vec_id < 10),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, q AS cq, s AS csc FROM z),
+coarse AS (
+  SELECT query_id, neighbor_id, qv, cv,
+         CAST(list_sum(list_transform(list_zip(qq, cq),
+                                      p -> p[1] * p[2])) AS DOUBLE)
+           * qsc * csc AS approx
+  FROM qs JOIN cs ON query_id <> neighbor_id),
+cand AS (
+  SELECT query_id, neighbor_id, qv, cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, neighbor_id ASC)
+                AS crnk
+    FROM coarse) WHERE crnk <= 20)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id ASC) AS rnk
+  FROM cand) WHERE rnk <= 5
+""",
+    doc="two-stage quantized retrieval: int8 integer dot products (exact "
+    "bigint arithmetic, 1/4 the scan bytes) pick 20 coarse candidates "
+    "per query, exact float cosine rescores only those — the "
+    "memory-bandwidth shape of production vector search",
+    tags=("llm", "similarity", "scale"),
+)
+def q77_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        knn_quantized,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_quantized(emb, queries, k=5, coarse_k=20)

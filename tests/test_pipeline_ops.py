@@ -595,3 +595,26 @@ def test_funnel_stages_ordering_and_gap_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct
+
+
+def test_knn_quantized_recall_vs_exact(spark, sf_dir):
+    from cassandra_analytics_example_spark.operators.similarity import (
+        brute_force_topk,
+        knn_quantized,
+    )
+    from cassandra_analytics_example_spark.queries._tables import table as tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5)
+    quant = knn_quantized(emb, queries, k=5, coarse_k=20)
+    a = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    assert len(b) == len(a)
+    # int8 with a 4x coarse widening should rarely miss; demand >= 80%
+    assert len(a & b) / len(a) >= 0.8
+    # and the ranking column is a proper 1..5 per query
+    per_q = {}
+    for r in quant.collect():
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
