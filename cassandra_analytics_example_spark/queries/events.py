@@ -521,3 +521,71 @@ def q75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active")
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — rolling-frame anomaly detection: an event is anomalous when its
+# value exceeds 2x the mean of the user's previous 10 events. The frame
+# is ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING over the user's time
+# order; values are quantized to integer micro-units FIRST so the
+# rolling sums are exact integers and the 2x-mean comparison is the
+# integer cross-product value*n > 2*sum — no float accumulation
+# anywhere, so the flag is engine- and order-exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q78_rolling_anomaly",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events),
+r AS (
+  SELECT event_id, user_id, ts_us, v_micro,
+         sum(v_micro) OVER w AS prev_sum,
+         count(*) OVER w AS prev_n
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ts_us, v_micro,
+       CAST(prev_n AS BIGINT) AS prev_n
+FROM r
+WHERE prev_n >= 5 AND v_micro * prev_n > 2 * prev_sum
+""",
+    doc="rolling-frame anomaly flag: value > 2x the mean of the user's "
+    "previous 10 events (ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), "
+    "values quantized to integer micro-units so the test is the exact "
+    "integer cross-product v*n > 2*sum — requires >= 5 prior events",
+    tags=("events", "window"),
+)
+def q78_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"), F.col("event_id"))
+        .rowsBetween(-10, -1)
+    )
+    r = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "v_micro",
+        F.sum("v_micro").over(w).alias("prev_sum"),
+        F.count(F.lit(1)).over(w).alias("prev_n"),
+    )
+    return r.filter(
+        (F.col("prev_n") >= 5)
+        & (F.col("v_micro") * F.col("prev_n") > 2 * F.col("prev_sum"))
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "v_micro",
+        F.col("prev_n").cast("bigint").alias("prev_n"),
+    )

@@ -126,3 +126,23 @@ def s08_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_first_seen_stream(spark, sf_dir)
+
+
+@register(
+    "s09_stream_foreach_batch_upsert",
+    oracle=None,
+    doc="Structured Streaming: foreachBatch custom sink performing an "
+    "idempotent parquet UPSERT (batch anti-joined against the target "
+    "key inventory) — the production pattern for sinks without a native "
+    "streaming writer, incl. the reference's batch-shaped Cassandra "
+    "bulk writer",
+    tags=("streaming", "sink"),
+)
+def s09_stream_foreach_batch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_foreach_batch_upsert,
+    )
+
+    return run_foreach_batch_upsert(spark, sf_dir)

@@ -382,3 +382,57 @@ def run_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; returns one row per distinct (user, event_type)."""
     out = first_seen_per_type(stream_events(spark, sf_dir))
     return _run_to_memory(out, spark, "append")
+
+
+def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-sink streaming via ``foreachBatch``: each microbatch is
+    merged into a parquet target as an UPSERT — new keys append, already-
+    present keys are skipped — by anti-joining the batch against the
+    current target key inventory inside the batch function.
+
+    ``foreachBatch`` is the production escape hatch for sinks without a
+    native streaming writer (JDBC upserts, bulk loaders, the reference's
+    Cassandra bulk write — a natural fit for its SSTable writer, which is
+    batch-shaped): the function receives a BATCH DataFrame plus the epoch
+    id and may use the full batch API. Exactly-once comes from the pair
+    (checkpointed source offsets, idempotent merge) — a replayed batch
+    anti-joins to zero new rows, which the test exercises by re-running
+    the stream over the same input.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="upsert_sink_")
+    target = os.path.join(out, "target")
+    ck = os.path.join(out, "ck")
+
+    latest = dedup_within_watermark(stream_events(spark, sf_dir))
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        try:
+            existing = sess.read.parquet(target).select("event_id")
+        except Exception:
+            existing = None
+        fresh = (
+            batch
+            if existing is None
+            else batch.join(existing, "event_id", "left_anti")
+        )
+        fresh.write.mode("append").parquet(target)
+
+    q = (
+        latest.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_upserted"))
+    )

@@ -174,3 +174,58 @@ def test_checkpoint_recovery_dedups_across_restarts(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 150          # replayed ids NOT re-emitted
     assert final.select("event_id").distinct().count() == 150
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    """The foreachBatch merge sink must tolerate BOTH replay modes: a
+    restart with the checkpoint intact re-reads nothing (source offsets
+    committed), and a restart with the checkpoint LOST replays the input
+    but the anti-join merge adds zero rows — the idempotent-merge half of
+    the exactly-once contract."""
+    import shutil
+
+    src = str(tmp_path / "in")
+    target = str(tmp_path / "target")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "event_id bigint, v string"
+    ).coalesce(1).write.parquet(src)
+
+    def merge_batch(batch, epoch_id):
+        sess = batch.sparkSession
+        try:
+            existing = sess.read.parquet(target).select("event_id")
+        except Exception:
+            existing = None
+        fresh = (
+            batch
+            if existing is None
+            else batch.join(existing, "event_id", "left_anti")
+        )
+        fresh.write.mode("append").parquet(target)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id bigint, v string")
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    run_once()
+    assert spark.read.parquet(target).count() == 200
+    run_once()  # checkpoint intact: nothing re-read
+    assert spark.read.parquet(target).count() == 200
+    shutil.rmtree(ck)
+    run_once()  # checkpoint lost: full replay, merge adds nothing
+    got = spark.read.parquet(target)
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
