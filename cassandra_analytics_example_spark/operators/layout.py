@@ -158,3 +158,25 @@ def compact_files(
         for s in it
         if s.isFile() and not s.getPath().getName().startswith("_")
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    *,
+    file_format: str = "parquet",
+    max_records_per_file: int = 0,
+) -> None:
+    """Hive-style partitioned write: one directory per distinct value of
+    ``partition_cols`` (``.../event_type=view/...``). Reads that filter on
+    a partition column prune entire DIRECTORIES at planning time
+    (PartitionFilters in the scan — asserted in tests/test_layout.py),
+    which is the coarsest and cheapest data-skipping tier: no file is
+    even listed, let alone opened. Choose low-cardinality columns; a
+    high-cardinality partition key creates the many-small-files problem
+    ``compact_files`` exists to fix."""
+    writer = df.write.mode("overwrite").format(file_format)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).save(path)

@@ -1072,3 +1072,72 @@ def q72_fixed_n_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey", "c_mktsegment", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# q79 — denormalization: each order with its lineitems as a
+# DETERMINISTICALLY ORDERED nested payload — the relational→document
+# transform feeding sequence packing / JSON ingestion. collect_list
+# gives no ordering guarantee, so the lines aggregate as an array of
+# structs keyed (line number, qty, flag) and get array_sort'ed — the
+# fixture actually CONTAINS duplicate line numbers per order, so the
+# sort key must be the full struct to be a total order. The packed payload surfaces as
+# a pipe-joined string so the check is representation-exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q79_order_denormalization",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       string_agg(
+         CAST(l.l_linenumber AS VARCHAR) || ':' ||
+         CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) || ':' ||
+         l.l_returnflag,
+         '|' ORDER BY l.l_linenumber, CAST(l.l_quantity AS BIGINT),
+                      l.l_returnflag) AS lines_packed
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderkey
+""",
+    doc="relational→document denormalization: per order, lineitems packed "
+    "as an ordered nested payload (array_sort over line-number-keyed "
+    "structs — collect_list alone guarantees nothing) — the transform "
+    "feeding JSON ingestion and sequence packing",
+    tags=("relational", "nested"),
+)
+def q79_order_denormalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem")
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_returnflag").alias("rf"),
+        ).alias("line"),
+    )
+    agg = joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("line.qty").cast("bigint").alias("total_qty"),
+        F.array_sort(F.collect_list("line")).alias("__lines"),
+    )
+    packed = F.array_join(
+        F.transform(
+            F.col("__lines"),
+            lambda s: F.concat_ws(
+                ":",
+                s["ln"].cast("string"),
+                s["qty"].cast("string"),
+                s["rf"],
+            ),
+        ),
+        "|",
+    )
+    return agg.select(
+        "o_orderkey", "n_lines", "total_qty", packed.alias("lines_packed")
+    )

@@ -138,3 +138,30 @@ def test_compact_files_respects_target_size(spark, tmpdir):
     )
     assert 3 <= n_out <= 6
     assert spark.read.parquet(f"{tmpdir}/c4").count() == 200_000
+
+
+def test_partitioned_write_prunes_directories(spark, tmpdir):
+    from cassandra_analytics_example_spark.operators.layout import (
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4], i * 1.5) for i in range(1000)],
+        "id bigint, kind string, v double",
+    )
+    write_partitioned(df, f"{tmpdir}/part", ["kind"])
+    back = spark.read.parquet(f"{tmpdir}/part")
+    picked = back.filter(F.col("kind") == "b")
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    # the predicate must surface as a PartitionFilter (directory pruning),
+    # NOT a PushedFilter (row-group pruning) — it never reaches the data.
+    assert "PartitionFilters: [isnotnull(kind" in plan
+    assert picked.count() == 250
+    # and only the one directory's files are touched
+    files = {
+        r.f
+        for r in picked.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert files and all("kind=b" in f for f in files)

@@ -75,3 +75,33 @@ def test_register_python_udtf(spark):
     assert [(r.word, r.pos) for r in rows] == [
         ("alpha", 0), ("beta", 1), ("gamma", 2),
     ]
+
+
+def test_apply_in_pandas_grouped_map_matches_window_equivalent(spark):
+    """applyInPandas (grouped map — each group arrives as ONE pandas
+    frame) verified against the pure-window equivalent: per-user
+    percent-rank of event values. The engine's operators stay in column
+    algebra; this pins that the Arrow grouped-map path works for user
+    logic that genuinely wants a DataFrame per group."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(u, i, float((u * 7 + i * 13) % 29)) for u in range(4) for i in range(25)],
+        "user bigint, seq bigint, v double",
+    )
+
+    def rank_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out["pr"] = pdf["v"].rank(method="min").sub(1).div(len(pdf) - 1)
+        return out[["user", "seq", "pr"]]
+
+    got = df.groupBy("user").applyInPandas(
+        rank_norm, schema="user bigint, seq bigint, pr double"
+    )
+    w = Window.partitionBy("user").orderBy("v")
+    want = df.select("user", "seq", F.percent_rank().over(w).alias("pr"))
+    joined = got.alias("g").join(
+        want.alias("w"), ["user", "seq"]
+    ).select(F.abs(F.col("g.pr") - F.col("w.pr")).alias("d"))
+    assert joined.count() == 100
+    assert joined.agg(F.max("d")).first()[0] < 1e-12
