@@ -62,3 +62,53 @@ def snapshot_diff(
     if not keep_unchanged:
         out = out.filter(F.col(status_col) != "unchanged")
     return out
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    id_col: str,
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch MERGE: apply an updates batch onto a target snapshot —
+    matched keys take the update's row, unmatched update keys insert,
+    unmatched target keys survive, and (with ``delete_col``) updates
+    flagged true delete their key. The write surface the reference's
+    append-only bulk writer lacks; at scale this is ONE full-outer
+    equi-join on the uniform key — the same shape (and cost) as
+    :func:`snapshot_diff`, and the batch half of the streaming
+    foreachBatch upsert sink.
+
+    Column set of the result = column set of ``target``; ``updates``
+    must carry the same columns (plus optionally ``delete_col``).
+    """
+    cols = [c for c in target.columns]
+    upd_payload = [c for c in cols if c != id_col]
+    u = updates.select(
+        F.col(id_col),
+        *[F.col(c) for c in upd_payload],
+        (
+            F.col(delete_col)
+            if delete_col is not None
+            else F.lit(False)
+        ).alias("__del"),
+    )
+    t = target.select(
+        F.col(id_col), *[F.col(c).alias(f"__t_{c}") for c in upd_payload]
+    )
+    joined = t.join(
+        u, id_col, "full_outer"
+    )
+    matched_update = F.col("__del").isNotNull()
+    keep = ~F.coalesce(F.col("__del"), F.lit(False))
+    merged = joined.filter(keep).select(
+        F.col(id_col),
+        *[
+            F.when(matched_update, F.col(c))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
+            for c in upd_payload
+        ],
+    )
+    return merged

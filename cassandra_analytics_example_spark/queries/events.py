@@ -589,3 +589,45 @@ def q78_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_micro",
         F.col("prev_n").cast("bigint").alias("prev_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q80 — event-type transition matrix: counts of consecutive (from → to)
+# event pairs per user order — the Markov-chain view of user paths.
+# lag() over the user's time order needs the SAME single shuffle as
+# every other per-user window here; ties in the fixture are broken by
+# event_id so the sequence is a total order.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q80_event_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    doc="event-type transition matrix (Markov path view): lag() over each "
+    "user's total-ordered event sequence, grouped transition counts — "
+    "one user-partition shuffle plus one small aggregate",
+    tags=("events", "window"),
+)
+def q80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us"), F.col("event_id"))
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        s.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -1522,3 +1522,71 @@ def q77_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return knn_quantized(emb, queries, k=5, coarse_k=20)
+
+
+# ------------------------------------------------------- batch MERGE ---
+
+
+@register(
+    "q81_merge_upsert",
+    oracle="""
+WITH target AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+updates AS (
+  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+         FALSE AS is_delete
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT), TRUE
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 100000, lang, CAST(n_chars AS BIGINT), FALSE
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+       CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE t.lang END AS lang,
+       CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars
+            ELSE t.n_chars END AS n_chars
+FROM target t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id
+WHERE NOT COALESCE(u.is_delete, FALSE)
+""",
+    doc="batch MERGE onto a snapshot: updates overwrite matched keys, "
+    "inserts add new keys, delete flags drop keys, untouched target "
+    "rows survive — one full-outer equi-join on the uniform key, the "
+    "write surface the reference's append-only bulk writer lacks",
+    tags=("llm", "versioning"),
+)
+def q81_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.versioning import (
+        merge_upsert,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    updates = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") + 1000).cast("bigint").alias("n_chars"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                "doc_id",
+                "lang",
+                F.col("n_chars").cast("bigint").alias("n_chars"),
+                F.lit(True).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "lang",
+                F.col("n_chars").cast("bigint").alias("n_chars"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    return merge_upsert(target, updates, "doc_id", delete_col="is_delete")

@@ -1141,3 +1141,38 @@ def q79_order_denormalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "o_orderkey", "n_lines", "total_qty", packed.alias("lines_packed")
     )
+
+
+# --------------------------------------------------------------------------
+# q82 — fixed-width histogram of order totals: bin = floor(v / width),
+# plus each bin's exact bounds — integer bin ids from floor division,
+# engine-exact; the one-pass profile behind resource planning and
+# outlier triage.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q82_price_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+       CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS v_min, max(o_totalprice) AS v_max
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="fixed-width value histogram (25k bins over order totals): integer "
+    "bin ids via floor division, per-bin exact bounds — single partial-"
+    "aggregated pass",
+    tags=("relational", "profiling"),
+)
+def q82_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+    return o.groupBy(
+        b.alias("bin"), (b * 25000).cast("double").alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_totalprice").alias("v_min"),
+        F.max("o_totalprice").alias("v_max"),
+    )

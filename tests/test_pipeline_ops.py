@@ -618,3 +618,36 @@ def test_knn_quantized_recall_vs_exact(spark, sf_dir):
     for r in quant.collect():
         per_q.setdefault(r.query_id, []).append(r.rnk)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_merge_upsert_semantics(spark):
+    from cassandra_analytics_example_spark.operators.versioning import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", False),   # update
+            (3, "c", True),    # delete
+            (4, "d", False),   # insert
+        ],
+        "id bigint, v string, is_delete boolean",
+    )
+    got = {
+        r.id: r.v
+        for r in merge_upsert(
+            target, updates, "id", delete_col="is_delete"
+        ).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # without a delete column everything upserts
+    got2 = {
+        r.id: r.v
+        for r in merge_upsert(
+            target, updates.drop("is_delete"), "id"
+        ).collect()
+    }
+    assert got2 == {1: "a", 2: "B", 3: "c", 4: "d"}
