@@ -631,3 +631,92 @@ def q80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", F.col("event_type").alias("to_type"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# q83 — TTL expiry: Cassandra's per-cell TTL semantics as an explicit
+# batch operator — rows older than the TTL relative to the dataset's
+# own observation horizon (max ts) are expired. The cutoff is a scalar
+# aggregate broadcast back as a literal; expiry itself is a pure
+# filter, pushable once the cutoff is resolved.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q83_ttl_expiry",
+    oracle="""
+WITH h AS (SELECT max(epoch_us(ts)) AS horizon FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS oldest_live_us
+FROM events, h
+WHERE epoch_us(ts) > horizon - 604800000000
+GROUP BY event_type
+""",
+    doc="TTL expiry (Cassandra cell-TTL semantics, batch form): drop rows "
+    "older than 7 days before the dataset's max timestamp — scalar "
+    "horizon broadcast, then a pure filter + grouped liveness counts",
+    tags=("events", "reference-parity"),
+)
+def q83_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts_us").alias("__h"))
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts_us") > F.col("__h") - 604_800_000_000)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.min("ts_us").cast("bigint").alias("oldest_live_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 — per-user event-type value map: grouped aggregation INTO a map
+# column (the Cassandra collection-column shape), surfaced as a
+# sorted "type:micro_total" packed string so the representation is
+# engine-exact (map iteration order is unspecified in every engine).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q84_user_type_value_map",
+    oracle="""
+WITH agg AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS v_micro
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(v_micro AS VARCHAR),
+                  '|' ORDER BY event_type) AS type_totals
+FROM agg GROUP BY user_id
+""",
+    doc="per-user map<event_type, total>: two-level aggregation into a "
+    "collection column (Cassandra map-column shape), packed as a "
+    "key-sorted string because map iteration order is unspecified in "
+    "every engine; totals in integer micro-units",
+    tags=("events", "agg"),
+)
+def q84_user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.sum("v_micro").cast("bigint").alias("v_micro")
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("event_type").alias("t"), F.col("v_micro").alias("v"))
+                )
+            ),
+            lambda s: F.concat_ws(":", s["t"], s["v"].cast("string")),
+        ),
+        "|",
+    )
+    return agg.groupBy("user_id").agg(packed.alias("type_totals"))

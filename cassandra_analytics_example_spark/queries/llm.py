@@ -1590,3 +1590,87 @@ def q81_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(target, updates, "doc_id", delete_col="is_delete")
+
+
+# ------------------------------------- end-to-end training pipeline ---
+
+
+@register(
+    "q85_training_pipeline_e2e",
+    oracle="""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      len(string_split(text, ' ')) AS n_tokens,
+      CAST(len(list_filter(string_split(text, ' '),
+               t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS stop_ratio,
+      (CAST(length(text) AS DOUBLE)
+        - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        / length(text) AS punct_ratio
+    FROM documents)
+  WHERE NOT (n_tokens < 15) AND NOT (punct_ratio > 0.2)
+    AND NOT (stop_ratio = 0)),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+train AS (
+  SELECT doc_id, text FROM deduped
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 10000 < 9000),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+off AS (
+  SELECT doc_id, w, CAST(t.o AS BIGINT) AS start
+  FROM w, UNNEST(range(1, greatest(len(w) - 8, 1) + 1, 56)) AS t(o))
+SELECT doc_id, (start - 1) // 56 AS chunk_index,
+       md5(array_to_string(w[start : start + 63], ' ')) AS chunk_hash,
+       CAST(len(w[start : start + 63]) AS BIGINT) AS n_chunk_tokens
+FROM off
+""",
+    doc="the end-to-end training-data pipeline as ONE composed lineage: "
+    "quality gate (C4/Gopher rules) → exact dedup (min-id per md5) → "
+    "90% train hash-split → 64/8 token chunking, emitting chunk hashes "
+    "— each stage is the already-verified operator, composed; Catalyst "
+    "fuses the gate+split projections into the scan side of the single "
+    "dedup shuffle",
+    tags=("llm", "pipeline"),
+)
+def q85_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from cassandra_analytics_example_spark.operators.dedup import exact_dedup
+    from cassandra_analytics_example_spark.operators.sampling import hash_split
+    from cassandra_analytics_example_spark.operators.text import (
+        quality_features,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features(docs, "text")
+    kept = (
+        docs.join(
+            feats.select("doc_id", "n_tokens", "stop_ratio", "punct_ratio"),
+            "doc_id",
+        )
+        .filter(
+            ~(F.col("n_tokens") < 15)
+            & ~(F.col("punct_ratio") > 0.2)
+            & ~(F.col("stop_ratio") == 0)
+        )
+        .select("doc_id", "text")
+    )
+    deduped = exact_dedup(kept, "doc_id", "text").select("doc_id", "text")
+    train = (
+        hash_split(deduped, "doc_id")
+        .filter(F.col("split") == "train")
+        .select("doc_id", "text")
+    )
+    chunks = chunk_documents(train, "doc_id", "text", 64, 8)
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "n_chunk_tokens",
+    )
