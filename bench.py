@@ -55,6 +55,7 @@ HEADLINE = [
     "q73_duplicate_ngram_coverage",  # duplicated-span coverage (gram window)
     "q74_funnel_view_click_purchase",  # chained-window funnel
     "q71_int8_quantization",    # zero-shuffle vector quantization
+    "q85_training_pipeline_e2e",  # composed gate→dedup→split→chunk lineage
 ]
 
 

@@ -720,3 +720,42 @@ def q84_user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|",
     )
     return agg.groupBy("user_id").agg(packed.alias("type_totals"))
+
+
+# --------------------------------------------------------------------------
+# q86 — RANGE frame (value-range window): per event, how many of the
+# same user's events fall in the PRECEDING HOUR by timestamp value —
+# a rows-frame can't express this (event counts per hour vary); the
+# range frame is resolved against the ordered ts_us VALUES. Completes
+# the frame-spec surface: ROWS (q78), RANGE (here), unbounded (q74),
+# growing (q18's as-of form).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q86_range_frame_hourly_load",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS n_events_last_hour
+FROM events
+""",
+    doc="RANGE frame: same-user event count within the trailing hour BY "
+    "TIMESTAMP VALUE (not row count) — the frame type rows-frames can't "
+    "express; one user-partition shuffle",
+    tags=("events", "window"),
+)
+def q86_range_frame_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_events_last_hour"),
+    )
