@@ -180,3 +180,61 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_cols).save(path)
+
+
+def file_stats(
+    spark, path: str, cols: Sequence[str], *, file_format: str = "parquet"
+) -> DataFrame:
+    """Per-file min-max statistics for ``cols`` — the manifest a
+    metadata-pruned read consults. One distributed pass grouped by
+    ``input_file_name()``; at 100 TB this runs once per layout rewrite
+    and is amortized over every subsequent selective scan. (Table formats
+    like Iceberg/Delta persist exactly these stats in their manifests;
+    over raw parquet directories this materializes the same thing as a
+    DataFrame you can write alongside the data.)"""
+    df = spark.read.format(file_format).load(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def pruned_read(
+    spark,
+    path: str,
+    stats: DataFrame,
+    predicates: dict[str, tuple],
+    *,
+    file_format: str = "parquet",
+):
+    """Read only the files whose min-max boxes OVERLAP every requested
+    ``col: (lo, hi)`` range — file-level data skipping for NON-partition
+    columns, driven by a stats manifest instead of directory structure.
+    This is what a Z-ordered layout buys: after ``zorder_write``, each
+    file's box is tight in every interleaved dimension, so a small query
+    box overlaps few files. Returns (DataFrame, n_files_selected,
+    n_files_total); the result still needs the row-level filter (file
+    granularity is coarse), which Catalyst pushes into the scan.
+
+    The file list is driver-side by necessity (it parameterizes the scan),
+    but it is a FILE inventory, never data — same scale class as the
+    snapshot manifests in sources/snapshots.py."""
+    rows = stats.collect()
+    keep = []
+    for r in rows:
+        d = r.asDict()
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            if d[f"min_{c}"] > hi or d[f"max_{c}"] < lo:
+                ok = False
+                break
+        if ok:
+            keep.append(d["file"])
+    if not keep:
+        empty = spark.read.format(file_format).load(path).limit(0)
+        return empty, 0, len(rows)
+    df = spark.read.format(file_format).load(keep)
+    for c, (lo, hi) in predicates.items():
+        df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df, len(keep), len(rows)

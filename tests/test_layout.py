@@ -165,3 +165,45 @@ def test_partitioned_write_prunes_directories(spark, tmpdir):
         ).distinct().collect()
     }
     assert files and all("kind=b" in f for f in files)
+
+
+def test_zorder_stats_pruned_read_skips_files(spark, tmpdir):
+    """The full layout loop: zorder_write → file_stats manifest →
+    pruned_read with a small 2-D box must (a) touch strictly fewer files
+    than the layout holds and (b) return exactly the rows a full-scan
+    filter returns. A LINEAR layout on x makes the same y-predicate
+    touch EVERY file — the comparison that justifies Z-ordering."""
+    from cassandra_analytics_example_spark.operators.layout import (
+        file_stats,
+        pruned_read,
+        zorder_write,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x bigint, y bigint"
+    )
+    zorder_write(df, f"{tmpdir}/z", ["x", "y"], bits=6, n_files=16)
+    stats = file_stats(spark, f"{tmpdir}/z", ["x", "y"])
+    box = {"x": (8, 15), "y": (8, 15)}
+    got, n_sel, n_tot = pruned_read(spark, f"{tmpdir}/z", stats, box)
+    assert n_tot == 16
+    assert 0 < n_sel < n_tot, f"no skipping: {n_sel}/{n_tot}"
+    want = df.filter(
+        (F.col("x") >= 8) & (F.col("x") <= 15)
+        & (F.col("y") >= 8) & (F.col("y") <= 15)
+    )
+    assert got.count() == 64
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # linear layout on x: the y-box constrains nothing at file level
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(f"{tmpdir}/linear")
+    )
+    lin_stats = file_stats(spark, f"{tmpdir}/linear", ["x", "y"])
+    _, lin_sel, lin_tot = pruned_read(
+        spark, f"{tmpdir}/linear", lin_stats, {"y": (8, 15)}
+    )
+    assert lin_sel == lin_tot, "linear layout cannot skip on y"
