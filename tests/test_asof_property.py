@@ -132,3 +132,99 @@ def test_sessionize_matches_pandas_reference(spark):
         .reset_index(drop=True)
     )
     assert (got["session_id"].values == expected["session_id"].values).all()
+
+
+def test_salted_join_matches_pandas_merge_randomized(spark):
+    """Randomized check that salting never changes the join result:
+    skewed keys (zipf-ish), NULL-free bigint keys, varying bucket
+    counts — salted inner join must equal the pandas inner merge."""
+    rng = np.random.default_rng(20260814)
+    from cassandra_analytics_example_spark.operators.relational import (
+        salted_join,
+    )
+
+    for buckets in (1, 3, 8):
+        n_left = 1500
+        keys = np.minimum(rng.geometric(0.3, n_left), 12)  # heavy head
+        left = pd.DataFrame(
+            {
+                "k": keys.astype("int64"),
+                "uid": np.arange(n_left).astype("int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": np.arange(1, 10).astype("int64"),
+                "payload": rng.integers(0, 1_000, 9).astype("int64"),
+            }
+        )
+        got = (
+            salted_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                "k",
+                salt_id="uid",
+                buckets=buckets,
+            )
+            .toPandas()
+            .sort_values(["uid"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how="inner")
+            .sort_values(["uid"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), buckets
+        pd.testing.assert_frame_equal(
+            got[["k", "uid", "payload"]], want[["k", "uid", "payload"]]
+        )
+
+
+def test_merge_upsert_matches_pandas_randomized(spark):
+    """Randomized merge: result keys = (target − deleted) ∪ upserts, with
+    update rows winning on matched keys — checked against a pandas
+    reference merge over random key overlaps."""
+    rng = np.random.default_rng(20260815)
+    from cassandra_analytics_example_spark.operators.versioning import (
+        merge_upsert,
+    )
+
+    target = pd.DataFrame(
+        {
+            "id": np.arange(0, 300, dtype="int64"),
+            "v": rng.integers(0, 100, 300).astype("int64"),
+        }
+    )
+    upd_ids = rng.choice(np.arange(0, 450, dtype="int64"), 200, replace=False)
+    updates = pd.DataFrame(
+        {
+            "id": upd_ids,
+            "v": rng.integers(1000, 1100, 200).astype("int64"),
+            "is_delete": rng.random(200) < 0.25,
+        }
+    )
+    got = (
+        merge_upsert(
+            spark.createDataFrame(target),
+            spark.createDataFrame(updates),
+            "id",
+            delete_col="is_delete",
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    live_upd = updates[~updates.is_delete][["id", "v"]]
+    deleted = set(updates[updates.is_delete].id)
+    survivors = target[
+        ~target.id.isin(set(updates.id))
+    ]
+    want = (
+        pd.concat([survivors, live_upd])
+        .drop_duplicates("id", keep="last")
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = want[~want.id.isin(deleted)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"id": "int64", "v": "int64"}))
