@@ -643,16 +643,31 @@ def q36_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q37_approx_distinct",
-    oracle=None,
-    doc="approx_count_distinct(HLL++, rsd=1%) users per event_type vs exact "
-    "count - rows-only check (sketch estimates are engine-specific)",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+""",
+    doc="approx_count_distinct(HLL++, rsd=1%) users per event_type, "
+    "oracle-checked via an error bound: the sketch estimate itself is "
+    "engine-specific (HLL registers aren't bit-portable), so the query emits "
+    "the exact count plus a within_5pct boolean and the oracle asserts the "
+    "bound holds — a value-level gate on the sketch's accuracy contract",
     tags=("relational", "aggregate", "sketch"),
 )
 def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
