@@ -79,6 +79,33 @@ def ref_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_cassandra_branch_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="S1/K1 cassandra branch executed end-to-end via the Python "
+    "DataSource stand-in (sources/standin.py): generate → bulk-append "
+    "with partition-key write discipline → snapshot-isolated read-back "
+    "(createSnapshot, App.scala:113-114) → digest. A post-snapshot "
+    "append must be invisible to the digest.",
+    tags=("reference", "cassandra"),
+)
+def ref_cassandra_branch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="ref-cassandra-")
+    opts = {
+        "format": "cassandra",
+        "sidecar_contact_points": root,
+        "keyspace": "spark_test",
+        "table": "test",
+    }
+    write(
+        gen_dataset_deterministic(spark, N_ROWS, 8),
+        {**opts, "partition_key": "id", "splits": "8"},
+    )
+    snap = sources_read(spark, {**opts, "createSnapshot": "true"})
+    write(gen_dataset_deterministic(spark, 1234, 4), opts)  # must be invisible
+    return _digest(snap)
+
+
+@register(
     "ref_copy_roundtrip",
     oracle=_AGG_ORACLE,
     doc="flagship job: generate → write → copy test→test2 → digest of test2 "

@@ -60,6 +60,9 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         # Arrow for every pandas_udf / toPandas boundary.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Let Python DataSources (the cassandra stand-in) receive pushed
+        # filters instead of Spark re-filtering everything post-scan.
+        "spark.sql.python.filterPushdown.enabled": "true",
         # Input split sizing: 128 MB keeps ~100TB/128MB ≈ 800k tasks, fine for
         # a large cluster; local test files are far smaller anyway.
         "spark.sql.files.maxPartitionBytes": "134217728",

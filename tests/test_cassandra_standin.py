@@ -1,0 +1,179 @@
+"""Contract tests for the Cassandra stand-in Python DataSource
+(sources/standin.py) — executing the registry's ``cassandra`` branch
+end-to-end: option translation, snapshot isolation, two-phase append,
+bulk-write discipline, filter pushdown. Counterpart of the reference's
+connector usage (SparkUtils.scala:56-65, App.scala:40-46/107-115/151-160).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.datagen import gen_dataset_deterministic
+from cassandra_analytics_example_spark.sources import read, write
+from cassandra_analytics_example_spark.sources.registry import cassandra_format
+from cassandra_analytics_example_spark.sources.standin import (
+    STANDIN_FORMAT,
+    StandInReader,
+    table_dir,
+)
+
+
+def _opts(root, **extra):
+    return {
+        "format": "cassandra",
+        "sidecar_contact_points": str(root),
+        "keyspace": "spark_test",
+        "table": "test",
+        **extra,
+    }
+
+
+def test_standin_selected_without_connector_jar(spark):
+    # the sandbox has no connector jar → the probe must fall back
+    assert cassandra_format(spark) == STANDIN_FORMAT
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    df = gen_dataset_deterministic(spark, 1000, 4)
+    write(df, _opts(tmp_path, partition_key="id", splits="4"))
+    back = read(spark, _opts(tmp_path))
+    assert back.count() == 1000
+    assert set(back.columns) == {"id", "course", "marks"}
+    assert back.agg(F.sum("marks")).first()[0] == df.agg(F.sum("marks")).first()[0]
+    # two-phase commit left no staging residue
+    tdir = table_dir(_opts(tmp_path))
+    assert not glob.glob(os.path.join(tdir, ".staging-*"))
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    write(gen_dataset_deterministic(spark, 100, 2), _opts(tmp_path))
+    write(gen_dataset_deterministic(spark, 50, 2), _opts(tmp_path))
+    assert read(spark, _opts(tmp_path)).count() == 150
+
+
+def test_write_discipline_sorts_within_files(spark, tmp_path):
+    """partition_key discipline (repartition + sortWithinPartitions — the
+    library's token-sort, SURVEY §2.2 K1) must survive through the sink:
+    every produced file is internally sorted by the key."""
+    write(
+        gen_dataset_deterministic(spark, 2000, 8),
+        _opts(tmp_path, partition_key="id", splits="8"),
+    )
+    tdir = table_dir(_opts(tmp_path))
+    files = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert len(files) > 1
+    for f in files:
+        ids = pq.read_table(os.path.join(tdir, f), columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids)
+
+
+def test_snapshot_isolation(spark, tmp_path):
+    write(gen_dataset_deterministic(spark, 500, 4), _opts(tmp_path))
+    snap = read(
+        spark, _opts(tmp_path, createSnapshot="true", snapshotName="s1")
+    )
+    write(gen_dataset_deterministic(spark, 123, 2), _opts(tmp_path))
+    # snapshot re-read sees the frozen set; a live read sees the append
+    assert read(spark, _opts(tmp_path, snapshotName="s1")).count() == 500
+    assert snap.count() == 500
+    assert read(spark, _opts(tmp_path)).count() == 623
+
+
+def test_filter_pushdown_values(spark, tmp_path):
+    write(gen_dataset_deterministic(spark, 1000, 4), _opts(tmp_path))
+    got = (
+        read(spark, _opts(tmp_path))
+        .filter((F.col("id") >= 100) & (F.col("id") < 200))
+        .count()
+    )
+    assert got == 100
+
+
+def test_pushfilters_consumes_comparisons(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringContains
+
+    write(gen_dataset_deterministic(spark, 10, 1), _opts(tmp_path))
+    r = StandInReader(
+        {k: str(v) for k, v in _opts(tmp_path).items()},
+        read(spark, _opts(tmp_path)).schema,
+        None,
+    )
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 5),
+                EqualTo(("marks",), 7),
+                StringContains(("course",), "x"),  # not translatable → returned
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], StringContains)
+    assert len(r._pushed) == 2
+
+
+def test_control_key_leak_rejected(spark, tmp_path):
+    """Registry control keys must be stripped by cassandra_options before
+    the DataSource — a leaked key is a hard error, not a silent ignore."""
+    write(gen_dataset_deterministic(spark, 10, 1), _opts(tmp_path))
+    with pytest.raises(Exception, match="control key|BAD_"):
+        (
+            spark.read.format(STANDIN_FORMAT)
+            .options(
+                sidecar_contact_points=str(tmp_path),
+                keyspace="spark_test",
+                table="test",
+                path="/leaked/path",
+            )
+            .load()
+            .count()
+        )
+
+
+def test_missing_keyspace_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="keyspace"):
+        read(spark, {"format": "cassandra", "sidecar_contact_points": str(tmp_path)})
+
+
+def test_hostport_contact_points_rejected(spark, tmp_path):
+    write(gen_dataset_deterministic(spark, 10, 1), _opts(tmp_path))
+    with pytest.raises(Exception, match="host:port|cluster root"):
+        (
+            spark.read.format(STANDIN_FORMAT)
+            .options(
+                sidecar_contact_points="localhost:9043",
+                keyspace="spark_test",
+                table="test",
+            )
+            .load()
+            .count()
+        )
+
+
+def test_abort_cleans_staging(tmp_path):
+    from cassandra_analytics_example_spark.sources.standin import (
+        StandInWriter,
+        _StagedFile,
+    )
+
+    tdir = os.path.join(tmp_path, "spark_test", "test")
+    os.makedirs(tdir)
+    w = StandInWriter(
+        {
+            "sidecar_contact_points": str(tmp_path),
+            "keyspace": "spark_test",
+            "table": "test",
+        },
+        overwrite=False,
+    )
+    os.makedirs(w._staging)
+    staged = os.path.join(w._staging, "part-00000-x.parquet")
+    open(staged, "w").close()
+    w.abort([_StagedFile(staged=staged, final=os.path.join(tdir, "p.parquet"))])
+    assert not os.path.exists(w._staging)
+    assert os.listdir(tdir) == []
