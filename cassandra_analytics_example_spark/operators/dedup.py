@@ -567,24 +567,31 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list — the clustering step
     that turns pairwise evidence into dedup groups (one representative per
     cluster = keep-list). Returns (id, cluster_id) for every id appearing
     in ``pairs``, where cluster_id is the minimum id in the component.
 
-    Iterative min-label propagation: each round, every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds. Near-dup components are band/bucket
-    cliques and unions of cliques, so the diameter is tiny (2-4) in
-    practice — pathological long chains are bounded by ``max_iter``
-    (raise on non-convergence rather than return wrong clusters). Each
-    round is one equi-join + one partial-aggregated groupBy on the node
-    id; ``localCheckpoint`` truncates the lineage so the plan stays flat
-    across rounds (on a multi-executor cluster prefer a reliable
-    ``checkpoint`` dir — localCheckpoint does not survive executor loss).
-    The per-round ``count()`` is a convergence test (an aggregate action,
-    no data collected to the driver).
+    Min-label propagation WITH pointer jumping (the HCC/"shortcutting"
+    idea from the Pegasus / MapReduce-CC literature): each round every
+    node takes (1) the minimum label among its neighbors, then (2) its
+    label's label — so label chains halve every round and convergence is
+    O(log diameter) rounds, not O(diameter). Near-dup components are
+    band/bucket cliques (diameter 2-4) where this costs one extra
+    equi-join; on pathological chain-shaped components it is the
+    difference between 10 rounds and 1000. Non-convergence within
+    ``max_iter`` raises rather than returning wrong clusters.
+
+    Each round: neighbor-min (equi-join + partial-aggregated groupBy on
+    the node id) + shortcut (self-equi-join on the label), then one
+    ``localCheckpoint`` to keep the plan flat across rounds (on a
+    multi-executor cluster prefer a reliable ``checkpoint`` dir —
+    localCheckpoint does not survive executor loss). The per-round
+    ``count()`` is a convergence test over the just-checkpointed
+    partitions (an aggregate action, no data collected to the driver,
+    no recompute). ``stats``, when given, records ``rounds``.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(
@@ -596,7 +603,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    for _ in range(max_iter):
+    for rnd in range(1, max_iter + 1):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -607,19 +614,41 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr").alias("nbr_min"))
         )
-        updated = labels.join(
+        stepped = labels.join(
             nbr_min.select(F.col("a").alias("id"), "nbr_min"), "id", "left"
         ).select(
             "id",
+            F.col("cluster_id").alias("old"),
             F.least(
                 F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
             ).alias("cluster_id"),
-            (F.col("nbr_min") < F.col("cluster_id")).alias("__chg"),
         )
-        updated = updated.localCheckpoint(eager=True)
+        # pointer jump: cluster_id ← label(cluster_id). Every label IS a
+        # node id, so the self-join resolves one indirection per round,
+        # halving chain depth (inner-join-safe via left + coalesce).
+        jumped = stepped.join(
+            stepped.select(
+                F.col("id").alias("cluster_id"),
+                F.col("cluster_id").alias("parent"),
+            ),
+            "cluster_id",
+            "left",
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("parent", "cluster_id")
+            ).alias("cluster_id"),
+            (
+                F.least(F.col("cluster_id"), F.coalesce("parent", "cluster_id"))
+                < F.col("old")
+            ).alias("__chg"),
+        )
+        updated = jumped.localCheckpoint(eager=True)
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rnd
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "

@@ -217,24 +217,29 @@ def pruned_read(
     n_files_total); the result still needs the row-level filter (file
     granularity is coarse), which Catalyst pushes into the scan.
 
-    The file list is driver-side by necessity (it parameterizes the scan),
-    but it is a FILE inventory, never data — same scale class as the
-    snapshot manifests in sources/snapshots.py."""
-    rows = stats.collect()
-    keep = []
-    for r in rows:
-        d = r.asDict()
-        ok = True
-        for c, (lo, hi) in predicates.items():
-            if d[f"min_{c}"] > hi or d[f"max_{c}"] < lo:
-                ok = False
-                break
-        if ok:
-            keep.append(d["file"])
+    The overlap predicate runs DISTRIBUTED as a DataFrame filter over the
+    manifest; only the surviving file paths (plus one total count) come
+    back to the driver. At 100 TB a manifest is millions of rows — the
+    filter's cost stays on the cluster, and the driver sees only the
+    (small, selective) survivor list that parameterizes the scan — same
+    scale class as the snapshot manifests in sources/snapshot.py."""
+    overlap = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        overlap = (
+            overlap
+            & (F.col(f"min_{c}") <= F.lit(hi))
+            & (F.col(f"max_{c}") >= F.lit(lo))
+        )
+    # one pass over the manifest: total file count + surviving paths
+    agg = stats.agg(
+        F.count("*").alias("total"),
+        F.collect_list(F.when(overlap, F.col("file"))).alias("keep"),
+    ).first()
+    n_total, keep = agg["total"], sorted(agg["keep"])
     if not keep:
         empty = spark.read.format(file_format).load(path).limit(0)
-        return empty, 0, len(rows)
+        return empty, 0, n_total
     df = spark.read.format(file_format).load(keep)
     for c, (lo, hi) in predicates.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
-    return df, len(keep), len(rows)
+    return df, len(keep), n_total

@@ -166,3 +166,21 @@ def test_exact_dedup_prepass_collapses_identical_docs(spark):
     # the genuine near-dup still surfaces via the representative
     assert [(r.id_a, r.id_b) for r in pairs] == [(0, 3)]
     assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer jumping must converge a 64-node path in O(log diameter)
+    rounds — plain min-label propagation would need ~63. Guards the
+    shortcut join from silently regressing to linear rounds."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    got = connected_components(chain, max_iter=12, stats=stats)
+    assert got.filter("cluster_id != 1").count() == 0
+    assert got.count() == 64
+    assert stats["rounds"] <= 10, stats

@@ -207,3 +207,38 @@ def test_zorder_stats_pruned_read_skips_files(spark, tmpdir):
         spark, f"{tmpdir}/linear", lin_stats, {"y": (8, 15)}
     )
     assert lin_sel == lin_tot, "linear layout cannot skip on y"
+
+
+def test_pruned_read_distributed_filter_matches_driver_selection(spark, tmpdir):
+    """The manifest overlap filter runs as a DataFrame op; the surviving
+    file set must equal what a driver-side row walk over the same manifest
+    selects (the pre-distributed semantics, kept here as the oracle)."""
+    from cassandra_analytics_example_spark.operators.layout import (
+        file_stats,
+        pruned_read,
+        zorder_write,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x bigint, y bigint"
+    )
+    zorder_write(df, f"{tmpdir}/z2", ["x", "y"], bits=5, n_files=8)
+    stats = file_stats(spark, f"{tmpdir}/z2", ["x", "y"])
+    box = {"x": (4, 11), "y": (20, 27)}
+    got, n_sel, n_tot = pruned_read(spark, f"{tmpdir}/z2", stats, box)
+
+    want_files = sorted(
+        r["file"]
+        for r in stats.collect()
+        if all(
+            r[f"min_{c}"] <= hi and r[f"max_{c}"] >= lo
+            for c, (lo, hi) in box.items()
+        )
+    )
+    assert n_sel == len(want_files) and n_tot == 8
+    got_files = sorted(
+        r["f"]
+        for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    assert set(got_files) <= set(want_files)
+    assert got.count() == 8 * 8
