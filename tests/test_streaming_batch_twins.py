@@ -1,0 +1,112 @@
+"""Value-level batch-twin equivalence for the streaming operators at
+sf0.01 (VERDICT r2 #6): every streaming query whose driver row is
+rows-only gets a full-value gate against its deterministic batch twin on
+the oracle-scale fixture — s05↔q38, s06↔q45, s08↔batch min-ts.
+
+Equality is exact on keys/counts; double aggregates are rounded to 4
+decimals before the symmetric-difference compare (the batch side sums in
+exact DECIMAL, the streaming side in double — partition-order float
+drift is below 1e-6 at this scale, never above 1e-4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF01 = os.environ.get("SPARK_GRAFT_TWIN_DIR", "/root/testdata/sf0.01")
+
+
+def _assert_same(got, want) -> None:
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def _round_sum(df):
+    return df.withColumn("sum_value", F.round(F.col("sum_value"), 4))
+
+
+def test_s05_sliding_stream_matches_q38(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q38_sliding_windows,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_sliding_stream,
+    )
+
+    got = _round_sum(run_sliding_stream(spark, SF01))
+    want = _round_sum(q38_sliding_windows(spark, SF01))
+    _assert_same(got, want)
+
+
+def test_s06_stream_stream_join_matches_q45(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q45_view_purchase_attribution,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_stream_join,
+    )
+
+    got = run_stream_stream_join(spark, SF01).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.round(F.col("purchase_value"), 4).alias("purchase_value"),
+        F.unix_micros(F.to_timestamp("view_ts")).alias("view_ts_us"),
+        F.unix_micros(F.to_timestamp("purchase_ts")).alias("purchase_ts_us"),
+    )
+    want = q45_view_purchase_attribution(spark, SF01).withColumn(
+        "purchase_value", F.round(F.col("purchase_value"), 4)
+    )
+    _assert_same(got, want.select(*got.columns))
+
+
+def test_s08_first_seen_matches_batch_min_ts(spark):
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_first_seen_stream,
+    )
+
+    got = run_first_seen_stream(spark, SF01)
+    want = (
+        events(spark, SF01)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(
+                F.struct(F.col("ts_us").alias("ts_us"), F.col("value").alias("v"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.ts_us").alias("first_ts_us"),
+            F.col("m.v").alias("first_value"),
+        )
+    )
+    _assert_same(got, want.select(*got.columns))
+
+
+def test_s01_tumbling_stream_matches_q15_counts(spark):
+    """Tumbling twin at oracle scale: the streaming complete-mode output
+    must agree with the batch windowed aggregate on every (window,
+    event_type) count and rounded sum."""
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_tumbling_stream,
+    )
+
+    got = _round_sum(run_tumbling_stream(spark, SF01))
+    want = _round_sum(
+        events(spark, SF01)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    _assert_same(got, want.select(*got.columns))
