@@ -127,7 +127,9 @@ def spread(df, min_partitions: int | None = None):
             )
             or "134217728"
         )
-        size = int(plan.stats().sizeInBytes().toString())
+        # py4j hands BigInteger back as a Python int on recent Spark; older
+        # bridges return a JVM object — str() covers both.
+        size = int(str(plan.stats().sizeInBytes()))
         if size >= target * max_split:
             return df
     except Exception:

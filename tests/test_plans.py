@@ -236,3 +236,42 @@ def test_quantization_is_pure_projection(spark, registry):
     remain a zero-shuffle projection."""
     plan = plan_of(spark, registry, "q71_int8_quantization")
     assert "Exchange" not in plan
+
+
+def test_spread_fast_path_uses_plan_stats_not_rdd(spark, monkeypatch):
+    """spread() gates on the optimizer's size estimate via private plan
+    APIs (session.py). The try/except fallback touches df.rdd, which
+    forces physical planning per call — this test fails LOUDLY if a Spark
+    upgrade breaks the introspection and silently degrades every caller
+    to the slow path: with DataFrame.rdd booby-trapped, only the fast
+    path can succeed."""
+    from cassandra_analytics_example_spark.session import spread
+
+    df = spark.range(0, 1000)
+    monkeypatch.setattr(
+        type(df),  # the concrete (classic) DataFrame class, not the base
+        "rdd",
+        property(lambda self: (_ for _ in ()).throw(
+            AssertionError("spread() fell back to the df.rdd slow path")
+        )),
+    )
+    out = spread(df, 8)          # small input → repartition decision
+    again = spread(out, 8)       # existing Repartition(8) → identity
+    assert again is out
+    monkeypatch.undo()
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_spread_noop_when_estimate_large(spark):
+    """With maxPartitionBytes shrunk to 1, any parquet-backed estimate
+    exceeds target×1 bytes — spread() must return the input unchanged
+    (at 100 TB the file splits already provide the parallelism)."""
+    from cassandra_analytics_example_spark.session import spread
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert spread(df, 4) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
