@@ -56,6 +56,10 @@ HEADLINE = [
     "q74_funnel_view_click_purchase",  # chained-window funnel
     "q71_int8_quantization",    # zero-shuffle vector quantization
     "q85_training_pipeline_e2e",  # composed gate→dedup→split→chunk lineage
+    "q87_edit_distance_neardup",  # threshold-levenshtein near-dup, prefix blocking
+    "q90_bloom_semi_join",      # portable bloom-filter probe pruning
+    "q93_purchase_band_join",   # no-equi-key band join via cell bucketing
+    "q95_bm25_retrieval",       # BM25 sparse retrieval, quantized contributions
 ]
 
 

@@ -757,3 +757,65 @@ def duplicate_ngram_coverage(
             / F.count(F.lit(1)).cast("double")
         ).alias("dup_coverage"),
     )
+
+
+def edit_distance_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str] | None = None,
+    prefix_len: int = 32,
+    block_prefix: int = 4,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a text PREFIX with equi-join
+    blocking: candidates share ``block_cols`` plus the first
+    ``block_prefix`` characters; survivors have
+    ``levenshtein(prefix_a, prefix_b) <= max_dist``.
+
+    Complements the token-set family (Jaccard/MinHash measure BAG overlap,
+    blind to character-level edits inside tokens; Levenshtein catches
+    typo-grade mutations token methods miss). Blocking is the standard
+    equi-key trade: a pair differing inside its first ``block_prefix``
+    chars is missed — recall for bounded candidates, same contract as the
+    rarest-gram blocking in :func:`token_jaccard_dedup`.
+
+    Scale: one self-equi-join on the block key — block sizes track
+    (language x prefix) cardinality, never O(N^2). Spark's 3-arg
+    ``levenshtein`` early-exits above the threshold (returns -1), so the
+    per-candidate cost is bounded by ``max_dist`` band width, not
+    ``prefix_len^2``. Distances are exact integers — engine-portable with
+    no float hazard.
+    """
+    d = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (block_cols or [])],
+        F.substring(F.col(text_col), 1, prefix_len).alias("__p"),
+        F.substring(F.col(text_col), 1, block_prefix).alias("__blk"),
+    )
+    a = d.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__ba_{c}") for c in (block_cols or [])],
+        F.col("__p").alias("__pa"),
+        "__blk",
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__bb_{c}") for c in (block_cols or [])],
+        F.col("__p").alias("__pb"),
+        "__blk",
+    )
+    joined = a.join(b, on="__blk")
+    for c in block_cols or []:
+        joined = joined.filter(F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    lev = F.expr(f"levenshtein(__pa, __pb, {int(max_dist)})")
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            *[F.col(f"__ba_{c}").alias(c) for c in (block_cols or [])],
+            lev.alias("lev"),
+        )
+        .filter(F.col("lev") >= 0)
+    )

@@ -92,3 +92,26 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(
         F.explode(F.array(*profiles)).alias("p")
     ).select("p.*")
+
+
+def constraint_audit(checks: dict[str, DataFrame]) -> DataFrame:
+    """dbt-style data-quality audit: union the named violation sets into
+    one (check_name, n_violations) report, computed in a single job.
+
+    Each value is a DataFrame whose ROWS ARE THE VIOLATIONS (an anti-join
+    for referential integrity, a filter for range/null/uniqueness rules);
+    the report only aggregates counts, so the heavy inputs are never
+    collected. At 100 TB each FK check is one anti-join whose dimension
+    side is broadcastable, and Catalyst prunes every check down to the
+    columns it actually tests — the audit costs roughly one scan per
+    distinct fact table, not per check."""
+    parts = [
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        for name, v in checks.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -265,3 +265,60 @@ def funnel_stages(
         )
         prev_t = F.col(tcol)
     return out.select(user_col, *names).distinct()
+
+
+def banded_self_join(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    band: int,
+    extra_cond=None,
+) -> DataFrame:
+    """All pairs of rows whose non-negative bigint ``value_col`` differs
+    by at most ``band`` — a band (interval) join WITHOUT an equi key,
+    made scale-safe by cell-bucketed candidate generation.
+
+    A naive |a.v - b.v| <= band predicate plans as a nested-loop cross
+    join (no equi key to shuffle on) — the 100 TB killer. Bucketing
+    ``v div band`` into cells restores an equi key: a qualifying pair's
+    cells differ by at most 1, so joining the LEFT side expanded to
+    {cell, cell+1} against the RIGHT side's plain cell covers every pair
+    in whichever orientation puts the earlier cell on the left; the band
+    predicate then verifies exactly, and least/greatest + distinct
+    canonicalizes pair order (a pair can collide in two cells).
+    Cost: one equi-join on the cell id, candidates ~ 2x cell occupancy
+    squared, never N^2. Returns (id_a, id_b, delta) with id_a < id_b.
+
+    ``extra_cond(cols) -> Column`` adds a verification predicate over
+    the joined row; left/right carried columns surface as ``l_<name>`` /
+    ``r_<name>`` (every input column except id/value is carried)."""
+    carry = [c for c in df.columns if c not in (id_col, value_col)]
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.expr(f"CAST({value_col} AS BIGINT) div {int(band)}").alias("__c"),
+        *carry,
+    )
+    left = base.select(
+        F.col("__id").alias("__id_l"),
+        F.col("__v").alias("__v_l"),
+        F.explode(F.array(F.col("__c"), F.col("__c") + 1)).alias("__cell"),
+        *[F.col(c).alias(f"l_{c}") for c in carry],
+    )
+    right = base.select(
+        F.col("__id").alias("__id_r"),
+        F.col("__v").alias("__v_r"),
+        F.col("__c").alias("__cell"),
+        *[F.col(c).alias(f"r_{c}") for c in carry],
+    )
+    joined = left.join(right, "__cell").filter(
+        (F.col("__id_l") != F.col("__id_r"))
+        & (F.abs(F.col("__v_l") - F.col("__v_r")) <= band)
+    )
+    if extra_cond is not None:
+        joined = joined.filter(extra_cond(joined))
+    return joined.select(
+        F.least("__id_l", "__id_r").alias("id_a"),
+        F.greatest("__id_l", "__id_r").alias("id_b"),
+        F.abs(F.col("__v_l") - F.col("__v_r")).alias("delta"),
+    ).distinct()

@@ -7,7 +7,7 @@ ANSI-portable, so every operator is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.functions.text import (
@@ -342,4 +342,131 @@ def unigram_logprob_scores(
             F.sum(F.col("tf") * F.col("logp_q")).cast("bigint").alias("score_qnats"),
             F.sum("tf").cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_bounds: tuple[int, ...] = (100, 1000),
+) -> DataFrame:
+    """Tokenizer-vocabulary sizing report: rank terms by global frequency
+    (count desc, term asc — a total order) and report, per rank bucket
+    (top-100, 101-1000, rest), the term count, summed frequency and
+    corpus coverage ratio. This is the measurement behind "how big must
+    the vocab be": coverage(top-V) is the fraction of tokens a V-entry
+    vocabulary explains.
+
+    Scale: the corpus collapses to term counts first (one explode +
+    count shuffle, output tracks VOCABULARY size); the global rank
+    window then runs over that small layer — ordering a vocabulary,
+    never a corpus. Coverage ratios are single divisions of exact
+    integer sums (engine-identical)."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    bucket = F.when(F.col("rnk") <= bucket_bounds[0], F.lit("top_100"))
+    bucket = bucket.when(
+        F.col("rnk") <= bucket_bounds[1], F.lit("top_101_1000")
+    ).otherwise(F.lit("rest"))
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        ranked.select(bucket.alias("bucket"), "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("cnt").cast("bigint").alias("sum_freq"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_terms",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantum: int = 10_000,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    sparse-retrieval baseline next to the dense ANN family.
+
+    Per-(doc, term) contributions are quantized to integer 1e-4 units
+    BEFORE the per-doc sum (the q67 discipline), so the reduction is
+    order-independent and engine-exact; only ln/division ulps remain,
+    below the quantum. Plan: one explode→(doc, term) count (tf), doc
+    lengths from the same pass, df per query term from the tf layer, and
+    a broadcast join of the k-term score table back onto the tf rows —
+    the corpus shuffles once on the doc id. avgdl is a single division
+    of exact integers."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf_all = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    from cassandra_analytics_example_spark.session import pin_small
+
+    tf_all = pin_small(tf_all)
+    dl = tf_all.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    q = F.array(*[F.lit(t) for t in query_terms])
+    tf_q = tf_all.filter(F.array_contains(q, F.col("term")))
+    dfreq = tf_q.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        tf_q.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl").cast("double")
+                        / (
+                            F.col("total_tokens").cast("double")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+                * F.lit(quantum)
+            )
+            .cast("bigint")
+            .alias("contrib_q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("contrib_q").cast("bigint").alias("score_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
     )

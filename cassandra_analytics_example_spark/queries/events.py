@@ -759,3 +759,106 @@ def q86_range_frame_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_events_last_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# q93 — band join without an equi key: purchase events of DIFFERENT users
+# within 5 minutes of each other. Cell-bucketed candidate generation
+# (operators/relational.py:banded_self_join) keeps it an equi-join on the
+# cell id — the naive |Δts| predicate would plan as a nested-loop cross
+# join.
+# --------------------------------------------------------------------------
+
+_BAND_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "q93_purchase_band_join",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       abs(a.tus - b.tus) AS delta
+FROM p a JOIN p b
+  ON a.event_id < b.event_id
+ AND a.user_id <> b.user_id
+ AND abs(a.tus - b.tus) <= {_BAND_US}
+""",
+    doc="band self-join (no equi key): cross-user purchase pairs within "
+    "5 min via div-band cell bucketing — equi-join on the cell id, "
+    "never a nested-loop cross join",
+    tags=("events", "join", "scale"),
+)
+def q93_purchase_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.relational import (
+        banded_self_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return banded_self_join(
+        p,
+        "event_id",
+        "ts_us",
+        _BAND_US,
+        extra_cond=lambda j: F.col("l_user_id") != F.col("r_user_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 — windowed first-event dedup: first event per (user, type) per
+# 30-min tumbling window — the SQL-expressible batch twin of streaming
+# suppression dedup (s03's semantics restricted to window-aligned
+# suppression; total order on (ts, event_id) makes it deterministic).
+# --------------------------------------------------------------------------
+
+_W30_US = 1_800_000_000
+
+
+@register(
+    "q94_windowed_first_event",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+         (epoch_us(ts) // {_W30_US}) AS w
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, event_type, w
+           ORDER BY tus, event_id) AS rn
+  FROM e
+)
+SELECT user_id, event_type,
+       CAST(w * {_W30_US} AS BIGINT) AS window_start_us,
+       event_id, tus AS ts_us
+FROM r WHERE rn = 1
+""",
+    doc="windowed first-event dedup: one survivor per (user, type, "
+    "30-min tumbling window), deterministic (ts, event_id) order — "
+    "batch twin of streaming suppression dedup, one shuffle on the "
+    "composite key",
+    tags=("events", "dedup", "window"),
+)
+def q94_windowed_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = F.expr(f"ts_us div {_W30_US}")
+    win = Window.partitionBy("user_id", "event_type", "__w").orderBy(
+        "ts_us", "event_id"
+    )
+    return (
+        ev.select("user_id", "event_type", "event_id", "ts_us", w.alias("__w"))
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("__w") * _W30_US).cast("bigint").alias("window_start_us"),
+            "event_id",
+            "ts_us",
+        )
+    )

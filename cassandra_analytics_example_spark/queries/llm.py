@@ -1674,3 +1674,140 @@ def q85_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_hash"),
         "n_chunk_tokens",
     )
+
+
+# ------------------------------------------------- edit-distance near-dup ---
+
+
+@register(
+    "q87_edit_distance_neardup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang,
+         substring(text, 1, 32) AS p32,
+         substring(text, 1, 4)  AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+       levenshtein(a.p32, b.p32) AS lev
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p32, b.p32) <= 8
+""",
+    doc="edit-distance near-dup (typo-grade mutations token-set methods "
+    "miss): (lang, 4-char prefix) equi-join blocking, threshold "
+    "levenshtein <= 8 over 32-char prefixes — exact integer distances, "
+    "Spark's 3-arg levenshtein early-exits above the bound "
+    "(operators/dedup.py:edit_distance_neardup)",
+    tags=("llm", "dedup"),
+)
+def q87_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        edit_distance_neardup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return edit_distance_neardup(
+        docs.select("doc_id", "lang", "text"),
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        prefix_len=32,
+        block_prefix=4,
+        max_dist=8,
+    )
+
+
+# --------------------------------------------------- vocabulary coverage ---
+
+
+@register(
+    "q89_vocab_coverage",
+    oracle="""
+WITH counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk
+  FROM counts
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+SELECT CASE WHEN rnk <= 100 THEN 'top_100'
+            WHEN rnk <= 1000 THEN 'top_101_1000'
+            ELSE 'rest' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(cnt) AS BIGINT) AS sum_freq,
+       CAST(sum(cnt) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS coverage
+FROM ranked, tot
+GROUP BY 1
+""",
+    doc="tokenizer-vocabulary sizing: global term ranks (cnt desc, term "
+    "asc total order), coverage of top-100 / top-1000 / rest as single "
+    "divisions of exact integer sums — the rank window orders a "
+    "VOCABULARY-sized layer, never the corpus "
+    "(operators/text.py:vocab_coverage)",
+    tags=("llm", "text"),
+)
+def q89_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import vocab_coverage
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text")
+
+
+# ------------------------------------------------------------------ BM25 ---
+
+_BM25_TERMS = ("spark", "query", "window", "hash", "merge")
+
+
+@register(
+    "q95_bm25_retrieval",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf_all AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf_all GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_tokens
+  FROM dl
+),
+tf_q AS (
+  SELECT * FROM tf_all
+  WHERE term IN ('spark', 'query', 'window', 'hash', 'merge')
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_q GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(sum(CAST(floor(
+         ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         * (CAST(tf AS DOUBLE) * 2.2)
+         / (CAST(tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                     / (CAST(total_tokens AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE))))
+         * 10000) AS BIGINT)) AS BIGINT) AS score_q,
+       CAST(count(*) AS BIGINT) AS n_hit_terms
+FROM tf_q t JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+    doc="BM25 sparse retrieval (k1=1.2, b=0.75) against a fixed 5-term "
+    "query: per-(doc,term) contributions quantized to integer 1e-4 nats "
+    "before the per-doc sum (q67 discipline, order-independent and "
+    "engine-exact) — df/score table broadcast, corpus shuffles once on "
+    "doc id (operators/text.py:bm25_scores)",
+    tags=("llm", "text", "retrieval"),
+)
+def q95_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS))

@@ -1191,3 +1191,286 @@ def q82_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("v_min"),
         F.max("o_totalprice").alias("v_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# q88 — constraint audit: dbt-style data-quality checks (FK orphans,
+# uniqueness, range/null rules) as one unioned report. Each FK check is a
+# broadcastable anti-join; the audit never collects the violating rows,
+# only counts them.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q88_constraint_audit",
+    oracle="""
+SELECT 'fk_lineitem_orders' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'fk_customer_nation', CAST(count(*) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_nationkey IS NULL
+UNION ALL
+SELECT 'pk_orders_unique', CAST(count(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'range_l_quantity_1_50', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'positive_o_totalprice', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_totalprice <= 0
+UNION ALL
+SELECT 'nonnull_l_shipdate', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_shipdate IS NULL
+""",
+    doc="data-quality constraint audit: FK orphans (anti-joins, dims "
+    "broadcast), PK uniqueness, range and null rules — one report row "
+    "per check, violations counted distributed, never collected",
+    tags=("relational", "quality"),
+)
+def q88_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.profiling import (
+        constraint_audit,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    return constraint_audit(
+        {
+            # key-only anti-joins; AQE broadcasts when the key set fits,
+            # shuffles otherwise (orders/customer keys are NOT dim-sized
+            # at 100 TB — only nation is force-broadcast)
+            "fk_lineitem_orders": li.join(
+                o.select("o_orderkey"),
+                li["l_orderkey"] == o["o_orderkey"],
+                "left_anti",
+            ),
+            "fk_orders_customer": o.join(
+                c.select("c_custkey"),
+                o["o_custkey"] == c["c_custkey"],
+                "left_anti",
+            ),
+            "fk_customer_nation": c.join(
+                F.broadcast(n.select("n_nationkey")),
+                c["c_nationkey"] == n["n_nationkey"],
+                "left_anti",
+            ),
+            "pk_orders_unique": dup_pk,
+            "range_l_quantity_1_50": li.filter(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ),
+            "positive_o_totalprice": o.filter(F.col("o_totalprice") <= 0),
+            "nonnull_l_shipdate": li.filter(F.col("l_shipdate").isNull()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# q90 — portable bloom-filter semi-join pruning: fixed-size md5-derived
+# bit set built from the member side, probe side pre-filtered before the
+# exact join. The filter is engine-portable (md5 positions), so the
+# oracle reproduces the EXACT false-positive set, not just a bound.
+# --------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 8192, 3
+
+
+@register(
+    "q90_bloom_semi_join",
+    oracle=f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+probe AS (SELECT DISTINCT c_custkey AS k FROM customer),
+bits AS (
+  SELECT DISTINCT unnest(
+    [(CAST(('0x' || substr(md5('0' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M}),
+     (CAST(('0x' || substr(md5('1' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M}),
+     (CAST(('0x' || substr(md5('2' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M})]
+  ) AS bit FROM members
+),
+ppos AS (
+  SELECT k, unnest(
+    [(CAST(('0x' || substr(md5('0' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M}),
+     (CAST(('0x' || substr(md5('1' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M}),
+     (CAST(('0x' || substr(md5('2' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M})]
+  ) AS bit FROM probe
+),
+pass AS (
+  SELECT k FROM ppos JOIN bits USING (bit) GROUP BY k
+  HAVING count(*) = {_BLOOM_K}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe)   AS n_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM probe p
+         WHERE EXISTS (SELECT 1 FROM members m WHERE m.k = p.k)) AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM pass)    AS n_bloom_pass,
+       (SELECT CAST(count(*) AS BIGINT) FROM pass p
+         WHERE NOT EXISTS (SELECT 1 FROM members m WHERE m.k = p.k))
+                                                      AS n_false_positives
+""",
+    doc="portable bloom-filter semi-join: md5-position bit set (m=8192, "
+    "k=3) built from urgent-order custkeys, customers probed through it "
+    "before the exact semi-join — fixed-size broadcastable filter, zero "
+    "false negatives, deterministic false-positive set the oracle "
+    "reproduces bit-for-bit",
+    tags=("relational", "join", "scale"),
+)
+def q90_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    members = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probe = c.select(F.col("c_custkey").alias("k")).distinct()
+    bits = bloom_build(members, "k", m=_BLOOM_M, k=_BLOOM_K)
+    probed = bloom_probe(probe, "k", bits, m=_BLOOM_M, k=_BLOOM_K)
+    is_member = probe.join(members, "k", "left_semi")
+    passed = probed.filter(F.col("bloom_pass")).select("k")
+    fp = passed.join(members, "k", "left_anti")
+    n_probe = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    n_members = is_member.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    n_pass = passed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass")
+    )
+    n_fp = fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_false_positives")
+    )
+    return (
+        n_probe.crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_fp))
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 — unpivot (melt): wide single-row profile → long (stat, value)
+# form, the reshaping surface (DataFrame.unpivot) a metrics pipeline
+# needs to land engine-agnostic stat tables.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q91_unpivot_stats",
+    oracle="""
+WITH w AS (
+  SELECT CAST(min(l_quantity) AS DOUBLE)       AS min_qty,
+         CAST(max(l_quantity) AS DOUBLE)       AS max_qty,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(min(l_extendedprice) AS DOUBLE)  AS min_price,
+         CAST(max(l_extendedprice) AS DOUBLE)  AS max_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                               AS avg_price,
+         CAST(min(l_discount) AS DOUBLE)       AS min_disc,
+         CAST(max(l_discount) AS DOUBLE)       AS max_disc
+  FROM lineitem
+)
+SELECT stat, value FROM w
+UNPIVOT (value FOR stat IN (min_qty, max_qty, avg_qty, min_price,
+                            max_price, avg_price, min_disc, max_disc))
+""",
+    doc="unpivot/melt: one wide profile row reshaped to (stat, value) "
+    "long form via DataFrame.unpivot — avg as exact-sum single division",
+    tags=("relational", "reshape"),
+)
+def q91_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        (
+            F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        (
+            F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.min("l_discount").cast("double").alias("min_disc"),
+        F.max("l_discount").cast("double").alias("max_disc"),
+    )
+    return wide.unpivot(
+        [],
+        [
+            "min_qty",
+            "max_qty",
+            "avg_qty",
+            "min_price",
+            "max_price",
+            "avg_price",
+            "min_disc",
+            "max_disc",
+        ],
+        "stat",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 — schema-evolution read: two parquet snapshots written with
+# different schemas (a column added between versions) read back as ONE
+# table via mergeSchema; the missing column null-fills. The source-layer
+# capability every long-lived 100 TB table eventually needs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q92_schema_evolution_read",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+         AS n_evolved,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+         AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+    doc="schema evolution: v1 snapshot (doc_id, lang) + v2 snapshot with "
+    "an added n_chars column, read as one table with mergeSchema=true — "
+    "v1 rows null-fill the evolved column; aggregate proves the merged "
+    "read sees both vintages",
+    tags=("relational", "source"),
+)
+def q92_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="schema-evo-")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/v=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(f"{root}/v=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/v=1", f"{root}/v=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("n_chars").cast("bigint").alias("n_evolved"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
