@@ -274,6 +274,35 @@ def minhash_lsh_dedup(
     cands = lsh_candidate_pairs(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size
     )
+    # Size-ratio prefilter — RESULT-IDENTICAL, not a recall trade:
+    # |A∩B| <= min(|A|,|B|) bounds jaccard <= min/max, so j >= t forces
+    # min >= t*max. Sizes ride a tiny broadcastable projection of the
+    # persisted shingle layer; candidates failing the bound never reach
+    # the array-intersect verification join.
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("__sz"))
+    cands = (
+        cands.join(
+            F.broadcast(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")
+                )
+            ),
+            "id_b",
+        )
+        .filter(
+            (F.col("__sza") >= jaccard_threshold * F.col("__szb"))
+            & (F.col("__szb") >= jaccard_threshold * F.col("__sza"))
+        )
+        .select("id_a", "id_b")
+    )
     joined = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
