@@ -109,3 +109,72 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return spread(payloads).mapInPandas(
         _sample, schema="doc_id bigint, frame_no int, frame_bytes binary"
     )
+
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_no int, n_samples int, energy bigint, peak int"
+)
+
+
+def attach_audio_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Multimodal AUDIO stand-in: payload = UTF-8 bytes of the text,
+    declared as 8-bit PCM mono. Real decode (wav/mp3 containers, codecs)
+    would live behind ``decode_audio`` and an audio library; the
+    deterministic byte-level interpretation keeps the plumbing —
+    schema, Arrow batches, framing — real and oracle-checkable."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("audio/pcm8-fake").alias("media_type"),
+        F.lit(8000).alias("sample_rate"),
+    )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Real audio decode — requires an audio library (soundfile/librosa),
+    not present in this environment. ``frame_energies`` interprets the
+    payload bytes directly as 8-bit PCM instead."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not available in this "
+        "build; frame_energies() treats payload bytes as 8-bit PCM"
+    )
+
+
+def frame_energies(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
+    """Per-frame audio features over opaque payloads via Arrow-batched
+    ``mapInPandas``: non-overlapping ``frame_size``-sample frames, each
+    reduced to (n_samples, energy, peak) with INTEGER arithmetic
+    (samples centered at 96, energy = sum of squares) so the features
+    are engine-exact. The frame explosion happens inside the Python
+    batch (numpy, vectorized per payload) — payload in, many small rows
+    out, the same shape as spectrogram/windowed-feature extraction."""
+    import numpy as np
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_no": [],
+                "n_samples": [],
+                "energy": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 96
+                )
+                for i, off in enumerate(range(0, len(data), frame_size)):
+                    seg = data[off : off + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(out)
+
+    return spread(payloads).mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)

@@ -516,3 +516,38 @@ def knn_quantized(
         rescored.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    method: str,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k audit of an approximate ANN result against the exact
+    baseline — the quality gate every approximate operator should ship
+    with (candidate-capped LSH/IVF trade recall for cost; this MEASURES
+    the trade instead of asserting it).
+
+    Per query: |approx top-k ∩ exact top-k| / k, via one semi-join on
+    (query, neighbor) and a per-query count; queries the approximate
+    method returned nothing for (empty bucket/cell) count as 0 hits, not
+    missing rows. Recall surfaces as a single division of exact integers.
+    Cost tracks the k·|queries| result tables, never the corpus."""
+    hits = (
+        exact.join(approx, [query_col, neighbor_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    base = exact.select(query_col).distinct()
+    return base.join(hits, query_col, "left").select(
+        F.col(query_col),
+        F.lit(method).alias("method"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.lit(k).cast("bigint").alias("k"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall"),
+    )

@@ -1811,3 +1811,112 @@ def q95_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS))
+
+
+# ------------------------------------------------------ ANN recall audit ---
+
+
+@register(
+    "q96_ann_recall_audit",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                       c.vec_id ASC) AS rnk
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rnk <= 5
+),
+b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM v
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                       c.vec_id ASC) AS rnk
+    FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rnk <= 5
+),
+qs AS (SELECT DISTINCT query_id FROM bf),
+h AS (
+  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n
+  FROM bf JOIN lsh USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT qs.query_id, 'lsh' AS method,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(5 AS BIGINT) AS k,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / 5.0 AS recall
+FROM qs LEFT JOIN h USING (query_id)
+""",
+    doc="recall@5 audit of the sign-LSH ANN path against the exact "
+    "brute-force baseline — the measured quality gate for the "
+    "approximate operator family; per-query hit counts via one "
+    "semi-join of the two k-row result tables "
+    "(operators/similarity.py:ann_recall)",
+    tags=("llm", "similarity", "quality"),
+)
+def q96_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(emb, queries, k=5, n_bits=4).select(
+        "query_id", "neighbor_id"
+    )
+    return ann_recall(exact, approx, k=5, method="lsh")
+
+
+# ------------------------------------------------------ audio multimodal ---
+
+
+@register(
+    "q97_audio_frame_energy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text
+  FROM documents
+)
+SELECT doc_id,
+       CAST((i-1) // 64 AS INT) AS frame_no,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum((ord(substr(text, i, 1)) - 96)
+                * (ord(substr(text, i, 1)) - 96)) AS BIGINT) AS energy,
+       CAST(max(abs(ord(substr(text, i, 1)) - 96)) AS INT) AS peak
+FROM chars
+GROUP BY 1, 2
+""",
+    doc="audio-shaped multimodal plumbing: deterministic 8-bit-PCM "
+    "interpretation of the payload bytes, framed into 64-sample windows "
+    "inside Arrow-batched mapInPandas (numpy per batch, never per-row "
+    "UDF) — integer energy/peak features, engine-exact; real codec "
+    "decode stubbed behind decode_audio "
+    "(operators/multimodal.py:frame_energies)",
+    tags=("llm", "multimodal"),
+)
+def q97_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.multimodal import (
+        attach_audio_payload,
+        frame_energies,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return frame_energies(attach_audio_payload(docs), frame_size=64)

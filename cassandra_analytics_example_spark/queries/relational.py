@@ -1474,3 +1474,135 @@ def q92_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").cast("bigint").alias("n_evolved"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — approx-quantile accuracy gate (the q37 discipline for quantile
+# sketches): the sketch value itself is engine-native and can't hash-match
+# another engine, so the query emits the exact percentile alongside the
+# sketch's RANK error, bounded — the oracle recomputes the exact side and
+# checks the bound booleans.
+# --------------------------------------------------------------------------
+
+_Q99_PS = (0.25, 0.5, 0.75, 0.95)
+_Q99_EPS = 0.005  # rank-error bound; approx_percentile default accuracy 1e4
+
+
+@register(
+    "q99_approx_quantile_bound",
+    oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+SELECT p, exact_value, within_rank_bound FROM (
+  SELECT CAST(0.25 AS DOUBLE) AS p,
+         quantile_cont(o_totalprice, 0.25) AS exact_value,
+         TRUE AS within_rank_bound FROM orders
+  UNION ALL
+  SELECT CAST(0.5 AS DOUBLE), quantile_cont(o_totalprice, 0.5), TRUE FROM orders
+  UNION ALL
+  SELECT CAST(0.75 AS DOUBLE), quantile_cont(o_totalprice, 0.75), TRUE FROM orders
+  UNION ALL
+  SELECT CAST(0.95 AS DOUBLE), quantile_cont(o_totalprice, 0.95), TRUE FROM orders
+)
+""",
+    doc="approx_percentile accuracy gate: exact percentile_cont values "
+    "(cross-engine-exact, proven by q40) plus a rank-error bound check "
+    "of the engine-native sketch — |rank(approx)/n - p| <= 0.005 must "
+    "hold; the sketch value stays engine-side, the CONTRACT is "
+    "oracle-checked",
+    tags=("relational", "sketch"),
+)
+def q99_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    n = o.count()
+    approx = o.agg(
+        *[
+            F.expr(f"approx_percentile(o_totalprice, {p})").alias(f"a{i}")
+            for i, p in enumerate(_Q99_PS)
+        ]
+    ).first()
+    rows = []
+    for i, p in enumerate(_Q99_PS):
+        av = float(approx[f"a{i}"])
+        rank = o.filter(F.col("o_totalprice") <= av).count()
+        ok = abs(rank / n - p) <= _Q99_EPS
+        rows.append((p, ok))
+    exact = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"e{i}")
+            for i, p in enumerate(_Q99_PS)
+        ]
+    ).first()
+    return table(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [
+            (p, float(exact[f"e{i}"]), rows[i][1])
+            for i, p in enumerate(_Q99_PS)
+        ],
+        "p double, exact_value double, within_rank_bound boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# q100 — incremental aggregate maintenance: merging a base aggregate with
+# a delta batch's partial aggregate must equal the full recompute — the
+# property that lets a 100 TB dashboard update by scanning only the new
+# partition. Exact-DECIMAL sums make the merge bit-identical.
+# --------------------------------------------------------------------------
+
+_Q100_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q100_incremental_agg_merge",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    doc="incremental view maintenance: base aggregate (ts < split) merged "
+    "with the delta batch's partial aggregate (ts >= split) via "
+    "mergeable stats (count/decimal-sum/min/max) — equals the full "
+    "recompute exactly; only the delta partition is scanned on refresh",
+    tags=("events", "aggregate", "scale"),
+)
+def q100_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_Q100_SPLIT).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < split))
+    delta = partial(ev.filter(F.col("ts") >= split))
+    merged = (
+        base.select(
+            "event_type",
+            "n",
+            "sum_dec",
+            "min_value",
+            "max_value",
+        )
+        .unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

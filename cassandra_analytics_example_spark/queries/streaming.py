@@ -146,3 +146,21 @@ def s09_stream_foreach_batch_upsert(
     )
 
     return run_foreach_batch_upsert(spark, sf_dir)
+
+
+@register(
+    "s10_stream_static_join",
+    oracle=None,
+    doc="Structured Streaming: stream-STATIC dimension join — events "
+    "stream enriched with a broadcast per-user segment table, stateless "
+    "(no watermark/state store); per-(segment, type) counts (batch "
+    "twin: same join+aggregate in batch, pinned by "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "join"),
+)
+def s10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_static_join,
+    )
+
+    return run_stream_static_join(spark, sf_dir)

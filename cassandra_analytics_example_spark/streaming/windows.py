@@ -451,3 +451,34 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_upserted"))
     )
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment: the unbounded events stream
+    joined to a bounded dimension snapshot — the everyday production
+    shape (facts stream in, dimensions sit in a table). The join is
+    STATELESS on the stream side (no watermark, no state store): each
+    microbatch joins against the static side, which Spark plans as a
+    broadcast when it fits — so the stream never shuffles on the join
+    key. The dimension here is a per-user segment table derived
+    deterministically from the fixture (user_id mod 5); in production it
+    is any slowly-changing table re-read per microbatch.
+
+    Returns per-(segment, event_type) counts re-aggregated in batch from
+    the enriched row stream (append mode — row-level joins emit
+    immediately; only the summary is small enough to assert on)."""
+    ev = stream_events(spark, sf_dir)
+    users = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("bigint"))
+    )
+    enriched = ev.join(F.broadcast(users), "user_id").select(
+        "event_id", "user_id", "segment", "event_type"
+    )
+    rows = _run_to_memory(enriched, spark, "append")
+    return (
+        rows.groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

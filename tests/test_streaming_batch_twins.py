@@ -110,3 +110,24 @@ def test_s01_tumbling_stream_matches_q15_counts(spark):
         )
     )
     _assert_same(got, want.select(*got.columns))
+
+
+def test_s10_stream_static_join_matches_batch(spark):
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_static_join,
+    )
+
+    got = run_stream_static_join(spark, SF01)
+    ev = events(spark, SF01)
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("bigint"))
+    )
+    want = (
+        ev.join(users, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    _assert_same(got, want.select(*got.columns))
