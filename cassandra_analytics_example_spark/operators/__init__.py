@@ -1,3 +1,7 @@
+from cassandra_analytics_example_spark.operators.membership import (
+    bloom_build,
+    bloom_probe,
+)
 from cassandra_analytics_example_spark.operators.layout import (
     compact_files,
     write_bucketed,
@@ -7,11 +11,13 @@ from cassandra_analytics_example_spark.operators.layout import (
 )
 from cassandra_analytics_example_spark.operators.profiling import (
     column_profile,
+    constraint_audit,
     hot_keys,
     key_skew_report,
 )
 from cassandra_analytics_example_spark.operators.relational import (
     asof_join,
+    banded_self_join,
     funnel_stages,
     lww_latest,
     salted_join,
@@ -25,6 +31,10 @@ from cassandra_analytics_example_spark.operators.versioning import (
 
 __all__ = [
     "top_k_per_group",
+    "banded_self_join",
+    "bloom_build",
+    "bloom_probe",
+    "constraint_audit",
     "lww_latest",
     "sessionize",
     "asof_join",

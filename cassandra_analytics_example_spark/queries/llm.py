@@ -11,7 +11,7 @@ oracle below recomputes signatures/scores from scratch in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.operators.dedup import (
@@ -1920,3 +1920,45 @@ def q97_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return frame_energies(attach_audio_payload(docs), frame_size=64)
+
+
+# --------------------------------------------------- curriculum binning ---
+
+
+@register(
+    "q98_curriculum_binning",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         ntile(4) OVER (PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id ASC) AS shard
+  FROM documents
+)
+SELECT lang, CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM scored
+GROUP BY 1, 2
+""",
+    doc="curriculum binning: per-language quartile shards over a quality "
+    "proxy (n_chars desc, doc_id tiebreak = total order) via ntile — "
+    "training-order construction as one keyed window + aggregate; the "
+    "window sorts per language partition, never globally",
+    tags=("llm", "sampling"),
+)
+def q98_curriculum_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("shard", F.ntile(4).over(w).cast("int"))
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

@@ -275,3 +275,61 @@ def test_spread_noop_when_estimate_large(spark):
         assert spread(df, 4) is df
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_banded_join_is_equi_on_cell_never_nested_loop(spark, registry):
+    """q93: the |Δts| <= band predicate must ride a cell-id EQUI join
+    (explode to {cell, cell+1} on one side); a CartesianProduct or
+    BroadcastNestedLoopJoin means the bucketing was lost and the plan is
+    O(N²) at scale."""
+    plan = plan_of(spark, registry, "q93_purchase_band_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the {cell, cell+1} expansion
+
+
+def test_bloom_probe_broadcasts_bits_not_members(spark, registry):
+    """q90: the probe side must join the fixed-size BIT table as a
+    broadcast — the whole point is that the member set never shuffles the
+    probe. A shuffle-side join of the bit table defeats the filter."""
+    plan = plan_of(spark, registry, "q90_bloom_semi_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_blocking_is_equi_join(spark, registry):
+    """q87: levenshtein verification must run inside a block-key equi
+    join, never a cross product over the corpus."""
+    plan = plan_of(spark, registry, "q87_edit_distance_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_bm25_corpus_single_tokenize_lineage(spark, registry):
+    """q95: the (doc, term) tf layer must be computed once (pinned) — the
+    df/score table, the doc-length table and the scored rows all read the
+    cached layer. Every tokenize explode in the printed plan must sit
+    INSIDE an InMemoryRelation subtree (the cache's child is printed once
+    per consumer); an explode outside one means the diamond recomputed."""
+    plan = plan_of(spark, registry, "q95_bm25_retrieval")
+    assert plan.count("InMemoryTableScan") >= 2  # shared tf layer, reused
+    assert plan.count("Generate explode") == plan.count("InMemoryRelation")
+
+
+def test_incremental_merge_partial_aggregation(spark, registry):
+    """q100: both the base/delta partials and the merge must keep
+    map-side partial aggregation (HashAggregate pairs), and no join —
+    the merge is a unionByName + re-aggregate."""
+    plan = plan_of(spark, registry, "q100_incremental_agg_merge")
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_windowed_first_event_single_shuffle(spark, registry):
+    """q94: one hashpartitioning exchange on the composite suppression
+    key feeding one Window — no join, no extra exchange."""
+    plan = plan_of(spark, registry, "q94_windowed_first_event")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
