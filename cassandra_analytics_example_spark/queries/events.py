@@ -862,3 +862,74 @@ def q94_windowed_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_us",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — dynamic partition pruning: a fact table PARTITIONED by
+# event_type joined to a small filtered dimension must prune fact
+# partitions AT RUNTIME from the dim's build side (DPP) — directories
+# for non-qualifying types are never listed, let alone read. The scan
+# gate lives in tests/test_plans.py (dynamicpruning in the scan's
+# PartitionFilters).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q101_dynamic_partition_pruning",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+""",
+    doc="dynamic partition pruning: event_type-partitioned fact x small "
+    "conversion-dimension join — the dim's runtime filter prunes fact "
+    "DIRECTORIES before the scan (plan-gated); at 100 TB this is the "
+    "difference between reading 2/5 and 5/5 of the table",
+    tags=("events", "join", "scale"),
+)
+def q101_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.layout import (
+        write_partitioned,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dpp-")
+    write_partitioned(
+        ev.select("event_id", "value", "event_type"), root, ["event_type"]
+    )
+    # Two conditions the PartitionPruning rule needs that a naive setup
+    # misses: (1) the benefit heuristic consults table stats and a
+    # fixture-sized fact is below threshold — pin the ratio-based path
+    # (at real scale the stats path inserts the filter on its own);
+    # (2) the dim filter must be "likely selective" — a comparison/IN
+    # predicate, NOT a bare boolean column (which isLikelySelective
+    # rejects), and it must survive as a Filter node, so the dim is
+    # parquet-backed rather than a constant-folded literal relation.
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
+    )
+    spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "conversion"),
+         ("signup", "conversion"), ("error", "noise")],
+        "event_type string, kind string",
+    ).write.mode("overwrite").parquet(f"{root}_dim")
+    fact = spark.read.parquet(root)
+    dim = spark.read.parquet(f"{root}_dim")
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("kind") == "conversion")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

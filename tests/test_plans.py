@@ -333,3 +333,12 @@ def test_windowed_first_event_single_shuffle(spark, registry):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_inserted(spark, registry):
+    """q101: the fact scan must carry a dynamicpruning expression in its
+    PartitionFilters — the dim's runtime filter prunes fact directories
+    before the scan. Without it the 'partitioned join' silently reads
+    every partition."""
+    plan = plan_of(spark, registry, "q101_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
