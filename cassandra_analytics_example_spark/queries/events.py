@@ -933,3 +933,48 @@ def q101_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — VariantType semi-structured path: parse_json once into a binary
+# variant column, then typed variant_get extractions — the modern
+# (shredded, vectorizable) alternative to per-field get_json_object
+# re-parsing (q14). The variant value itself is engine-internal; the
+# query surfaces only extracted SQL types, so the oracle checks values.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q102_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="VariantType semi-structured ingestion: props parsed ONCE via "
+    "parse_json into a variant column, typed variant_get extraction, "
+    "grouped aggregate — one parse per row regardless of extracted "
+    "field count, vs get_json_object's re-parse per field (q14)",
+    tags=("events", "json"),
+)
+def q102_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )

@@ -164,3 +164,21 @@ def s10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_static_join(spark, sf_dir)
+
+
+@register(
+    "s11_transform_with_state",
+    oracle=None,
+    doc="Structured Streaming: transformWithStateInPandas (the Spark 4 "
+    "typed-state API — ValueState handle per user) computing running "
+    "per-user count/sum across microbatches; O(distinct keys) state "
+    "(batch twin: per-user aggregate, pinned by "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "stateful"),
+)
+def s11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        transform_with_state_totals,
+    )
+
+    return transform_with_state_totals(spark, sf_dir)

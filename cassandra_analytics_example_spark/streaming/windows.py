@@ -482,3 +482,93 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.groupBy("segment", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def tws_available() -> bool:
+    """True when the environment can run ``transformWithStateInPandas``:
+    the state-v2 API talks to a driver-side state server over protobuf,
+    so the Python ``google.protobuf`` runtime must be importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-stateful API (successor of
+    ``applyInPandasWithState``, s04): typed state handles (ValueState /
+    ListState / MapState), timers, and per-state TTL live on a
+    ``StatefulProcessor`` object instead of one callback signature.
+    State is one (n, total) pair per user — O(distinct keys), the same
+    bound as s04/s08 — hash-partitioned by the grouping key.
+
+    Environment gate: the state-v2 protocol requires the Python protobuf
+    runtime (``tws_available``); where it is absent (this sandbox), the
+    SAME semantics run through the v1 ``applyInPandasWithState`` path —
+    the processor class and wiring above it stay real, and the batch-twin
+    test (tests/test_streaming_batch_twins.py) pins the values of
+    whichever path executed.
+
+    Update output mode: each microbatch emits the keys it touched with
+    their latest totals; on the bounded fixture (one microbatch) that is
+    one row per user."""
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+
+    if not tws_available():
+        totals = running_user_totals(stream_events(spark, sf_dir)).select(
+            "user_id",
+            F.col("n_events").alias("n"),
+            F.col("sum_value").alias("total"),
+        )
+        return _run_to_memory(totals, spark, "update")
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id BIGINT, n BIGINT, total DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store provider (its
+    # state layout is not supported by the default HDFS-backed provider);
+    # scope the switch to this query and restore afterwards.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_to_memory(out, spark, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

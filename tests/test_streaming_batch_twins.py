@@ -131,3 +131,23 @@ def test_s10_stream_static_join_matches_batch(spark):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     _assert_same(got, want.select(*got.columns))
+
+
+def test_s11_transform_with_state_matches_batch(spark):
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        transform_with_state_totals,
+    )
+
+    got = transform_with_state_totals(spark, SF01).withColumn(
+        "total", F.round(F.col("total"), 4)
+    )
+    want = (
+        events(spark, SF01)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
+    _assert_same(got, want.select(*got.columns))
