@@ -115,3 +115,31 @@ def constraint_audit(checks: dict[str, DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "F.Column"],
+    *,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` while collecting audit metrics IN THE SAME PASS via
+    ``Dataset.observe`` — row counts, null counts, sums ride the write
+    job as accumulator-style aggregates, so the "write + verify what you
+    wrote" pattern costs one scan, not two. At 100 TB the second
+    verification scan this replaces is hours of cluster time.
+
+    ``metrics`` values must be aggregate expressions (count/sum/min/max
+    over the observed plan). Returns the observed metric dict after the
+    write completes. (Spark exposes the same mechanism on streams via
+    ``StreamingQueryListener``; this is the batch form.)"""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_audit")
+    observed = df.observe(
+        obs, *[c.alias(n) for n, c in metrics.items()]
+    )
+    observed.write.format(file_format).mode(mode).save(path)
+    return obs.get

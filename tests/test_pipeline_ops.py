@@ -651,3 +651,35 @@ def test_merge_upsert_semantics(spark):
         ).collect()
     }
     assert got2 == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_observed_write_audits_in_single_pass(spark, tmp_path):
+    """observed_write: the audit metrics delivered by Dataset.observe
+    must equal a separate aggregate over the same input, and the write
+    must land — one scan does both jobs."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_example_spark.operators.profiling import (
+        observed_write,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "audited")
+    got = observed_write(
+        docs,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_lang": F.count(F.when(F.col("lang").isNull(), 1)),
+            "sum_chars": F.sum("n_chars"),
+        },
+    )
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("n_null_lang"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).first()
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_null_lang"] == want["n_null_lang"]
+    assert got["sum_chars"] == want["sum_chars"]
+    assert spark.read.parquet(out).count() == want["n_rows"]
