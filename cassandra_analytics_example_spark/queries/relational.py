@@ -1606,3 +1606,57 @@ def q100_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# --------------------------------------------------------------------------
+# q103 — versioned-table time travel: three commits (append evens, append
+# odds, overwrite with en-only), then reads AS OF v2 and AS OF v3 from
+# the transaction log — the Delta/Iceberg manifest-log pattern at
+# file-list scale (sources/versioned.py). Old versions stay readable
+# because commits delist files, never delete them.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q103_time_travel",
+    oracle="""
+SELECT 2 AS version, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 3, lang, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE lang = 'en' GROUP BY lang
+""",
+    doc="time travel over a transaction-logged table: v1 append (even "
+    "ids) + v2 append (odd ids) + v3 overwrite (en only); reads AS OF "
+    "v2 and v3 replay the commit log's file lists — versioned reads "
+    "cost a current read plus KBs of log (sources/versioned.py)",
+    tags=("relational", "source", "versioning"),
+)
+def q103_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.sources import versioned as V
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="timetravel-")
+    V.append(spark, root, docs.filter(F.col("doc_id") % 2 == 0))
+    V.append(spark, root, docs.filter(F.col("doc_id") % 2 == 1))
+    V.overwrite(spark, root, docs.filter(F.col("lang") == "en"))
+
+    def agg(df, version):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "lang",
+            "n_docs",
+            "sum_chars",
+        )
+
+    return agg(V.read_version(spark, root, 2), 2).unionByName(
+        agg(V.read_version(spark, root, 3), 3)
+    )
