@@ -82,3 +82,98 @@ def positions_sql(key_expr: str, m: int, k: int) -> str:
         for j in range(k)
     )
     return f"[{elems}]"
+
+
+def positions_py(value, m: int, k: int) -> list[int]:
+    """Driver-side twin of :func:`_positions` for a SINGLE probe value —
+    byte-identical to the column expression (md5 of ``str(seed) +
+    str(value)``, first 15 hex chars as int, mod m), so a point lookup
+    can compute its bit set without a Spark job."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{j}{value}".encode()).hexdigest()[:15], 16
+        ) % m
+        for j in range(k)
+    ]
+
+
+def file_bloom_stats(
+    spark,
+    path: str,
+    cols: list[str],
+    *,
+    m: int = 8192,
+    k: int = 3,
+    file_format: str = "parquet",
+) -> DataFrame:
+    """Per-file bloom manifests for ``cols``: one (file, col, bit) row per
+    set position — the data-skipping tier min-max statistics cannot
+    provide. A point predicate on a column whose values interleave across
+    files (uniform ids, hashes) overlaps EVERY file's min-max box; its
+    bloom bits miss in every file not actually holding the value. One
+    distributed pass grouped by ``input_file_name``; manifest size is
+    bounded by files x m bits regardless of row count — the same scale
+    class as the min-max manifest (``layout.file_stats``), and what
+    Parquet bloom filters / Iceberg bloom metrics persist natively."""
+    df = spark.read.format(file_format).load(path)
+    parts = []
+    for c in cols:
+        parts.append(
+            df.select(
+                F.input_file_name().alias("file"),
+                F.lit(c).alias("col"),
+                F.explode(_positions(F.col(c), m, k)).alias("bit"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def bloom_pruned_read(
+    spark,
+    path: str,
+    bloom_stats: DataFrame,
+    point_predicates: dict[str, object],
+    *,
+    m: int = 8192,
+    k: int = 3,
+    file_format: str = "parquet",
+):
+    """Read only the files whose bloom manifests contain ALL bit positions
+    of every ``col: value`` point predicate. The probe's positions are
+    computed driver-side (``positions_py``, no job); the manifest filter
+    runs distributed and only surviving file paths reach the driver
+    (same discipline as ``layout.pruned_read``). Returns (DataFrame,
+    n_files_selected, n_files_total); false-positive files are possible
+    (bloom property) — the row-level filter still applies — but false
+    negatives are not, so no qualifying row is ever skipped."""
+    want: dict[str, list[int]] = {
+        c: positions_py(v, m, k) for c, v in point_predicates.items()
+    }
+    needed = sum(len(set(bits)) for bits in want.values())
+    cond = F.lit(False)
+    for c, bits in want.items():
+        cond = cond | (
+            (F.col("col") == c) & F.col("bit").isin(*set(bits))
+        )
+    survivors = (
+        bloom_stats.filter(cond)
+        .groupBy("file")
+        .agg(F.count_distinct("col", "bit").alias("__nhit"))
+        .filter(F.col("__nhit") >= needed)
+        .select("file")
+    )
+    keep = sorted(r["file"] for r in survivors.collect())
+    n_total = bloom_stats.select("file").distinct().count()
+    if not keep:
+        empty = spark.read.format(file_format).load(path).limit(0)
+        df = empty
+    else:
+        df = spark.read.format(file_format).load(keep)
+    for c, v in point_predicates.items():
+        df = df.filter(F.col(c) == v)
+    return df, len(keep), n_total

@@ -242,3 +242,48 @@ def test_pruned_read_distributed_filter_matches_driver_selection(spark, tmpdir):
     )
     assert set(got_files) <= set(want_files)
     assert got.count() == 8 * 8
+
+
+def test_bloom_pruned_read_skips_files_minmax_cannot(spark, tmpdir):
+    """Point lookup on a key that INTERLEAVES across files: every file's
+    min-max box covers the probe (min-max skips nothing), but the bloom
+    manifest selects only the file(s) actually holding the key — and the
+    rows returned equal the full-scan filter."""
+    from cassandra_analytics_example_spark.operators.membership import (
+        bloom_pruned_read,
+        file_bloom_stats,
+    )
+
+    # id % 16 decides the file → every file spans [fileno, 4096) in id:
+    # min-max on id is useless, bloom is exact
+    df = spark.range(0, 4096).selectExpr("id", "id % 16 AS shard")
+    df.repartition(16, "shard").write.parquet(f"{tmpdir}/b")
+    n_files = (
+        spark.read.parquet(f"{tmpdir}/b")
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    stats = file_bloom_stats(spark, f"{tmpdir}/b", ["id"], m=65536, k=3)
+    got, n_sel, n_tot = bloom_pruned_read(
+        spark, f"{tmpdir}/b", stats, {"id": 1234}, m=65536, k=3
+    )
+    assert n_tot == n_files and n_files > 4
+    assert 1 <= n_sel < n_tot, f"bloom skipped nothing: {n_sel}/{n_tot}"
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234
+
+
+def test_bloom_pruned_read_absent_key_returns_empty(spark, tmpdir):
+    from cassandra_analytics_example_spark.operators.membership import (
+        bloom_pruned_read,
+        file_bloom_stats,
+    )
+
+    df = spark.range(0, 256).selectExpr("id", "id % 4 AS shard")
+    df.repartition(4, "shard").write.parquet(f"{tmpdir}/b2")
+    stats = file_bloom_stats(spark, f"{tmpdir}/b2", ["id"], m=65536, k=3)
+    got, n_sel, n_tot = bloom_pruned_read(
+        spark, f"{tmpdir}/b2", stats, {"id": 999_999}, m=65536, k=3
+    )
+    assert got.count() == 0 and n_tot >= 2
