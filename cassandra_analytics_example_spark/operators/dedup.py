@@ -848,3 +848,69 @@ def edit_distance_neardup(
         )
         .filter(F.col("lev") >= 0)
     )
+
+
+def overlap_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_overlap: int,
+) -> DataFrame:
+    """Set-overlap self-join with PREFIX FILTERING (the PPJoin family's
+    core idea, Xiao et al., public literature): pairs of documents whose
+    DISTINCT-token sets share at least ``min_overlap`` tokens.
+
+    Candidate generation: order each document's tokens by global rarity
+    (document frequency asc, token asc — a total order) and keep only the
+    first ``sz - min_overlap + 1`` as its PREFIX. Two sets with overlap
+    >= T must share at least one prefix token (pigeonhole: if they agree
+    on none of one side's rarest sz-T+1 tokens, at most sz - (sz-T+1) =
+    T-1 common tokens remain) — so an equi-join on prefix tokens finds
+    every qualifying pair while joining only the RAREST tokens, whose
+    postings are the shortest. Documents with fewer than ``min_overlap``
+    distinct tokens drop out before the join (they cannot qualify).
+
+    Verification is the exact intersection size on the distinct-token
+    arrays — integers, engine-exact. One persisted token lineage feeds
+    ranking and verification (the q22 persist trade); the frequency table
+    is vocabulary-sized and broadcast. Candidate cost tracks prefix
+    postings, never all-pairs."""
+    from pyspark.storagelevel import StorageLevel
+
+    arrays = df.select(
+        F.col(id_col), distinct_tokens(text_col).alias("__ts")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tok = arrays.select(F.col(id_col), F.explode("__ts").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("t").asc()
+    )
+    ranked = (
+        tok.join(F.broadcast(freq), "t")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn(
+            "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    pref = ranked.filter(
+        F.col("__rn") <= F.col("__sz") - F.lit(min_overlap) + 1
+    ).select(F.col(id_col), "t")
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "t")
+        .join(pref.select(F.col(id_col).alias("id_b"), "t"), "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = arrays.select(F.col(id_col).alias("id_a"), F.col("__ts").alias("__ta"))
+    b = arrays.select(F.col(id_col).alias("id_b"), F.col("__ts").alias("__tb"))
+    overlap = F.size(F.array_intersect("__ta", "__tb")).cast("bigint")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            passing(overlap, lambda o: o >= min_overlap, "overlap"),
+        )
+    )

@@ -1962,3 +1962,48 @@ def q98_curriculum_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ------------------------------------------- prefix-filter overlap join ---
+
+
+@register(
+    "q104_overlap_prefix_join",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM arr),
+freq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+ranked AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, t ASC)
+           AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS sz
+  FROM tok JOIN freq USING (t)
+),
+pref AS (SELECT doc_id, t FROM ranked WHERE rn <= sz - 30 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS overlap
+FROM cand c
+JOIN arr x ON x.doc_id = c.id_a
+JOIN arr y ON y.doc_id = c.id_b
+WHERE len(list_intersect(x.ts, y.ts)) >= 30
+""",
+    doc="set-overlap join with PPJoin-style prefix filtering: pairs "
+    "sharing >= 30 distinct tokens, candidates restricted to documents "
+    "agreeing on a RAREST-(sz-T+1)-prefix token (pigeonhole-complete, "
+    "shortest postings) — the absolute-overlap complement of the "
+    "Jaccard family (operators/dedup.py:overlap_join)",
+    tags=("llm", "dedup"),
+)
+def q104_overlap_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import overlap_join
+
+    docs = table(spark, sf_dir, "documents")
+    return overlap_join(docs, "doc_id", "text", min_overlap=30)

@@ -342,3 +342,13 @@ def test_dynamic_partition_pruning_inserted(spark, registry):
     every partition."""
     plan = plan_of(spark, registry, "q101_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_overlap_join_prefix_candidates_equi_join(spark, registry):
+    """q104: prefix-filter candidate generation must stay an equi-join on
+    the prefix token — no cross product — and verification must read the
+    token arrays through the persisted lineage."""
+    plan = plan_of(spark, registry, "q104_overlap_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
