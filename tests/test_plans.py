@@ -352,3 +352,62 @@ def test_overlap_join_prefix_candidates_equi_join(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_cbo_join_reorder_fixes_bad_user_order(spark):
+    """Cost-based join reordering: with table stats ANALYZEd and
+    cbo.joinReorder on, a star query written fact-first must come out of
+    the optimizer dim-first — the printed plan's OUTERMOST join becomes
+    the fact join (dims already reduced), where the naive user order
+    leaves the nation join outermost. This is the optimizer capability
+    that makes hand-ordering joins unnecessary at 100 TB."""
+    q = """
+    SELECT n_name, count(*) AS n
+    FROM cbo_lineitem l
+    JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+    JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+    JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in ("lineitem", "orders", "nation", "customer"):
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        shutil.rmtree(
+            warehouse.removeprefix("file:") + f"/cbo_{t}", ignore_errors=True
+        )
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable(f"cbo_{t}")
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS")
+    try:
+        def join_order(plan: str) -> tuple[int, int]:
+            lines = plan.splitlines()
+            fact = min(
+                i for i, l in enumerate(lines)
+                if "Join" in l and "l_orderkey" in l
+            )
+            dim = min(
+                i for i, l in enumerate(lines)
+                if "Join" in l and "n_nationkey" in l
+            )
+            return fact, dim
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        fact, dim = join_order(
+            spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert fact < dim, "CBO did not pull the fact join outermost"
+
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        fact0, dim0 = join_order(
+            spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert dim0 < fact0, "without CBO the user order should persist"
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for t in ("lineitem", "orders", "nation", "customer"):
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
