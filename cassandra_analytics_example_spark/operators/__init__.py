@@ -1,6 +1,25 @@
+from cassandra_analytics_example_spark.operators.dedup import (
+    dedup_keep_list,
+    edit_distance_neardup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    overlap_join,
+)
 from cassandra_analytics_example_spark.operators.membership import (
     bloom_build,
     bloom_probe,
+    bloom_pruned_read,
+    file_bloom_stats,
+)
+from cassandra_analytics_example_spark.operators.profiling import (
+    observed_write,
+)
+from cassandra_analytics_example_spark.operators.similarity import (
+    ann_recall,
+)
+from cassandra_analytics_example_spark.operators.text import (
+    bm25_scores,
+    vocab_coverage,
 )
 from cassandra_analytics_example_spark.operators.layout import (
     compact_files,
@@ -31,6 +50,17 @@ from cassandra_analytics_example_spark.operators.versioning import (
 
 __all__ = [
     "top_k_per_group",
+    "ann_recall",
+    "bloom_pruned_read",
+    "bm25_scores",
+    "dedup_keep_list",
+    "edit_distance_neardup",
+    "exact_dedup",
+    "file_bloom_stats",
+    "minhash_lsh_dedup",
+    "observed_write",
+    "overlap_join",
+    "vocab_coverage",
     "banded_self_join",
     "bloom_build",
     "bloom_probe",
