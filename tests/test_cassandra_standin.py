@@ -177,3 +177,26 @@ def test_abort_cleans_staging(tmp_path):
     w.abort([_StagedFile(staged=staged, final=os.path.join(tdir, "p.parquet"))])
     assert not os.path.exists(w._staging)
     assert os.listdir(tdir) == []
+
+
+def test_copy_table_job_through_cassandra_backend(spark, tmp_path):
+    """The reference's flagship job (oneClusterCopyTable, App.scala:123-161)
+    executed with BOTH sides on the cassandra backend: generate →
+    bulk-append into spark_test.test → snapshot-read → bulk-append into
+    spark_test.test2 → count, all through the stand-in DataSource."""
+    from cassandra_analytics_example_spark.config import JobConfiguration
+    from cassandra_analytics_example_spark.plans.jobs import copy_table
+
+    src = _opts(tmp_path, partition_key="id", splits="4")
+    write(gen_dataset_deterministic(spark, 2000, 4), src)
+    copied = copy_table(
+        spark,
+        JobConfiguration(
+            read_options=_opts(tmp_path, createSnapshot="true"),
+            write_options={**_opts(tmp_path), "table": "test2"},
+        ),
+    )
+    assert copied == 2000
+    back = read(spark, {**_opts(tmp_path), "table": "test2"})
+    assert back.count() == 2000
+    assert back.agg(F.sum("marks")).first()[0] == sum(range(2000))
