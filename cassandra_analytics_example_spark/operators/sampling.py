@@ -172,3 +172,46 @@ def weighted_upsample(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__tk", "__n")
     )
+
+
+#: hash domain for weighted keep-decisions: 30 bits keeps every
+#: cross-multiplied comparison term well inside DECIMAL(38,0) at any
+#: corpus scale (2^30 x a 100 TB corpus's total weight ~ 1e23 << 1e38).
+WEIGHT_HASH_BITS = 1 << 30
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target: int,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample of EXPECTED size ``target``:
+    row i survives with probability ``min(1, w_i * target / Σw)`` — the
+    data-mixing primitive (sample proportional to quality score, domain
+    weight, dedup multiplicity) behind LLM corpus composition.
+
+    The keep-decision is ``hash(id) * Σw < w_i * target * 2^30`` with
+    ``hash`` uniform on [0, 2^30): a pure integer cross-multiplication —
+    no division, no floats — evaluated in DECIMAL(38,0), so the decision
+    is bit-identical in every engine and STABLE under corpus growth for
+    fixed Σw-scaling (the q36/q42 hash-sampling discipline extended to
+    non-uniform rates). One broadcast one-row total; zero shuffle on the
+    corpus; rows with ``w_i * target >= Σw`` are always kept (the min(1)
+    branch is implicit in the inequality)."""
+    h = (md5_u60(F.col(id_col).cast("string")) % WEIGHT_HASH_BITS).cast(
+        "decimal(38,0)"
+    )
+    total = pin_small(
+        df.agg(
+            F.sum(F.col(weight_col).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("__tw")
+        )
+    )
+    keep = h * F.col("__tw") < (
+        F.col(weight_col).cast("decimal(38,0)")
+        * F.lit(target).cast("decimal(38,0)")
+        * F.lit(WEIGHT_HASH_BITS).cast("decimal(38,0)")
+    )
+    return df.crossJoin(F.broadcast(total)).filter(keep).drop("__tw")

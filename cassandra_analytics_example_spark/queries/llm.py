@@ -2034,3 +2034,38 @@ def q104_overlap_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return overlap_join(docs, "doc_id", "text", min_overlap=30)
+
+
+# ------------------------------------------------- weighted sampling ---
+
+
+@register(
+    "q105_weighted_sample",
+    oracle="""
+WITH tot AS (
+  SELECT CAST(sum(CAST(n_chars AS BIGINT)) AS DECIMAL(38,0)) AS tw
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM documents, tot
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1073741824 AS DECIMAL(38,0)) * tw
+    < CAST(n_chars AS DECIMAL(38,0)) * CAST(100 AS DECIMAL(38,0))
+      * CAST(1073741824 AS DECIMAL(38,0))
+""",
+    doc="deterministic weighted sampling (expected 100 docs, probability "
+    "proportional to n_chars): integer cross-multiplied keep-decision in "
+    "DECIMAL(38,0) — no division, no floats, bit-identical across "
+    "engines, zero corpus shuffle "
+    "(operators/sampling.py:weighted_sample)",
+    tags=("llm", "sampling"),
+)
+def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", target=100)
