@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced through a `noop` write (computes every output column —
 `count()` would let Catalyst prune projections and under-report).
+
+Interpreting results on a shared host: totals swing up to ~40% with
+EXTERNAL load (observed 29.6s..40.2s for identical code as /proc/loadavg
+moved 3.9..6.7); check the load average before reading a regression into
+a single run, and prefer the best of repeated runs for plan-level
+conclusions.
 """
 
 from __future__ import annotations
