@@ -914,3 +914,46 @@ def overlap_join(
             passing(overlap, lambda o: o >= min_overlap, "overlap"),
         )
     )
+
+
+def incremental_minhash_index(
+    stored_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+    num_bands: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain a MinHash near-dup index INCREMENTALLY: signatures are
+    computed for the NEW batch only, appended to the stored (id, sig)
+    table, and candidate pairs touching a new document come from LSH
+    banding over the merged index.
+
+    The scale story is what is NOT recomputed: the old corpus's text is
+    never re-read or re-shingled — its 16x8-byte signatures stand in for
+    it (the signature table of a 100 TB corpus is ~100 GB). MinHash
+    signatures are mergeable by construction (elementwise min over
+    disjoint doc sets == signature of the union), so append IS the index
+    update; banding re-buckets only signature rows. Pairs are restricted
+    to those involving a new id — old-old pairs were reported when their
+    batches arrived (dedup is monotone under append). Returns
+    (updated_sigs, candidate_pairs); exact-Jaccard verification of the
+    candidates needs the pair texts and stays with the caller (same
+    split as ``lsh_candidate_pairs``)."""
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_k
+    )
+    merged = stored_sigs.unionByName(new_sigs)
+    rows_per_band = num_hashes // num_bands
+    cands = lsh_candidate_pairs(
+        merged, id_col, num_bands, rows_per_band, max_bucket_size
+    )
+    new_ids = new_sigs.select(F.col(id_col).alias("__nid"))
+    touching_new = cands.join(
+        F.broadcast(new_ids),
+        (F.col("id_a") == F.col("__nid")) | (F.col("id_b") == F.col("__nid")),
+        "left_semi",
+    )
+    return merged, touching_new

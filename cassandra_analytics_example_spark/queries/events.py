@@ -978,3 +978,80 @@ def q102_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_k"),
         F.max("k").cast("bigint").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — cogrouped applyInPandas: the two-sided grouped-map surface
+# (events ⋈ orders per customer/user key, aligned inside one Arrow batch
+# pair per key). The pandas logic is deliberately SQL-mirrorable so the
+# oracle can value-check the Python boundary.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q106_cogroup_user_activity",
+    oracle="""
+WITH e AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS event_value
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS order_value
+  FROM orders WHERE o_custkey <= 150 GROUP BY o_custkey
+)
+SELECT coalesce(e.user_id, o.user_id) AS user_id,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       coalesce(event_value, 0.0) AS event_value,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(order_value, 0.0) AS order_value
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+""",
+    doc="cogrouped grouped-map (applyInPandas over a cogroup): events and "
+    "orders aligned per user key inside one Arrow batch pair — the "
+    "two-sided escape hatch for per-key logic joins can't express; "
+    "decimal-exact sums keep the Python boundary oracle-checkable",
+    tags=("events", "python", "cogroup"),
+)
+def q106_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 150)
+        .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    )
+
+    def align(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame):
+        from decimal import Decimal
+
+        ev_val = sum(
+            (Decimal(str(v)).quantize(Decimal("0.0001")) for v in events_pdf["value"]),
+            Decimal(0),
+        )
+        ord_val = sum(
+            (Decimal(str(v)).quantize(Decimal("0.01")) for v in orders_pdf["o_totalprice"]),
+            Decimal(0),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(events_pdf)],
+                "event_value": [float(ev_val)],
+                "n_orders": [len(orders_pdf)],
+                "order_value": [float(ord_val)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            schema="user_id bigint, n_events bigint, event_value double, "
+            "n_orders bigint, order_value double",
+        )
+    )

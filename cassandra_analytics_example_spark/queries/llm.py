@@ -1863,10 +1863,32 @@ mp AS (
     FROM probes q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   ) WHERE rnk <= 5
 ),
+cents AS (
+  SELECT vec_id AS cent_id, v AS centv FROM v WHERE vec_id < 8
+),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT x.vec_id, x.v, c.cent_id,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.v, c.centv) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM v x, cents c) WHERE rn = 1
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                       c.vec_id ASC) AS rnk
+    FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rnk <= 5
+),
 qs AS (SELECT DISTINCT query_id FROM bf),
 methods AS (
   SELECT 'lsh' AS method, * FROM lsh
   UNION ALL SELECT 'multiprobe', * FROM mp
+  UNION ALL SELECT 'ivf', * FROM ivf
 ),
 h AS (
   SELECT m.method, bf.query_id, CAST(count(*) AS BIGINT) AS n
@@ -1877,13 +1899,14 @@ SELECT qs.query_id, mm.method,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
        CAST(5 AS BIGINT) AS k,
        CAST(coalesce(h.n, 0) AS DOUBLE) / 5.0 AS recall
-FROM qs CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'multiprobe') mm
+FROM qs CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'multiprobe'
+                    UNION ALL SELECT 'ivf') mm
 LEFT JOIN h ON h.query_id = qs.query_id AND h.method = mm.method
 """,
-    doc="recall@5 audit of the approximate ANN paths (single-probe "
-    "sign-LSH vs hamming-1 multi-probe) against the exact brute-force "
-    "baseline — the measured quality gate for the approximate family, "
-    "and the evidence that multi-probe recall strictly dominates "
+    doc="recall@5 audit of ALL THREE approximate ANN paths (single-probe "
+    "sign-LSH, hamming-1 multi-probe, IVF 1-probe) against the exact "
+    "brute-force baseline — the measured quality gate for the "
+    "approximate family; multi-probe recall strictly dominates "
     "single-probe at (n_bits+1)x scoring cost "
     "(operators/similarity.py:ann_recall)",
     tags=("llm", "similarity", "quality"),
@@ -1892,6 +1915,7 @@ def q96_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_example_spark.operators.similarity import (
         ann_recall,
         brute_force_topk,
+        ivf_topk,
         lsh_topk,
         multiprobe_lsh_topk,
     )
@@ -1907,8 +1931,13 @@ def q96_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = multiprobe_lsh_topk(emb, queries, k=5, n_bits=4).select(
         "query_id", "neighbor_id"
     )
-    return ann_recall(exact, lsh, k=5, method="lsh").unionByName(
-        ann_recall(exact, mp, k=5, method="multiprobe")
+    ivf = ivf_topk(emb, queries, k=5, n_cells=8).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        ann_recall(exact, lsh, k=5, method="lsh")
+        .unionByName(ann_recall(exact, mp, k=5, method="multiprobe"))
+        .unionByName(ann_recall(exact, ivf, k=5, method="ivf"))
     )
 
 

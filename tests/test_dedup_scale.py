@@ -184,3 +184,37 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     assert got.filter("cluster_id != 1").count() == 0
     assert got.count() == 64
     assert stats["rounds"] <= 10, stats
+
+
+def test_incremental_minhash_index_matches_from_scratch(spark):
+    """Appending batch 2 to an index built from batch 1 must produce
+    exactly the new-involving candidate pairs a from-scratch build over
+    the full corpus produces — the mergeable-signature property that
+    makes the index maintainable without re-reading old text."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        incremental_minhash_index,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    sigs1 = minhash_signatures(batch1, "doc_id", "text")
+    merged, inc_pairs = incremental_minhash_index(
+        sigs1, batch2, "doc_id", "text"
+    )
+    assert merged.count() == docs.count()
+
+    scratch = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id", 4, 4, 1000
+    )
+    want = scratch.filter(
+        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    )
+    got = {(r.id_a, r.id_b) for r in inc_pairs.collect()}
+    expect = {(r.id_a, r.id_b) for r in want.collect()}
+    assert got == expect and len(got) > 0
