@@ -1055,3 +1055,57 @@ def q106_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders bigint, order_value double",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q107 — built-in session_window in BATCH mode: the same gap-merge the
+# streaming layer uses (s02), run as a batch aggregate and checked
+# against the SQL gap-and-islands formulation — proving the built-in,
+# the manual sessionize operator (q16) and the oracle all agree on
+# session semantics.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q107_batch_session_window",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT user_id, tus,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(tus) AS session_start_us,
+       max(tus) + {GAP_US} AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    doc="F.session_window in BATCH mode (30-min gap): the built-in "
+    "gap-merge aggregate the streaming layer uses (s02), value-checked "
+    "against the SQL gap-and-islands formulation — session end = last "
+    "event + gap, per Spark's session_window semantics",
+    tags=("events", "session", "window"),
+)
+def q107_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

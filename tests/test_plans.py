@@ -411,3 +411,35 @@ def test_cbo_join_reorder_fixes_bad_user_order(spark):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         for t in ("lineitem", "orders", "nation", "customer"):
             spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+
+
+def test_join_hints_are_honored(spark):
+    """Join strategy hints: BROADCAST must force a BroadcastHashJoin even
+    for a side above the auto-broadcast threshold, MERGE must force a
+    SortMergeJoin even for a tiny side, SHUFFLE_HASH a ShuffledHashJoin —
+    the manual overrides a 100 TB operator sometimes needs when AQE's
+    estimates are wrong."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(big.join(small.hint("merge"), "k"))
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
+
+    p = plan(big.join(small.hint("shuffle_hash"), "k"))
+    assert "ShuffledHashJoin" in p
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        p = plan(big.join(small.hint("broadcast"), "k"))
+        assert "BroadcastHashJoin" in p
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
