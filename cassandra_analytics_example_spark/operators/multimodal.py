@@ -123,10 +123,16 @@ def attach_audio_payload(
     declared as 8-bit PCM mono. Real decode (wav/mp3 containers, codecs)
     would live behind ``decode_audio`` and an audio library; the
     deterministic byte-level interpretation keeps the plumbing —
-    schema, Arrow batches, framing — real and oracle-checkable."""
+    schema, Arrow batches, framing — real and oracle-checkable.
+
+    Non-ASCII characters are stripped BEFORE encoding so one character is
+    exactly one payload byte — a SQL oracle working in characters
+    (codepoints) and the Spark side working in UTF-8 bytes then see the
+    identical sample stream regardless of the fixture's text content."""
+    ascii_text = F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", "")
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.encode(ascii_text, "utf-8").alias("payload"),
         F.lit("audio/pcm8-fake").alias("media_type"),
         F.lit(8000).alias("sample_rate"),
     )

@@ -890,7 +890,12 @@ GROUP BY event_type
     "difference between reading 2/5 and 5/5 of the table",
     tags=("events", "join", "scale"),
 )
-def q101_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dpp_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY DPP join. Caller owns the
+    ``spark.sql.optimizer.dynamicPartitionPruning.useStats`` scope — the
+    pruning decision is made when an action optimizes this plan, not when
+    it is built (tests/test_plans.py gates the dynamicpruning expression
+    through this builder inside its own conf scope)."""
     import tempfile
 
     from cassandra_analytics_example_spark.operators.layout import (
@@ -904,15 +909,13 @@ def q101_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     )
     # Two conditions the PartitionPruning rule needs that a naive setup
     # misses: (1) the benefit heuristic consults table stats and a
-    # fixture-sized fact is below threshold — pin the ratio-based path
-    # (at real scale the stats path inserts the filter on its own);
+    # fixture-sized fact is below threshold — the ratio-based path must be
+    # pinned by the caller via useStats=false (at real scale the stats path
+    # inserts the filter on its own);
     # (2) the dim filter must be "likely selective" — a comparison/IN
     # predicate, NOT a bare boolean column (which isLikelySelective
     # rejects), and it must survive as a Filter node, so the dim is
     # parquet-backed rather than a constant-folded literal relation.
-    spark.conf.set(
-        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
-    )
     spark.createDataFrame(
         [("view", "browse"), ("click", "browse"), ("purchase", "conversion"),
          ("signup", "conversion"), ("error", "noise")],
@@ -933,6 +936,24 @@ def q101_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("sum_value"),
         )
     )
+
+
+def q101_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scope the optimizer override to THIS query's execution and restore it
+    # (r3 advice: the conf previously leaked into every later query on the
+    # shared session). The pruning happens at action time, so the result is
+    # materialized inside the scope and returned as a local DataFrame.
+    key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        out = dpp_join_plan(spark, sf_dir)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 # --------------------------------------------------------------------------

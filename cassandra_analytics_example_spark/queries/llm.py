@@ -1947,16 +1947,20 @@ def q96_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q97_audio_frame_energy",
     oracle="""
-WITH chars AS (
-  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text
+WITH ascii_docs AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS t
   FROM documents
+),
+chars AS (
+  SELECT doc_id, unnest(range(1, length(t)+1)) AS i, t
+  FROM ascii_docs
 )
 SELECT doc_id,
        CAST((i-1) // 64 AS INT) AS frame_no,
        CAST(count(*) AS INT) AS n_samples,
-       CAST(sum((ord(substr(text, i, 1)) - 96)
-                * (ord(substr(text, i, 1)) - 96)) AS BIGINT) AS energy,
-       CAST(max(abs(ord(substr(text, i, 1)) - 96)) AS INT) AS peak
+       CAST(sum((ord(substr(t, i, 1)) - 96)
+                * (ord(substr(t, i, 1)) - 96)) AS BIGINT) AS energy,
+       CAST(max(abs(ord(substr(t, i, 1)) - 96)) AS INT) AS peak
 FROM chars
 GROUP BY 1, 2
 """,

@@ -68,6 +68,13 @@ _FORBIDDEN_KEYS = ("path", "splits", "rows", "partition_key", "staging_dir")
 
 _SNAPDIR = "snapshots"
 
+#: overwrite "delists" rather than deletes files still referenced by a
+#: snapshot manifest — they move here, the analogue of Cassandra snapshots
+#: hardlinking SSTables so they survive truncate/compaction.
+_RETAINED = ".retained"
+
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
 
 def table_dir(options) -> str:
     """Resolve ``<cluster root>/<keyspace>/<table>`` from the option map.
@@ -123,9 +130,30 @@ def create_snapshot(tdir: str, name: str | None = None) -> str:
 
 
 def snapshot_files(tdir: str, name: str) -> list[str]:
+    """Resolve a manifest's basenames to paths. A file overwritten since the
+    snapshot lives on under ``.retained/`` (delisted, never deleted) — the
+    manifest stays readable exactly like a Cassandra snapshot's hardlinked
+    SSTables survive truncate/compaction (``App.scala:113-114``)."""
     with open(_manifest_path(tdir, name)) as fh:
         manifest = json.load(fh)
-    return [os.path.join(tdir, f) for f in manifest["files"]]
+    out = []
+    for base in manifest["files"]:
+        live = os.path.join(tdir, base)
+        out.append(live if os.path.exists(live) else os.path.join(tdir, _RETAINED, base))
+    return out
+
+
+def _snapshot_referenced(tdir: str) -> set[str]:
+    """Basenames referenced by ANY snapshot manifest under ``snapshots/``."""
+    snapdir = os.path.join(tdir, _SNAPDIR)
+    if not os.path.isdir(snapdir):
+        return set()
+    refs: set[str] = set()
+    for m in os.listdir(snapdir):
+        if m.endswith(".json"):
+            with open(os.path.join(snapdir, m)) as fh:
+                refs.update(json.load(fh)["files"])
+    return refs
 
 
 @dataclass
@@ -133,11 +161,13 @@ class _FilePartition(InputPartition):
     path: str
 
 
-class StandInReader(DataSourceReader):
-    """One input partition per immutable parquet file; Arrow-batch output;
-    exact pushdown of comparison filters into the parquet scan (row-group
-    pruning via pyarrow) — the shape of the connector's token-range splits
-    + partition-key pushdown."""
+class StandInReaderBase(DataSourceReader):
+    """One input partition per immutable parquet file; Arrow-batch output —
+    the shape of the connector's token-range splits. This base variant
+    declares NO ``pushFilters`` so it stays legal in sessions where
+    ``spark.sql.python.filterPushdown.enabled`` is false (Spark 4 hard-errors
+    with DATA_SOURCE_PUSHDOWN_DISABLED if a reader overrides ``pushFilters``
+    under that conf); Spark applies every filter post-scan instead."""
 
     def __init__(self, options, schema: StructType, snapshot: str | None) -> None:
         tdir = table_dir(options)
@@ -147,28 +177,6 @@ class StandInReader(DataSourceReader):
             self._files = _data_files(tdir)
         self._schema = schema
         self._pushed: list[tuple[str, str, object]] = []
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Consume the comparison filters we can evaluate EXACTLY inside the
-        pyarrow scan; return the rest for Spark to re-apply. (Spark still
-        re-checks consumed filters' correctness only if we returned them —
-        so only exact translations are consumed.)"""
-        ops = {
-            EqualTo: "==",
-            GreaterThan: ">",
-            GreaterThanOrEqual: ">=",
-            LessThan: "<",
-            LessThanOrEqual: "<=",
-        }
-        for f in filters:
-            op = ops.get(type(f))
-            if op is not None and len(f.attribute) == 1:
-                self._pushed.append((f.attribute[0], op, f.value))
-            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
-                self._pushed.append((f.attribute[0], "is_not_null", None))
-            else:
-                yield f
-
     def partitions(self) -> list[_FilePartition]:
         return [_FilePartition(p) for p in self._files]
 
@@ -193,6 +201,34 @@ class StandInReader(DataSourceReader):
         yield from table.to_batches()
 
 
+class StandInReader(StandInReaderBase):
+    """Pushdown-capable variant: exact pushdown of comparison filters into
+    the parquet scan (row-group pruning via pyarrow) — the shape of the
+    connector's partition-key pushdown. Only handed out when the session has
+    ``spark.sql.python.filterPushdown.enabled=true``."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume the comparison filters we can evaluate EXACTLY inside the
+        pyarrow scan; return the rest for Spark to re-apply. (Spark still
+        re-checks consumed filters' correctness only if we returned them —
+        so only exact translations are consumed.)"""
+        ops = {
+            EqualTo: "==",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], op, f.value))
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], "is_not_null", None))
+            else:
+                yield f
+
+
 @dataclass
 class _StagedFile(WriterCommitMessage):
     staged: str
@@ -206,11 +242,17 @@ class StandInWriter(DataSourceArrowWriter):
     reference's S3_COMPAT transport (``App.scala:208-235``) — nothing
     becomes visible unless every task succeeded."""
 
-    def __init__(self, options, overwrite: bool) -> None:
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
         self._tdir = table_dir(options)
+        self._schema = schema
         self._overwrite = overwrite
         self._job = uuid.uuid4().hex
         self._staging = os.path.join(self._tdir, f".staging-{self._job}")
+
+    def _arrow_schema(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self._schema)
 
     def write(self, iterator) -> _StagedFile:
         import pyarrow as pa
@@ -218,22 +260,50 @@ class StandInWriter(DataSourceArrowWriter):
 
         from pyspark import TaskContext
 
+        batches = list(iterator)
+        if not batches:
+            # empty input partition (filtered input, splits > distinct keys):
+            # stage nothing — commit() treats an empty-string message as a
+            # task that had no rows.
+            return _StagedFile(staged="", final="")
         pid = TaskContext.get().partitionId()
         os.makedirs(self._staging, exist_ok=True)
         fname = f"part-{pid:05d}-{self._job}.parquet"
         staged = os.path.join(self._staging, fname)
-        batches = list(iterator)
-        table = pa.Table.from_batches(batches)
+        table = pa.Table.from_batches(batches, schema=batches[0].schema)
         pq.write_table(table, staged)
         return _StagedFile(staged=staged, final=os.path.join(self._tdir, fname))
 
     def commit(self, messages) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         if self._overwrite:
+            # Delist, never delete: a file referenced by any snapshot
+            # manifest moves to .retained/ so the snapshot stays readable
+            # (Cassandra snapshots survive truncate via hardlinks); only
+            # unreferenced files are physically removed.
+            referenced = _snapshot_referenced(self._tdir)
             for old in _data_files(self._tdir):
-                os.remove(old)
+                base = os.path.basename(old)
+                if base in referenced:
+                    rdir = os.path.join(self._tdir, _RETAINED)
+                    os.makedirs(rdir, exist_ok=True)
+                    os.replace(old, os.path.join(rdir, base))
+                else:
+                    os.remove(old)
+        staged_any = False
         for m in messages:
-            if m is not None:
+            if m is not None and m.staged:
                 os.replace(m.staged, m.final)
+                staged_any = True
+        if self._overwrite and not staged_any:
+            # every task was empty: preserve the table's schema with a
+            # zero-row file so a subsequent read sees an empty table, not
+            # a missing one.
+            os.makedirs(self._tdir, exist_ok=True)
+            empty = pa.Table.from_batches([], schema=self._arrow_schema())
+            pq.write_table(empty, os.path.join(self._tdir, f"part-empty-{self._job}.parquet"))
         try:
             os.rmdir(self._staging)
         except OSError:
@@ -241,7 +311,7 @@ class StandInWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.staged):
+            if m is not None and m.staged and os.path.exists(m.staged):
                 os.remove(m.staged)
         try:
             os.rmdir(self._staging)
@@ -278,26 +348,54 @@ class CassandraStandInDataSource(DataSource):
         Sidecar (``SparkUtils.scala:94-100``: ``load()`` with no schema)."""
         import pyarrow.parquet as pq
 
-        self._resolve_snapshot()
-        files = _data_files(table_dir(self.options))
+        tdir = table_dir(self.options)
+        snap = self._resolve_snapshot()
+        # A pinned snapshot's schema comes from its OWN frozen file set —
+        # post-snapshot appends may have evolved the live schema, and live
+        # files may no longer include the snapshot's.
+        files = snapshot_files(tdir, snap) if snap else _data_files(tdir)
         if not files:
             raise ValueError(
                 f"cassandra stand-in: no data files for "
                 f"{self.options.get('keyspace')}.{self.options.get('table')}"
+                + (f" snapshot {snap!r}" if snap else "")
             )
         from pyspark.sql.pandas.types import from_arrow_schema
 
         return from_arrow_schema(pq.read_schema(files[0]))
 
-    def reader(self, schema: StructType) -> StandInReader:
-        return StandInReader(self.options, schema, self._resolve_snapshot())
+    def reader(self, schema: StructType) -> StandInReaderBase:
+        """Conf-adaptive: hand out the pushdown reader only when the session
+        allows Python-DataSource pushdown — in any other session (e.g. a
+        harness-built default session) fall back to the pushdown-free reader
+        rather than tripping Spark 4's DATA_SOURCE_PUSHDOWN_DISABLED error."""
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        enabled = (
+            session is not None
+            and str(session.conf.get(_PUSHDOWN_CONF, "false")).lower() == "true"
+        )
+        cls = StandInReader if enabled else StandInReaderBase
+        return cls(self.options, schema, self._resolve_snapshot())
 
     def writer(self, schema: StructType, overwrite: bool) -> StandInWriter:
-        return StandInWriter(self.options, overwrite)
+        return StandInWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> str:
     """Register the stand-in DataSource with the session (idempotent) and
-    return its format name."""
+    return its format name.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (a runtime SQL
+    conf) so sessions not built by the engine's own factory — e.g. the
+    correctness driver's default-config session — still get the pushdown
+    reader; ``reader()`` additionally adapts if a caller re-disables it."""
     spark.dataSource.register(CassandraStandInDataSource)
+    try:
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+    except Exception:
+        # conf locked down (shouldn't happen for a runtime conf) — the
+        # conf-adaptive reader() keeps the branch working without pushdown.
+        pass
     return STANDIN_FORMAT

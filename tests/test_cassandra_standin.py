@@ -161,6 +161,8 @@ def test_abort_cleans_staging(tmp_path):
         _StagedFile,
     )
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
     tdir = os.path.join(tmp_path, "spark_test", "test")
     os.makedirs(tdir)
     w = StandInWriter(
@@ -169,6 +171,7 @@ def test_abort_cleans_staging(tmp_path):
             "keyspace": "spark_test",
             "table": "test",
         },
+        StructType([StructField("id", LongType())]),
         overwrite=False,
     )
     os.makedirs(w._staging)
@@ -177,6 +180,138 @@ def test_abort_cleans_staging(tmp_path):
     w.abort([_StagedFile(staged=staged, final=os.path.join(tdir, "p.parquet"))])
     assert not os.path.exists(w._staging)
     assert os.listdir(tdir) == []
+
+
+def test_read_without_pushdown_conf(spark, tmp_path):
+    """A session that never enabled spark.sql.python.filterPushdown.enabled
+    (the correctness driver's default-config session) must still read through
+    the stand-in: reader() hands out the pushdown-free variant instead of
+    tripping DATA_SOURCE_PUSHDOWN_DISABLED."""
+    from cassandra_analytics_example_spark.sources.standin import _PUSHDOWN_CONF
+
+    write(gen_dataset_deterministic(spark, 300, 4), _opts(tmp_path))
+    prev = spark.conf.get(_PUSHDOWN_CONF, "false")
+    spark.conf.set(_PUSHDOWN_CONF, "false")
+    try:
+        df = (
+            spark.read.format(STANDIN_FORMAT)
+            .options(
+                sidecar_contact_points=str(tmp_path),
+                keyspace="spark_test",
+                table="test",
+            )
+            .load()
+        )
+        # filters still correct — applied by Spark post-scan instead
+        assert df.filter((F.col("id") >= 100) & (F.col("id") < 200)).count() == 100
+        assert df.count() == 300
+    finally:
+        spark.conf.set(_PUSHDOWN_CONF, prev)
+
+
+def test_reader_variant_tracks_conf(spark, tmp_path):
+    from cassandra_analytics_example_spark.sources.standin import (
+        _PUSHDOWN_CONF,
+        CassandraStandInDataSource,
+        StandInReaderBase,
+    )
+
+    write(gen_dataset_deterministic(spark, 10, 1), _opts(tmp_path))
+    opts = {k: str(v) for k, v in _opts(tmp_path).items()}
+    schema = read(spark, _opts(tmp_path)).schema
+    prev = spark.conf.get(_PUSHDOWN_CONF, "false")
+    try:
+        spark.conf.set(_PUSHDOWN_CONF, "false")
+        r = CassandraStandInDataSource(opts).reader(schema)
+        assert "pushFilters" not in type(r).__dict__  # base variant: no override
+        assert isinstance(r, StandInReaderBase) and not isinstance(r, StandInReader)
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+        r = CassandraStandInDataSource(opts).reader(schema)
+        assert isinstance(r, StandInReader)
+    finally:
+        spark.conf.set(_PUSHDOWN_CONF, prev)
+
+
+def test_register_enables_pushdown_conf(spark):
+    from cassandra_analytics_example_spark.sources.standin import (
+        _PUSHDOWN_CONF,
+        register,
+    )
+
+    prev = spark.conf.get(_PUSHDOWN_CONF, "false")
+    spark.conf.set(_PUSHDOWN_CONF, "false")
+    try:
+        register(spark)
+        assert spark.conf.get(_PUSHDOWN_CONF) == "true"
+    finally:
+        spark.conf.set(_PUSHDOWN_CONF, prev)
+
+
+def test_cassandra_roundtrip_query_under_default_conf_session(spark):
+    """Regression for the r3 driver ERR: drive the registered query exactly
+    as the harness does, from a session where the pushdown conf is at its
+    default (disabled). register() flips the runtime conf; the conf-adaptive
+    reader covers sessions where even that is impossible."""
+    from cassandra_analytics_example_spark.queries.reference import (
+        ref_cassandra_branch_roundtrip,
+    )
+    from cassandra_analytics_example_spark.sources.standin import _PUSHDOWN_CONF
+
+    prev = spark.conf.get(_PUSHDOWN_CONF, "false")
+    spark.conf.set(_PUSHDOWN_CONF, "false")
+    try:
+        out = ref_cassandra_branch_roundtrip(spark, "/root/testdata/sf0.001").collect()
+        assert len(out) > 0
+    finally:
+        spark.conf.set(_PUSHDOWN_CONF, prev)
+
+
+def test_empty_partition_write(spark, tmp_path):
+    """splits > distinct keys leaves empty partitions — the write must not
+    fail (r3 advice: from_batches with zero batches raises)."""
+    df = gen_dataset_deterministic(spark, 3, 1).repartition(8)
+    write(df, _opts(tmp_path))
+    assert read(spark, _opts(tmp_path)).count() == 3
+    tdir = table_dir(_opts(tmp_path))
+    assert not glob.glob(os.path.join(tdir, ".staging-*"))
+
+
+def test_filtered_to_empty_overwrite_keeps_schema(spark, tmp_path):
+    write(gen_dataset_deterministic(spark, 100, 2), _opts(tmp_path))
+    empty = gen_dataset_deterministic(spark, 100, 2).filter(F.col("id") < 0)
+    write(empty, _opts(tmp_path, mode="overwrite"))
+    back = read(spark, _opts(tmp_path))
+    assert back.count() == 0
+    assert set(back.columns) == {"id", "course", "marks"}
+
+
+def test_overwrite_delists_snapshot_files(spark, tmp_path):
+    """Overwrite must not break earlier snapshots (r3 advice): files a
+    manifest references are retained, not deleted — the Cassandra-snapshot
+    hardlink semantic (App.scala:113-114)."""
+    write(gen_dataset_deterministic(spark, 400, 4), _opts(tmp_path))
+    assert (
+        read(spark, _opts(tmp_path, createSnapshot="true", snapshotName="pre")).count()
+        == 400
+    )
+    write(gen_dataset_deterministic(spark, 55, 2), _opts(tmp_path, mode="overwrite"))
+    # live read sees only the overwrite; the snapshot still reads in full
+    assert read(spark, _opts(tmp_path)).count() == 55
+    assert read(spark, _opts(tmp_path, snapshotName="pre")).count() == 400
+
+
+def test_snapshot_schema_survives_evolved_append(spark, tmp_path):
+    """schema() for a pinned snapshot must come from the snapshot's own file
+    set, not the live one (r3 advice)."""
+    write(gen_dataset_deterministic(spark, 50, 2), _opts(tmp_path))
+    read(spark, _opts(tmp_path, createSnapshot="true", snapshotName="frozen"))
+    evolved = gen_dataset_deterministic(spark, 10, 1).withColumn(
+        "extra", F.lit("x")
+    )
+    write(evolved, _opts(tmp_path))
+    snap = read(spark, _opts(tmp_path, snapshotName="frozen"))
+    assert set(snap.columns) == {"id", "course", "marks"}
+    assert snap.count() == 50
 
 
 def test_copy_table_job_through_cassandra_backend(spark, tmp_path):

@@ -340,7 +340,19 @@ def test_dynamic_partition_pruning_inserted(spark, registry):
     PartitionFilters — the dim's runtime filter prunes fact directories
     before the scan. Without it the 'partitioned join' silently reads
     every partition."""
-    plan = plan_of(spark, registry, "q101_dynamic_partition_pruning")
+    from cassandra_analytics_example_spark.queries.events import dpp_join_plan
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        df = dpp_join_plan(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     assert "dynamicpruning" in plan.lower()
 
 
