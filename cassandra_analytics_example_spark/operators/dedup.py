@@ -597,6 +597,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list — the clustering step
     that turns pairwise evidence into dedup groups (one representative per
@@ -615,18 +616,23 @@ def connected_components(
 
     Each round: neighbor-min (equi-join + partial-aggregated groupBy on
     the node id) + shortcut (self-equi-join on the label), then one
-    ``localCheckpoint`` to keep the plan flat across rounds (on a
-    multi-executor cluster prefer a reliable ``checkpoint`` dir —
-    localCheckpoint does not survive executor loss). The per-round
-    ``count()`` is a convergence test over the just-checkpointed
-    partitions (an aggregate action, no data collected to the driver,
-    no recompute). ``stats``, when given, records ``rounds``.
+    plan truncation to keep the lineage flat across rounds —
+    ``checkpoint_dir`` selects a reliable checkpoint (survives executor
+    loss on a real cluster), ``None`` the cheaper ``localCheckpoint``
+    (operators/checkpoints.py). The per-round ``count()`` is a
+    convergence test over the just-checkpointed partitions (an aggregate
+    action, no data collected to the driver, no recompute). ``stats``,
+    when given, records ``rounds``.
     """
+    from cassandra_analytics_example_spark.operators.checkpoints import (
+        truncate_plan,
+    )
+
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)  # scanned every round
+    edges = truncate_plan(edges, checkpoint_dir)  # scanned every round
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -672,7 +678,7 @@ def connected_components(
                 < F.col("old")
             ).alias("__chg"),
         )
-        updated = jumped.localCheckpoint(eager=True)
+        updated = truncate_plan(jumped, checkpoint_dir)
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:

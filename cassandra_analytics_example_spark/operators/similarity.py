@@ -69,6 +69,7 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_score: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (argmax cosine, ties to
     the smallest centroid id) with ZERO shuffle of the corpus.
@@ -79,7 +80,10 @@ def assign_cells(
     (cosine, -cent_id) structs — one projection, no corpus×n_cells row
     expansion, no Exchange between the corpus scan and the cell column.
     Struct comparison is lexicographic, so max picks highest cosine and,
-    on exact float ties, the smallest centroid id (via the negated id)."""
+    on exact float ties, the smallest centroid id (via the negated id).
+
+    ``keep_score=True`` additionally surfaces the winning cosine as
+    ``score`` — the per-point term of the spherical-KMeans objective."""
     cents = centroids.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("cent_id"), F.col("centv")))
@@ -94,11 +98,14 @@ def assign_cells(
             ),
         )
     )
-    return df.crossJoin(F.broadcast(cents)).select(
+    cols = [
         F.col(id_col),
         F.col(vec_col),
         (-best["neg_id"]).alias("cell"),
-    )
+    ]
+    if keep_score:
+        cols.append(best["cs"].alias("score"))
+    return df.crossJoin(F.broadcast(cents)).select(*cols)
 
 
 def ivf_topk(
@@ -232,6 +239,8 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    objective_out: list | None = None,
 ) -> DataFrame:
     """Lloyd's KMeans on DataFrames — the learned-centroid upgrade for
     ``ivf_topk`` (whose deterministic first-k init is a stand-in). Returns
@@ -244,17 +253,36 @@ def kmeans_centroids(
     convention (quantize 1e-9, exact integer sums) so centroids — and
     therefore every subsequent assignment — are bit-identical at any
     parallelism. Fixed iteration count, no convergence action: the loop
-    cost is known up front (n_iter x 2 jobs), and ``localCheckpoint``
-    keeps the plan flat. A centroid that loses all members drops out
-    (standard Lloyd's behavior; k may shrink).
+    cost is known up front (n_iter x 2 jobs), and a per-iteration plan
+    truncation keeps the lineage flat — ``checkpoint_dir`` selects a
+    reliable checkpoint that survives executor loss on a real cluster,
+    ``None`` the cheaper ``localCheckpoint`` (operators/checkpoints.py).
+    A centroid that loses all members drops out (standard Lloyd's
+    behavior; k may shrink).
+
+    ``objective_out``, when a list, receives the spherical-KMeans
+    objective (sum of winning cosines) measured at each assignment step —
+    non-decreasing by construction (argmax assignment + mean direction
+    update both improve it), the invariant q52's oracle gate checks. The
+    measurement is one extra aggregate action per iteration, so it is
+    opt-in.
     """
+    from cassandra_analytics_example_spark.operators.checkpoints import (
+        truncate_plan,
+    )
+
     cents = emb.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).cast("array<double>").alias("centv"),
     )
     q = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    track = objective_out is not None
     for _ in range(n_iter):
-        assigned = assign_cells(emb, cents, id_col, vec_col)
+        assigned = assign_cells(emb, cents, id_col, vec_col, keep_score=track)
+        if track:
+            objective_out.append(
+                assigned.agg(F.sum("score")).first()[0] or 0.0
+            )
         ex = assigned.select(
             "cell",
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
@@ -274,7 +302,16 @@ def kmeans_centroids(
                 F.transform(F.col("s"), lambda p: p["m"]).alias("centv"),
             )
         )
-        cents = cents.localCheckpoint(eager=True)
+        cents = truncate_plan(cents, checkpoint_dir)
+    if track:
+        # objective after the FINAL mean update (what the invariant gate
+        # compares against the last in-loop measurement)
+        objective_out.append(
+            assign_cells(emb, cents, id_col, vec_col, keep_score=True)
+            .agg(F.sum("score"))
+            .first()[0]
+            or 0.0
+        )
     return cents
 
 
@@ -284,13 +321,16 @@ def kmeans_cell_profile(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Summary of the learned KMeans partition: per cell, member count and
     centroid L2 norm (deterministic scalars — the checkable surface of the
     iterative pipeline)."""
     from cassandra_analytics_example_spark.functions.vector import l2_norm
 
-    cents = kmeans_centroids(emb, k, n_iter, id_col, vec_col)
+    cents = kmeans_centroids(
+        emb, k, n_iter, id_col, vec_col, checkpoint_dir=checkpoint_dir
+    )
     assigned = assign_cells(emb, cents, id_col, vec_col)
     counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
     return counts.join(
@@ -300,6 +340,94 @@ def kmeans_cell_profile(
         ),
         "cell",
     ).select("cell", "n_members", "centroid_norm")
+
+
+def kmeans_invariants(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Oracle-checkable surface for the iterative KMeans pipeline.
+
+    Learned floats can't be matched by a SQL oracle, but the algorithm's
+    INVARIANTS can be asserted as booleans a SQL oracle expects to be
+    uniformly true (the r3 review's value-gate pattern for iterative
+    queries). One row per check, ``violations`` expected 0:
+
+    * ``all_assigned`` — every input vector got exactly one cell;
+      ``n`` carries the corpus count so the gate is tied to the fixture.
+    * ``assignment_is_argmax`` — re-derives each point's best cell by an
+      INDEPENDENT plan (explode the k centroids, per-point max_by with the
+      same (cosine, -cent_id) tie-break) and counts disagreements with
+      ``assign_cells``'s array_max formulation. Same math, different
+      physical plan — a real cross-check, not a tautology.
+    * ``objective_non_decreasing`` — the spherical-KMeans objective (sum of
+      winning cosines) measured at every assignment plus once after the
+      final update must never decrease (argmax assignment and mean-direction
+      update each improve it; cosine is norm-invariant so the unnormalized
+      mean is an optimal update). Tolerance 1e-6 absorbs the 1e-9
+      fixed-point centroid quantization.
+    * ``cells_within_k`` — Lloyd's may drop empty cells, never add.
+
+    Verification cost: the argmax cross-check expands corpus x k rows
+    map-side (broadcast centroids, no shuffle of the corpus before the
+    per-point aggregate) — an audit query, not a hot path.
+    """
+    objective: list[float] = []
+    cents = kmeans_centroids(
+        emb,
+        k,
+        n_iter,
+        id_col,
+        vec_col,
+        checkpoint_dir=checkpoint_dir,
+        objective_out=objective,
+    )
+    assigned = assign_cells(emb, cents, id_col, vec_col)
+
+    n_total = emb.count()
+    n_assigned = assigned.count()
+    n_cells = cents.count()
+
+    ex = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("cent_id"),
+        cosine_similarity(F.col(vec_col), F.col("centv")).alias("cs"),
+    )
+    independent = ex.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cs"), (-F.col("cent_id")).alias("neg_id"))).alias(
+            "best"
+        )
+    ).select(F.col(id_col), (-F.col("best.neg_id")).alias("cell2"))
+    mismatches = (
+        assigned.join(independent, id_col)
+        .filter(F.col("cell") != F.col("cell2"))
+        .count()
+    )
+
+    monotone_violations = sum(
+        1
+        for prev, nxt in zip(objective, objective[1:])
+        if nxt < prev - 1e-6
+    )
+
+    spark = emb.sparkSession
+    rows = [
+        ("all_assigned", n_assigned == n_total, n_total),
+        ("assignment_is_argmax", mismatches == 0, mismatches),
+        (
+            "objective_non_decreasing",
+            monotone_violations == 0,
+            monotone_violations,
+        ),
+        ("cells_within_k", n_cells <= k, max(0, n_cells - k)),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, ok boolean, n bigint"
+    )
 
 
 def multiprobe_lsh_topk(

@@ -839,21 +839,29 @@ def q48_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q52_kmeans_cells",
-    oracle=None,  # iterative algorithm — rows-only by design (like streaming)
+    oracle="""
+SELECT 'all_assigned' AS check_name, true AS ok,
+       CAST(count(*) AS BIGINT) AS n FROM embeddings
+UNION ALL SELECT 'assignment_is_argmax', true, 0
+UNION ALL SELECT 'objective_non_decreasing', true, 0
+UNION ALL SELECT 'cells_within_k', true, 0
+""",
     doc="Lloyd's KMeans (3 fixed iterations, fixed-point means) over the "
-    "embeddings: per-cell member counts + centroid norms — the "
-    "learned-centroid path for IVF; deterministic at any parallelism but "
-    "not SQL-expressible, so driver-checked rows-only (pytest asserts "
-    "determinism and SSE descent)",
+    "embeddings, value-gated via its INVARIANTS (learned floats aren't "
+    "SQL-matchable; booleans the math guarantees are): every vector "
+    "assigned, assignment == an independently-computed argmax, spherical "
+    "objective non-decreasing across iterations, cell count <= k "
+    "(operators/similarity.py:kmeans_invariants); per-cell profile stays "
+    "available via kmeans_cell_profile + pytest determinism gates",
     tags=("llm", "similarity", "iterative"),
 )
 def q52_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_example_spark.operators.similarity import (
-        kmeans_cell_profile,
+        kmeans_invariants,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    return kmeans_cell_profile(emb, k=8, n_iter=3)
+    return kmeans_invariants(emb, k=8, n_iter=3)
 
 
 @register(

@@ -175,6 +175,64 @@ def test_kmeans_centroids_deterministic_and_descending(spark, sf_dir):
     assert sse(3) <= sse(1) + 1e-9  # Lloyd's objective descends
 
 
+def test_kmeans_invariants_all_green(spark, sf_dir):
+    """q52's oracle-checkable surface: every invariant row must be ok=true
+    with 0 violations, and all_assigned must carry the corpus count."""
+    from cassandra_analytics_example_spark.operators.similarity import (
+        kmeans_invariants,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = {r.check_name: r for r in kmeans_invariants(emb, k=8, n_iter=3).collect()}
+    assert set(rows) == {
+        "all_assigned",
+        "assignment_is_argmax",
+        "objective_non_decreasing",
+        "cells_within_k",
+    }
+    assert all(r.ok for r in rows.values()), rows
+    assert rows["all_assigned"].n == emb.count()
+    assert rows["assignment_is_argmax"].n == 0
+    assert rows["objective_non_decreasing"].n == 0
+
+
+def test_iterative_ops_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """checkpoint_dir= selects a reliable checkpoint (survives executor
+    loss on a real cluster) and must produce results identical to the
+    localCheckpoint default — for both iterative operators."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        connected_components,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    local = kmeans_centroids(emb, k=4, n_iter=2)
+    reliable = kmeans_centroids(
+        emb, k=4, n_iter=2, checkpoint_dir=str(tmp_path / "ck-km")
+    )
+    assert sorted(
+        (r.cent_id, tuple(r.centv)) for r in local.collect()
+    ) == sorted((r.cent_id, tuple(r.centv)) for r in reliable.collect())
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "ck-cc")
+        ).collect()
+    }
+    assert got == want
+    # checkpoint files actually landed in the reliable dir
+    import os
+
+    assert any(os.scandir(tmp_path / "ck-cc"))
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     """Multi-probe LSH must recover at least as many true (brute-force)
     top-k neighbors as single-probe — the point of probing hamming-1
