@@ -754,6 +754,97 @@ def embedding_bucket_stats(
     )
 
 
+def dedup_drop_audit(
+    docs: DataFrame,
+    emb: DataFrame,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 5,
+    n_bits: int = 8,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Driver-visible audit of the capped candidate-generation accounting
+    (``lsh_bucket_stats`` + ``embedding_bucket_stats``), reduced to
+    oracle-checkable invariant rows (the q52 pattern: bucket contents are
+    hash-derived and not SQL-reproducible, the conservation laws are).
+
+    One row per check, ``(check_name, ok, n)``, violations expected 0:
+
+    * ``lsh_reps_audited`` — every MinHash band bucket has >= 2 members and
+      total bucket membership is bounded by ``num_bands`` slots per
+      representative; ``n`` carries the representative count (= distinct
+      document texts after the exact-dedup pre-pass), which the SQL oracle
+      recomputes as ``count(DISTINCT text)``.
+    * ``embedding_vectors_audited`` — sign-LSH buckets have >= 2 members
+      and membership is bounded by one slot per vector; ``n`` = corpus
+      vector count (oracle: ``count(*)``).
+    * ``caps_respected`` — the ``dropped`` flag is exactly
+      ``n_ids > max_bucket_size`` on every bucket row of both audits.
+    * ``candidates_bounded_by_kept_pairs`` — the pairs actually emitted by
+      ``lsh_candidate_pairs`` under the same cap never exceed the kept
+      (non-dropped) per-bucket pair budget the stats claim — a cross-check
+      between the accounting twin and the operator it accounts for
+      (cross-band dedup makes emitted <= claimed).
+
+    At 100 TB this runs as a side output next to the dedup job: all inputs
+    are the same bucket lineages the dedup itself builds, aggregated
+    distributed; only the final handful of scalars reach the driver.
+    """
+    rows_per_band = num_hashes // num_bands
+    reps = exact_dedup(docs, "doc_id", "text")
+    sigs = minhash_signatures(
+        reps, "doc_id", "text", num_hashes=num_hashes, shingle_k=shingle_k
+    ).persist()
+    lstats = lsh_bucket_stats(
+        sigs, "doc_id", num_bands, rows_per_band, max_bucket_size
+    )
+    estats = embedding_bucket_stats(
+        emb, n_bits=n_bits, max_bucket_size=max_bucket_size
+    )
+
+    n_reps = reps.count()
+    n_vec = emb.count()
+
+    def _summary(stats: DataFrame) -> dict:
+        row = stats.agg(
+            F.coalesce(F.sum("n_ids"), F.lit(0)).alias("members"),
+            F.coalesce(F.min("n_ids"), F.lit(2)).alias("min_ids"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("dropped")
+                        != (F.col("n_ids") > max_bucket_size)
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("flag_mismatch"),
+            F.coalesce(
+                F.sum(F.when(~F.col("dropped"), F.col("n_pairs"))), F.lit(0)
+            ).alias("kept_pairs"),
+        ).first()
+        return row.asDict()
+
+    ls, es = _summary(lstats), _summary(estats)
+    emitted = lsh_candidate_pairs(
+        sigs, "doc_id", num_bands, rows_per_band, max_bucket_size
+    ).count()
+    sigs.unpersist()
+
+    lsh_ok = ls["members"] <= num_bands * n_reps and ls["min_ids"] >= 2
+    emb_ok = es["members"] <= n_vec and es["min_ids"] >= 2
+    flag_viol = int(ls["flag_mismatch"]) + int(es["flag_mismatch"])
+    excess = max(0, emitted - int(ls["kept_pairs"]))
+
+    spark = docs.sparkSession
+    out = [
+        ("lsh_reps_audited", bool(lsh_ok), n_reps),
+        ("embedding_vectors_audited", bool(emb_ok), n_vec),
+        ("caps_respected", flag_viol == 0, flag_viol),
+        ("candidates_bounded_by_kept_pairs", excess == 0, excess),
+    ]
+    return spark.createDataFrame(out, "check_name string, ok boolean, n bigint")
+
+
 def duplicate_ngram_coverage(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 5
 ) -> DataFrame:

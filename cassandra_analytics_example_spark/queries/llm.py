@@ -2110,3 +2110,34 @@ def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     return weighted_sample(docs, "doc_id", "n_chars", target=100)
+
+
+# ------------------------------------------------ dedup drop accounting ---
+
+
+@register(
+    "q108_dedup_drop_audit",
+    oracle="""
+SELECT 'lsh_reps_audited' AS check_name, true AS ok,
+       CAST(count(DISTINCT text) AS BIGINT) AS n FROM documents
+UNION ALL SELECT 'embedding_vectors_audited', true,
+       CAST(count(*) AS BIGINT) FROM embeddings
+UNION ALL SELECT 'caps_respected', true, 0
+UNION ALL SELECT 'candidates_bounded_by_kept_pairs', true, 0
+""",
+    doc="capped candidate-generation accounting made driver-visible: the "
+    "lsh_bucket_stats / embedding_bucket_stats twins reduced to "
+    "conservation invariants (bucket membership bounds, dropped-flag "
+    "consistency, emitted-pairs <= kept-pair budget) the oracle asserts "
+    "uniformly true — dropped recall stays auditable, never silent "
+    "(operators/dedup.py:dedup_drop_audit)",
+    tags=("llm", "dedup", "quality"),
+)
+def q108_dedup_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        dedup_drop_audit,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    return dedup_drop_audit(docs, emb, max_bucket_size=50)

@@ -196,6 +196,26 @@ def test_kmeans_invariants_all_green(spark, sf_dir):
     assert rows["objective_non_decreasing"].n == 0
 
 
+def test_dedup_drop_audit_all_green(spark, sf_dir):
+    """q108's surface: every conservation invariant holds, and a cap tight
+    enough to actually drop buckets must STILL hold them (the accounting is
+    about drops being visible, not absent)."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        dedup_drop_audit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for cap in (50, 2):  # cap=2 forces drops on any shared-band bucket >2
+        rows = {
+            r.check_name: r
+            for r in dedup_drop_audit(docs, emb, max_bucket_size=cap).collect()
+        }
+        assert all(r.ok for r in rows.values()), (cap, rows)
+        assert rows["caps_respected"].n == 0
+        assert rows["candidates_bounded_by_kept_pairs"].n == 0
+
+
 def test_iterative_ops_reliable_checkpoint(spark, sf_dir, tmp_path):
     """checkpoint_dir= selects a reliable checkpoint (survives executor
     loss on a real cluster) and must produce results identical to the
