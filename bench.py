@@ -136,6 +136,29 @@ def main() -> None:
                 n: round(timings[n] / base_q[n], 3) for n in common
             }
 
+    # BENCH_ANCHOR.json: the full-suite anchor (recorded round 4, every
+    # headline query) — BENCH_BASELINE.json predates half the suite, so this
+    # is the per-query regression reference for queries added after round 1.
+    full_anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json"
+    )
+    if os.path.exists(full_anchor_path):
+        with open(full_anchor_path) as f:
+            fa = json.load(f)
+        if fa.get("sf") == report["sf"]:
+            fa_q = fa.get("queries", {})
+            common = [n for n in timings if fa_q.get(n)]
+            if common:
+                report["anchor_round"] = fa.get("round")
+                report["vs_anchor"] = round(
+                    sum(timings[n] for n in common)
+                    / sum(fa_q[n] for n in common),
+                    3,
+                )
+                report["vs_anchor_queries"] = {
+                    n: round(timings[n] / fa_q[n], 3) for n in common
+                }
+
     print(json.dumps(report))
     spark.stop()
 
