@@ -215,3 +215,60 @@ def weighted_sample(
         * F.lit(WEIGHT_HASH_BITS).cast("decimal(38,0)")
     )
     return df.crossJoin(F.broadcast(total)).filter(keep).drop("__tw")
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Temperature-style data-mixture planning: given per-group available
+    volume (e.g. chars/tokens per language), allocate a total training
+    budget of ``budget_num/budget_den`` of the corpus across groups
+    proportionally to sqrt(available) — the T=2 rebalancing that upweights
+    low-resource groups relative to raw proportions — and emit per-group
+    sampling rates.
+
+    ALL-INTEGER pipeline so the plan is bit-identical across engines (the
+    oracle-parity requirement): available sums are exact BIGINTs,
+    weight = floor(sqrt(available)) (IEEE sqrt is correctly rounded, so
+    floor agrees everywhere), and every quotient is an INTEGRAL division
+    (Spark ``DIV`` == DuckDB ``//`` on non-negative values) over
+    DECIMAL(38,0) cross-products — fractional DECIMAL division is NOT used
+    anywhere because engines disagree on its result scale/rounding. The
+    rate surfaces as parts-per-million; a group's quota never exceeds what
+    it has (rate_ppm <= 1e6).
+
+    One groupBy on ``group_col`` (map-side combined); the group-level plan
+    is a handful of rows — at 100 TB the output is a broadcast table the
+    actual sampling pass (``weighted_sample`` / ``hash_split``) consumes.
+    """
+    avail = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col).cast("bigint")).alias("available")
+    )
+    w = avail.withColumn(
+        "weight", F.floor(F.sqrt(F.col("available"))).cast("bigint")
+    )
+    totals = w.agg(
+        F.sum("available").alias("__tot_avail"),
+        F.sum("weight").alias("__tot_w"),
+    )
+    dec = "decimal(38,0)"
+    # budget = tot_avail * num DIV den; quota = weight * budget DIV tot_w
+    quota = F.expr(
+        f"CAST(CAST(weight AS {dec}) * "
+        f"(CAST(__tot_avail AS {dec}) * {budget_num} DIV {budget_den}) "
+        f"DIV CAST(__tot_w AS {dec}) AS BIGINT)"
+    )
+    planned = w.crossJoin(F.broadcast(totals)).select(
+        F.col(group_col),
+        "available",
+        "weight",
+        F.least(F.col("available"), quota).alias("quota"),
+    )
+    return planned.withColumn(
+        "rate_ppm",
+        F.expr(f"CAST(CAST(quota AS {dec}) * 1000000 DIV available AS BIGINT)"),
+    )

@@ -2141,3 +2141,120 @@ def q108_dedup_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     return dedup_drop_audit(docs, emb, max_bucket_size=50)
+
+
+# ------------------------------------------------- count-min sketch -------
+
+
+@register(
+    "q109_countmin_heavy_hitters",
+    oracle="""
+WITH t AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+true_counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_n FROM t GROUP BY tok),
+top AS (SELECT tok, true_n FROM true_counts ORDER BY true_n DESC, tok ASC LIMIT 20),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || tok), 1, 15)) AS BIGINT)
+           % 256 AS cell,
+         count(*) AS c
+  FROM t CROSS JOIN ds
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT top.tok, top.true_n, CAST(min(cells.c) AS BIGINT) AS est_n
+  FROM top CROSS JOIN ds
+  JOIN cells ON cells.d = ds.d
+   AND cells.cell =
+       CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || top.tok), 1, 15))
+            AS BIGINT) % 256
+  GROUP BY 1, 2
+)
+SELECT tok, true_n, est_n, est_n >= true_n AS no_underestimate FROM est
+""",
+    doc="count-min sketch heavy hitters: a DETERMINISTIC mergeable "
+    "frequency sketch (md5-derived hash rows, 4x256 cells — the "
+    "complement of q37's approximate HLL) built in one partial-aggregated "
+    "shuffle; top-20 true-frequency tokens point-estimated from the cell "
+    "table, never underestimated by construction. Cell table is "
+    "depth*width rows whatever the corpus size; shards merge by cell "
+    "addition (operators/sketches.py)",
+    tags=("llm", "text", "sketch"),
+)
+def q109_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # two scans of the token stream (true counts + sketch cells) — at scale
+    # the sketch pass is the cheap one (depth*width partials); caching the
+    # exploded occurrence stream would cost more than the rescan.
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    true_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    top = true_counts.orderBy(F.desc("true_n"), F.asc("tok")).limit(20)
+    cells = countmin_cells(toks, "tok", depth=4, width=256)
+    est = countmin_estimate(cells, top.select("tok"), "tok", depth=4, width=256)
+    return top.join(est, "tok").select(
+        "tok",
+        "true_n",
+        "est_n",
+        (F.col("est_n") >= F.col("true_n")).alias("no_underestimate"),
+    )
+
+
+# --------------------------------------------------- mixture planning -----
+
+
+@register(
+    "q110_mixture_plan",
+    oracle="""
+WITH avail AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, available,
+         CAST(floor(sqrt(available)) AS BIGINT) AS weight
+  FROM avail
+),
+tot AS (
+  SELECT CAST(sum(available) AS HUGEINT) AS ta,
+         CAST(sum(weight) AS HUGEINT) AS tw
+  FROM w
+),
+planned AS (
+  SELECT w.lang, w.available, w.weight,
+         least(CAST(w.available AS HUGEINT),
+               CAST(w.weight AS HUGEINT) * ((ta * 1) // 2) // tw) AS q
+  FROM w, tot
+)
+SELECT lang, available, weight,
+       CAST(q AS BIGINT) AS quota,
+       CAST(q * 1000000 // available AS BIGINT) AS rate_ppm
+FROM planned
+""",
+    doc="temperature-style data-mixture planning (T=2: budget shares "
+    "proportional to sqrt of per-language volume, upweighting low-resource "
+    "languages) with an all-integer quota/rate pipeline — integral DIV on "
+    "DECIMAL cross-products, no fractional division, bit-identical across "
+    "engines; the plan is a broadcast-sized table the sampling pass "
+    "consumes (operators/sampling.py:mixture_plan)",
+    tags=("llm", "sampling"),
+)
+def q110_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return mixture_plan(docs, "lang", "n_chars", budget_num=1, budget_den=2)

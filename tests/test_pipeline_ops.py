@@ -196,6 +196,78 @@ def test_kmeans_invariants_all_green(spark, sf_dir):
     assert rows["objective_non_decreasing"].n == 0
 
 
+def test_countmin_cells_bounded_and_mergeable(spark, sf_dir):
+    """The CMS cell table is depth*width rows max whatever the corpus, and
+    two disjoint shards' sketches merged by cell addition equal the whole
+    corpus's sketch — the property that makes it a 100 TB/multi-day
+    aggregate."""
+    from cassandra_analytics_example_spark.operators.sketches import (
+        countmin_cells,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    whole = countmin_cells(toks, "tok", depth=4, width=64)
+    assert whole.count() <= 4 * 64
+
+    half_a = countmin_cells(toks.filter("doc_id % 2 = 0"), "tok", 4, 64)
+    half_b = countmin_cells(toks.filter("doc_id % 2 = 1"), "tok", 4, 64)
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("d", "cell")
+        .agg(F.sum("c").alias("c"))
+    )
+    diff = merged.join(whole, ["d", "cell"], "full").filter(
+        F.coalesce(merged["c"], F.lit(0)) != F.coalesce(whole["c"], F.lit(0))
+    )
+    assert diff.count() == 0
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    from cassandra_analytics_example_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = true_counts.orderBy(F.desc("true_n"), F.asc("tok")).limit(50)
+    cells = countmin_cells(toks, "tok", depth=4, width=64)
+    est = countmin_estimate(cells, probes.select("tok"), "tok", 4, 64)
+    bad = (
+        probes.join(est, "tok")
+        .filter(F.col("est_n") < F.col("true_n"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_mixture_plan_invariants(spark, sf_dir):
+    """Quotas never exceed availability, rates stay <= 1e6 ppm, and the
+    summed plan respects the budget (sum of floored shares <= budget)."""
+    from cassandra_analytics_example_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = mixture_plan(docs, "lang", "n_chars", 1, 2).collect()
+    assert plan
+    total = sum(r.available for r in plan)
+    assert all(0 <= r.quota <= r.available for r in plan)
+    assert all(0 <= r.rate_ppm <= 1_000_000 for r in plan)
+    assert sum(r.quota for r in plan) <= total // 2
+    # sqrt-temperature upweighting: the smallest group gets a strictly
+    # larger rate than the largest (unless both are quota-capped at 1e6)
+    by_avail = sorted(plan, key=lambda r: r.available)
+    if by_avail[0].rate_ppm < 1_000_000:
+        assert by_avail[0].rate_ppm >= by_avail[-1].rate_ppm
+
+
 def test_dedup_drop_audit_all_green(spark, sf_dir):
     """q108's surface: every conservation invariant holds, and a cap tight
     enough to actually drop buckets must STILL hold them (the accounting is
