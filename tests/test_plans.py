@@ -455,3 +455,24 @@ def test_join_hints_are_honored(spark):
         assert "BroadcastHashJoin" in p
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_countmin_sketch_plan(spark, registry):
+    """q109: sketch build + estimate must stay equi-join/aggregate shaped —
+    the probe join broadcasts against the depth*width cell table, never a
+    cross product; cell counting keeps map-side partial aggregation."""
+    plan = plan_of(spark, registry, "q109_countmin_heavy_hitters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("HashAggregate") >= 4  # partial+final for counts+cells
+
+
+def test_mixture_plan_plan(spark, registry):
+    """q110: one keyed shuffle family for the per-group sums; the totals
+    row joins back as a broadcast single-row (the repo's sanctioned
+    one-row BroadcastNestedLoopJoin pattern); nothing else may shuffle."""
+    plan = plan_of(spark, registry, "q110_mixture_plan")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
