@@ -182,3 +182,22 @@ def s11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return transform_with_state_totals(spark, sf_dir)
+
+
+@register(
+    "s12_stream_countmin",
+    oracle=None,
+    doc="Structured Streaming: count-min sketch maintained incrementally — "
+    "per-microbatch partial cells appended via foreachBatch (associative "
+    "merge unit, no read-modify-write), live sketch = merge-on-read "
+    "sum; final cell table is BIT-IDENTICAL to the batch sketch "
+    "(batch twin gate: tests/test_streaming_batch_twins.py; batch op: "
+    "operators/sketches.py)",
+    tags=("streaming", "sketch"),
+)
+def s12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_countmin,
+    )
+
+    return run_stream_countmin(spark, sf_dir)

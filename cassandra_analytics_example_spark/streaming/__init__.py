@@ -2,6 +2,7 @@ from cassandra_analytics_example_spark.streaming.windows import (
     run_sessionized_stream,
     run_sliding_stream,
     run_stateful_totals,
+    run_stream_countmin,
     run_stream_dedup,
     run_tumbling_stream,
     running_user_totals,
@@ -20,6 +21,7 @@ __all__ = [
     "run_tumbling_stream",
     "run_sliding_stream",
     "run_sessionized_stream",
+    "run_stream_countmin",
     "run_stream_dedup",
     "run_stateful_totals",
 ]

@@ -572,3 +572,58 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def run_stream_countmin(
+    spark: SparkSession, sf_dir: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Streaming count-min sketch maintenance: each microbatch's keys are
+    folded into partial CMS cells and APPENDED to a parquet cell store via
+    ``foreachBatch``; the live sketch is the merge-on-read aggregate
+    ``sum(c) GROUP BY (d, cell)`` — cells are the associative-merge unit,
+    so partial appends commute and the store never needs read-modify-write
+    (crash-safe: checkpointed offsets + append-only partials).
+
+    This is the production shape for continuous frequency monitoring at
+    100 TB/day: the per-batch partial is depth*width rows regardless of
+    batch size, the store grows by one tiny partial per microbatch, and a
+    compaction job may re-aggregate it at leisure. The batch twin
+    (``operators/sketches.countmin_cells`` over the same events) must
+    produce the IDENTICAL final cell table — the determinism/mergeability
+    property tests/test_streaming_batch_twins.py pins.
+    """
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.sketches import (
+        countmin_cells,
+    )
+
+    out = tempfile.mkdtemp(prefix="cms_sink_")
+    target = os.path.join(out, "cells")
+    ck = os.path.join(out, "ck")
+
+    keys = stream_events(spark, sf_dir).select(
+        F.col("event_type").alias("__k")
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        countmin_cells(batch, "__k", depth=depth, width=width).write.mode(
+            "append"
+        ).parquet(target)
+
+    q = (
+        keys.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.read.parquet(target)
+        .groupBy("d", "cell")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )

@@ -151,3 +151,26 @@ def test_s11_transform_with_state_matches_batch(spark):
         )
     )
     _assert_same(got, want.select(*got.columns))
+
+
+def test_s12_stream_countmin_matches_batch_sketch(spark):
+    """The incrementally-maintained CMS cell table (per-microbatch partial
+    appends, merge-on-read sum) must equal the single-pass batch sketch
+    cell-for-cell — the associative-merge property that makes the sketch
+    maintainable over an unbounded stream."""
+    from cassandra_analytics_example_spark.operators.sketches import (
+        countmin_cells,
+    )
+    from cassandra_analytics_example_spark.queries._tables import table
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_countmin,
+    )
+
+    got = run_stream_countmin(spark, SF01, depth=4, width=64)
+    ev = table(spark, SF01, "events").select(
+        F.col("event_type").alias("__k")
+    )
+    want = countmin_cells(ev, "__k", depth=4, width=64).withColumn(
+        "c", F.col("c").cast("bigint")
+    )
+    _assert_same(got, want)
