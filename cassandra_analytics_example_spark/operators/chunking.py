@@ -11,7 +11,7 @@ input size x (1 + overlap ratio).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.functions.text import md5_u60, tokens
@@ -118,4 +118,34 @@ def pack_sequences(
         F.floor(
             (F.col("start_tok") + F.col("n_tokens") - 1) / budget_tokens
         ).alias("last_seq"),
+    )
+
+
+def shard_packing(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Size-balanced export sharding: assign each document to one of
+    ``n_shards`` output shards so shard byte/token totals come out nearly
+    equal — the layout step before writing training shards, where a skewed
+    shard becomes the stragglers of every epoch that reads it.
+
+    Round-robin over the size-descending rank (rank r → shard r mod n):
+    the deterministic streaming-friendly variant of first-fit-decreasing —
+    each of the n largest documents lands in a different shard, the next n
+    likewise, so shard totals differ by at most one document per round.
+    One global sort (rangepartitioning exchange) over (size desc, id) —
+    the same cost class as any total-order ranking — then a pure
+    projection. Fully SQL-expressible, so the assignment is
+    oracle-checked value-for-value, not just invariant-gated.
+    """
+    w = Window.orderBy(F.col(size_col).desc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col),
+        F.col(size_col).cast("bigint").alias(size_col),
+        ((F.row_number().over(w) - F.lit(1)) % F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
     )

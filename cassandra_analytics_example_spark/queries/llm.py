@@ -2258,3 +2258,31 @@ def q110_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return mixture_plan(docs, "lang", "n_chars", budget_num=1, budget_den=2)
+
+
+# ----------------------------------------------------- shard packing ------
+
+
+@register(
+    "q111_shard_packing",
+    oracle="""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8
+            AS INT) AS shard
+FROM documents
+""",
+    doc="size-balanced export sharding: round-robin over the size-"
+    "descending rank (deterministic first-fit-decreasing variant) so "
+    "training-shard totals differ by at most one doc per round — the "
+    "layout step before writing epoch shards; one total-order window, "
+    "assignment oracle-checked per document "
+    "(operators/chunking.py:shard_packing)",
+    tags=("llm", "layout"),
+)
+def q111_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.chunking import (
+        shard_packing,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return shard_packing(docs, "doc_id", "n_chars", n_shards=8)

@@ -247,6 +247,27 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert bad == 0
 
 
+def test_shard_packing_balance(spark, sf_dir):
+    """Round-robin-by-size-rank must keep shard totals within one maximal
+    document of each other, and every doc lands in exactly one shard."""
+    from cassandra_analytics_example_spark.operators.chunking import (
+        shard_packing,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard_packing(docs, "doc_id", "n_chars", n_shards=8)
+    assert out.count() == docs.count()
+    totals = {
+        r.shard: r.t
+        for r in out.groupBy("shard")
+        .agg(F.sum("n_chars").alias("t"))
+        .collect()
+    }
+    assert len(totals) == 8
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    assert max(totals.values()) - min(totals.values()) <= max_doc
+
+
 def test_mixture_plan_invariants(spark, sf_dir):
     """Quotas never exceed availability, rates stay <= 1e6 ppm, and the
     summed plan respects the budget (sum of floored shares <= budget)."""
