@@ -121,6 +121,11 @@ def pack_sequences(
     )
 
 
+#: window sub-partitions per distinct size value — splits a hot size
+#: (every doc truncated to one cap) across this many rank partitions.
+_SHARD_SUBSPLITS = 16
+
+
 def shard_packing(
     df: DataFrame,
     id_col: str,
@@ -136,16 +141,55 @@ def shard_packing(
     the deterministic streaming-friendly variant of first-fit-decreasing —
     each of the n largest documents lands in a different shard, the next n
     likewise, so shard totals differ by at most one document per round.
-    One global sort (rangepartitioning exchange) over (size desc, id) —
-    the same cost class as any total-order ranking — then a pure
-    projection. Fully SQL-expressible, so the assignment is
-    oracle-checked value-for-value, not just invariant-gated.
+
+    The global rank is computed WITHOUT a single-partition window (a bare
+    ``Window.orderBy`` funnels the whole corpus through one task — the
+    classic 100 TB killer). The total order used is (size desc,
+    md5-subkey, id): ranking partitions the corpus by the VALUE pair
+    (size, subkey) — deterministic, no range-sampling, and the md5 subkey
+    splits a hot size value (e.g. every doc truncated to the same cap)
+    across ``_SHARD_SUBSPLITS`` window partitions — then local ranks are
+    globalized by adding cumulative (size, subkey)-group offsets, a
+    distinct-sizes×subsplits-sized layer (the vocab-sized-layer argument,
+    q89) that joins back as a broadcast. Balance is identical to plain
+    size-descending round-robin (the subkey only permutes WITHIN a size),
+    and the order is plain SQL, so the oracle checks the assignment
+    value-for-value.
     """
-    w = Window.orderBy(F.col(size_col).desc(), F.col(id_col).asc())
-    return df.select(
+    sub = md5_u60(F.col(id_col).cast("string")) % F.lit(_SHARD_SUBSPLITS)
+    sized = df.select(
         F.col(id_col),
         F.col(size_col).cast("bigint").alias(size_col),
-        ((F.row_number().over(w) - F.lit(1)) % F.lit(n_shards))
-        .cast("int")
-        .alias("shard"),
+        sub.alias("__sub"),
+    )
+    local = sized.withColumn(
+        "__lr",
+        F.row_number().over(
+            Window.partitionBy(size_col, "__sub").orderBy(F.col(id_col).asc())
+        ),
+    )
+    # cumulative offsets over the (size desc, sub asc) group sequence —
+    # the only unpartitioned window, over the distinct-size-layer only
+    wp = Window.orderBy(F.col(size_col).desc(), F.col("__sub").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        sized.groupBy(size_col, "__sub")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(wp), F.lit(0)))
+        .select(F.col(size_col).alias("__sz"), "__sub", "__off")
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            (local[size_col] == offsets["__sz"])
+            & (local["__sub"] == offsets["__sub"]),
+        )
+        .select(
+            F.col(id_col),
+            local[size_col],
+            ((F.col("__off") + F.col("__lr") - F.lit(1)) % F.lit(n_shards))
+            .cast("int")
+            .alias("shard"),
+        )
     )

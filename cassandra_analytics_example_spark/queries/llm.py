@@ -2267,15 +2267,20 @@ def q110_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q111_shard_packing",
     oracle="""
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8
+       CAST((row_number() OVER (
+               ORDER BY n_chars DESC,
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) % 16 ASC,
+                        doc_id ASC) - 1) % 8
             AS INT) AS shard
 FROM documents
 """,
     doc="size-balanced export sharding: round-robin over the size-"
     "descending rank (deterministic first-fit-decreasing variant) so "
     "training-shard totals differ by at most one doc per round — the "
-    "layout step before writing epoch shards; one total-order window, "
-    "assignment oracle-checked per document "
+    "layout step before writing epoch shards; rank computed WITHOUT a "
+    "single-partition window (value-banded local ranks + broadcast "
+    "cumulative offsets), assignment oracle-checked per document "
     "(operators/chunking.py:shard_packing)",
     tags=("llm", "layout"),
 )

@@ -476,3 +476,18 @@ def test_mixture_plan_plan(spark, registry):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_shard_packing_no_global_corpus_window(spark, registry):
+    """q111: the corpus-sized rank window must be PARTITIONED (by the
+    (size, md5-subkey) value pair) — a bare global row_number funnels the
+    whole corpus through one task. The only unpartitioned window allowed
+    is the cumulative-offset pass over the distinct-size layer."""
+    plan = plan_of(spark, registry, "q111_shard_packing")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and "row_number" in s:
+            assert "__sub" in s.split("], [")[1], (
+                "corpus rank window lost its partition keys: " + s[:160]
+            )
