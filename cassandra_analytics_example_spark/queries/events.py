@@ -1130,3 +1130,61 @@ def q107_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q112 — SCD2 validity intervals: the warehouse "slowly changing
+# dimension type 2" history build — collapse each user's event sequence
+# into state intervals [valid_from, valid_to) with change-detection
+# (consecutive repeats of the same state merge into one interval; the
+# open current interval carries a NULL valid_to).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q112_scd2_intervals",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+c AS (SELECT * FROM s WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS state,
+       CAST(ts_us AS BIGINT) AS valid_from_us,
+       CAST(lead(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS BIGINT)
+         AS valid_to_us
+FROM c
+""",
+    doc="SCD2 history build: change-detection (lag) then interval "
+    "construction (lead) over each user's total-ordered sequence — "
+    "consecutive same-state events merge, the live state has NULL "
+    "valid_to. Both windows share one user_id partitioning, and the "
+    "filter between them preserves it, so the whole history build is a "
+    "SINGLE shuffle (plan-gated)",
+    tags=("events", "window"),
+)
+def q112_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us"), F.col("event_id"))
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.lag("event_type").over(w).alias("__prev"),
+    )
+    changes = s.filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us"), F.col("event_id")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").cast("bigint").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).cast("bigint").alias("valid_to_us"),
+    )

@@ -491,3 +491,14 @@ def test_shard_packing_no_global_corpus_window(spark, registry):
             assert "__sub" in s.split("], [")[1], (
                 "corpus rank window lost its partition keys: " + s[:160]
             )
+
+
+def test_scd2_single_shuffle(spark, registry):
+    """q112: change-detection and interval construction share one user_id
+    partitioning — the filter between the two windows preserves
+    distribution and ordering, so the whole history build is exactly one
+    exchange and two Window operators."""
+    plan = plan_of(spark, registry, "q112_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+    assert "Join" not in plan
