@@ -256,11 +256,16 @@ def mixture_plan(
         F.sum("weight").alias("__tot_w"),
     )
     dec = "decimal(38,0)"
-    # budget = tot_avail * num DIV den; quota = weight * budget DIV tot_w
+    # budget = tot_avail * num DIV den; quota = weight * budget DIV tot_w.
+    # Integral division under ANSI mode RAISES on a zero divisor, so the
+    # degenerate groups are handled explicitly: an all-empty corpus
+    # (tot_w = 0) plans zero quotas, and an empty group (available = 0,
+    # weight = 0) gets rate 0 rather than dividing by its own size.
     quota = F.expr(
-        f"CAST(CAST(weight AS {dec}) * "
+        f"CASE WHEN __tot_w = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(CAST(weight AS {dec}) * "
         f"(CAST(__tot_avail AS {dec}) * {budget_num} DIV {budget_den}) "
-        f"DIV CAST(__tot_w AS {dec}) AS BIGINT)"
+        f"DIV CAST(__tot_w AS {dec}) AS BIGINT) END"
     )
     planned = w.crossJoin(F.broadcast(totals)).select(
         F.col(group_col),
@@ -270,5 +275,9 @@ def mixture_plan(
     )
     return planned.withColumn(
         "rate_ppm",
-        F.expr(f"CAST(CAST(quota AS {dec}) * 1000000 DIV available AS BIGINT)"),
+        F.expr(
+            f"CASE WHEN available = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(CAST(quota AS {dec}) * 1000000 DIV available AS BIGINT) "
+            f"END"
+        ),
     )

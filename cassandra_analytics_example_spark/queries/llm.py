@@ -2234,13 +2234,16 @@ tot AS (
 ),
 planned AS (
   SELECT w.lang, w.available, w.weight,
-         least(CAST(w.available AS HUGEINT),
-               CAST(w.weight AS HUGEINT) * ((ta * 1) // 2) // tw) AS q
+         CASE WHEN tw = 0 THEN CAST(0 AS HUGEINT)
+              ELSE least(CAST(w.available AS HUGEINT),
+                         CAST(w.weight AS HUGEINT) * ((ta * 1) // 2) // tw)
+         END AS q
   FROM w, tot
 )
 SELECT lang, available, weight,
        CAST(q AS BIGINT) AS quota,
-       CAST(q * 1000000 // available AS BIGINT) AS rate_ppm
+       CASE WHEN available = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(q * 1000000 // available AS BIGINT) END AS rate_ppm
 FROM planned
 """,
     doc="temperature-style data-mixture planning (T=2: budget shares "

@@ -289,6 +289,25 @@ def test_mixture_plan_invariants(spark, sf_dir):
         assert by_avail[0].rate_ppm >= by_avail[-1].rate_ppm
 
 
+def test_mixture_plan_degenerate_groups(spark):
+    """A zero-size group (or an all-empty corpus) must plan quota/rate 0 —
+    ANSI mode turns an unguarded integral division into a hard error."""
+    from cassandra_analytics_example_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    df = spark.createDataFrame(
+        [("en", 100), ("xx", 0)], "lang string, n_chars long"
+    )
+    rows = {r.lang: r for r in mixture_plan(df, "lang", "n_chars").collect()}
+    assert rows["xx"].quota == 0 and rows["xx"].rate_ppm == 0
+    assert rows["en"].quota == 50 and rows["en"].rate_ppm == 500_000
+
+    empty = spark.createDataFrame([("en", 0)], "lang string, n_chars long")
+    (only,) = mixture_plan(empty, "lang", "n_chars").collect()
+    assert only.quota == 0 and only.rate_ppm == 0
+
+
 def test_dedup_drop_audit_all_green(spark, sf_dir):
     """q108's surface: every conservation invariant holds, and a cap tight
     enough to actually drop buckets must STILL hold them (the accounting is
