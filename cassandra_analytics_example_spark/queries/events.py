@@ -1188,3 +1188,66 @@ def q112_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").cast("bigint").alias("valid_from_us"),
         F.lead("ts_us").over(w2).cast("bigint").alias("valid_to_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — winsorized statistics: robust per-group clipping at exact p05/p95
+# (the training-data outlier treatment that caps rather than drops). Two
+# passes: a group-level percentile table (broadcast back), then clip +
+# aggregate. The clipped mean goes through the fixed-point convention
+# (floor to 1e-6, exact integer sum) so it is bit-identical at any
+# parallelism — raw double summation is partition-order-dependent.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q113_winsorized_stats",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.05) AS p05,
+         quantile_cont(CAST(value AS DOUBLE), 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       min(p.p05) AS p05,
+       min(p.p95) AS p95,
+       CAST(count(e.value) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(least(greatest(CAST(e.value AS DOUBLE), p.p05),
+                                 p.p95) * 1000000) AS BIGINT)) AS DOUBLE)
+         / count(e.value) / 1000000 AS clipped_mean,
+       CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) < p.p05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) > p.p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high
+FROM events e JOIN p USING (event_type)
+GROUP BY e.event_type
+""",
+    doc="winsorization: per-event-type clipping at exact interpolated "
+    "p05/p95 (Spark percentile == DuckDB quantile_cont, the q40 "
+    "equivalence), clip counts surfaced, clipped mean via fixed-point "
+    "integer summation (floor 1e-6) for parallelism-independent "
+    "bit-equality; percentile table broadcasts — the corpus shuffles "
+    "only for its own group aggregate",
+    tags=("events", "aggregate", "quality"),
+)
+def q113_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile(v, F.lit(0.05)).alias("p05"),
+        F.percentile(v, F.lit(0.95)).alias("p95"),
+    )
+    joined = ev.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(v, F.col("p05")), F.col("p95"))
+    q = F.floor(clipped * F.lit(1_000_000)).cast("bigint")
+    return joined.groupBy("event_type").agg(
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+        F.count(v).cast("bigint").alias("n"),
+        (
+            F.sum(q).cast("double") / F.count(v) / F.lit(1_000_000)
+        ).alias("clipped_mean"),
+        F.sum((v < F.col("p05")).cast("bigint")).alias("n_clipped_low"),
+        F.sum((v > F.col("p95")).cast("bigint")).alias("n_clipped_high"),
+    )
