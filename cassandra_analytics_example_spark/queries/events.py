@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.functions.numeric import money_sum
+from cassandra_analytics_example_spark.operators.quantiles import (
+    group_quantiles_exact,
+)
 from cassandra_analytics_example_spark.operators.relational import (
     asof_join,
     lww_latest,
@@ -1194,9 +1197,13 @@ def q112_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q113 — winsorized statistics: robust per-group clipping at exact p05/p95
 # (the training-data outlier treatment that caps rather than drops). Two
 # passes: a group-level percentile table (broadcast back), then clip +
-# aggregate. The clipped mean goes through the fixed-point convention
-# (floor to 1e-6, exact integer sum) so it is bit-identical at any
-# parallelism — raw double summation is partition-order-dependent.
+# aggregate. The percentile table comes from the DISTRIBUTED rank-selection
+# operator (operators/quantiles.py), not F.percentile — an exact percentile
+# aggregate buffers a whole group in one task, and event_type has ~5
+# distinct values, so at 100x one executor would hold billions of doubles.
+# The clipped mean goes through the fixed-point convention (floor to 1e-6,
+# exact integer sum) so it is bit-identical at any parallelism — raw double
+# summation is partition-order-dependent.
 # --------------------------------------------------------------------------
 
 
@@ -1224,19 +1231,20 @@ FROM events e JOIN p USING (event_type)
 GROUP BY e.event_type
 """,
     doc="winsorization: per-event-type clipping at exact interpolated "
-    "p05/p95 (Spark percentile == DuckDB quantile_cont, the q40 "
-    "equivalence), clip counts surfaced, clipped mean via fixed-point "
-    "integer summation (floor 1e-6) for parallelism-independent "
-    "bit-equality; percentile table broadcasts — the corpus shuffles "
-    "only for its own group aggregate",
+    "p05/p95 computed by distributed rank selection (group_quantiles_exact "
+    "== DuckDB quantile_cont arithmetic, the q40 equivalence) — no "
+    "full-group percentile buffer anywhere (plan-gated); clip counts "
+    "surfaced, clipped mean via fixed-point integer summation (floor 1e-6) "
+    "for parallelism-independent bit-equality; percentile table broadcasts "
+    "— the corpus shuffles only for bounded range cells and its own group "
+    "aggregate",
     tags=("events", "aggregate", "quality"),
 )
 def q113_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     v = F.col("value").cast("double")
-    pct = ev.groupBy("event_type").agg(
-        F.percentile(v, F.lit(0.05)).alias("p05"),
-        F.percentile(v, F.lit(0.95)).alias("p95"),
+    pct = group_quantiles_exact(
+        ev, "event_type", "value", {"p05": 0.05, "p95": 0.95}
     )
     joined = ev.join(F.broadcast(pct), "event_type")
     clipped = F.least(F.greatest(v, F.col("p05")), F.col("p95"))
@@ -1250,4 +1258,39 @@ def q113_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clipped_mean"),
         F.sum((v < F.col("p05")).cast("bigint")).alias("n_clipped_low"),
         F.sum((v > F.col("p95")).cast("bigint")).alias("n_clipped_high"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q114 — the distributed exact-quantile operator surfaced directly: per-
+# group interpolated quartiles + p99 by global-rank selection. The scale
+# contract is the point: no task ever buffers a group (the window cells
+# are range-partition slices), yet the values are quantile_cont-exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q114_group_quantiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(value AS DOUBLE), 0.50) AS p50,
+       quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75,
+       quantile_cont(CAST(value AS DOUBLE), 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+    doc="exact interpolated per-group quantiles via distributed rank "
+    "selection (operators/quantiles.py): range cells + local row_number + "
+    "broadcast offset layer; identical lo*(1-frac) + hi*frac arithmetic "
+    "to DuckDB quantile_cont so the hash compare is exact — and no "
+    "percentile aggregation buffer anywhere in the plan (plan-gated)",
+    tags=("events", "aggregate"),
+)
+def q114_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return group_quantiles_exact(
+        ev,
+        "event_type",
+        "value",
+        {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99},
     )

@@ -502,3 +502,39 @@ def test_scd2_single_shuffle(spark, registry):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
     assert "Join" not in plan
+
+
+def test_winsorized_no_group_percentile_buffer(spark, registry):
+    """q113: the p05/p95 thresholds must come from distributed rank
+    selection — an exact `percentile` aggregate buffers EVERY value of a
+    group in one task, and event_type has ~5 distinct values, so at 100x
+    one executor holds billions of doubles. The only windows allowed are
+    partitioned by (pid, group) range cells or the tiny per-cell offset
+    layer."""
+    plan = plan_of(spark, registry, "q113_winsorized_stats")
+    assert "percentile" not in plan.lower(), (
+        "q113 regressed to a full-group percentile aggregation buffer"
+    )
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and "row_number" in s:
+            assert "__pid" in s, (
+                "rank window lost its range-cell partitioning: " + s[:160]
+            )
+
+
+def test_group_quantiles_plan(spark, registry):
+    """q114: same contract as q113 for the bare operator — rank selection
+    via bounded range cells, offsets broadcast, no percentile buffer, no
+    cross product."""
+    plan = plan_of(spark, registry, "q114_group_quantiles")
+    assert "percentile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and "row_number" in s:
+            assert "__pid" in s, (
+                "rank window lost its range-cell partitioning: " + s[:160]
+            )
