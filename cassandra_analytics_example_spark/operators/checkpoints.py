@@ -21,11 +21,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+_CKPT_BASE_ATTR = "_cassandra_analytics_checkpoint_base"
+
+
 def truncate_plan(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Materialize ``df`` and return a lineage-free DataFrame over the
-    materialized blocks (eager in both modes)."""
+    materialized blocks (eager in both modes).
+
+    ``setCheckpointDir`` is session-global and mints a fresh UUID subdir
+    per call, so it runs only when this call's base dir differs from the
+    last one THIS module set (tracked on the SparkContext) — repeated
+    iterations reuse one subdir, and an operator that never passes a
+    ``checkpoint_dir`` never perturbs the session's setting.
+    """
     if checkpoint_dir:
         sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        if getattr(sc, _CKPT_BASE_ATTR, None) != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+            setattr(sc, _CKPT_BASE_ATTR, checkpoint_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.functions.vector import (
     cosine_similarity,
+    l2_norm,
     sign_bucket,
 )
 
@@ -248,8 +249,11 @@ def kmeans_centroids(
 
     Each iteration is two shuffle-bounded steps: (1) assignment via the
     broadcast argmax of ``assign_cells`` (zero corpus shuffle), (2) mean
-    recomputation via posexplode + map-side partial aggregation (the
-    shuffle carries k x dims partial rows). Means use the fixed-point
+    recomputation over NORMALIZED members via posexplode + map-side
+    partial aggregation (the shuffle carries k x dims partial rows) — the
+    mean direction of unit vectors is the optimal spherical update
+    whatever the input norms; zero-norm vectors have no direction and
+    contribute zero. Means use the fixed-point
     convention (quantize 1e-9, exact integer sums) so centroids — and
     therefore every subsequent assignment — are bit-identical at any
     parallelism. Fixed iteration count, no convergence action: the loop
@@ -283,9 +287,22 @@ def kmeans_centroids(
             objective_out.append(
                 assigned.agg(F.sum("score")).first()[0] or 0.0
             )
+        # Mean of NORMALIZED vectors: the spherical-KMeans objective is a
+        # sum of cosines, and the mean direction of unit vectors is its
+        # optimal update for ANY input norms — the raw mean is optimal
+        # only when inputs are already unit-norm (a fixture property this
+        # must not depend on). Zero-norm vectors have no direction and
+        # contribute zero (also keeps ANSI mode from raising on x/0).
+        nrm = l2_norm(F.col(vec_col).cast("array<double>"))
         ex = assigned.select(
             "cell",
+            nrm.alias("__nrm"),
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        ).withColumn(
+            "x",
+            F.when(F.col("__nrm") > 0, F.col("x") / F.col("__nrm")).otherwise(
+                F.lit(0.0)
+            ),
         )
         means = ex.groupBy("cell", "dim").agg(
             ((F.sum(q).cast("double") / F.count("*")) / F.lit(1e9)).alias("m")
@@ -326,8 +343,6 @@ def kmeans_cell_profile(
     """Summary of the learned KMeans partition: per cell, member count and
     centroid L2 norm (deterministic scalars — the checkable surface of the
     iterative pipeline)."""
-    from cassandra_analytics_example_spark.functions.vector import l2_norm
-
     cents = kmeans_centroids(
         emb, k, n_iter, id_col, vec_col, checkpoint_dir=checkpoint_dir
     )
@@ -366,9 +381,10 @@ def kmeans_invariants(
       physical plan — a real cross-check, not a tautology.
     * ``objective_non_decreasing`` — the spherical-KMeans objective (sum of
       winning cosines) measured at every assignment plus once after the
-      final update must never decrease (argmax assignment and mean-direction
-      update each improve it; cosine is norm-invariant so the unnormalized
-      mean is an optimal update). Tolerance 1e-6 absorbs the 1e-9
+      final update must never decrease (argmax assignment and normalized-
+      mean-direction update each improve it for ANY input norms — the
+      update normalizes members before averaging, so the invariant does
+      not lean on a unit-norm fixture). Tolerance 1e-6 absorbs the 1e-9
       fixed-point centroid quantization.
     * ``cells_within_k`` — Lloyd's may drop empty cells, never add.
 

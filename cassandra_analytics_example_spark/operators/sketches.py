@@ -65,8 +65,10 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-estimate each probe key from the cell table: min over hash
     rows of the probed cell's count (the classic CMS upper-bound estimate;
-    never an underestimate). ``probes`` is expected small (heavy-hitter
-    candidates) and broadcasts against the <= depth*width cell table."""
+    never an underestimate). The <= depth*width cell table broadcasts; a
+    probe cell with no corpus hit counts as 0 (LEFT join + coalesce), so a
+    key absent from the corpus estimates 0 instead of vanishing — callers
+    joining estimates back onto their probe set keep every key."""
     ds = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
     probe_cells = probes.select(F.col(key_col), ds).select(
         key_col,
@@ -74,8 +76,11 @@ def countmin_estimate(
         _cell(F.col(key_col), F.col("d").cast("string"), width).alias("cell"),
     )
     return (
-        F.broadcast(probe_cells)
-        .join(cells, ["d", "cell"])
+        probe_cells.join(F.broadcast(cells), ["d", "cell"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").cast("bigint").alias("est_n"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_n")
+        )
     )

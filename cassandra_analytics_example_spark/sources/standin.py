@@ -390,12 +390,21 @@ def register(spark) -> str:
     Also enables ``spark.sql.python.filterPushdown.enabled`` (a runtime SQL
     conf) so sessions not built by the engine's own factory — e.g. the
     correctness driver's default-config session — still get the pushdown
-    reader; ``reader()`` additionally adapts if a caller re-disables it."""
+    reader. Only when the session has NOT set it already: an explicit
+    choice (either way) belongs to the session owner, and registering a
+    data source must not flip pushdown behavior for every other Python
+    data source behind their back; ``reader()`` adapts if it is off."""
     spark.dataSource.register(CassandraStandInDataSource)
     try:
-        spark.conf.set(_PUSHDOWN_CONF, "true")
+        explicitly_set = spark.conf.get(_PUSHDOWN_CONF, None) is not None
     except Exception:
-        # conf locked down (shouldn't happen for a runtime conf) — the
-        # conf-adaptive reader() keeps the branch working without pushdown.
-        pass
+        explicitly_set = True  # unreadable conf: leave it alone
+    if not explicitly_set:
+        try:
+            spark.conf.set(_PUSHDOWN_CONF, "true")
+        except Exception:
+            # conf locked down (shouldn't happen for a runtime conf) — the
+            # conf-adaptive reader() keeps the branch working without
+            # pushdown.
+            pass
     return STANDIN_FORMAT

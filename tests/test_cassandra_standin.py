@@ -232,19 +232,34 @@ def test_reader_variant_tracks_conf(spark, tmp_path):
         spark.conf.set(_PUSHDOWN_CONF, prev)
 
 
-def test_register_enables_pushdown_conf(spark):
+def test_register_enables_pushdown_only_when_unset(spark):
+    """register() turns pushdown on for sessions that never touched the
+    conf (the correctness driver's default session), but an EXPLICIT
+    session setting — either way — is the owner's choice and must survive
+    registration (r4 advice: registering a data source must not flip
+    behavior for every other Python data source in the session)."""
     from cassandra_analytics_example_spark.sources.standin import (
         _PUSHDOWN_CONF,
         register,
     )
 
-    prev = spark.conf.get(_PUSHDOWN_CONF, "false")
-    spark.conf.set(_PUSHDOWN_CONF, "false")
+    prev = spark.conf.get(_PUSHDOWN_CONF, None)
     try:
+        spark.conf.set(_PUSHDOWN_CONF, "false")
         register(spark)
-        assert spark.conf.get(_PUSHDOWN_CONF) == "true"
+        assert spark.conf.get(_PUSHDOWN_CONF) == "false", (
+            "register() overrode an explicit session conf"
+        )
+        spark.conf.unset(_PUSHDOWN_CONF)
+        register(spark)
+        assert spark.conf.get(_PUSHDOWN_CONF) == "true", (
+            "register() left an untouched session without pushdown"
+        )
     finally:
-        spark.conf.set(_PUSHDOWN_CONF, prev)
+        if prev is None:
+            spark.conf.unset(_PUSHDOWN_CONF)
+        else:
+            spark.conf.set(_PUSHDOWN_CONF, prev)
 
 
 def test_cassandra_roundtrip_query_under_default_conf_session(spark):

@@ -247,6 +247,32 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert bad == 0
 
 
+def test_countmin_absent_probe_estimates_zero(spark, sf_dir):
+    """A probe key the corpus never saw must come back with est_n = 0 (or
+    the collision noise floor), NOT vanish from the output — callers join
+    estimates back onto their probe set and a dropped key reads as 'no
+    data' instead of 'count 0'. Regression for the inner-join variant,
+    which lost any probe whose cells were all absent."""
+    from cassandra_analytics_example_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    # width >> distinct tokens at sf0.001 would still collide; use a wide
+    # sketch so the absent key's cells are very likely all-zero.
+    cells = countmin_cells(toks, "tok", depth=4, width=1 << 16)
+    probes = spark.createDataFrame(
+        [("__definitely_not_a_corpus_token__",)], ["tok"]
+    )
+    est = countmin_estimate(cells, probes, "tok", 4, 1 << 16).collect()
+    assert len(est) == 1, "absent probe key dropped from CMS output"
+    assert est[0]["est_n"] == 0
+
+
 def test_shard_packing_balance(spark, sf_dir):
     """Round-robin-by-size-rank must keep shard totals within one maximal
     document of each other, and every doc lands in exactly one shard."""
@@ -363,6 +389,30 @@ def test_iterative_ops_reliable_checkpoint(spark, sf_dir, tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "ck-cc"))
+
+
+def test_truncate_plan_reuses_checkpoint_subdir(spark, tmp_path):
+    """Repeated truncations with the SAME base dir must reuse one
+    setCheckpointDir subdir (each setCheckpointDir call mints a fresh UUID
+    subdir — per-iteration calls leak one per round), while a DIFFERENT
+    base dir must actually move the checkpoint there (r4 advice: no
+    unrestored session-global clobber between operators)."""
+    import os
+
+    from cassandra_analytics_example_spark.operators.checkpoints import (
+        truncate_plan,
+    )
+
+    df = spark.range(10)
+    base_a = str(tmp_path / "ck-a")
+    base_b = str(tmp_path / "ck-b")
+    truncate_plan(df, base_a)
+    truncate_plan(df, base_a)
+    assert len(list(os.scandir(base_a))) == 1, (
+        "same-dir truncations minted extra checkpoint subdirs"
+    )
+    truncate_plan(df, base_b)
+    assert any(os.scandir(base_b)), "checkpoint did not follow the new dir"
 
 
 def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
