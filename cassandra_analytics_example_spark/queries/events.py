@@ -877,39 +877,44 @@ def q94_windowed_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "q101_dynamic_partition_pruning",
-    oracle="""
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM events
-WHERE event_type IN ('purchase', 'signup')
-GROUP BY event_type
-""",
-    doc="dynamic partition pruning: event_type-partitioned fact x small "
-    "conversion-dimension join — the dim's runtime filter prunes fact "
-    "DIRECTORIES before the scan (plan-gated); at 100 TB this is the "
-    "difference between reading 2/5 and 5/5 of the table",
-    tags=("events", "join", "scale"),
-)
-def dpp_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LAZY DPP join. Caller owns the
-    ``spark.sql.optimizer.dynamicPartitionPruning.useStats`` scope — the
-    pruning decision is made when an action optimizes this plan, not when
-    it is built (tests/test_plans.py gates the dynamicpruning expression
-    through this builder inside its own conf scope)."""
+# Partitioned fact/dim layout for the DPP demonstration, written ONCE per
+# (session, sf_dir) — the query itself must not pay a parquet write per
+# invocation (r4 advice: bench paid a tempdir write every run).
+_DPP_ROOTS: dict[tuple[str, str], str] = {}
+
+
+def _dpp_tables(spark: SparkSession, sf_dir: str) -> str:
+    import os
     import tempfile
 
     from cassandra_analytics_example_spark.operators.layout import (
         write_partitioned,
     )
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _DPP_ROOTS.get(key)
+    if root is not None and os.path.isdir(root):
+        return root
     ev = table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="dpp-")
     write_partitioned(
         ev.select("event_id", "value", "event_type"), root, ["event_type"]
     )
+    spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "conversion"),
+         ("signup", "conversion"), ("error", "noise")],
+        "event_type string, kind string",
+    ).write.mode("overwrite").parquet(f"{root}_dim")
+    _DPP_ROOTS[key] = root
+    return root
+
+
+def dpp_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY DPP join. Caller owns the
+    ``spark.sql.optimizer.dynamicPartitionPruning.useStats`` scope — the
+    pruning decision is made when an action optimizes this plan, not when
+    it is built (tests/test_plans.py gates the dynamicpruning expression
+    through this builder inside its own conf scope)."""
     # Two conditions the PartitionPruning rule needs that a naive setup
     # misses: (1) the benefit heuristic consults table stats and a
     # fixture-sized fact is below threshold — the ratio-based path must be
@@ -919,11 +924,7 @@ def dpp_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate, NOT a bare boolean column (which isLikelySelective
     # rejects), and it must survive as a Filter node, so the dim is
     # parquet-backed rather than a constant-folded literal relation.
-    spark.createDataFrame(
-        [("view", "browse"), ("click", "browse"), ("purchase", "conversion"),
-         ("signup", "conversion"), ("error", "noise")],
-        "event_type string, kind string",
-    ).write.mode("overwrite").parquet(f"{root}_dim")
+    root = _dpp_tables(spark, sf_dir)
     fact = spark.read.parquet(root)
     dim = spark.read.parquet(f"{root}_dim")
     return (
@@ -941,17 +942,36 @@ def dpp_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q101_dynamic_partition_pruning",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+""",
+    doc="dynamic partition pruning: event_type-partitioned fact x small "
+    "conversion-dimension join — the dim's runtime filter prunes fact "
+    "DIRECTORIES before the scan (plan-gated); at 100 TB this is the "
+    "difference between reading 2/5 and 5/5 of the table; the useStats "
+    "override is scoped to this execution and the result materializes "
+    "via eager localCheckpoint (no driver collect)",
+    tags=("events", "join", "scale"),
+)
 def q101_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scope the optimizer override to THIS query's execution and restore it
     # (r3 advice: the conf previously leaked into every later query on the
-    # shared session). The pruning happens at action time, so the result is
-    # materialized inside the scope and returned as a local DataFrame.
+    # shared session). The pruning happens at action time, so the plan is
+    # optimized + materialized inside the scope by an EAGER localCheckpoint
+    # — the result stays a distributed DataFrame over executor blocks, not
+    # a driver-side collect()+re-parallelize (r4 advice).
     key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "false")
     try:
-        out = dpp_join_plan(spark, sf_dir)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return dpp_join_plan(spark, sf_dir).localCheckpoint(eager=True)
     finally:
         if prev is None:
             spark.conf.unset(key)

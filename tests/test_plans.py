@@ -538,3 +538,14 @@ def test_group_quantiles_plan(spark, registry):
             assert "__pid" in s, (
                 "rank window lost its range-cell partitioning: " + s[:160]
             )
+
+
+def test_q101_result_distributed_not_collected(spark, registry):
+    """q101 materializes inside its conf scope via eager localCheckpoint —
+    the result must be a distributed scan over checkpointed blocks, never
+    a driver-side collect()+createDataFrame round trip (which would show
+    as a LocalTableScan over driver rows)."""
+    df = registry["q101_dynamic_partition_pruning"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, "q101 collected through the driver"
+    assert "ExistingRDD" in plan, "q101 is not a checkpointed distributed scan"
