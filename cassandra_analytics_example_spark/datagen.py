@@ -56,3 +56,47 @@ def gen_dataset_deterministic(
         ),
         F.col("id").alias("marks"),
     )
+
+
+WIDE_SCHEMA_DDL = (
+    "id BIGINT NOT NULL, course BINARY NOT NULL, "
+    "tags ARRAY<STRING> NOT NULL, attrs MAP<STRING, BIGINT> NOT NULL, "
+    "addr STRUCT<city: STRING, zip: BIGINT> NOT NULL, "
+    "pair STRUCT<first: BIGINT, second: STRING> NOT NULL"
+)
+
+
+def gen_wide_types_deterministic(
+    spark: SparkSession, records: int, slices: int
+) -> DataFrame:
+    """Deterministic generator for the CQL collection-type surface the
+    converter jar exposes (SURVEY §1.2, ``run.sh:37``): list/set → array,
+    map → map, UDT → struct, tuple → two-field struct, plus the blob the
+    3-column reference table already covers. Every value derives from the
+    id, so a SQL oracle regenerates the content from ``range()`` exactly:
+
+    * ``tags``  = ['t<id%5>', 'u<id%3>']          (CQL list<text>)
+    * ``attrs`` = {'a': id, 'b': 2*id}            (CQL map<text,bigint>)
+    * ``addr``  = ('city-<id%7>', 10000 + id%100) (CQL UDT)
+    * ``pair``  = (id, 's<id%11>')                (CQL tuple<bigint,text>)
+    """
+    i = F.col("id")
+    return _base_range(spark, records, slices).select(
+        i,
+        F.encode(F.format_string("crs-%032d", i), "utf-8").alias("course"),
+        F.array(
+            F.concat(F.lit("t"), (i % 5).cast("string")),
+            F.concat(F.lit("u"), (i % 3).cast("string")),
+        ).alias("tags"),
+        F.create_map(
+            F.lit("a"), i, F.lit("b"), (F.lit(2) * i)
+        ).alias("attrs"),
+        F.struct(
+            F.concat(F.lit("city-"), (i % 7).cast("string")).alias("city"),
+            (F.lit(10000) + i % 100).alias("zip"),
+        ).alias("addr"),
+        F.struct(
+            i.alias("first"),
+            F.concat(F.lit("s"), (i % 11).cast("string")).alias("second"),
+        ).alias("pair"),
+    )

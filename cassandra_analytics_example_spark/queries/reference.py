@@ -127,3 +127,64 @@ def ref_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _digest(spark.read.parquet(dst))
+
+
+# Wide-type digest: one aggregate per CQL collection type, all regenerable
+# from range() arithmetic on the DuckDB side (same convention as
+# _AGG_ORACLE's course md5 — content parity, not just counts).
+_WIDE_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT md5('crs-' || lpad(CAST(i AS VARCHAR), 32, '0')))
+         AS n_distinct_course,
+       CAST(sum(i) AS BIGINT) AS sum_attr_a,
+       CAST(sum(2 * i) AS BIGINT) AS sum_attr_b,
+       CAST(sum(len(['t' || CAST(i % 5 AS VARCHAR),
+                     'u' || CAST(i % 3 AS VARCHAR)])) AS BIGINT)
+         AS sum_n_tags,
+       count(DISTINCT 't' || CAST(i % 5 AS VARCHAR)) AS n_first_tags,
+       count(DISTINCT 'city-' || CAST(i % 7 AS VARCHAR)) AS n_cities,
+       CAST(sum(10000 + i % 100) AS BIGINT) AS sum_zip,
+       count(DISTINCT 's' || CAST(i % 11 AS VARCHAR)) AS n_pair_seconds
+FROM range(0, {N_ROWS}) t(i)
+"""
+
+
+@register(
+    "ref_cql_types_roundtrip",
+    oracle=_WIDE_ORACLE,
+    doc="S1/K1 CQL collection-type breadth (SURVEY §1.2, run.sh:37 — the "
+    "converter jar surfaces list/set/map/tuple/UDT): a wide row (blob, "
+    "array, map, two structs) through the cassandra stand-in's write → "
+    "snapshot → read path, digested per type; a post-snapshot append "
+    "must stay invisible, exactly as in the 3-column round trip.",
+    tags=("reference", "cassandra"),
+)
+def ref_cql_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.datagen import (
+        gen_wide_types_deterministic,
+    )
+
+    root = tempfile.mkdtemp(prefix="ref-cql-types-")
+    opts = {
+        "format": "cassandra",
+        "sidecar_contact_points": root,
+        "keyspace": "spark_test",
+        "table": "wide",
+    }
+    write(
+        gen_wide_types_deterministic(spark, N_ROWS, 8),
+        {**opts, "partition_key": "id", "splits": "8"},
+    )
+    snap = sources_read(spark, {**opts, "createSnapshot": "true"})
+    write(gen_wide_types_deterministic(spark, 777, 4), opts)  # invisible
+    return snap.select(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.md5("course")).alias("n_distinct_course"),
+        F.sum(F.element_at("attrs", F.lit("a"))).alias("sum_attr_a"),
+        F.sum(F.element_at("attrs", F.lit("b"))).alias("sum_attr_b"),
+        F.sum(F.size("tags")).cast("bigint").alias("sum_n_tags"),
+        F.countDistinct(F.element_at("tags", 1)).alias("n_first_tags"),
+        F.countDistinct(F.col("addr.city")).alias("n_cities"),
+        F.sum(F.col("addr.zip")).alias("sum_zip"),
+        F.countDistinct(F.col("pair.second")).alias("n_pair_seconds"),
+    )
