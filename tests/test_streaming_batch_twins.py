@@ -1,7 +1,9 @@
 """Value-level batch-twin equivalence for the streaming operators at
 sf0.01 (VERDICT r2 #6): every streaming query whose driver row is
 rows-only gets a full-value gate against its deterministic batch twin on
-the oracle-scale fixture — s05↔q38, s06↔q45, s08↔batch min-ts.
+the oracle-scale fixture — s01↔q15, s02↔q107, s03↔batch distinct,
+s04↔batch groupBy, s05↔q38, s06↔q45, s07↔batch first-occurrence
+counts, s08↔batch min-ts, s10↔batch join, s12↔batch countmin_cells.
 
 Equality is exact on keys/counts; double aggregates are rounded to 4
 decimals before the symmetric-difference compare (the batch side sums in
@@ -174,3 +176,107 @@ def test_s12_stream_countmin_matches_batch_sketch(spark):
         "c", F.col("c").cast("bigint")
     )
     _assert_same(got, want)
+
+
+def test_s02_session_stream_matches_q107(spark):
+    """Session-window twin: the streaming F.session_window gap-merge
+    (complete mode over the bounded fixture) must reproduce the batch
+    session_window aggregate (q107, itself oracle-gated against the SQL
+    gap-and-islands formulation) on every (user, start, end, count)."""
+    from cassandra_analytics_example_spark.queries.events import (
+        q107_batch_session_window,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_sessionized_stream,
+    )
+
+    got = run_sessionized_stream(spark, SF01).select(
+        "user_id",
+        F.unix_micros(F.to_timestamp("session_start")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.to_timestamp("session_end")).alias("session_end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    want = q107_batch_session_window(spark, SF01)
+    _assert_same(got, want.select(*got.columns))
+
+
+def test_s03_stream_dedup_matches_batch_distinct(spark):
+    """Streaming first-occurrence dedup twin: with the bounded fixture in
+    one microbatch no state expires mid-run, so the per-type count of
+    first-seen rows must equal the batch count of distinct users per
+    event_type — and the deduped rows themselves must be one per
+    (user_id, event_type)."""
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_dedup,
+    )
+
+    rows = run_stream_dedup(spark, SF01)
+    assert (
+        rows.groupBy("user_id", "event_type").count().filter("count > 1").count()
+        == 0
+    )
+    got = rows.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_first_seen")
+    )
+    want = events(spark, SF01).groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_first_seen")
+    )
+    _assert_same(got, want.select(*got.columns))
+
+
+def test_s04_stateful_totals_match_batch_groupby(spark):
+    """Custom-stateful-operator twin: the FINAL state per user emitted by
+    applyInPandasWithState (update mode; take the max-count update per
+    user to stay correct under any microbatch split) must equal the batch
+    per-user count/sum."""
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stateful_totals,
+    )
+
+    updates = run_stateful_totals(spark, SF01)
+    got = (
+        updates.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_events").alias("n_events"),
+                    F.col("sum_value").alias("sum_value"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.round(F.col("m.sum_value"), 4).alias("sum_value"),
+        )
+    )
+    want = (
+        events(spark, SF01)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    _assert_same(got, want.select(*got.columns))
+
+
+def test_s07_file_sink_contents_match_batch(spark):
+    """File-sink twin: the parquet the checkpointed streaming sink commits
+    (read back and re-aggregated by s07's runner) must carry exactly the
+    batch first-occurrence counts — the exactly-once commit log neither
+    drops nor duplicates rows."""
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_dedup_to_files,
+    )
+
+    got = run_stream_dedup_to_files(spark, SF01)
+    want = events(spark, SF01).groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_first_seen")
+    )
+    _assert_same(got, want.select(*got.columns))
