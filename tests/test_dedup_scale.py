@@ -218,3 +218,66 @@ def test_incremental_minhash_index_matches_from_scratch(spark):
     got = {(r.id_a, r.id_b) for r in inc_pairs.collect()}
     expect = {(r.id_a, r.id_b) for r in want.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_degenerate_boilerplate_bucket_capped_and_accounted(spark, sf_dir):
+    """The real-corpus failure mode: templated boilerplate — one long
+    shared template plus a tiny per-doc suffix — produces hundreds of
+    near-identical but NOT byte-identical docs (so the exact-dedup
+    pre-pass cannot collapse them) that all agree on most MinHash bands.
+    With the bucket 10x over the cap, candidate generation must stay
+    bounded by the kept-pair budget (never quadratic in the boilerplate
+    group) and the drop accounting must name the sacrificed buckets."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        dedup_drop_audit,
+        minhash_signatures,
+    )
+
+    cap = 20
+    n_boiler = cap * 10
+    template = " ".join(
+        f"boilerplate clause {i} of the standard license text agreement"
+        for i in range(30)
+    )
+    rows = [(i, f"{template} unique-suffix-{i:04d}") for i in range(n_boiler)]
+    rows += [
+        (
+            10_000 + j,
+            f"genuinely distinct document number {j} with its own content "
+            * 4,
+        )
+        for j in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+
+    stats = lsh_bucket_stats(sigs, "doc_id", max_bucket_size=cap).collect()
+    dropped = [r for r in stats if r.dropped]
+    assert dropped, "no degenerate bucket detected by the accounting"
+    # the boilerplate group dominates at least one band bucket far beyond
+    # the cap (suffix shingles only rarely steal a band minimum)
+    assert max(r.n_ids for r in dropped) >= cap * 5
+
+    kept_budget = sum(r.n_pairs for r in stats if not r.dropped)
+    emitted = lsh_candidate_pairs(
+        sigs, "doc_id", max_bucket_size=cap
+    ).count()
+    quadratic = n_boiler * (n_boiler - 1) // 2
+    assert emitted <= kept_budget, "cap leaked pairs past the accounting"
+    assert emitted < quadratic / 10, (
+        f"candidate generation went quadratic: {emitted} pairs"
+    )
+
+    # q108's driver-visible audit stays internally consistent on the
+    # degenerate corpus: caps flagged exactly, emitted pairs within the
+    # kept budget, membership conservation holds.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    audit = {
+        r.check_name: r
+        for r in dedup_drop_audit(
+            docs, emb, max_bucket_size=cap
+        ).collect()
+    }
+    assert all(r.ok for r in audit.values()), {
+        k: (v.ok, v.n) for k, v in audit.items()
+    }
