@@ -98,8 +98,17 @@ def staged_write(
     Phase 1 stages the dataset once into ``staging_dir`` and fires
     object-persisted/stage-succeeded per target; phase 2 imports into every
     target only after ALL targets staged (all-or-nothing when the listener
-    is coordinated). File inventory goes through the Hadoop FileSystem API,
-    so staging may live on s3a://hdfs:// as well as file:/."""
+    is coordinated).
+
+    Object-store staging is a CONFIG change, not a code change: every path
+    here (``staging_dir``, targets) is resolved through Spark's Hadoop
+    FileSystem API — the write/read legs by the parquet committers, the
+    inventory by ``fs.list_data_files`` — so ``file://``, ``s3a://``,
+    ``hdfs://`` and ``gs://`` URIs all take this exact path with the same
+    listener lifecycle (gated by test_roundtrip's ``file://`` URI run;
+    the bucket/region/credential plane of the reference's
+    LocalStorageTransportExtension.scala:79-99 maps onto the scheme's
+    Hadoop connector configuration)."""
     listener.on_transport_start()
     stage_dir = write_options.get(
         "staging_dir", f"{tempfile.gettempdir()}/staged-{uuid.uuid4().hex}"

@@ -212,3 +212,39 @@ def test_multi_format_roundtrip(spark, tmp_path):
             assert df.exceptAll(back).count() == 0, fmt
         else:
             assert textable.exceptAll(back.select("id", "course_b64", "marks")).count() == 0, fmt
+
+
+def test_coordinated_write_uri_staging(spark, tmp_path):
+    """Object-store readiness: the staged two-phase path must accept
+    URI-addressed staging and targets (file:// here; s3a://hdfs:// are the
+    same code path through the Hadoop FileSystem API — plans/fs.py), with
+    identical listener lifecycle. A POSIX-only staging path would break the
+    moment staging_dir points at a bucket."""
+    targets = {
+        "cluster1": {"path": f"file://{tmp_path}/u1"},
+        "cluster2": {"path": f"file://{tmp_path}/u2"},
+    }
+    listener = CoordinatedStorageTransportListener(list(targets))
+    n = two_clusters_coordinated_write(
+        spark,
+        JobConfiguration(
+            write_options={
+                "rows": "500",
+                "staging_dir": f"file://{tmp_path}/staging",
+            }
+        ),
+        targets,
+        listener,
+    )
+    assert n == 500
+    for t in targets.values():
+        assert spark.read.parquet(t["path"]).count() == 500
+    kinds = [e.kind for e in listener.events]
+    assert kinds[0] == "transport_start"
+    assert kinds.count("stage_succeeded") == 2
+    assert kinds.count("import_succeeded") == 2
+    assert kinds[-1] == "job_succeeded"
+    # the staged inventory saw URI paths, not bare POSIX ones
+    staged_events = [e for e in listener.events if e.kind == "object_persisted"]
+    assert staged_events
+    assert all("file:" in str(e.detail) for e in staged_events)
