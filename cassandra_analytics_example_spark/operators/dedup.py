@@ -410,6 +410,80 @@ def token_jaccard_pairs(
     )
 
 
+def token_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    ngram_n: int = 3,
+    n_blocks: int = 3,
+    persist_tokens: bool = True,
+) -> DataFrame:
+    """Asymmetric near-dup by n-gram CONTAINMENT (overlap coefficient):
+    |A ∩ B| / min(|A|, |B|) — the measure that catches a short document
+    embedded inside a longer one, which Jaccard structurally misses (the
+    long side inflates the union, so a fully-contained quote can score
+    Jaccard ≈ |A|/|B| → 0 while containment = 1).
+
+    Same scale discipline as :func:`token_jaccard_pairs`: K-rarest-gram
+    blocking (bounded blocks — a gram's block is its document frequency, so
+    no stopword O(N²) bucket), id-only bucket pair generation in ONE
+    shuffle, exact verification join. One recall caveat is inherent to the
+    asymmetric measure: both sides must rank a shared gram among their K
+    rarest, and a much longer superset document may rank its copy of the
+    short doc's grams below K — raise ``n_blocks`` to trade compute for
+    recall (the oracle recomputes the same algorithm, so parity is exact
+    either way). Returns (id_a, id_b, containment ≥ threshold), id_a < id_b.
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
+    )
+    if persist_tokens:
+        from pyspark.storagelevel import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    block = (
+        tok.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("dfreq", "tok"))),
+                1,
+                n_blocks,
+            ).alias("m")
+        )
+        .select(F.col(id_col), F.explode("m.tok").alias("block_tok"))
+    )
+    buckets = (
+        block.groupBy("block_tok")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    smaller = F.least(F.size("toks_a"), F.size("toks_b")).cast("double")
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(smaller > 0)
+        .select(
+            "id_a",
+            "id_b",
+            passing(inter / smaller, lambda c: c >= threshold, "containment"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, n_bits: int = 32, gram_n: int = 3
 ) -> DataFrame:

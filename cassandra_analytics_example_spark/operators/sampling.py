@@ -281,3 +281,64 @@ def mixture_plan(
             f"END"
         ),
     )
+
+
+def hash_ring_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: place every
+    row on a hash ring (md5 of its id), split the ring into ``n_buckets``
+    arcs, and give each anchor its next ``k`` ring successors WITHIN its arc
+    (wrapping around the arc) as negatives.
+
+    The hash scrambles any correlation between id order and content, so
+    ring successors are content-random yet fully reproducible — same
+    negatives across runs, engines, and repartitionings, with no RNG state
+    to manage. Everything is bucket-local: the ranking window partitions by
+    bucket (at 100 TB, raise ``n_buckets`` so each arc fits an executor —
+    the window never sees more than one arc), the per-bucket size table is
+    ``n_buckets`` rows (broadcast), and successor lookup is an equi-join on
+    (bucket, rank). No global sort, no cross product, no driver collect.
+
+    Returns (anchor_id, neg_rank ∈ 1..k, neg_id); rows whose wraparound
+    successor is themselves (arcs with ≤ k members) are excluded rather
+    than emitting a self-negative.
+    """
+    from pyspark.sql import Window
+
+    h = md5_u60(F.concat(F.lit("neg:"), F.col(id_col).cast("string")))
+    ring = df.select(F.col(id_col), h.alias("h")).withColumn(
+        "bucket", F.col("h") % n_buckets
+    )
+    w = Window.partitionBy("bucket").orderBy("h", id_col)
+    ranked = ring.withColumn("r", F.row_number().over(w))
+    counts = ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        ranked.join(F.broadcast(counts), "bucket")
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            "bucket",
+            "r",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+        )
+        .select(
+            "anchor_id",
+            "bucket",
+            "neg_rank",
+            (((F.col("r") - 1 + F.col("neg_rank")) % F.col("n")) + 1).alias(
+                "tr"
+            ),
+        )
+    )
+    succ = ranked.select(
+        F.col(id_col).alias("neg_id"), "bucket", F.col("r").alias("tr")
+    )
+    return (
+        cand.join(succ, ["bucket", "tr"])
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_rank", "neg_id")
+    )

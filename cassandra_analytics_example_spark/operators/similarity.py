@@ -695,3 +695,71 @@ def ann_recall(
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
         ).alias("recall"),
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist_cells: bool = True,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space into cells, then inside each cell drop every vector
+    whose cosine to a LOWER-id cell-mate meets ``threshold`` — one
+    keep-min-id survivor per semantic duplicate group, found without ever
+    comparing across cells.
+
+    Cell assignment reuses :func:`assign_cells` (broadcast centroid table,
+    zero corpus shuffle); the within-cell pass is an equi-self-join on the
+    cell id — the corpus shuffles ONCE by cell, never a cross product. At
+    100 TB, ``n_cells`` scales with the corpus (cells ≈ N / target_cell_size,
+    the paper's regime) so per-cell candidate sets stay bounded; the
+    LOWER-id orientation halves the scored pairs. Centroids here are the
+    first ``n_cells`` vectors by id — deterministic, so the whole pipeline
+    (assignment → prune flag) stays oracle-checkable; learned KMeans
+    centroids swap in by replacing ONLY the centroid table.
+
+    Returns one row per input vector: (id, cell, kept) — ``kept=false``
+    means a lower-id semantic duplicate exists in the same cell.
+
+    ``persist_cells`` materializes the assignment layer (MEMORY_AND_DISK):
+    it is consumed THREE times (both prune sides + the kept-flag spine) and
+    each recompute re-scans the corpus and re-runs the centroid argmax;
+    pass False to trade recompute for zero cache footprint.
+    """
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    )
+    cells = assign_cells(emb, cents, id_col, vec_col)
+    if persist_cells:
+        from pyspark.storagelevel import StorageLevel
+
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .select(
+            "id_a", cosine_similarity("va", "vb").alias("cs")
+        )
+        .filter(F.col("cs") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("__dup").isNull().alias("kept"),
+        )
+    )

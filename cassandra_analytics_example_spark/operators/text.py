@@ -470,3 +470,55 @@ def bm25_scores(
         F.sum("contrib_q").cast("bigint").alias("score_q"),
         F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """First BPE merge iteration: corpus-wide adjacent-symbol pair counts
+    over character-level word symbolizations, top-``top_n`` merge candidates.
+
+    The classic tokenizer-training trick makes this scale: pair counting
+    runs over the DISTINCT word vocabulary weighted by word frequency, not
+    over corpus tokens — the word-count groupBy partially aggregates
+    map-side so the first shuffle carries |vocab| rows, and the pair
+    explosion (chars-1 per word) multiplies vocabulary size, not corpus
+    size. At 100 TB of text the vocabulary is millions of rows; both
+    shuffles stay tiny relative to the scan. The final top-N is a
+    TakeOrdered (per-partition top-N then driver merge of N·partitions
+    rows), never a global sort.
+
+    Returns (left_sym, right_sym, pair_count, rnk) with a total order
+    (count desc, then symbols asc) so the cut at ``top_n`` is deterministic.
+    """
+    word = F.explode(bpe_ish_tokens(text_col)).alias("word")
+    vocab = (
+        spread(df)
+        .select(word)
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.struct(
+                F.col("word").substr(i, F.lit(1)).alias("left_sym"),
+                F.col("word").substr(i + 1, F.lit(1)).alias("right_sym"),
+            ),
+        )
+    ).alias("p")
+    agg = (
+        vocab.select("wfreq", pair)
+        .groupBy(F.col("p.left_sym").alias("left_sym"),
+                 F.col("p.right_sym").alias("right_sym"))
+        .agg(F.sum("wfreq").cast("bigint").alias("pair_count"))
+    )
+    order = [F.col("pair_count").desc(), F.col("left_sym").asc(),
+             F.col("right_sym").asc()]
+    top = agg.orderBy(*order).limit(top_n)
+    # rnk window runs on <= top_n rows (post-limit) — single partition by
+    # construction and deliberately so; it never sees unbounded data.
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))

@@ -2294,3 +2294,182 @@ def q111_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return shard_packing(docs, "doc_id", "n_chars", n_shards=8)
+
+
+# ----------------------------------------------- tokenizer / contrastive ---
+
+
+@register(
+    "q115_bpe_pair_merges",
+    oracle="""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))
+           AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wfreq FROM words
+  WHERE length(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym,
+         wfreq
+  FROM vocab, UNNEST(range(1, length(word))) AS t(i)
+),
+agg AS (
+  SELECT left_sym, right_sym, CAST(sum(wfreq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym)
+            AS INT) AS rnk
+FROM agg
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 20
+""",
+    doc="BPE merge-candidate statistics (first merge iteration): adjacent "
+    "character-pair counts over the distinct word vocabulary weighted by "
+    "word frequency — pair counting shuffles |vocab| rows, not corpus "
+    "tokens (operators/text.py:bpe_pair_counts)",
+    tags=("llm", "text", "tokenizer"),
+)
+def q115_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_n=20)
+
+
+@register(
+    "q116_semdedup",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT v.vec_id, v.v, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM v, cents c) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+)
+SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+""",
+    doc="semantic dedup (SemDeDup): IVF-cell assignment then within-cell "
+    "cosine prune, keep-min-id survivor per duplicate group; within-cell "
+    "pass is an equi-self-join on the cell id, never cross-cell "
+    "(operators/similarity.py:semdedup_prune)",
+    tags=("llm", "dedup", "similarity"),
+)
+def q116_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, n_cells=8, threshold=0.35)
+
+
+@register(
+    "q117_ring_negatives",
+    oracle="""
+WITH ring AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+b AS (SELECT doc_id, h, h % 16 AS bucket FROM ring),
+ranked AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS r
+  FROM b
+),
+counts AS (SELECT bucket, count(*) AS n FROM ranked GROUP BY bucket),
+cand AS (
+  SELECT a.doc_id AS anchor_id, a.bucket, t.i AS neg_rank,
+         ((a.r - 1 + t.i) % c.n) + 1 AS tr
+  FROM ranked a JOIN counts c USING (bucket), UNNEST(range(1, 4)) AS t(i)
+)
+SELECT cand.anchor_id, CAST(cand.neg_rank AS INT) AS neg_rank,
+       r2.doc_id AS neg_id
+FROM cand JOIN ranked r2 ON cand.bucket = r2.bucket AND cand.tr = r2.r
+WHERE r2.doc_id <> cand.anchor_id
+""",
+    doc="deterministic contrastive negative sampling: md5 hash ring split "
+    "into 16 arcs, each anchor takes its 3 arc-local ring successors "
+    "(wrapping) as negatives — reproducible across runs/engines, "
+    "bucket-local windows only (operators/sampling.py:hash_ring_negatives)",
+    tags=("llm", "sampling"),
+)
+def q117_ring_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        hash_ring_negatives,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return hash_ring_negatives(docs, "doc_id", k=3, n_buckets=16)
+
+
+@register(
+    "q118_containment_neardup",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS toks
+  FROM w
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+),
+dfreq AS (
+  SELECT tok, count(*) AS dfreq FROM tok GROUP BY tok
+),
+blocked AS (
+  SELECT doc_id, tok AS block_tok FROM (
+    SELECT t.doc_id, t.tok,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.tok) AS rn
+    FROM tok t JOIN dfreq d USING (tok)) WHERE rn <= 3
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a JOIN blocked b
+    ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / least(len(a.toks), len(b.toks)) AS containment
+FROM cands c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
+WHERE least(len(a.toks), len(b.toks)) > 0
+  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / least(len(a.toks), len(b.toks)) >= 0.6
+""",
+    doc="asymmetric containment near-dup (overlap coefficient >= 0.6 over "
+    "word 3-grams): catches short-doc-inside-long-doc duplication that "
+    "Jaccard misses; same rarest-gram blocking as q22 "
+    "(operators/dedup.py:token_containment_pairs)",
+    tags=("llm", "dedup"),
+)
+def q118_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        token_containment_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return token_containment_pairs(docs, "doc_id", "text", threshold=0.6,
+                                   n_blocks=3)

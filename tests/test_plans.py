@@ -549,3 +549,63 @@ def test_q101_result_distributed_not_collected(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan, "q101 collected through the driver"
     assert "ExistingRDD" in plan, "q101 is not a checkpointed distributed scan"
+
+
+def test_bpe_pair_counts_aggregates_vocab_not_tokens(spark, registry):
+    """q115's pair explosion must run over the AGGREGATED word vocabulary
+    (post-groupBy), not the raw token stream: the plan must show partial
+    (map-side) aggregation for the word count, the final top-N must be a
+    TakeOrdered (never a global Sort+Exchange of the full pair table), and
+    no join/cross product belongs anywhere in this pipeline."""
+    plan = plan_of(spark, registry, "q115_bpe_pair_merges")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    # two-phase (partial + final) hash aggregation for both groupBys
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_semdedup_within_cell_equi_join_only(spark, registry):
+    """q116's within-cell prune must be an equi-join on the cell id; the
+    only nested-loop broadcast allowed is the one-row centroid-array append
+    (constant size). A CartesianProduct means the cell key was lost —
+    O(N²) across cells at scale."""
+    plan = plan_of(spark, registry, "q116_semdedup")
+    assert "CartesianProduct" not in plan
+    # centroid appends: BroadcastNestedLoopJoin against the ONE collapsed
+    # centroid-array row is the documented assign_cells design; the cells
+    # lineage feeds three consumers, so up to three such appends may appear
+    # (fewer when the persisted assignment is reused). Every BNLJ must be
+    # the IdentityBroadcastMode one-row append — never a data-sized side.
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 3
+    assert plan.count("IdentityBroadcastMode") >= min(n_bnlj, 1)
+    # the within-cell prune itself must be a hash equi-join on the cell id
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_ring_negatives_bucket_local_window(spark, registry):
+    """q117's ranking window must partition by the ring bucket — a window
+    with an empty partition spec would serialize the whole corpus through
+    one task. The successor lookup must be an equi-join."""
+    plan = plan_of(spark, registry, "q117_ring_negatives")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "windowspecdefinition(bucket" in seg, (
+            "ranking window is not bucket-partitioned:\n" + seg
+        )
+
+
+def test_containment_blocking_is_equi_join(spark, registry):
+    """q118's candidate generation must stay the rarest-gram equi-join
+    (bounded blocks), same discipline as q22."""
+    plan = plan_of(spark, registry, "q118_containment_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
