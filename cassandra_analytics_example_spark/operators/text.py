@@ -522,3 +522,73 @@ def bpe_pair_counts(
     # rnk window runs on <= top_n rows (post-limit) — single partition by
     # construction and deliberately so; it never sees unbounded data.
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
+def boilerplate_gram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram_n: int = 3,
+    df_per_100: int = 1,
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate detection: flag word n-grams whose DOCUMENT frequency
+    reaches ``df_per_100`` percent of the corpus (floor ``min_df``), then
+    score every document by how much of it is made of those grams — the
+    headers/footers/template-chrome signal used to gate web-scraped
+    training data.
+
+    The boilerplate gram set is broadcast-safe BY CONSTRUCTION, not by
+    luck: a gram needs df ≥ f·N docs to qualify, and total distinct-gram
+    incidence is ≈ g·N (g = mean distinct grams/doc), so at most g/f grams
+    can qualify — a bound independent of corpus size (g≈150, f=0.01 →
+    ≤15k grams at ANY scale). The per-doc membership probe is therefore a
+    broadcast LEFT SEMI join: the corpus tokenization never shuffles. The
+    document-frequency count partially aggregates map-side; the corpus
+    scalar (n_docs) is a one-row crossJoin.
+
+    Returns (id, n_grams, n_boiler, boiler_frac) with an ANSI-safe zero
+    guard for gram-less documents.
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(
+            F.col("dfc")
+            >= F.greatest(
+                F.lit(min_df),
+                F.expr(f"(n_docs * {df_per_100} + 99) div 100"),
+            )
+        )
+        .select("tok")
+    )
+    n_boiler = (
+        tok.join(F.broadcast(boiler), "tok", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    base = toks.select(F.col(id_col), F.size("toks").cast("bigint").alias("n_grams"))
+    return (
+        base.join(n_boiler, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )

@@ -2473,3 +2473,103 @@ def q118_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return token_containment_pairs(docs, "doc_id", "text", threshold=0.6,
                                    n_blocks=3)
+
+
+# --------------------------------------------------- governance / gating ---
+
+
+@register(
+    "q119_source_leakage_matrix",
+    oracle=f"""
+WITH pairs AS (
+{_Q21_ORACLE}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+""",
+    doc="cross-source near-dup leakage matrix: q21's MinHash-LSH pairs "
+    "rolled up by unordered source pair — the train/eval leakage "
+    "governance view (a nonzero off-diagonal cell means content crosses "
+    "source boundaries); pair generation reuses the bucketed LSH "
+    "discipline, the source lookup is two equi-joins on doc_id",
+    tags=("llm", "dedup", "governance"),
+)
+def q119_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_SEEDS,
+        shingle_k=_SHINGLE_K,
+        num_bands=_MINHASH_BANDS,
+        jaccard_threshold=0.5,
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
+    "q120_boilerplate_coverage",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS toks
+  FROM w
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+),
+dfreq AS (
+  SELECT tok, count(*) AS dfc FROM tok GROUP BY tok
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+boiler AS (
+  SELECT tok FROM dfreq, nd
+  WHERE dfc >= greatest(2, (n_docs * 1 + 99) // 100)
+),
+counts AS (
+  SELECT t.doc_id, count(*) AS n_boiler
+  FROM tok t JOIN boiler USING (tok) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN len(t.toks) > 0
+            THEN CAST(coalesce(c.n_boiler, 0) AS DOUBLE) / len(t.toks)
+            ELSE 0.0 END AS boiler_frac
+FROM toks t LEFT JOIN counts c USING (doc_id)
+""",
+    doc="boilerplate gram coverage: word 3-grams hitting >= 1%-of-corpus "
+    "document frequency are template chrome; per-doc fraction of grams "
+    "that are boilerplate — the qualifying set is bounded by "
+    "grams-per-doc / df-fraction regardless of corpus size, so the "
+    "membership probe broadcasts (operators/text.py:"
+    "boilerplate_gram_coverage)",
+    tags=("llm", "text", "governance"),
+)
+def q120_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        boilerplate_gram_coverage,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return boilerplate_gram_coverage(docs, "doc_id", "text", ngram_n=3)

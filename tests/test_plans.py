@@ -609,3 +609,22 @@ def test_containment_blocking_is_equi_join(spark, registry):
     plan = plan_of(spark, registry, "q118_containment_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_matrix_no_cross_product(spark, registry):
+    """q119 composes q21's LSH pair generation with two source equi-joins
+    and a tiny groupBy — the bucketed-candidate discipline must survive the
+    composition."""
+    plan = plan_of(spark, registry, "q119_source_leakage_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_probe_broadcasts_gram_set(spark, registry):
+    """q120's membership probe must broadcast the (size-bounded)
+    boilerplate gram set — the corpus tokenization side must NOT shuffle
+    for the semi-join. The one-row n_docs scalar append is the only
+    nested-loop allowed."""
+    plan = plan_of(spark, registry, "q120_boilerplate_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
