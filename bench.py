@@ -66,6 +66,9 @@ HEADLINE = [
     "q90_bloom_semi_join",      # portable bloom-filter probe pruning
     "q93_purchase_band_join",   # no-equi-key band join via cell bucketing
     "q95_bm25_retrieval",       # BM25 sparse retrieval, quantized contributions
+    "q115_bpe_pair_merges",     # BPE merge stats over the weighted vocabulary
+    "q116_semdedup",            # SemDeDup: cell assignment + within-cell prune
+    "q120_boilerplate_coverage",  # bounded boilerplate set, broadcast probe
 ]
 
 
