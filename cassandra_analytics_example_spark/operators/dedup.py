@@ -1128,3 +1128,65 @@ def incremental_minhash_index(
         "left_semi",
     )
     return merged, touching_new
+
+
+def cluster_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+    num_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Soft dedup: weight every document by the inverse size of its
+    duplicate cluster instead of dropping duplicates — the sampling-weight
+    form of deduplication (a 40-copy boilerplate page contributes ~1 doc of
+    probability mass in the training mix, but all copies stay addressable).
+
+    Cluster membership covers ALL documents, not just near-dup
+    representatives: exact duplicates map to their content-hash
+    representative (min-id, one window over ONE content-hash shuffle),
+    representatives cluster via MinHash-LSH pairs + pointer-jumped
+    connected components, and docs with no duplicate evidence form
+    singleton clusters (weight 1.0). Sizes count DOCUMENTS per cluster
+    (exact copies included), so weights are the true multiplicity inverse.
+
+    Every stage is the already-gated scale path: hash-partitioned window,
+    bucketed LSH candidates, O(log d) component rounds, equi-joins on
+    cluster ids. Returns (id, cluster_id, cluster_size, weight = 1/size).
+    """
+    mapping = df.select(
+        F.col(id_col),
+        F.min(id_col)
+        .over(Window.partitionBy(F.md5(F.col(text_col))))
+        .alias("rep_id"),
+    )
+    pairs = minhash_lsh_dedup(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        num_bands=num_bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    cc = connected_components(pairs)
+    doc_cluster = (
+        mapping.join(cc, mapping["rep_id"] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    sizes = doc_cluster.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return doc_cluster.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("cluster_size"),
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )

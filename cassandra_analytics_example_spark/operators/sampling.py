@@ -342,3 +342,96 @@ def hash_ring_negatives(
         .filter(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_rank", "neg_id")
     )
+
+
+_BUDGET_BANDS = 64
+_BUDGET_SUBSPLITS = 4
+
+
+def token_budget_selection(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    budget_tokens: int = 2000,
+) -> DataFrame:
+    """Quality-greedy corpus selection under a per-language token budget:
+    take documents in (approximately) descending quality order until each
+    language's cumulative token count reaches ``budget_tokens`` — the
+    curation step that turns "we can afford X tokens of French" into a
+    concrete keep set.
+
+    The naive form — a cumulative sum over a window partitioned by the
+    LOW-CARDINALITY language column — serializes each language through one
+    task (the q113 failure class: one language is most of a real corpus).
+    Instead the selection total order is defined as (quality band desc,
+    md5 subkey asc, quality desc, id asc), where band = floor(quality ·
+    64): the ranking window partitions by (lang, band, subkey) so no task
+    ever sees more than one band-shard of one language, and local
+    cumulative sums are globalized by a broadcast offset layer of
+    per-(lang, band, subkey) token totals (≤ langs × 64 × 4 rows at ANY
+    corpus size). Within a band, quality differs by < 1/64, so the
+    band-then-subkey order deviates from strict quality order only inside
+    a band-boundary sliver — the documented cost of the scale-safe rank
+    (same trade as the q111 shard rank). The order is plain SQL, so the
+    oracle checks cum_tokens and the keep decision value-for-value.
+
+    Returns (id, lang, n_tokens, cum_tokens, selected).
+    """
+    from cassandra_analytics_example_spark.operators.text import (
+        quality_features,
+    )
+    from cassandra_analytics_example_spark.session import spread
+    from pyspark.sql import Window
+
+    q = quality_features(spread(df), text_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        F.col("quality_score"),
+        F.floor(F.col("quality_score") * _BUDGET_BANDS)
+        .cast("bigint")
+        .alias("__band"),
+        (md5_u60(F.col(id_col).cast("string")) % _BUDGET_SUBSPLITS).alias(
+            "__sub"
+        ),
+    )
+    wl = (
+        Window.partitionBy(lang_col, "__band", "__sub")
+        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = q.withColumn("__lcum", F.sum("n_tokens").over(wl))
+    # offset layer: one row per (lang, band, sub) — bounded by langs*64*4
+    wp = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("__band").desc(), F.col("__sub").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        q.groupBy(lang_col, "__band", "__sub")
+        .agg(F.sum("n_tokens").alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(wp), F.lit(0)))
+        .select(
+            F.col(lang_col).alias("__lang"),
+            F.col("__band").alias("__b"),
+            F.col("__sub").alias("__s"),
+            "__off",
+        )
+    )
+    cum = (F.col("__off") + F.col("__lcum")).cast("bigint")
+    return (
+        local.join(
+            F.broadcast(offsets),
+            (local[lang_col] == offsets["__lang"])
+            & (local["__band"] == offsets["__b"])
+            & (local["__sub"] == offsets["__s"]),
+        )
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("n_tokens"),
+            cum.alias("cum_tokens"),
+            (cum <= F.lit(budget_tokens)).alias("selected"),
+        )
+    )

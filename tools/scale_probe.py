@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""10x scale probe: measure each operator at 1x and 10x content and record
+the runtime ratio — the sub-quadratic-growth gate behind SCALE_PROBE_r*.json.
+
+Methodology (kept identical to the round-4/5 probes so ratios are
+comparable): the 10x corpus is built by unioning ten DISTINCT copies —
+documents get a per-copy text suffix (so exact-dedup pre-passes see 10x
+distinct content, not one collapsed copy) and offset doc_ids; embeddings get
+a per-copy deterministic jitter and offset vec_ids. Ratio ~<= 10 means
+at-most-linear growth; sub-1 ratios are the fixed per-query floor
+(~0.3-0.7s of scheduler/codegen) amortizing. The signal is the ABSENCE of
+super-linear growth, not the exact number — pair-emitting dedup ops can
+legitimately exceed 10x when the scaled corpus contains genuinely more true
+pairs (each copy-group is a real near-dup cluster; see SCALE_PROBE_r05
+note on q21).
+
+Usage: python3 tools/scale_probe.py [query ...]   (default: round-5 new ops)
+Merges results into SCALE_PROBE_r05.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.queries import load_all
+from cassandra_analytics_example_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SCALE_PROBE_r05.json",
+)
+DEFAULT_OPS = [
+    "q115_bpe_pair_merges",
+    "q116_semdedup",
+    "q117_ring_negatives",
+    "q118_containment_neardup",
+    "q119_source_leakage_matrix",
+    "q120_boilerplate_coverage",
+]
+COPIES = 10
+ID_STRIDE = 10_000_000
+
+
+def build_scaled(spark, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    docs.write.mode("overwrite").parquet(f"{out_dir}/x1/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{out_dir}/x1/embeddings.parquet")
+
+    d_parts = []
+    e_parts = []
+    for i in range(COPIES):
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copy{i}")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(len(f" copy{i}"))).alias("n_chars"),
+            )
+        )
+        jitter = F.lit(float(i) * 1e-4)
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: (x + jitter).cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d10 = d_parts[0]
+    for p in d_parts[1:]:
+        d10 = d10.unionByName(p)
+    e10 = e_parts[0]
+    for p in e_parts[1:]:
+        e10 = e10.unionByName(p)
+    d10.write.mode("overwrite").parquet(f"{out_dir}/x10/documents.parquet")
+    e10.write.mode("overwrite").parquet(f"{out_dir}/x10/embeddings.parquet")
+
+
+def time_op(spark, fn, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ops = sys.argv[1:] or DEFAULT_OPS
+    registry = load_all()
+    spark = get_spark(app_name="scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    build_scaled(spark, tmp)
+
+    results = {}
+    for name in ops:
+        t1 = time_op(spark, registry[name].fn, f"{tmp}/x1")
+        t10 = time_op(spark, registry[name].fn, f"{tmp}/x10")
+        results[name] = {
+            "t1": t1,
+            "t10": t10,
+            "ratio": round(t10 / t1, 2) if t1 else None,
+        }
+        print(name, results[name], flush=True)
+
+    report = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            report = json.load(f)
+    report.setdefault("metric", "scale_probe")
+    report.setdefault("ops", {}).update(results)
+    report["loadavg_1min_at_end"] = float(
+        open("/proc/loadavg").read().split()[0]
+    )
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print("merged into", OUT)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
