@@ -923,3 +923,133 @@ def test_observed_write_audits_in_single_pass(spark, tmp_path):
     assert got["n_null_lang"] == want["n_null_lang"]
     assert got["sum_chars"] == want["sum_chars"]
     assert spark.read.parquet(out).count() == want["n_rows"]
+
+
+# ------------------------------------------- round-5 operator invariants ---
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_ring_negatives_invariants(spark):
+    """Every anchor gets at most k negatives, never itself; assignment is
+    invariant under repartitioning (pure function of ids)."""
+    from cassandra_analytics_example_spark.operators.sampling import (
+        hash_ring_negatives,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = hash_ring_negatives(docs, "doc_id", k=3, n_buckets=16)
+    rows = out.collect()
+    per_anchor = {}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        per_anchor.setdefault(r.anchor_id, set()).add(r.neg_rank)
+    assert all(len(v) <= 3 for v in per_anchor.values())
+    again = {
+        (r.anchor_id, r.neg_rank, r.neg_id)
+        for r in hash_ring_negatives(
+            docs.repartition(7), "doc_id", k=3, n_buckets=16
+        ).collect()
+    }
+    assert {(r.anchor_id, r.neg_rank, r.neg_id) for r in rows} == again
+
+
+def test_budget_selection_respects_budget_and_is_monotone(spark):
+    """Selected token mass never exceeds the budget per language, and
+    raising the budget only ever grows the keep set."""
+    from cassandra_analytics_example_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    small = token_budget_selection(docs, budget_tokens=1000)
+    big = token_budget_selection(docs, budget_tokens=3000)
+    agg = (
+        small.filter("selected")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    assert agg and all(r.t <= 1000 for r in agg)
+    s_ids = {r.doc_id for r in small.filter("selected").collect()}
+    b_ids = {r.doc_id for r in big.filter("selected").collect()}
+    assert s_ids <= b_ids
+
+
+def test_cluster_weights_sum_to_one_per_cluster(spark):
+    """Weights are the multiplicity inverse: every cluster's weights sum to
+    exactly 1.0 (1/n added n times), every doc appears exactly once."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        cluster_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = cluster_weights(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    sums = {}
+    for r in rows:
+        assert 0 < r.weight <= 1.0
+        sums[r.cluster_id] = sums.get(r.cluster_id, 0.0) + r.weight
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_semdedup_keeps_cell_minimum(spark):
+    """The lowest-id vector of every cell has no lower-id cell-mate, so it
+    must always be kept; and at least one vector per cell survives."""
+    from cassandra_analytics_example_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    rows = semdedup_prune(emb, threshold=0.35).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.kept, f"cell {cell} dropped its minimum id"
+        assert any(m.kept for m in members)
+
+
+def test_bpe_pairs_ranked_and_positive(spark):
+    from cassandra_analytics_example_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows = bpe_pair_counts(docs, "text", top_n=10).collect()
+    assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    counts = [r.pair_count for r in sorted(rows, key=lambda r: r.rnk)]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)
+    assert all(len(r.left_sym) == 1 and len(r.right_sym) == 1 for r in rows)
+
+
+def test_containment_bounds_and_orientation(spark):
+    from cassandra_analytics_example_spark.operators.dedup import (
+        token_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows = token_containment_pairs(
+        docs, "doc_id", "text", threshold=0.6
+    ).collect()
+    assert rows, "fixture contains near-dup copies; expected pairs"
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.6 <= r.containment <= 1.0
+
+
+def test_boilerplate_fraction_bounds(spark):
+    from cassandra_analytics_example_spark.operators.text import (
+        boilerplate_gram_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows = boilerplate_gram_coverage(docs, "doc_id", "text").collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_grams
+        assert 0.0 <= r.boiler_frac <= 1.0
