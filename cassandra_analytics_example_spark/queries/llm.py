@@ -2696,3 +2696,47 @@ def q122_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return cluster_weights(docs, "doc_id", "text")
+
+
+@register(
+    "q123_jsonl_ingest_digest",
+    oracle="""
+SELECT count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       count(DISTINCT md5(text)) AS n_distinct_text,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+""",
+    doc="JSONL ingestion round trip: documents exported to JSON-lines and "
+    "re-read through the explicit-schema PERMISSIVE reader (corrupt-record "
+    "quarantine column), digest proving zero loss vs the parquet source "
+    "(sources/files.py:read_jsonl/write_jsonl)",
+    tags=("llm", "sources"),
+)
+def q123_jsonl_ingest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.sources.files import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    )
+    clean, _quarantine = split_corrupt(back)
+    return clean.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
