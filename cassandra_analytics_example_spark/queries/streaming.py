@@ -201,3 +201,20 @@ def s12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_countmin(spark, sf_dir)
+
+
+@register(
+    "s13_stream_jsonl_ingest",
+    oracle=None,
+    doc="Structured Streaming: JSONL ingestion through the explicit-schema "
+    "PERMISSIVE reader with corrupt-record quarantine accounting — "
+    "clean/corrupt counts + clean digest as a single-row streaming "
+    "aggregate (batch twin: q123 / sources.files round trip)",
+    tags=("streaming", "sources"),
+)
+def s13_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_jsonl_ingest_stream,
+    )
+
+    return run_jsonl_ingest_stream(spark, sf_dir)

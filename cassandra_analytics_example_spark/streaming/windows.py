@@ -627,3 +627,56 @@ def run_stream_countmin(
         .groupBy("d", "cell")
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
+
+
+def jsonl_ingest_accounting(stream_df: DataFrame) -> DataFrame:
+    """Ingestion accounting aggregate over a PERMISSIVE JSONL stream:
+    clean/corrupt row counts and a clean-row digest — the
+    count-everything-drop-nothing bookkeeping of a continuously-ingesting
+    pipeline, as one global streaming aggregate (complete mode; state is
+    a single row)."""
+    from cassandra_analytics_example_spark.sources.files import CORRUPT_COL
+
+    corrupt = F.col(CORRUPT_COL).isNotNull()
+    return stream_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(corrupt, 0).otherwise(1)).cast("bigint").alias("n_clean"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).cast("bigint").alias(
+            "n_corrupt"
+        ),
+        F.sum(F.when(corrupt, 0).otherwise(F.col("doc_id")))
+        .cast("bigint")
+        .alias("id_sum"),
+    )
+
+
+def run_jsonl_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming JSONL ingestion: export the documents fixture
+    to JSON-lines (plus one deliberately malformed file), stream it back
+    through the explicit-schema PERMISSIVE reader, and aggregate the
+    clean/corrupt accounting — the streaming twin of q123's batch round
+    trip, proving the quarantine contract holds under the file-source
+    microbatch model."""
+    import tempfile
+
+    from cassandra_analytics_example_spark.sources.files import (
+        CORRUPT_COL,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="s13_jsonl_")
+    write_jsonl(docs, out)
+    with open(os.path.join(out, "part-corrupt.json"), "w") as f:
+        f.write("this line is not json\n{broken\n")
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        f"n_chars BIGINT, {CORRUPT_COL} STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(out)
+    )
+    return _run_to_memory(jsonl_ingest_accounting(stream), spark, "complete")

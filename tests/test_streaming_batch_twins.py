@@ -280,3 +280,24 @@ def test_s07_file_sink_contents_match_batch(spark):
         F.countDistinct("user_id").alias("n_first_seen")
     )
     _assert_same(got, want.select(*got.columns))
+
+
+def test_s13_jsonl_ingest_matches_batch_digest(spark):
+    """Streaming ingestion twin: the clean/corrupt accounting the streaming
+    PERMISSIVE reader aggregates must equal the batch round trip's digest —
+    clean count and id sum match the parquet fixture exactly, and exactly
+    the two planted malformed lines land in quarantine."""
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_jsonl_ingest_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    want_n = docs.count()
+    want_sum = docs.agg(F.sum("doc_id")).collect()[0][0]
+    got = run_jsonl_ingest_stream(spark, SF01).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.n_clean == want_n
+    assert row.n_corrupt == 2
+    assert row.n_rows == want_n + 2
+    assert row.id_sum == want_sum
