@@ -2740,3 +2740,88 @@ def q123_jsonl_ingest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_sum"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "q124_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+stats AS (
+  SELECT term, count(*) AS dfreq, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY 1
+),
+post AS (
+  SELECT term,
+         array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY rn), ',')
+           AS postings
+  FROM ranked WHERE rn <= 16 GROUP BY 1
+)
+SELECT s.term, CAST(s.dfreq AS BIGINT) AS df, s.cf, p.postings,
+       s.dfreq > 16 AS truncated
+FROM stats s JOIN post p USING (term)
+""",
+    doc="capped inverted index: term -> df/cf + top-16 postings (tf desc, "
+    "doc_id asc) with truncation accounting; the window-rank-then-filter "
+    "runs BEFORE collect_list so a stopword's posting list never sits in "
+    "one aggregation buffer (operators/indexing.py:inverted_index)",
+    tags=("llm", "text", "retrieval"),
+)
+def q124_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.indexing import (
+        inverted_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", max_postings=16)
+
+
+@register(
+    "q126_deterministic_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS skey
+  FROM documents
+),
+sharded AS (SELECT doc_id, skey, skey % 64 AS shard FROM keyed),
+local AS (
+  SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+                                 ORDER BY skey, doc_id) - 1 AS BIGINT)
+           AS pos_in_shard
+  FROM sharded
+),
+sizes AS (SELECT shard, count(*) AS n FROM sharded GROUP BY 1),
+offsets AS (
+  SELECT shard,
+         CAST(sum(n) OVER (ORDER BY shard
+                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+           AS off
+  FROM sizes
+)
+SELECT l.doc_id, l.shard, l.pos_in_shard,
+       o.off + l.pos_in_shard AS global_pos
+FROM local l JOIN offsets o USING (shard)
+""",
+    doc="seeded reproducible global permutation for training order: "
+    "(shard, pos, global_pos) as a pure function of (seed, id); per-shard "
+    "local window + broadcast shard-offset layer, no single-partition "
+    "global sort (operators/indexing.py:deterministic_shuffle)",
+    tags=("llm", "layout", "sampling"),
+)
+def q126_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.indexing import (
+        deterministic_shuffle,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", n_shards=64, seed="epoch0")

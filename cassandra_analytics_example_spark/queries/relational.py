@@ -1660,3 +1660,39 @@ def q103_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(V.read_version(spark, root, 2), 2).unionByName(
         agg(V.read_version(spark, root, 3), 3)
     )
+
+
+@register(
+    "q125_item_affinity",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS cooc
+  FROM base a JOIN base b ON a.g = b.g AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+cnts AS (SELECT item, count(*) AS cnt FROM base GROUP BY 1)
+SELECT p.item_a, p.item_b, CAST(p.cooc AS BIGINT) AS cooc,
+       CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
+       CAST(p.cooc AS DOUBLE) / (ca.cnt + cb.cnt - p.cooc) AS jaccard
+FROM pairs p
+JOIN cnts ca ON p.item_a = ca.item
+JOIN cnts cb ON p.item_b = cb.item
+""",
+    doc="item-item co-occurrence affinity (basket analysis / co-purchase "
+    "CF): parts sharing an order, Jaccard over order sets; pair generation "
+    "is a self-equi-join on the ORDER key (per-group quadratic, bounded by "
+    "basket size, never a cross product) with an optional deterministic "
+    "per-group cap (operators/indexing.py:item_affinity)",
+    tags=("relational", "join", "affinity"),
+)
+def q125_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.indexing import (
+        item_affinity,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    return item_affinity(li, "l_orderkey", "l_partkey", min_cooc=2)

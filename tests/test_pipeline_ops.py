@@ -1053,3 +1053,91 @@ def test_boilerplate_fraction_bounds(spark):
     for r in rows:
         assert 0 <= r.n_boiler <= r.n_grams
         assert 0.0 <= r.boiler_frac <= 1.0
+
+
+def test_inverted_index_invariants(spark):
+    from cassandra_analytics_example_spark.operators.indexing import (
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "a b"),
+            (3, "a a a a"),
+            (4, "c"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.term: r for r in inverted_index(docs, "doc_id", "text",
+                                              max_postings=2).collect()}
+    # df counts documents, cf counts occurrences
+    assert rows["a"].df == 3 and rows["a"].cf == 7
+    assert rows["c"].df == 2 and rows["c"].cf == 2
+    # postings ordered by tf desc then doc_id asc, capped at 2, flag set
+    assert rows["a"].postings == "3,1" and rows["a"].truncated is True
+    assert rows["c"].postings == "1,4" and rows["c"].truncated is False
+    # capped posting length never exceeds the cap
+    assert all(len(r.postings.split(",")) <= 2 for r in rows.values())
+
+
+def test_item_affinity_invariants(spark):
+    from cassandra_analytics_example_spark.operators.indexing import (
+        item_affinity,
+    )
+
+    obs = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+         (1, "x")],  # duplicate observation must not double-count
+        ["g", "item"],
+    )
+    out = {(r.item_a, r.item_b): r
+           for r in item_affinity(obs, "g", "item", min_cooc=1).collect()}
+    xy = out[("x", "y")]
+    assert xy.cooc == 2 and xy.cnt_a == 3 and xy.cnt_b == 2
+    assert abs(xy.jaccard - 2 / 3) < 1e-12
+    # pairs are canonically oriented and self-pairs never appear
+    assert all(a < b for (a, b) in out)
+    assert all(0 < r.jaccard <= 1 for r in out.values())
+    # per-group cap bounds the quadratic: capping at 1 item kills all pairs
+    assert (
+        item_affinity(obs, "g", "item", min_cooc=1,
+                      max_items_per_group=1).count() == 0
+    )
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark):
+    from cassandra_analytics_example_spark.operators.indexing import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", n_shards=8, seed="epoch0")
+    rows = out.collect()
+    # global_pos is a permutation of 0..n-1
+    assert sorted(r.global_pos for r in rows) == list(range(500))
+    # shard-contiguous: global positions inside a shard are consecutive
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.pos_in_shard)
+        base = rs[0].global_pos
+        assert [r.global_pos for r in rs] == list(
+            range(base, base + len(rs))
+        )
+    # reproducible across partitioning, different under a new seed
+    again = {
+        r.doc_id: r.global_pos
+        for r in deterministic_shuffle(
+            df.repartition(13), "doc_id", n_shards=8, seed="epoch0"
+        ).collect()
+    }
+    assert again == {r.doc_id: r.global_pos for r in rows}
+    other = {
+        r.doc_id: r.global_pos
+        for r in deterministic_shuffle(
+            df, "doc_id", n_shards=8, seed="epoch1"
+        ).collect()
+    }
+    assert other != again

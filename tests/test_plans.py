@@ -658,3 +658,49 @@ def test_cluster_weights_joins_stay_equi(spark, registry):
     plan = plan_of(spark, registry, "q122_cluster_weights")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_caps_before_collect(spark, registry):
+    """q124: the posting cap (rn <= 16) must FILTER between the term
+    window and the collect_list aggregation, so no per-term aggregation
+    buffer ever holds an uncapped posting list; stats and postings join
+    on the term key (equi), never a cross product."""
+    plan = plan_of(spark, registry, "q124_inverted_index")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    win_i = plan.find("Window")
+    assert win_i != -1, "posting rank window missing"
+    tail = plan[:win_i]  # executed plans print sinks first: agg ABOVE window
+    assert "collect_list" in tail, "collect_list should consume the window"
+    filt_i = plan.find("rn#", 0, win_i)
+    assert filt_i != -1 and " <= 16" in plan[:win_i], (
+        "rn <= 16 cap must sit between the window and the collect"
+    )
+
+
+def test_item_affinity_pair_join_is_equi(spark, registry):
+    """q125: the pair generator must be an equi-join on the ORDER key with
+    the item inequality as a post-join condition — a SortMergeJoin/
+    ShuffledHashJoin keyed on g, never a cross product over items."""
+    plan = plan_of(spark, registry, "q125_item_affinity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_deterministic_shuffle_no_global_window(spark, registry):
+    """q126: the corpus-sized rank window must be partitioned by shard;
+    the only unpartitioned window allowed is the cumulative-offset pass
+    over the 64-row shard-size layer, and the offset layer must come back
+    via a broadcast join."""
+    plan = plan_of(spark, registry, "q126_deterministic_shuffle")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and "row_number" in s:
+            assert "shard#" in s.split("], [")[1], (
+                "corpus rank window lost its shard partition key: " + s[:160]
+            )
