@@ -218,3 +218,22 @@ def s13_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_jsonl_ingest_stream(spark, sf_dir)
+
+
+@register(
+    "s14_stream_late_data_audit",
+    oracle=None,
+    doc="Structured Streaming: late-data DEAD-LETTER accounting — a "
+    "foreachBatch sink with an explicit persisted high-watermark routes "
+    "rows older than (watermark - lateness) to a quarantine sink instead "
+    "of silently dropping them; per-type on-time/late counts over a "
+    "deterministic out-of-order two-batch arrival (batch twin pinned by "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "governance"),
+)
+def s14_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        late_data_audit,
+    )
+
+    return late_data_audit(spark, sf_dir)

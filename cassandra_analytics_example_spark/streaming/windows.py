@@ -680,3 +680,144 @@ def run_jsonl_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(out)
     )
     return _run_to_memory(jsonl_ingest_accounting(stream), spark, "complete")
+
+
+def stage_out_of_order_events(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> tuple[int, int]:
+    """Stage the events fixture as a deterministic two-microbatch arrival
+    sequence: the NEWEST quarter of event time lands first (advancing the
+    watermark), the older three quarters arrive second (late relative to
+    it). Returns ``(split_us, lateness_us)`` — the staging threshold and
+    the lateness allowance sized to the fixture's time range, so both
+    on-time and late rows exist in the second batch regardless of fixture
+    vintage.
+
+    The file-source orders microbatches by file modification time; the two
+    staged files get explicit mtimes to pin batch order.
+    """
+    from cassandra_analytics_example_spark.queries._tables import events
+
+    ev = events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = hi - lo
+    split_us = lo + (3 * span) // 4
+    lateness_us = span // 2
+    first = os.path.join(out_dir, "batch0")
+    second = os.path.join(out_dir, "batch1")
+    ev.where(F.col("ts_us") >= split_us).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(first)
+    ev.where(F.col("ts_us") < split_us).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(second)
+    now = 1_700_000_000  # fixed epoch: only the ORDER matters
+    for d, t in ((first, now), (second, now + 60)):
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            os.utime(p, (t, t))
+    return split_us, lateness_us
+
+
+def late_data_audit(
+    spark: SparkSession, sf_dir: str, lateness_us: int | None = None
+) -> DataFrame:
+    """Streaming late-data DEAD-LETTER audit — the side output Spark's
+    native watermarking lacks (late rows are silently dropped; production
+    pipelines route them to a quarantine sink and account for them).
+
+    A ``foreachBatch`` sink keeps an explicit high-watermark (max event
+    time seen across completed microbatches) in a one-row parquet state;
+    each batch splits on ``ts_us < watermark - lateness`` — late rows go
+    to the quarantine sink, on-time rows to the main sink — then advances
+    the watermark. Exactly-once per sink comes from (checkpointed source
+    offsets, append-only sinks keyed by epoch overwrite semantics).
+
+    100 TB shape: the split is a partition-parallel filter (no shuffle);
+    the per-batch state read/write is ONE row; the max-ts reduction is a
+    map-side-combinable aggregate collapsing to a scalar.
+
+    Returns per-event-type accounting: ``n_ontime`` / ``n_late`` counts.
+    """
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="s14_late_audit_")
+    staged = os.path.join(root, "staged")
+    os.makedirs(staged, exist_ok=True)
+    _split, auto_lateness = stage_out_of_order_events(spark, sf_dir, staged)
+    if lateness_us is None:
+        lateness_us = auto_lateness
+    ontime_dir = os.path.join(root, "ontime")
+    late_dir = os.path.join(root, "late")
+    wm_dir = os.path.join(root, "wm")
+    ck = os.path.join(root, "ck")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, ts_us BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(staged, "*"))
+    )
+
+    def audit_batch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        # existence probe first: a plain read of the not-yet-written state
+        # dir would log a scary (but caught) FileNotFoundException
+        wm = (
+            sess.read.parquet(wm_dir).first()[0]
+            if os.path.isdir(wm_dir)
+            else None
+        )
+        late = (
+            F.col("ts_us") < F.lit(wm - lateness_us)
+            if wm is not None
+            else F.lit(False)
+        )
+        tagged = batch.withColumn("__late", late).localCheckpoint()
+        tagged.where(F.col("__late")).drop("__late").write.mode(
+            "append"
+        ).parquet(late_dir)
+        tagged.where(~F.col("__late")).drop("__late").write.mode(
+            "append"
+        ).parquet(ontime_dir)
+        batch_max = tagged.agg(F.max("ts_us")).first()[0]
+        if batch_max is not None:
+            new_wm = batch_max if wm is None else max(wm, batch_max)
+            sess.createDataFrame([(new_wm,)], "wm BIGINT").coalesce(
+                1
+            ).write.mode("overwrite").parquet(wm_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    def counts(path: str, col: str) -> DataFrame:
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame(
+                [], f"event_type STRING, {col} BIGINT"
+            )
+        return df.groupBy("event_type").agg(F.count(F.lit(1)).alias(col))
+
+    return (
+        counts(ontime_dir, "n_ontime")
+        .join(counts(late_dir, "n_late"), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_ontime", F.lit(0)).cast("bigint").alias("n_ontime"),
+            F.coalesce("n_late", F.lit(0)).cast("bigint").alias("n_late"),
+        )
+    )

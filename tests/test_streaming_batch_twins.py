@@ -301,3 +301,45 @@ def test_s13_jsonl_ingest_matches_batch_digest(spark):
     assert row.n_corrupt == 2
     assert row.n_rows == want_n + 2
     assert row.id_sum == want_sum
+
+
+def test_s14_late_audit_matches_batch_watermark_math(spark):
+    """s14's on-time/late routing must equal the batch computation of the
+    same two-phase arrival: batch0 = newest quarter of event time (all
+    on-time, watermark -> global max ts), batch1 = the rest, late iff
+    ts < max - lateness with lateness = span/2."""
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        late_data_audit,
+    )
+
+    got = late_data_audit(spark, SF01)
+
+    ev = events(spark, SF01)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = hi - lo
+    split_us = lo + (3 * span) // 4
+    lateness_us = span // 2
+    # batch0 rows are on-time by construction; batch1 rows are late iff
+    # below the advanced watermark (hi, since batch0 contains the max)
+    # minus the lateness allowance
+    want = (
+        ev.withColumn(
+            "is_late",
+            (F.col("ts_us") < split_us)
+            & (F.col("ts_us") < F.lit(hi - lateness_us)),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("is_late"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ontime"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
+    _assert_same(got, want)
+    # both routes must be non-degenerate: the audit exists to SHOW late data
+    tot = got.agg(F.sum("n_ontime"), F.sum("n_late")).first()
+    assert tot[0] > 0 and tot[1] > 0
