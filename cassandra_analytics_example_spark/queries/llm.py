@@ -2825,3 +2825,65 @@ def q126_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return deterministic_shuffle(docs, "doc_id", n_shards=64, seed="epoch0")
+
+
+@register(
+    "q127_compression_quality",
+    oracle="""
+SELECT 'all_scored' AS check_name, true AS ok,
+       CAST(count(*) AS BIGINT) AS n FROM documents
+UNION ALL SELECT 'compressed_bounds', true, 0
+UNION ALL SELECT 'median_ratio_sane', true, 0
+UNION ALL SELECT 'partition_invariant', true, 0
+""",
+    doc="zlib compression-ratio quality signal (noise vs boilerplate "
+    "filter) via Arrow-batched mapInPandas — no ANSI engine has zlib, so "
+    "the gate is q52-style invariants: full coverage, compressed-size "
+    "bounds, sane median, and partition-invariance (pure-function proof) "
+    "(operators/compression.py:compression_scores)",
+    tags=("llm", "text", "quality", "python"),
+)
+def q127_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.compression import (
+        compression_quality_checks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return compression_quality_checks(docs, "doc_id", "text")
+
+
+@register(
+    "q128_orc_ingest_digest",
+    oracle="""
+SELECT count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       count(DISTINCT md5(text)) AS n_distinct_text,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+""",
+    doc="ORC ingestion round trip: documents exported to ORC and re-read "
+    "through the footer-described scan (pushdown/pruning parity with "
+    "parquet), digest proving zero loss vs the parquet source "
+    "(sources/files.py:read_orc/write_orc)",
+    tags=("llm", "sources"),
+)
+def q128_orc_ingest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="orc_ingest_")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    return back.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

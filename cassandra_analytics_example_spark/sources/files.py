@@ -108,3 +108,20 @@ def to_parquet(
         .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
         .parquet(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export (the other splittable columnar interchange format; same
+    task-sharded file-size discipline as the parquet/JSONL sinks)."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+        .orc(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — schema comes from the file footers (self-describing
+    format, like parquet; no corrupt-record channel needed). Predicate
+    pushdown and column pruning apply exactly as for parquet."""
+    return spark.read.orc(path)

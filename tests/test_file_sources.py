@@ -88,3 +88,24 @@ def test_ingest_to_parquet_enables_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "doc_id" in plan.split(
         "PushedFilters: [", 1
     )[1].split("]", 1)[0]
+
+
+def test_orc_roundtrip_exact_and_pushdown(spark, tmp_path):
+    from cassandra_analytics_example_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    a = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in docs.collect()}
+    b = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in back.collect()}
+    assert a == b
+    # ORC scans must push filters like parquet does
+    q = back.filter(F.col("doc_id") < 10).select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters: [", 1
+    )[1].split("]", 1)[0]

@@ -1141,3 +1141,26 @@ def test_deterministic_shuffle_is_a_stable_permutation(spark):
         ).collect()
     }
     assert other != again
+
+
+def test_compression_scores_separate_repetitive_from_diverse(spark):
+    from cassandra_analytics_example_spark.operators.compression import (
+        compression_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab" * 500),                        # highly repetitive
+            (2, " ".join(str(i * 7919 % 104729) for i in range(200))),
+            (3, ""),                                # empty must not crash
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in compression_scores(docs, "doc_id").collect()}
+    assert rows[1].n_bytes == 1000
+    # repetitive text compresses far better than number soup
+    assert rows[1].ratio > 3 * rows[2].ratio
+    assert rows[2].ratio > 0.5
+    # zlib of empty input is the 8-byte header; ratio 0, never a crash
+    assert rows[3].n_bytes == 0 and rows[3].n_compressed > 0
+    assert rows[3].ratio == 0.0
