@@ -56,6 +56,23 @@ def build_scaled(spark, out_dir: str) -> None:
     docs.write.mode("overwrite").parquet(f"{out_dir}/x1/documents.parquet")
     emb.write.mode("overwrite").parquet(f"{out_dir}/x1/embeddings.parquet")
 
+    # lineitem scales by offsetting the ORDER key and keeping part keys:
+    # 10x more baskets over the same item vocabulary — the realistic growth
+    # mode for co-occurrence ops (pairs grow linearly with baskets while
+    # per-item counts deepen 10x)
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    li.write.mode("overwrite").parquet(f"{out_dir}/x1/lineitem.parquet")
+    li_parts = [
+        li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * ID_STRIDE)
+        )
+        for i in range(COPIES)
+    ]
+    li10 = li_parts[0]
+    for p in li_parts[1:]:
+        li10 = li10.unionByName(p)
+    li10.write.mode("overwrite").parquet(f"{out_dir}/x10/lineitem.parquet")
+
     d_parts = []
     e_parts = []
     for i in range(COPIES):
