@@ -322,3 +322,48 @@ def banded_self_join(
         F.greatest("__id_l", "__id_r").alias("id_b"),
         F.abs(F.col("__v_l") - F.col("__v_r")).alias("delta"),
     ).distinct()
+
+
+def scd2_pit_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    on: Sequence[str],
+    fact_ts: str,
+    valid_from: str,
+    valid_to: str,
+    attrs: Sequence[str],
+    suffix: str = "_pit",
+) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: each fact row gets the
+    attribute version whose validity interval covers the fact timestamp
+    (``valid_from <= ts < valid_to``), or NULLs when the fact falls in a
+    coverage gap or before the first version — the leakage-preventing
+    feature join for training-data generation (only information valid AT
+    event time attaches; never a later version).
+
+    Built on :func:`asof_join` (union-and-carry, exactly ONE shuffle on the
+    key — no range join, no per-key interval explosion): carry the latest
+    version with ``valid_from <= ts``, then EXPIRE it by nulling the
+    attributes when its ``valid_to`` is at or before the fact timestamp.
+    Assumes non-overlapping intervals per key (the SCD2 contract), so the
+    carried candidate is the only possible cover.
+    """
+    out = asof_join(
+        facts,
+        versions,
+        on=on,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        right_values=[valid_to, *attrs],
+        suffix=suffix,
+    )
+    vt = F.col(f"{valid_to}{suffix}")
+    live = vt.isNotNull() & (vt > F.col(fact_ts))
+    return out.select(
+        *[c for c in facts.columns],
+        live.alias("has_version"),
+        *[
+            F.when(live, F.col(f"{a}{suffix}")).alias(f"{a}{suffix}")
+            for a in attrs
+        ],
+    )

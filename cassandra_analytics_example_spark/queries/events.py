@@ -1314,3 +1314,97 @@ def q114_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99},
     )
+
+
+# --------------------------------------------------------------------------
+# q129 — point-in-time SCD2 feature join: each purchase gets the click-band
+# attribute version valid AT purchase time (valid_from <= ts < valid_to,
+# valid_to capped by a 24h TTL so stale versions EXPIRE into coverage gaps)
+# — the leakage-preventing join for training-feature generation. Single
+# key shuffle via the union-and-carry as-of composition + expiry postfilter
+# (operators/relational.py:scd2_pit_join); no range join.
+# --------------------------------------------------------------------------
+
+_TTL_US = 24 * 3600 * 1_000_000
+_FAR_US = 1 << 62
+
+
+@register(
+    "q129_scd2_pit_join",
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS vf,
+         CAST(floor(value) AS BIGINT) % 4 AS band,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+versions AS (
+  SELECT user_id, vf, band,
+         least(coalesce(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                        {_FAR_US}),
+               vf + {_TTL_US}) AS vt
+  FROM clicks WHERE rn = 1
+),
+purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       v.vf IS NOT NULL AS has_version,
+       v.band AS band_pit
+FROM purchases p
+LEFT JOIN versions v
+  ON p.user_id = v.user_id AND v.vf <= p.ts_us AND p.ts_us < v.vt
+""",
+    doc="point-in-time SCD2 feature join with 24h-TTL expiry: purchases "
+    "attach the click-band version valid at purchase time or NULL in "
+    "coverage gaps; union-and-carry as-of + expiry postfilter, one key "
+    "shuffle, no range join (operators/relational.py:scd2_pit_join)",
+    tags=("events", "join", "governance"),
+)
+def q129_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.relational import (
+        scd2_pit_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("vf"),
+        (F.floor("value").cast("bigint") % 4).alias("band"),
+        "event_id",
+    )
+    wl = Window.partitionBy("user_id", "vf").orderBy(F.desc("event_id"))
+    lww = clicks.withColumn("rn", F.row_number().over(wl)).where(
+        F.col("rn") == 1
+    )
+    wv = Window.partitionBy("user_id").orderBy("vf")
+    versions = lww.select(
+        "user_id",
+        "vf",
+        "band",
+        F.least(
+            F.coalesce(F.lead("vf").over(wv), F.lit(_FAR_US)),
+            F.col("vf") + F.lit(_TTL_US),
+        ).alias("vt"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = scd2_pit_join(
+        purchases,
+        versions,
+        on=["user_id"],
+        fact_ts="ts_us",
+        valid_from="vf",
+        valid_to="vt",
+        attrs=["band"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "has_version",
+        F.col("band_pit").alias("band_pit"),
+    )

@@ -1164,3 +1164,45 @@ def test_compression_scores_separate_repetitive_from_diverse(spark):
     # zlib of empty input is the 8-byte header; ratio 0, never a crash
     assert rows[3].n_bytes == 0 and rows[3].n_compressed > 0
     assert rows[3].ratio == 0.0
+
+
+def test_scd2_pit_join_expiry_and_gap_semantics(spark):
+    from cassandra_analytics_example_spark.operators.relational import (
+        scd2_pit_join,
+    )
+
+    versions = spark.createDataFrame(
+        [
+            (1, 100, 200, "a"),   # [100, 200)
+            (1, 300, 400, "b"),   # gap [200, 300); [300, 400); gap after
+            (2, 50, 60, "c"),
+        ],
+        ["user_id", "vf", "vt", "attr"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, 100),  # exact valid_from boundary -> covered
+            (11, 1, 199),  # inside
+            (12, 1, 200),  # exact valid_to boundary -> EXPIRED
+            (13, 1, 250),  # gap
+            (14, 1, 399),  # second version
+            (15, 1, 50),   # before first version
+            (16, 2, 55),   # other key
+            (17, 3, 55),   # key with no versions at all
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    out = {
+        r.event_id: (r.has_version, r.attr_pit)
+        for r in scd2_pit_join(
+            facts, versions, ["user_id"], "ts", "vf", "vt", ["attr"]
+        ).collect()
+    }
+    assert out[10] == (True, "a")
+    assert out[11] == (True, "a")
+    assert out[12] == (False, None)   # half-open interval: ts == vt is out
+    assert out[13] == (False, None)
+    assert out[14] == (True, "b")
+    assert out[15] == (False, None)
+    assert out[16] == (True, "c")
+    assert out[17] == (False, None)

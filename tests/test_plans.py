@@ -704,3 +704,14 @@ def test_deterministic_shuffle_no_global_window(spark, registry):
             assert "shard#" in s.split("], [")[1], (
                 "corpus rank window lost its shard partition key: " + s[:160]
             )
+
+
+def test_scd2_pit_join_is_single_key_shuffle(spark, registry):
+    """q129: the point-in-time join must keep the union-and-carry shape —
+    user_id-keyed exchanges only, no join operator of any kind in the
+    carry path (no range join that could explode per-key, no cartesian)."""
+    plan = plan_of(spark, registry, "q129_scd2_pit_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
