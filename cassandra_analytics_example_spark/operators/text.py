@@ -592,3 +592,132 @@ def boilerplate_gram_coverage(
             .alias("boiler_frac"),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    quantum: int = 10_000,
+    alpha_num: int = 2,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """Bigram language-model score per document with stupid backoff — the
+    middle tier of LM-based quality filtering (CCNet-style): documents
+    whose token SEQUENCES are improbable under a held-in training split
+    score low even when their unigrams look normal.
+
+    The model trains on the even-``id_col`` half of the corpus (hash-split
+    discipline) and scores EVERY document, so held-out documents exercise
+    the backoff path with genuinely unseen bigrams:
+
+    * seen bigram:   ``ln(c(w1 w2) / c(w1))``
+    * unseen bigram: ``ln(alpha * max(c(w2), 1) / N)`` with
+      ``alpha = alpha_num/alpha_den`` (stupid backoff to the unigram
+      distribution; OOV continuation words count as 1)
+
+    Determinism (same convention as :func:`unigram_logprob_scores`): each
+    conditional log-prob is quantized ONCE to integer ``1/quantum`` nats
+    via floor, per-document totals are INTEGER sums — exact under any
+    aggregation order and engine-portable. Output ``(score_qnats,
+    n_bigrams)``; short documents (< 2 tokens) surface with zeros.
+
+    Plan: one (doc, bigram) count shuffle over the corpus; the bigram and
+    unigram vocabularies are vocab-sized aggregates of the TRAIN half,
+    pinned and broadcast back; the final integer sum re-groups on the
+    uniform doc id. Nothing corpus-sized is ever broadcast or buffered.
+    """
+    from cassandra_analytics_example_spark.session import pin_small
+
+    bigrams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("bg")
+    )
+    per_doc = bigrams.groupBy(id_col, "bg").agg(
+        F.count(F.lit(1)).alias("bf")
+    )
+    train = per_doc.where(F.col(id_col) % 2 == 0)
+    bg_vocab = pin_small(
+        train.groupBy("bg").agg(F.sum("bf").cast("bigint").alias("cbg"))
+    )
+    # unigram layer derives from the SAME train bigram layer (each bigram
+    # contributes its LEFT word, so c(w1) counts w1 in non-final position —
+    # exactly the denominator the conditional needs)
+    uni = pin_small(
+        train.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w"),
+            "bf",
+        )
+        .groupBy("w")
+        .agg(F.sum("bf").cast("bigint").alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("n_total"))
+    scored = (
+        per_doc.withColumn(
+            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(bg_vocab), "bg", "left")
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w1")).withColumnRenamed(
+                "cu", "c1"
+            ),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w2")).withColumnRenamed(
+                "cu", "c2"
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "bf",
+            F.floor(
+                F.when(
+                    F.col("cbg").isNotNull(),
+                    F.log(
+                        F.col("cbg").cast("double")
+                        / F.col("c1").cast("double")
+                    ),
+                ).otherwise(
+                    F.log(
+                        (
+                            F.lit(alpha_num).cast("double")
+                            * F.greatest(
+                                F.coalesce(F.col("c2"), F.lit(0)), F.lit(1)
+                            ).cast("double")
+                        )
+                        / (
+                            F.lit(alpha_den).cast("double")
+                            * F.col("n_total").cast("double")
+                        )
+                    )
+                )
+                * quantum
+            )
+            .cast("bigint")
+            .alias("logp_q"),
+        )
+    )
+    sums = scored.groupBy(id_col).agg(
+        F.sum(F.col("bf") * F.col("logp_q")).cast("bigint").alias(
+            "score_qnats"
+        ),
+        F.sum("bf").cast("bigint").alias("n_bigrams"),
+    )
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("score_qnats", F.lit(0)).cast("bigint").alias(
+                "score_qnats"
+            ),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+        )
+    )

@@ -2887,3 +2887,200 @@ def q128_orc_ingest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_sum"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "q130_bigram_logprob",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS bg
+  FROM w WHERE len(w) >= 2
+),
+per_doc AS (SELECT doc_id, bg, count(*) AS bf FROM bg GROUP BY 1, 2),
+train AS (SELECT * FROM per_doc WHERE doc_id % 2 = 0),
+bgv AS (SELECT bg, CAST(sum(bf) AS BIGINT) AS cbg FROM train GROUP BY 1),
+uni AS (
+  SELECT string_split(bg, ' ')[1] AS w, CAST(sum(bf) AS BIGINT) AS cu
+  FROM train GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+scored AS (
+  SELECT p.doc_id, p.bf,
+         CAST(floor(CASE WHEN v.cbg IS NOT NULL
+           THEN ln(CAST(v.cbg AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+           ELSE ln((2.0 * greatest(coalesce(u2.cu, 0), 1))
+                   / (5.0 * CAST(t.n_total AS DOUBLE))) END
+           * 10000) AS BIGINT) AS logp_q
+  FROM per_doc p
+  LEFT JOIN bgv v USING (bg)
+  LEFT JOIN uni u1 ON u1.w = string_split(p.bg, ' ')[1]
+  LEFT JOIN uni u2 ON u2.w = string_split(p.bg, ' ')[2]
+  CROSS JOIN tot t
+),
+sums AS (
+  SELECT doc_id, CAST(sum(bf * logp_q) AS BIGINT) AS score_qnats,
+         CAST(sum(bf) AS BIGINT) AS n_bigrams
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.score_qnats, 0) AS score_qnats,
+       coalesce(s.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN sums s USING (doc_id)
+""",
+    doc="bigram LM quality score with stupid backoff (CCNet-style middle "
+    "tier): trains on the even-doc_id half, scores every document — "
+    "held-out docs exercise the unseen-bigram backoff to the unigram "
+    "distribution (alpha=2/5, OOV continuation counts as 1); integer-"
+    "quantized log-probs, vocab-sized broadcast layers only "
+    "(operators/text.py:bigram_logprob_scores)",
+    tags=("llm", "quality", "text"),
+)
+def q130_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs, "doc_id")
+
+
+@register(
+    "q131_source_wilson_ranking",
+    oracle="""
+WITH f AS (
+  SELECT source,
+         CASE WHEN len(string_split(text, ' ')) < 15 THEN 0
+              WHEN (CAST(length(text) AS DOUBLE)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                   / length(text) > 0.2 THEN 0
+              WHEN len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','and','of','to','a'], t)))
+                   = 0 THEN 0
+              ELSE 1 END AS keep
+  FROM documents),
+g AS (
+  SELECT source, count(*) AS n, CAST(sum(keep) AS BIGINT) AS k
+  FROM f GROUP BY 1),
+wil AS (
+  SELECT source, n, k,
+         CAST(k AS DOUBLE) / n AS phat,
+         1.96 * 1.96 AS z2
+  FROM g)
+SELECT source, CAST(n AS BIGINT) AS n_docs, k AS n_keep,
+       CAST(floor(
+         ((phat + z2 / (2.0 * n))
+          - 1.96 * sqrt((phat * (1.0 - phat) + z2 / (4.0 * n)) / n))
+         / (1.0 + z2 / n) * 1000000000) AS BIGINT) AS wilson_lb_q
+FROM wil
+""",
+    doc="source-level curation ranking by Wilson lower confidence bound on "
+    "the quality-keep rate (q44's verdict rules): small sources with "
+    "perfect rates rank below large sources with near-perfect rates — the "
+    "statistically honest ordering for keep/drop-by-source decisions; "
+    "one source-keyed aggregate, Wilson arithmetic on the source-count "
+    "layer only, quantized to integer 1e-9 for engine-exact comparison",
+    tags=("llm", "governance", "quality"),
+)
+def q131_source_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    punct_ratio = (
+        F.length(c).cast("double")
+        - F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    ) / F.length(c)
+    stop = F.array(*[F.lit(m) for m in ("the", "and", "of", "to", "a")])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    keep = (
+        F.when(n_tok < 15, F.lit(0))
+        .when(punct_ratio > 0.2, F.lit(0))
+        .when(n_stop == 0, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    g = docs.select(F.col("source"), keep.alias("keep")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("keep").cast("bigint").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    phat = F.col("k").cast("double") / n
+    z = F.lit(1.96)
+    z2 = z * z
+    lb = (
+        (phat + z2 / (F.lit(2.0) * n))
+        - z
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat) + z2 / (F.lit(4.0) * n)) / n
+        )
+    ) / (F.lit(1.0) + z2 / n)
+    return g.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").alias("n_keep"),
+        F.floor(lb * F.lit(1_000_000_000)).cast("bigint").alias(
+            "wilson_lb_q"
+        ),
+    )
+
+
+@register(
+    "q132_source_lang_drift",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, count(*) AS nsl FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(nsl) AS BIGINT) AS ns FROM sl GROUP BY 1),
+l AS (SELECT lang, CAST(sum(nsl) AS BIGINT) AS nl FROM sl GROUP BY 1),
+t AS (SELECT CAST(sum(nl) AS BIGINT) AS n FROM l),
+terms AS (
+  SELECT sl.source,
+         CAST(floor(
+           (CAST(sl.nsl AS DOUBLE) / s.ns)
+           * ln((CAST(sl.nsl AS DOUBLE) / s.ns)
+                / (CAST(l.nl AS DOUBLE) / t.n)) * 1000000000) AS BIGINT)
+           AS term_q
+  FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t)
+SELECT source, CAST(sum(term_q) AS BIGINT) AS kl_q
+FROM terms GROUP BY 1
+""",
+    doc="per-source language-mixture drift: KL(source lang distribution || "
+    "corpus lang distribution) — the mixture-monitoring signal that flags "
+    "a source whose language composition diverges from the corpus plan; "
+    "every layer is (source x lang)-sized, KL terms quantized to integer "
+    "1e-9 nats BEFORE summing so the fold is order-independent and "
+    "engine-exact",
+    tags=("llm", "governance", "sampling"),
+)
+def q132_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nsl"))
+    from cassandra_analytics_example_spark.session import pin_small
+
+    sl = pin_small(sl)
+    s = sl.groupBy("source").agg(F.sum("nsl").cast("bigint").alias("ns"))
+    lcounts = sl.groupBy("lang").agg(
+        F.sum("nsl").cast("bigint").alias("nl")
+    )
+    t = lcounts.agg(F.sum("nl").cast("bigint").alias("n"))
+    ps = F.col("nsl").cast("double") / F.col("ns")
+    pl = F.col("nl").cast("double") / F.col("n")
+    term = ps * F.log(ps / pl)
+    return (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(lcounts), "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.floor(term * F.lit(1_000_000_000))
+            .cast("bigint")
+            .alias("term_q"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term_q").cast("bigint").alias("kl_q"))
+    )

@@ -1206,3 +1206,64 @@ def test_scd2_pit_join_expiry_and_gap_semantics(spark):
     assert out[15] == (False, None)
     assert out[16] == (True, "c")
     assert out[17] == (False, None)
+
+
+def test_bigram_lm_backoff_penalizes_unseen_sequences(spark):
+    from cassandra_analytics_example_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    # even ids = train half; doc 1 repeats a trained phrase, doc 3 is the
+    # same unigrams in an order never seen in training
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (4, "a dog ran in the park"),
+            (1, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),
+            (5, "xq zz qx"),  # fully OOV
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in bigram_logprob_scores(docs, "doc_id").collect()
+    }
+    assert rows[1].n_bigrams == 5 and rows[3].n_bigrams == 5
+    # per-bigram average: in-distribution doc must beat the shuffled one
+    assert rows[1].score_qnats > rows[3].score_qnats
+    # OOV doc scores worst per bigram
+    assert (rows[5].score_qnats / rows[5].n_bigrams) < (
+        rows[3].score_qnats / rows[3].n_bigrams
+    )
+    # every document surfaces, even short/no-bigram ones
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+
+
+def test_wilson_bound_below_phat_and_monotone_in_n(spark):
+    from cassandra_analytics_example_spark.queries import load_all
+
+    registry = load_all()
+    out = registry["q131_source_wilson_ranking"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    for r in out.collect():
+        phat_q = (r.n_keep * 1_000_000_000) // r.n_docs
+        assert r.wilson_lb_q <= phat_q  # LB never exceeds the raw rate
+        assert 0 <= r.wilson_lb_q <= 1_000_000_000
+
+
+def test_kl_drift_nonnegative_up_to_quantization(spark):
+    from cassandra_analytics_example_spark.queries import load_all
+
+    registry = load_all()
+    out = registry["q132_source_lang_drift"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # KL >= 0 exactly; floored 1e-9 quanta can undershoot by at most
+        # one quantum per (source, lang) term
+        assert r.kl_q >= -100

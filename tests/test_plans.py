@@ -715,3 +715,33 @@ def test_scd2_pit_join_is_single_key_shuffle(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" in plan
+
+
+def test_bigram_lm_broadcasts_vocab_layers(spark, registry):
+    """q130: bigram/unigram vocabularies and the one-row total must come
+    back as broadcasts; the only corpus-keyed exchanges are the (doc,
+    bigram) count and the final per-doc sum. Never a cross product over
+    corpus-sized inputs."""
+    plan = plan_of(spark, registry, "q130_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row total only
+
+
+def test_wilson_ranking_is_one_aggregate(spark, registry):
+    """q131: the whole query is one source-keyed aggregate plus row-local
+    Wilson arithmetic — no joins, at most one hash exchange."""
+    plan = plan_of(spark, registry, "q131_source_wilson_ranking")
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, op
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_lang_drift_joins_are_broadcast(spark, registry):
+    """q132: every KL layer is (source x lang)-sized; all joins broadcast
+    (plus the sanctioned one-row total), nothing corpus-sized shuffles
+    after the first count."""
+    plan = plan_of(spark, registry, "q132_source_lang_drift")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
