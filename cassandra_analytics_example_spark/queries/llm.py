@@ -3084,3 +3084,94 @@ def q132_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("term_q").cast("bigint").alias("kl_q"))
     )
+
+
+@register(
+    "q133_temporal_embargo_split",
+    oracle="""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+cut AS (
+  SELECT lo + (hi - lo) * 3 // 5 AS t_cut,
+         lo + (hi - lo) * 3 // 5
+           + CAST(43200000000 AS BIGINT) AS t_test
+  FROM b)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       CASE WHEN epoch_us(e.ts) < c.t_cut THEN 'train'
+            WHEN epoch_us(e.ts) >= c.t_test THEN 'test'
+            ELSE 'embargo' END AS split
+FROM events e CROSS JOIN cut c
+""",
+    doc="temporal train/test split with a 12h embargo gap at the cut "
+    "(time-series leakage control: rows inside the gap are excluded so "
+    "train-adjacent information cannot bleed into test); the cut is "
+    "integer arithmetic on the min/max bounds — a two-value broadcast, "
+    "rows never shuffle",
+    tags=("llm", "sampling", "governance"),
+)
+def q133_temporal_embargo_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).select(
+        # exact integer floor-division on both engines (Spark `div`,
+        # DuckDB `//`) — float division + cast would round differently
+        F.expr("lo + (hi - lo) * 3 div 5").cast("bigint").alias("t_cut")
+    ).select(
+        "t_cut",
+        (F.col("t_cut") + F.lit(12 * 3600 * 1_000_000)).alias("t_test"),
+    )
+    return ev.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").cast("bigint").alias("ts_us"),
+        F.when(F.col("ts_us") < F.col("t_cut"), F.lit("train"))
+        .when(F.col("ts_us") >= F.col("t_test"), F.lit("test"))
+        .otherwise(F.lit("embargo"))
+        .alias("split"),
+    )
+
+
+@register(
+    "q134_grouped_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 10000 < 9000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, count(*) AS n_docs,
+       count(DISTINCT split) OVER (PARTITION BY source) AS n_splits_for_source
+FROM assigned GROUP BY source, split
+""",
+    doc="group-aware train/val/test split: the md5 bucket hashes the GROUP "
+    "key (source), so every document of a source lands in the same split — "
+    "the standard defense against near-duplicate leakage across splits "
+    "(within-source near-dups can never straddle train/test); "
+    "n_splits_for_source == 1 for every row is the auditable invariant",
+    tags=("llm", "sampling", "governance"),
+)
+def q134_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    assigned = hash_split(docs.select("doc_id", "source"), "source")
+    g = assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "split",
+        "n_docs",
+        F.size(F.collect_set("split").over(w))
+        .cast("bigint")
+        .alias("n_splits_for_source"),
+    )

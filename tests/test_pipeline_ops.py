@@ -1267,3 +1267,44 @@ def test_kl_drift_nonnegative_up_to_quantization(spark):
         # KL >= 0 exactly; floored 1e-9 quanta can undershoot by at most
         # one quantum per (source, lang) term
         assert r.kl_q >= -100
+
+
+def test_embargo_split_gap_and_order(spark):
+    from cassandra_analytics_example_spark.queries import load_all
+
+    out = load_all()["q133_temporal_embargo_split"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r.ts_us)
+    assert set(by_split) == {"train", "embargo", "test"}
+    # strict temporal order: train < embargo < test
+    assert max(by_split["train"]) < min(by_split["embargo"])
+    assert max(by_split["embargo"]) < min(by_split["test"])
+    # labels must match independently recomputed cut points exactly
+    all_ts = [t for ts in by_split.values() for t in ts]
+    lo, hi = min(all_ts), max(all_ts)
+    t_cut = lo + (hi - lo) * 3 // 5
+    t_test = t_cut + 12 * 3600 * 1_000_000
+    for r in rows:
+        want = (
+            "train"
+            if r.ts_us < t_cut
+            else ("test" if r.ts_us >= t_test else "embargo")
+        )
+        assert r.split == want, (r.ts_us, r.split, want)
+
+
+def test_grouped_split_no_source_straddles(spark):
+    from cassandra_analytics_example_spark.queries import load_all
+
+    out = load_all()["q134_grouped_split"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert all(r.n_splits_for_source == 1 for r in rows)
+    # every source appears exactly once (one split each)
+    sources = [r.source for r in rows]
+    assert len(sources) == len(set(sources))

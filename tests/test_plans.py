@@ -745,3 +745,24 @@ def test_lang_drift_joins_are_broadcast(spark, registry):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_embargo_split_never_shuffles_events(spark, registry):
+    """q133: the split is a pure projection against a broadcast two-value
+    bounds row — the events table itself must never hash-shuffle (the only
+    exchange is the single-partition min/max reduction)."""
+    plan = plan_of(spark, registry, "q133_temporal_embargo_split")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row bounds
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_grouped_split_windows_stay_source_partitioned(spark, registry):
+    """q134: the split-count audit window must be partitioned by source
+    (never a global window); no join anywhere."""
+    plan = plan_of(spark, registry, "q134_grouped_split")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window "):
+            assert "source#" in s.split("], [")[1]
