@@ -69,6 +69,11 @@ HEADLINE = [
     "q115_bpe_pair_merges",     # BPE merge stats over the weighted vocabulary
     "q116_semdedup",            # SemDeDup: cell assignment + within-cell prune
     "q120_boilerplate_coverage",  # bounded boilerplate set, broadcast probe
+    "q124_inverted_index",      # capped posting lists (rank-then-collect)
+    "q125_item_affinity",       # basket co-occurrence self-join
+    "q126_deterministic_shuffle",  # seeded training-order permutation
+    "q127_compression_quality",  # zlib quality signal (mapInPandas path)
+    "q130_bigram_logprob",      # bigram LM with backoff (vocab broadcasts)
 ]
 
 
