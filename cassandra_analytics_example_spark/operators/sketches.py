@@ -84,3 +84,75 @@ def countmin_estimate(
             .alias("est_n")
         )
     )
+
+
+# ---------------------------------------------------------------- HLL ------
+
+HLL_P = 8                 # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_W = 60 - HLL_P       # rho bits left of the 60-bit md5 hash
+# estimate numerator alpha_m * m^2 * 2^53, precomputed in Python and inlined
+# as the SAME literal in Spark and the SQL oracle — no cross-engine constant-
+# folding order to worry about
+HLL_EST_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * float(HLL_M * HLL_M) * float(
+    1 << 53
+)
+
+
+def hll_registers(
+    keys: DataFrame, key_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Deterministic HLL register table over ``key_col`` values, optionally
+    per group/shard: ``(group..., bucket, r)`` where bucket = top ``HLL_P``
+    bits of the 60-bit md5 hash and r = max over values of the rank
+    (leading-zero count + 1) of the remaining bits.
+
+    Deterministic (md5, not engine-internal xxhash), so two engines build
+    BIT-IDENTICAL registers — and registers merge across shards/days by
+    per-bucket MAX (max is associative/commutative/idempotent: re-merging
+    a shard is harmless, the mergeability property q135 gates). At most
+    ``groups x 256`` rows regardless of corpus size; one partial-aggregated
+    shuffle."""
+    h = md5_u60(F.col(key_col).cast("string"))
+    rem = (h % F.lit(1 << _HLL_W)).alias("rem")
+    hashed = keys.select(
+        *[F.col(c) for c in group_cols],
+        # exact bit shift for the bucket — float division would lose
+        # integer exactness above 2^53
+        F.shiftright(h, _HLL_W).cast("bigint").alias("bucket"),
+        rem,
+    ).select(
+        *group_cols,
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(_HLL_W + 1))
+        .otherwise(F.lit(_HLL_W + 1) - F.length(F.conv(F.col("rem"), 10, 2)))
+        .cast("int")
+        .alias("rho"),
+    )
+    return hashed.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("r")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Cardinality estimate from a register table, per group: the harmonic
+    mean runs in EXACT integer arithmetic (each ``2^-r`` term scaled by
+    ``2^53`` to a bigint power of two, summed exactly — order-independent,
+    so the estimate is bit-identical in any engine at any parallelism),
+    with the standard linear-counting small-range correction."""
+    agg = registers.groupBy(*group_cols).agg(
+        # shiftleft's bit-count arg must be an expression here, and the
+        # python API only takes an int literal
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - r)"))
+        .cast("bigint")
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    s_total = F.col("s_present") + v * F.lit(1 << 53)
+    raw = F.lit(HLL_EST_NUM) / s_total.cast("double")
+    est = F.when(
+        (v > 0) & (raw < F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("est"))

@@ -3175,3 +3175,89 @@ def q134_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_splits_for_source"),
     )
+
+
+from cassandra_analytics_example_spark.operators.sketches import (  # noqa: E402
+    HLL_EST_NUM as _HLL_NUM,
+)
+
+
+@register(
+    "q135_hll_shard_merge",
+    oracle=f"""
+WITH h AS (
+  SELECT (doc_id % 4) AS shard,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+rho AS (
+  SELECT shard, h >> 52 AS bucket, h % 4503599627370496 AS rem FROM h),
+rr AS (
+  SELECT shard, bucket,
+         CASE WHEN rem = 0 THEN 53
+              ELSE 53 - length(bin(rem)) END AS rho
+  FROM rho),
+shard_regs AS (
+  SELECT shard, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+merged_regs AS (
+  SELECT bucket, max(r) AS r FROM shard_regs GROUP BY 1),
+est_shard AS (
+  SELECT 'shard_' || CAST(shard AS VARCHAR) AS scope,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS sp,
+         count(*) AS np
+  FROM shard_regs GROUP BY shard),
+est_merged AS (
+  SELECT 'merged' AS scope,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS sp,
+         count(*) AS np
+  FROM merged_regs),
+scopes AS (SELECT * FROM est_shard UNION ALL SELECT * FROM est_merged),
+est AS (
+  SELECT scope,
+         CASE WHEN (256 - np) > 0
+                   AND {_HLL_NUM!r} / (CAST(sp AS DOUBLE)
+                       + (256 - np) * 9007199254740992.0) < 640.0
+              THEN 256.0 * ln(256.0 / CAST(256 - np AS DOUBLE))
+              ELSE {_HLL_NUM!r} / (CAST(sp AS DOUBLE)
+                       + (256 - np) * 9007199254740992.0) END AS est
+  FROM scopes)
+SELECT scope, est FROM est
+UNION ALL
+SELECT 'exact' AS scope, CAST(count(DISTINCT text) AS DOUBLE) AS est
+FROM documents
+""",
+    doc="portable mergeable HyperLogLog (p=8, md5-deterministic): per-shard "
+    "register tables max-merge into the global registers — the associative/"
+    "idempotent merge identity that lets 1000 executors sketch "
+    "independently and combine in 256 rows; harmonic mean in EXACT scaled-"
+    "integer arithmetic so the estimate is bit-identical in any engine at "
+    "any parallelism; per-shard + merged + exact rows "
+    "(operators/sketches.py:hll_registers/hll_estimate)",
+    tags=("llm", "sketch"),
+)
+def q135_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).alias("shard"), "text"
+    )
+    shard_regs = hll_registers(docs, "text", ("shard",))
+    merged_regs = shard_regs.groupBy("bucket").agg(
+        F.max("r").alias("r")
+    )
+    per_shard = hll_estimate(shard_regs, ("shard",)).select(
+        F.concat(F.lit("shard_"), F.col("shard").cast("string")).alias(
+            "scope"
+        ),
+        "est",
+    )
+    merged = hll_estimate(merged_regs).select(
+        F.lit("merged").alias("scope"), "est"
+    )
+    exact = table(spark, sf_dir, "documents").agg(
+        F.lit("exact").alias("scope"),
+        F.countDistinct("text").cast("double").alias("est"),
+    )
+    return per_shard.unionByName(merged).unionByName(exact)

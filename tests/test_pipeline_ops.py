@@ -1308,3 +1308,42 @@ def test_grouped_split_no_source_straddles(spark):
     # every source appears exactly once (one split each)
     sources = [r.source for r in rows]
     assert len(sources) == len(set(sources))
+
+
+def test_hll_merge_identity_and_error_bound(spark):
+    from cassandra_analytics_example_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 7).alias("shard"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("k"),
+    )
+    shard_regs = hll_registers(df, "k", ("shard",))
+    merged = {
+        r.bucket: r.r
+        for r in shard_regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    }
+    direct = {
+        r.bucket: r.r for r in hll_registers(df, "k").collect()
+    }
+    # THE mergeability identity: max-merged shard registers == global ones
+    assert merged == direct
+    assert len(direct) <= HLL_M
+    # estimate within 3 sigma (sigma ~ 1.04/sqrt(m) ~ 6.5% at m=256)
+    est = hll_estimate(hll_registers(df, "k")).first().est
+    assert abs(est - 3000) / 3000 < 0.20
+    # idempotent re-merge: merging the merged table again changes nothing
+    again = (
+        spark.createDataFrame(
+            [(b, r) for b, r in merged.items()], "bucket BIGINT, r INT"
+        )
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    )
+    assert {r.bucket: r.r for r in again} == merged

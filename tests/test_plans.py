@@ -766,3 +766,13 @@ def test_grouped_split_windows_stay_source_partitioned(spark, registry):
         s = line.strip().lstrip("+-: ")
         if s.startswith("Window "):
             assert "source#" in s.split("], [")[1]
+
+
+def test_hll_layers_stay_register_sized(spark, registry):
+    """q135: after the one corpus-keyed register aggregation, everything
+    operates on <=(shards x 256)-row register tables — no join of any
+    kind touches the corpus, no cartesian anywhere."""
+    plan = plan_of(spark, registry, "q135_hll_shard_merge")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # pure aggregate/union pipeline
