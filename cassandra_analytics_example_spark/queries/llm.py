@@ -3261,3 +3261,110 @@ def q135_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text").cast("double").alias("est"),
     )
     return per_shard.unionByName(merged).unionByName(exact)
+
+
+@register(
+    "q136_hybrid_rrf_retrieval",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+dense AS (
+  SELECT query_id, nid, rnk FROM (
+    SELECT q.query_id, c.nid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.cv)
+                                       DESC, c.nid ASC) AS rnk
+    FROM q JOIN c ON q.query_id <> c.nid
+  ) WHERE rnk <= 10
+),
+qd AS (SELECT doc_id AS query_id, list_distinct(string_split(text, ' '))
+              AS qtok FROM documents WHERE doc_id < 3),
+sparse AS (
+  SELECT query_id, nid, rnk FROM (
+    SELECT qd.query_id, d.doc_id AS nid,
+           row_number() OVER (PARTITION BY qd.query_id
+             ORDER BY len(list_filter(list_distinct(string_split(d.text, ' ')),
+                          t -> list_contains(qd.qtok, t))) DESC,
+                      d.doc_id ASC) AS rnk
+    FROM qd JOIN documents d ON qd.query_id <> d.doc_id
+  ) WHERE rnk <= 10
+),
+fused AS (
+  SELECT coalesce(dn.query_id, sp.query_id) AS query_id,
+         coalesce(dn.nid, sp.nid) AS doc_id,
+         coalesce(1.0 / (60 + dn.rnk), 0.0)
+           + coalesce(1.0 / (60 + sp.rnk), 0.0) AS rrf
+  FROM dense dn FULL OUTER JOIN sparse sp
+    ON dn.query_id = sp.query_id AND dn.nid = sp.nid
+)
+SELECT query_id, doc_id, rrf, fused_rank FROM (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 5
+""",
+    doc="hybrid retrieval via reciprocal-rank fusion (k=60): dense "
+    "cosine top-10 (query side broadcast, corpus never reshuffled) fused "
+    "with sparse distinct-token-overlap top-10 by full-outer rank join; "
+    "RRF score is two single divisions in a fixed expression order — "
+    "deterministic without quantization; final top-5 per query",
+    tags=("llm", "similarity", "retrieval"),
+)
+def q136_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import (
+        distinct_tokens,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    dense = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                F.col("rnk").alias("rd"))
+    )
+    docs = table(spark, sf_dir, "documents")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        distinct_tokens("text").alias("qtok"),
+    )
+    scored = docs.join(
+        F.broadcast(qd), F.col("query_id") != F.col("doc_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.size(
+            F.filter(
+                distinct_tokens("text"),
+                lambda t: F.array_contains(F.col("qtok"), t),
+            )
+        ).alias("ovl"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("ovl"), F.asc("doc_id")
+    )
+    sparse = (
+        scored.withColumn("rs", F.row_number().over(ws))
+        .where(F.col("rs") <= 10)
+        .select("query_id", "doc_id", "rs")
+    )
+    fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rs")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= 5)
+        .select("query_id", "doc_id", "rrf", "fused_rank")
+    )

@@ -776,3 +776,16 @@ def test_hll_layers_stay_register_sized(spark, registry):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" not in plan  # pure aggregate/union pipeline
+
+
+def test_rrf_fusion_windows_and_broadcasts(spark, registry):
+    """q136: both ranking legs broadcast the bounded QUERY side over the
+    corpus (nested-loop against a broadcast is the sanctioned ANN shape;
+    a CartesianProduct is not), every rank window is partitioned by
+    query_id, and the fusion join is an equi-join on (query, doc)."""
+    plan = plan_of(spark, registry, "q136_hybrid_rrf_retrieval")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and "row_number" in s:
+            assert "query_id#" in s.split("], [")[1]
