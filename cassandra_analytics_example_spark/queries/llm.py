@@ -3368,3 +3368,111 @@ def q136_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fused_rank") <= 5)
         .select("query_id", "doc_id", "rrf", "fused_rank")
     )
+
+
+_SIG_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+    for i in range(_MINHASH_SEEDS)
+)
+
+
+@register(
+    "q137_minhash_calibration",
+    oracle=f"""
+WITH reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+hvals AS (
+  SELECT doc_id, {{hv}} AS hv FROM reps
+),
+sig AS (
+  SELECT doc_id,
+         {{sig}}
+  FROM hvals
+),
+bands AS (
+  SELECT doc_id, b.band AS band, b.bhash AS bhash
+  FROM sig, UNNEST([{{bandstructs}}]) AS t(b)
+),
+bsize AS (
+  SELECT band, bhash, count(*) AS n FROM bands GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.bhash = a.bhash AND s.n <= 1000
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+                                      i -> substr(text, i, {_SHINGLE_K}))) AS sh
+  FROM reps
+)
+SELECT c.id_a, c.id_b,
+       CAST({_SIG_MATCHES} AS BIGINT) AS sig_matches,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+            AS BIGINT) AS uni
+FROM cands c
+JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+""".format(hv=_hv_expr, sig=_sig_cols, bandstructs=_band_structs),
+    doc="MinHash estimator calibration audit over the LSH candidate pairs: "
+    "per pair the signature agreement count (the 16-trial estimate of "
+    "Jaccard) next to the EXACT shingle intersection/union — the audit "
+    "that turns 'we trust MinHash' into measured estimator error, exactly "
+    "as q96 audits the ANN ladder; all columns exact integers, shingle "
+    "sets materialized ONCE and shared by signatures and verification "
+    "(operators/dedup.py:signatures_from_shingles)",
+    tags=("llm", "dedup", "audit"),
+)
+def q137_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import shingles
+    from cassandra_analytics_example_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        signatures_from_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    reps = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    sh_df = reps.select(
+        "doc_id", F.array_distinct(shingles("text", 5)).alias("__sh")
+    )
+    from cassandra_analytics_example_spark.session import pin_small
+
+    sh_df = pin_small(sh_df)
+    sigs = pin_small(signatures_from_shingles(sh_df, "doc_id"))
+    pairs = lsh_candidate_pairs(sigs, "doc_id", 4, 4, max_bucket_size=1000)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ha = sh_df.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    hb = sh_df.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b").join(ha, "id_a").join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b",
+                    lambda x, y: (x == y).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("sig_matches"),
+            inter.cast("bigint").alias("inter"),
+            (F.size("sh_a") + F.size("sh_b") - inter)
+            .cast("bigint")
+            .alias("uni"),
+        )
+    )

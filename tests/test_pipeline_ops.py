@@ -1347,3 +1347,23 @@ def test_hll_merge_identity_and_error_bound(spark):
         .collect()
     )
     assert {r.bucket: r.r for r in again} == merged
+
+
+def test_minhash_calibration_identical_sets_match_fully(spark):
+    """Identical shingle sets must agree on all 16 signature components
+    (permutation-min is a pure function of the set), and the estimator
+    matches/16 must track exact Jaccard within binomial noise."""
+    from cassandra_analytics_example_spark.queries import load_all
+
+    out = load_all()["q137_minhash_calibration"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.sig_matches <= 16
+        assert 0 <= r.inter <= r.uni
+        if r.inter == r.uni:          # identical sets
+            assert r.sig_matches == 16
+        # 16-trial binomial: |p_hat - p| < ~4.8 sigma_max (=0.125) + slack
+        assert abs(r.sig_matches / 16 - r.inter / r.uni) <= 0.65
