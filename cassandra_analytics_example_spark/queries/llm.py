@@ -3476,3 +3476,122 @@ def q137_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uni"),
         )
     )
+
+
+# IVF cell-partitioned vector index, written ONCE per (session, sf_dir) —
+# the query must not pay the layout write per invocation (the q101 layout
+# cache discipline).
+_IVF_ROOTS: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _IVF_ROOTS.get(key)
+    if root is not None and os.path.isdir(root):
+        return root
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    cells = assign_cells(emb, cents)
+    root = tempfile.mkdtemp(prefix="ivf_index-")
+    cells.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(root)
+    _IVF_ROOTS[key] = root
+    return root
+
+
+def ivf_partitioned_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY cell-routed search over the PERSISTED index; caller owns the
+    DPP conf scope (q101 discipline)."""
+    from cassandra_analytics_example_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    root = _ivf_index_root(spark, sf_dir)
+    corpus = spark.read.parquet(root)  # cell = hive partition column
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    q = assign_cells(emb.filter(F.col("vec_id") < 10), cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cell",
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qv", "embedding").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+
+
+@register(
+    "q138_ivf_partitioned_index",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT v.vec_id, v.v, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM v, cents c) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rnk
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rnk <= 5
+""",
+    doc="IVF index PERSISTED as a cell-partitioned parquet layout (the "
+    "vector-store shape: one directory per Voronoi cell), searched by "
+    "joining the broadcast query-cell assignment against the partition "
+    "column so dynamic partition pruning skips every unprobed cell's "
+    "directory at scan time; write paid once per session, results "
+    "identical to the in-flight IVF (q32 oracle verbatim) "
+    "(queries/llm.py:ivf_partitioned_plan; layout cache: _ivf_index_root)",
+    tags=("llm", "similarity", "layout"),
+)
+def q138_ivf_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        return ivf_partitioned_plan(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -789,3 +789,35 @@ def test_rrf_fusion_windows_and_broadcasts(spark, registry):
         s = line.strip().lstrip("+-: ")
         if s.startswith("Window ") and "row_number" in s:
             assert "query_id#" in s.split("], [")[1]
+
+
+def test_ivf_partitioned_index_prunes_cells(spark, registry):
+    """q138: the persisted IVF layout must be searched with a dynamic
+    partition pruning subquery on the cell partition column — unprobed
+    cell directories never reach the scan — and the query side must come
+    in as a broadcast."""
+    from cassandra_analytics_example_spark.queries.llm import (
+        ivf_partitioned_plan,
+    )
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        plan = (
+            ivf_partitioned_plan(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert "dynamicpruning" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the registered query keeps the conf scoped: nothing leaks
+    registry["q138_ivf_partitioned_index"].fn(spark, SF_DIR)
+    assert spark.conf.get(key, None) == prev
