@@ -237,3 +237,22 @@ def s14_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return late_data_audit(spark, sf_dir)
+
+
+@register(
+    "s15_stream_hll",
+    oracle=None,
+    doc="Structured Streaming: mergeable HyperLogLog distinct-count "
+    "maintenance — per-microbatch 256-register partials appended via "
+    "foreachBatch, live sketch = max-merge-on-read; max is idempotent, so "
+    "replayed batches are harmless even without the checkpoint (batch "
+    "twin gate: tests/test_streaming_batch_twins.py; batch op: "
+    "operators/sketches.py:hll_registers)",
+    tags=("streaming", "sketch"),
+)
+def s15_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_hll,
+    )
+
+    return run_stream_hll(spark, sf_dir)

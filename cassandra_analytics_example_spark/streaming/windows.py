@@ -821,3 +821,55 @@ def late_data_audit(
             F.coalesce("n_late", F.lit(0)).cast("bigint").alias("n_late"),
         )
     )
+
+
+def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count maintenance via mergeable HyperLogLog:
+    each microbatch's keys fold into a 256-register partial APPENDED to a
+    parquet register store via ``foreachBatch``; the live sketch is the
+    merge-on-read ``max(r) GROUP BY bucket`` — max is associative,
+    commutative AND idempotent, so partial appends commute and a REPLAYED
+    batch is harmless even without the checkpoint (stronger than the
+    count-min sum-merge, which needs offset tracking for exactly-once).
+
+    The batch twin (``operators/sketches.hll_registers`` over the same
+    keys) must produce the IDENTICAL register table — pinned by
+    tests/test_streaming_batch_twins.py. Returns (bucket, r).
+    """
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    out = tempfile.mkdtemp(prefix="hll_sink_")
+    target = os.path.join(out, "regs")
+    ck = os.path.join(out, "ck")
+
+    keys = stream_events(spark, sf_dir).select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("event_type"),
+        ).alias("__k")
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        hll_registers(batch, "__k").write.mode("append").parquet(target)
+
+    q = (
+        keys.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.read.parquet(target)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )

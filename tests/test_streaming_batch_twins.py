@@ -343,3 +343,32 @@ def test_s14_late_audit_matches_batch_watermark_math(spark):
     # both routes must be non-degenerate: the audit exists to SHOW late data
     tot = got.agg(F.sum("n_ontime"), F.sum("n_late")).first()
     assert tot[0] > 0 and tot[1] > 0
+
+
+def test_s15_stream_hll_matches_batch_registers(spark):
+    """The streaming max-merged register table must be BIT-IDENTICAL to
+    the batch hll_registers over the same keys, and the estimate must
+    track the exact distinct count within the m=256 error envelope."""
+    from cassandra_analytics_example_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_hll,
+    )
+
+    got = {
+        (r.bucket, r.r) for r in run_stream_hll(spark, SF01).collect()
+    }
+    keys = events(spark, SF01).select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+        ).alias("__k")
+    )
+    want_df = hll_registers(keys, "__k")
+    want = {(r.bucket, r.r) for r in want_df.collect()}
+    assert got == want
+    exact = keys.distinct().count()
+    est = hll_estimate(want_df).first().est
+    assert abs(est - exact) / exact < 0.20
