@@ -1408,3 +1408,145 @@ def q129_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_version",
         F.col("band_pit").alias("band_pit"),
     )
+
+
+# --------------------------------------------------------------------------
+# q139 — session path mining: per-user 30-min-gap sessions (q16 semantics),
+# ordered event-type sequences, global top-10 3-step paths. One user-keyed
+# shuffle carries sessionization AND both lead windows; the path count
+# layer is vocabulary-sized (|event_type|^3 max).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q139_session_paths",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+paths AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER ws
+           || '>' || lead(event_type, 2) OVER ws AS path,
+         lead(session_id, 2) OVER ws = session_id AS complete
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
+),
+counted AS (
+  SELECT path, count(*) AS n FROM paths
+  WHERE complete GROUP BY path
+)
+SELECT path, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rnk
+FROM counted
+QUALIFY rnk <= 10
+""",
+    doc="session path mining: 3-step event-type paths within 30-min-gap "
+    "sessions (q16 sessionization), global top-10 by frequency — the "
+    "funnel-path discovery pass; sessionize + both lead windows share ONE "
+    "user-keyed shuffle, the count layer is |event_type|^3-bounded, and "
+    "the final top-10 rank runs on that tiny layer",
+    tags=("events", "window", "paths"),
+)
+def q139_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.relational import (
+        sessionize,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev.select("user_id", "event_id", "event_type", "ts_us"),
+        user_col="user_id",
+        ts_col="ts_us",
+        gap_seconds=GAP_US,
+        order_tiebreak="event_id",
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    paths = sess.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        (F.lead("session_id", 2).over(ws) == F.col("session_id")).alias(
+            "complete"
+        ),
+    )
+    counted = (
+        paths.where(F.col("complete"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counted.withColumn(
+            "rnk", F.row_number().over(wr).cast("bigint")
+        ).where(F.col("rnk") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q140 — recency-decayed activity score in EXACT integer arithmetic:
+# weight = 2^(30 - age_days) (half-life one day, floor at age >= 30 days
+# contributing weight 1), so the per-user sum is an exact bigint under any
+# aggregation order — transcendental exp() would differ by ulps between
+# engines and break the floor-quantize convention.
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q140_recency_decay_scores",
+    oracle=f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+aged AS (
+  SELECT e.user_id,
+         least((m.t_max - epoch_us(e.ts)) // {_DAY_US}, 30) AS age_d
+  FROM events e CROSS JOIN mx m
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(1 AS BIGINT) << (30 - CAST(age_d AS INTEGER)))
+            AS BIGINT) AS decay_score
+FROM aged GROUP BY user_id
+""",
+    doc="recency-weighted user activity: weight 2^(30 - age_days) with a "
+    "one-day half-life, ages >= 30 days clamp to weight 1 — dyadic "
+    "weights are EXACT bigints, so the per-user score is "
+    "order-independent and engine-identical without quantization; the "
+    "global max-ts is a broadcast scalar, events never reshuffle except "
+    "the one user-keyed aggregate",
+    tags=("events", "feature"),
+)
+def q140_recency_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts_us").alias("t_max"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.least(
+                F.expr(f"(t_max - ts_us) div {_DAY_US}"), F.lit(30)
+            ).cast("int").alias("age_d"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - age_d)"))
+            .cast("bigint")
+            .alias("decay_score"),
+        )
+    )

@@ -821,3 +821,29 @@ def test_ivf_partitioned_index_prunes_cells(spark, registry):
     # the registered query keeps the conf scoped: nothing leaks
     registry["q138_ivf_partitioned_index"].fn(spark, SF_DIR)
     assert spark.conf.get(key, None) == prev
+
+
+def test_session_paths_windows_partitioned_except_rank_layer(spark, registry):
+    """q139: sessionization and the lead windows must be user-partitioned;
+    the ONLY unpartitioned window allowed is the top-10 rank over the
+    |event_type|^3-bounded path-count layer."""
+    plan = plan_of(spark, registry, "q139_session_paths")
+    assert "CartesianProduct" not in plan
+    unpartitioned = 0
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window "):
+            if "user_id#" not in s.split("], [")[1]:
+                unpartitioned += 1
+    assert unpartitioned <= 1
+
+
+def test_recency_decay_single_shuffle(spark, registry):
+    """q140: one user-keyed aggregate plus the broadcast one-row max — the
+    events table shuffles exactly once and the weights are integer shifts
+    (no exp() anywhere in the plan)."""
+    plan = plan_of(spark, registry, "q140_recency_decay_scores")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row t_max
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "EXP(" not in plan.upper()
