@@ -3595,3 +3595,93 @@ def q138_ivf_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@register(
+    "q141_ivf_incremental_maintenance",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT v.vec_id, v.v, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM v, cents c) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rnk
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rnk <= 5
+""",
+    doc="incremental IVF index maintenance: the base corpus (all but the "
+    "last 50 vectors) is written as the cell-partitioned layout, the "
+    "delta assigns against the SAME frozen centroids and APPENDS into "
+    "only its own cell directories (dynamic partitionBy append — "
+    "untouched cells' files are never rewritten), and the post-append "
+    "search over the persisted index is IDENTICAL to an index built from "
+    "the full corpus at once (q32 oracle verbatim); the maintenance cost "
+    "tracks the delta, not the corpus",
+    tags=("llm", "similarity", "layout", "incremental"),
+)
+def q141_ivf_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    cut = n_total - 50
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    root = tempfile.mkdtemp(prefix="ivf_incr-")
+    base = assign_cells(emb.filter(F.col("vec_id") < cut), cents)
+    base.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(root)
+    # the delta assigns against the SAME frozen centroids and appends —
+    # only the delta's cells gain files, the rest of the layout is
+    # untouched (no read-modify-write of existing directories)
+    delta = assign_cells(emb.filter(F.col("vec_id") >= cut), cents)
+    delta.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(root)
+
+    corpus = spark.read.parquet(root)
+    q = assign_cells(emb.filter(F.col("vec_id") < 10), cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cell",
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qv", "embedding").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )

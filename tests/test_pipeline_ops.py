@@ -1367,3 +1367,57 @@ def test_minhash_calibration_identical_sets_match_fully(spark):
             assert r.sig_matches == 16
         # 16-trial binomial: |p_hat - p| < ~4.8 sigma_max (=0.125) + slack
         assert abs(r.sig_matches / 16 - r.inter / r.uni) <= 0.65
+
+
+def test_ivf_incremental_append_touches_only_delta_cells(spark, tmp_path):
+    """Appending a delta into the partitioned IVF layout must add files
+    ONLY under the delta's cell directories; pre-existing files are never
+    rewritten (incremental maintenance cost tracks the delta)."""
+    import os
+
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    root = str(tmp_path / "ivf")
+    base = assign_cells(emb.filter(F.col("vec_id") >= 10), cents)
+    base.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(root)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("cell="):
+                p = os.path.join(root, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = snapshot()
+    delta = assign_cells(emb.filter(F.col("vec_id") < 10), cents)
+    delta_cells = {
+        f"cell={r.cell}" for r in delta.select("cell").distinct().collect()
+    }
+    delta.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(root)
+    after = snapshot()
+
+    for d, files in before.items():
+        # every pre-existing file survives untouched
+        assert set(files) <= set(after[d])
+        for f, mt in files.items():
+            assert after[d][f] == mt
+        if d not in delta_cells:
+            assert after[d] == files  # untouched cell: no new files
+    assert any(
+        set(after[d]) - set(before.get(d, {})) for d in delta_cells
+    )
