@@ -1,0 +1,97 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+Connected components (min-label propagation with pointer jumping) lives in
+operators/dedup.py next to its near-dup consumers; this module holds the
+rank-propagation family.
+
+Determinism contract: PageRank here runs in EXACT integer arithmetic — the
+initial mass is an integer quantum (1e12 per node), each propagation step
+is ``(rank * damping_num) div (damping_den * outdeg)`` in bigints, and the
+teleport term is the integer ``quantum * (den - num) div den``.  Integer
+sums are associative/commutative bit-for-bit, so the result is identical
+under any partitioning, any aggregation order, and any engine — which is
+what makes a 5-iteration PageRank DuckDB-oracle-checkable with a plain
+hash compare (float PageRank would differ by ulps between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.checkpoints import (
+    truncate_plan,
+)
+
+#: Integer mass quantum per node.  Large enough that 5-15 iterations of
+#: ``div`` flooring lose < 1e-9 relative mass per step; small enough that
+#: ``sum(rank * 85)`` stays far from bigint overflow for graphs up to
+#: ~1e5 nodes per shuffle partition times 1e12 quantum (~1e19 is the
+#: bigint ceiling; worst-case per-node concentration is total mass).
+PAGERANK_QUANTUM = 1_000_000_000_000
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint_every: int = 0,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exact-integer PageRank over a directed edge list.
+
+    ``rank_{t+1}(v) = teleport + sum_{(u,v) in E} (rank_t(u) * damping_num)
+    div (damping_den * outdeg(u))`` with ``teleport = QUANTUM *
+    (damping_den - damping_num) div damping_den`` — the classic damped
+    power iteration with flooring division standing in for float math.
+
+    Scale shape: the node and degree tables are built once (one groupBy
+    each); every iteration is exactly one edge-keyed broadcast-free join
+    (edges ⋈ ranks on ``src``, both big — shuffle on the join key) plus one
+    ``dst``-keyed aggregation, the canonical Pregel-on-DataFrames step.
+    ``checkpoint_every`` truncates lineage every N iterations (0 = never):
+    mandatory for deep iteration counts on a real cluster, wasteful for
+    the shallow 5-iteration form — see operators/checkpoints.py for the
+    local-vs-reliable trade.
+
+    Nodes are the set of edge SOURCES: with a symmetrized edge list every
+    participant has outdeg >= 1, so no dangling-mass correction is needed
+    (dangling handling would otherwise be a broadcast scalar per round).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    teleport = PAGERANK_QUANTUM * (damping_den - damping_num) // damping_den
+    ranks = nodes.select(
+        "node", F.lit(PAGERANK_QUANTUM).cast("bigint").alias("r")
+    )
+    for it in range(1, iterations + 1):
+        # Per-node send quota first (node-sized join: ranks ⋈ deg), so the
+        # edge table is touched by exactly ONE join per iteration.
+        quota = ranks.join(deg, ranks.node == deg.src).select(
+            "node",
+            F.expr(f"(r * {damping_num}) div ({damping_den} * outdeg)")
+            .cast("bigint")
+            .alias("w"),
+        )
+        contrib = (
+            e.join(quota, e.src == quota.node)
+            .groupBy("dst")
+            .agg(F.sum("w").cast("bigint").alias("c"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce("c", F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
+            ranks = truncate_plan(ranks, checkpoint_dir)
+    return ranks

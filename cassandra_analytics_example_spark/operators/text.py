@@ -721,3 +721,102 @@ def bigram_logprob_scores(
             ),
         )
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring audit (the substring-dedup pass of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every length-``k`` character window that occurs in at least
+    ``min_docs`` distinct documents is a duplicated window; overlapping /
+    adjacent duplicated windows within a document merge into SPANS
+    (gaps-and-islands), and each document reports its duplicated-character
+    budget.
+
+    Output: one row per input document — ``n_dup_windows``, ``n_spans``,
+    ``dup_chars`` (characters covered by merged spans) and ``dup_permille``
+    (exact integer ``dup_chars * 1000 div n_chars``); zero-filled for clean
+    documents so the audit is total.
+
+    Scale: windows explode to O(total_chars) rows but stay JVM-side
+    (sequence/explode/substring codegen, no Python); the duplicate set is
+    found by ONE hash-keyed groupBy (count distinct docs per window hash)
+    and joined back on the same key, so both shuffles share the md5 key and
+    the span merge is one doc-keyed window — no all-pairs comparison
+    anywhere.  At 100 TB the window table is ~len(corpus) rows of
+    (id, int, 32-byte hash): big but linear, and the groupBy is the same
+    shape as the n-gram coverage pass (q73).
+    """
+    ln = F.length(F.col(text_col))
+    win = (
+        df.where(ln >= k)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), ln - F.lit(k - 1))
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            F.col("i").cast("int").alias("i"),
+            F.md5(F.expr(f"substring({text_col}, i, {k})")).alias("h"),
+        )
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dwin = win.join(dup, "h").select(id_col, "i")
+    w = Window.partitionBy(id_col).orderBy("i")
+    marked = dwin.withColumn(
+        "new_span",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.col("i") - F.lag("i").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("i").alias("s"),
+        F.max("i").alias("e"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("nw").cast("bigint").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") + F.lit(k) - F.col("s")).cast("bigint").alias(
+            "dup_chars"
+        ),
+    )
+    return (
+        df.select(id_col, F.length(text_col).cast("bigint").alias("n_chars"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias(
+                "dup_chars"
+            ),
+            F.expr("coalesce(dup_chars, 0) * 1000 div n_chars")
+            .cast("bigint")
+            .alias("dup_permille"),
+        )
+    )

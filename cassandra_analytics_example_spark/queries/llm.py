@@ -3685,3 +3685,82 @@ def q141_ivf_incremental_maintenance(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+
+
+# ------------------------------------------------- substring dedup --------
+# q142 — exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": the ExactSubstr pass): every
+# 32-char window shared by >= 2 distinct docs is duplicated; overlapping
+# windows merge into per-doc spans via gaps-and-islands; each doc reports
+# its duplicated-character budget.  Distinct from q73 (which counts
+# DISTINCT grams corpus-wide): this is positional — it localizes WHERE the
+# duplication sits and how many characters a substring-dedup rewrite would
+# cut from each document.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 32
+
+
+@register(
+    "q142_substring_dup_spans",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         md5(substr(text, CAST(i AS INTEGER), {_SPAN_K})) AS h
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - {_SPAN_K} + 1)) t(i)
+  WHERE length(text) >= {_SPAN_K}
+),
+dup AS (
+  SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+dwin AS (SELECT doc_id, i FROM pos JOIN dup USING (h)),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > {_SPAN_K}
+              THEN 1 ELSE 0 END AS new_span
+  FROM dwin WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, island, min(i) AS s, max(i) AS e, count(*) AS nw
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e + {_SPAN_K} - s) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(coalesce(p.dup_chars, 0) * 1000 // length(d.text) AS BIGINT)
+         AS dup_permille
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+    doc="exact duplicated-substring spans (ExactSubstr dedup audit): "
+    "32-char windows shared across >= 2 docs, merged into per-doc spans, "
+    "per-doc duplicated-char budget in exact integer permille; window "
+    "table is linear in corpus chars, duplicate detection is one "
+    "md5-keyed groupBy + same-key join-back, span merge is one doc-keyed "
+    "window — no all-pairs anywhere",
+    tags=("llm", "dedup", "substring"),
+)
+def q142_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        duplicated_substring_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(
+        docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2
+    )

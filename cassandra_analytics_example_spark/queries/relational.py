@@ -1696,3 +1696,97 @@ def q125_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     return item_affinity(li, "l_orderkey", "l_partkey", min_cooc=2)
+
+
+# --------------------------------------------------------------------------
+# q143 — exact-integer PageRank over the co-purchase item graph: parts are
+# nodes, a symmetric edge links two parts sharing an order, 5 damped power
+# iterations in bigint arithmetic (operators/graph.py), top-100 by final
+# rank.  Crawl-frontier / importance scoring for curation pipelines, in a
+# form where the oracle hash can match EXACTLY (integer mass, no ulps).
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_QUANTUM = 1_000_000_000_000
+_PR_TELEPORT = _PR_QUANTUM * 15 // 100
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    step = """
+r{t} AS (
+  SELECT n.node, CAST({teleport} + coalesce(s.c, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((p.r * 85) // (100 * d.outdeg)) AS BIGINT) AS c
+    FROM edges e
+    JOIN r{p} p ON p.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    chain = ",".join(
+        step.format(t=t, p=t - 1, teleport=_PR_TELEPORT)
+        for t in range(1, iterations + 1)
+    )
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT node FROM deg),
+r0 AS (SELECT node, CAST({_PR_QUANTUM} AS BIGINT) AS r FROM nodes),
+{chain}
+SELECT node AS part_key, r AS score,
+       CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT) AS rnk
+FROM r{iterations}
+QUALIFY rnk <= 100
+"""
+
+
+@register(
+    "q143_pagerank_items",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    doc="exact-integer PageRank (5 damped power iterations, bigint mass "
+    "quantum 1e12, teleport 15%) over the symmetric co-purchase part "
+    "graph; per iteration the edge table sees exactly ONE shuffle join "
+    "(per-node send quota is precomputed on the node-sized table) plus "
+    "one dst-keyed aggregate — the canonical Pregel-on-DataFrames step; "
+    "integer sums make the result partitioning- and engine-independent",
+    tags=("relational", "graph", "iterative"),
+)
+def q143_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_integer(edges, iterations=_PR_ITERS)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"), F.col("r").alias("score")
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("part_key")))
+            .cast("bigint"),
+        )
+        .where(F.col("rnk") <= 100)
+    )
