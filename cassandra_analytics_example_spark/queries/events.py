@@ -1550,3 +1550,166 @@ def q140_recency_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decay_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q144 — hourly volume anomalies per event type, in EXACT integer algebra:
+# an hour is anomalous when |n - mean| > 2*stddev over that type's hourly
+# counts.  Rearranged to integers: with H hours, S = sum(n), Q = sum(n^2),
+# the population condition (n - S/H)^2 > 4*(Q/H - (S/H)^2) multiplies
+# through by H^2 to (n*H - S)^2 > 4*(Q*H - S^2) — no doubles, no sqrt, so
+# the flag set is bit-identical across engines and aggregation orders.
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "q144_hourly_anomalies",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS h,
+         CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS q
+  FROM hourly GROUP BY 1
+)
+SELECT hourly.event_type,
+       CAST(hr AS BIGINT) AS hr,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n * h > s THEN 'hi' ELSE 'lo' END AS side
+FROM hourly JOIN st USING (event_type)
+WHERE (n * h - s) * (n * h - s) > 4 * (q * h - s * s)
+""",
+    doc="hourly volume anomaly flags (|n - mean| > 2 sigma per event "
+    "type) computed entirely in integer algebra — (nH - S)^2 > 4(QH - "
+    "S^2) — so detection is exact and engine-identical; the hourly "
+    "layer is one groupBy, the per-type stats layer is "
+    "vocabulary-sized and broadcast back, events never reshuffle twice",
+    tags=("events", "anomaly", "monitoring"),
+)
+def q144_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_HOUR_US}").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    st = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    joined = hourly.join(F.broadcast(st), "event_type")
+    dev = F.col("n") * F.col("h") - F.col("s")
+    return (
+        joined.where(
+            dev * dev > F.lit(4) * (F.col("q") * F.col("h") - F.col("s") * F.col("s"))
+        )
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("hr"),
+            "n",
+            F.when(F.col("n") * F.col("h") > F.col("s"), F.lit("hi"))
+            .otherwise(F.lit("lo"))
+            .alias("side"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q145 — column-profile drift monitor: split the stream at the midpoint of
+# its time range and compare per-type profiles (volume, distinct users,
+# exact decimal value sum) between halves — the data-quality drift report
+# that gates a new ingest vintage onto a 100 TB pipeline.  One pass,
+# conditional aggregation (FILTER-clause style), no self-join; the drift
+# ratio is exact integer permille with a -1 sentinel instead of a division
+# that ANSI mode would raise on.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q145_profile_drift",
+    oracle="""
+WITH b AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+h AS (
+  SELECT event_type, user_id, value,
+         CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS half
+  FROM events, b
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n_first,
+       CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n_second,
+       CAST(count(DISTINCT user_id) FILTER (WHERE half = 0) AS BIGINT)
+         AS users_first,
+       CAST(count(DISTINCT user_id) FILTER (WHERE half = 1) AS BIGINT)
+         AS users_second,
+       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                       FILTER (WHERE half = 0), 0) AS DOUBLE) AS sum_first,
+       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                       FILTER (WHERE half = 1), 0) AS DOUBLE) AS sum_second,
+       CASE WHEN count(*) FILTER (WHERE half = 0) > 0
+            THEN CAST(count(*) FILTER (WHERE half = 1) * 1000
+                      // (count(*) FILTER (WHERE half = 0)) AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS vol_drift_permille
+FROM h GROUP BY event_type
+""",
+    doc="per-type profile drift between the first and second halves of "
+    "the time range: volume, distinct users, exact decimal value sums, "
+    "integer-permille volume ratio (-1 sentinel for empty baselines); "
+    "the midpoint is one broadcast scalar and the report is ONE "
+    "conditional-aggregation pass over events — no self-join, no second "
+    "shuffle",
+    tags=("events", "monitoring", "drift"),
+)
+def q145_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.numeric import dec
+
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").cast("bigint").alias("mid")
+    )
+    h = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "user_id",
+        "value",
+        F.when(F.col("ts_us") < F.col("mid"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    first = F.col("half") == 0
+    second = F.col("half") == 1
+    out = h.groupBy("event_type").agg(
+        F.count(F.when(first, F.lit(1))).cast("bigint").alias("n_first"),
+        F.count(F.when(second, F.lit(1))).cast("bigint").alias("n_second"),
+        F.countDistinct(F.when(first, F.col("user_id")))
+        .cast("bigint")
+        .alias("users_first"),
+        F.countDistinct(F.when(second, F.col("user_id")))
+        .cast("bigint")
+        .alias("users_second"),
+        F.coalesce(F.sum(F.when(first, dec("value", 18, 2))), F.lit(0))
+        .cast("double")
+        .alias("sum_first"),
+        F.coalesce(F.sum(F.when(second, dec("value", 18, 2))), F.lit(0))
+        .cast("double")
+        .alias("sum_second"),
+    )
+    return out.withColumn(
+        "vol_drift_permille",
+        F.when(
+            F.col("n_first") > 0,
+            F.expr("n_second * 1000 div n_first"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint"),
+    )
