@@ -1421,3 +1421,82 @@ def test_ivf_incremental_append_touches_only_delta_cells(spark, tmp_path):
     assert any(
         set(after[d]) - set(before.get(d, {})) for d in delta_cells
     )
+
+
+def test_pagerank_integer_mass_and_partition_invariance(spark):
+    """Integer PageRank invariants: (a) total mass never exceeds the
+    initial N*quantum and never falls below N*teleport (flooring only
+    loses mass); (b) the result is bit-identical under repartitioning;
+    (c) on a symmetric star graph the hub outranks every leaf."""
+    from cassandra_analytics_example_spark.operators.graph import (
+        PAGERANK_QUANTUM,
+        pagerank_integer,
+    )
+
+    # symmetric star: hub 0 <-> leaves 1..8
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)],
+        ["src", "dst"],
+    )
+    r = pagerank_integer(edges, iterations=5)
+    rows = {x.node: x.r for x in r.collect()}
+    n = len(rows)
+    total = sum(rows.values())
+    teleport = PAGERANK_QUANTUM * 15 // 100
+    assert n == 9
+    assert n * teleport <= total <= n * PAGERANK_QUANTUM
+    assert rows[0] > max(v for k, v in rows.items() if k != 0)
+    r2 = pagerank_integer(edges.repartition(13), iterations=5)
+    assert {x.node: x.r for x in r2.collect()} == rows
+
+
+def test_pagerank_checkpoint_matches_uncheckpointed(spark):
+    """checkpoint_every must not change values — only truncate lineage."""
+    from cassandra_analytics_example_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if (a + b) % 3 == 0
+         and a != b],
+        ["src", "dst"],
+    )
+    base = {x.node: x.r for x in pagerank_integer(edges, iterations=6).collect()}
+    ck = {
+        x.node: x.r
+        for x in pagerank_integer(
+            edges, iterations=6, checkpoint_every=2
+        ).collect()
+    }
+    assert base == ck
+
+
+def test_substring_spans_locates_planted_duplicate(spark):
+    """Plant one shared 40-char block inside otherwise-unique texts: the
+    audit must flag exactly the planted docs, one span each, with
+    dup_chars >= the block length and clean docs at zero."""
+    from cassandra_analytics_example_spark.operators.text import (
+        duplicated_substring_spans,
+    )
+
+    import hashlib
+
+    block = "#" * 40
+    rows = []
+    for i in range(6):
+        uniq = "".join(
+            hashlib.sha256(f"{i}:{k}".encode()).hexdigest() for k in range(2)
+        )  # 128 chars, unique stream per doc
+        text = uniq[:60] + (block if i < 2 else "") + uniq[60:]
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in duplicated_substring_spans(df, k=32).collect()
+    }
+    for i in (0, 1):
+        assert out[i].n_spans == 1
+        assert out[i].dup_chars >= 40
+    for i in range(2, 6):
+        assert out[i].n_dup_windows == 0
+        assert out[i].dup_permille == 0

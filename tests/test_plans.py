@@ -847,3 +847,52 @@ def test_recency_decay_single_shuffle(spark, registry):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row t_max
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "EXP(" not in plan.upper()
+
+
+def test_substring_spans_no_cross_and_doc_windows(spark, registry):
+    """q142: duplicate detection must be the md5-keyed groupBy + same-key
+    join-back (equi only, never all-pairs), and the span-merge windows run
+    partitioned by doc_id — no global window over the position table."""
+    plan = plan_of(spark, registry, "q142_substring_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window "):
+            assert "doc_id#" in s.split("], [")[1], (
+                "span-merge window must partition by doc_id: " + s
+            )
+
+
+def test_pagerank_equi_joins_only(spark, registry):
+    """q143: every propagation step is an equi-join (quota on node, edges
+    on src) plus a dst-keyed aggregate — 5 iterations must introduce zero
+    cross products and keep map-side partial aggregation on the contrib
+    sums."""
+    plan = plan_of(spark, registry, "q143_pagerank_items")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_hourly_anomalies_stats_broadcast_back(spark, registry):
+    """q144: the per-type stats layer (|event_type| rows) must come back
+    via a broadcast hash join — the hourly layer never reshuffles to meet
+    it — and detection is integer algebra (no stddev/sqrt in the plan)."""
+    plan = plan_of(spark, registry, "q144_hourly_anomalies")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    up = plan.upper()
+    assert "STDDEV" not in up and "SQRT" not in up
+
+
+def test_profile_drift_single_pass(spark, registry):
+    """q145: the drift report is ONE conditional-aggregation pass — a
+    single hash-partitioned exchange on event_type (plus its expand for
+    the two distinct-user columns); the midpoint is a one-row broadcast,
+    and there is no self-join of events."""
+    plan = plan_of(spark, registry, "q145_profile_drift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row midpoint
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") <= 2  # events + the one-row mid scan
