@@ -825,3 +825,76 @@ def semdedup_prune(
             F.col("__dup").isNull().alias("kept"),
         )
     )
+
+
+def pq_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization code assignment: split each vector into
+    ``n_sub`` contiguous subvectors of ``sub_dim`` dims, quantize every
+    subvector to its nearest codeword (squared L2, ties to the lowest
+    code id), and report the per-subvector distortion as an exact
+    integer nano-quantized value.
+
+    Codebooks are the subvector slices of the ``n_codes`` lowest-id
+    vectors — the same deterministic seeding discipline as
+    ``kmeans_centroids`` (no RNG, so the codebook is reproducible and
+    oracle-checkable).  Real PQ training would Lloyd-iterate each
+    codebook; assignment + distortion is the part that runs over the
+    full corpus and dominates at scale.
+
+    Scale shape: the codebook is ``n_sub * n_codes`` rows — broadcast —
+    so the corpus is NEVER reshuffled: one projection into (id, sub,
+    subvector), one broadcast join, one per-(id,sub) rank over
+    ``n_codes`` candidates.  Distortion doubles come from the ordered
+    ``zip_with``/``aggregate`` fold (functions/vector.py), bit-identical
+    to a single-node engine, then floor-quantized to nanos so the output
+    is integer-exact.
+    """
+    subs = None
+    for s in range(n_sub):
+        part = emb.select(
+            F.col(id_col),
+            F.lit(s).cast("int").alias("sub"),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+            .cast("array<double>")
+            .alias("sv"),
+        )
+        subs = part if subs is None else subs.unionByName(part)
+    cents = (
+        subs.where(F.col(id_col) < n_codes)
+        .select(
+            "sub",
+            F.col(id_col).cast("int").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = subs.join(F.broadcast(cents), "sub").select(
+        id_col,
+        "sub",
+        "code",
+        d2.alias("d2"),
+    )
+    # argmin via min(struct(d2, code)): lexicographic struct ordering IS
+    # the (distance, code-id) tie-break, and unlike a rank window it gets
+    # map-side partial aggregation — the 16 candidate rows per subvector
+    # collapse before the shuffle instead of after it.
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct(F.col("d2"), F.col("code"))).alias("m")
+    )
+    return best.select(
+        id_col,
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("m.code").cast("bigint").alias("code"),
+        F.expr("cast(floor(m.d2 * 1000000000) as bigint)").alias("d2_q"),
+    )

@@ -3764,3 +3764,62 @@ def q142_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_substring_spans(
         docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2
     )
+
+
+# ------------------------------------------------- product quantization ---
+# q146 — PQ code assignment + distortion audit: 64-dim vectors split into
+# 4x16-dim subspaces, each subvector quantized to the nearest of 16
+# deterministic codewords (the lowest-id vectors' slices), distortion
+# floor-quantized to integer nanos.  The memory-compression tier under
+# IVF (q32/q138): 64 floats -> 4 bytes per vector at search time.
+# --------------------------------------------------------------------------
+
+
+def _pq_oracle(n_sub: int = 4, sub_dim: int = 16, n_codes: int = 16) -> str:
+    parts = []
+    for s in range(n_sub):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f"SELECT vec_id, {s} AS sub,"
+            f" (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS sv"
+            f" FROM embeddings"
+        )
+    subs = " UNION ALL ".join(parts)
+    return f"""
+WITH subs AS ({subs}),
+cents AS (
+  SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+  FROM subs WHERE vec_id < {n_codes}
+),
+scored AS (
+  SELECT s.vec_id, s.sub, c.code,
+         list_sum(list_transform(generate_series(1, {sub_dim}),
+                  i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+  FROM subs s JOIN cents c USING (sub)
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       CAST(floor(d2 * 1000000000) AS BIGINT) AS d2_q
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                           ORDER BY d2 ASC, code ASC) = 1
+"""
+
+
+@register(
+    "q146_pq_codes",
+    oracle=_pq_oracle(),
+    doc="product-quantization assignment: 4x16-dim subspaces, 16 "
+    "deterministic codewords each (lowest-id vector slices), squared-L2 "
+    "argmin with code-id tie-break, distortion floor-quantized to "
+    "integer nanos; the codebook (64 rows) broadcasts, the corpus is "
+    "never reshuffled, and the fold order matches the oracle "
+    "bit-for-bit (functions/vector.py discipline)",
+    tags=("llm", "ann", "compression"),
+)
+def q146_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.similarity import (
+        pq_assign,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_assign(emb)

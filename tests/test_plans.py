@@ -896,3 +896,14 @@ def test_profile_drift_single_pass(spark, registry):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row midpoint
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan") <= 2  # events + the one-row mid scan
+
+
+def test_pq_codebook_broadcast_partial_argmin(spark, registry):
+    """q146: the codebook must broadcast (corpus never reshuffled to meet
+    it) and the argmin must be an aggregation with map-side partial_min —
+    not a rank window over the candidate rows."""
+    plan = plan_of(spark, registry, "q146_pq_codes")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
