@@ -143,3 +143,35 @@ def observed_write(
     )
     observed.write.format(file_format).mode(mode).save(path)
     return obs.get
+
+
+def hourly_anomaly_flags(hourly: DataFrame) -> DataFrame:
+    """Flag anomalous hours from a (event_type, hr, n) hourly count table:
+    an hour is anomalous when |n - mean| > 2*stddev over its type's
+    hours, rearranged to EXACT integer algebra — with H hours, S = sum(n),
+    Q = sum(n^2): ``(n*H - S)^2 > 4*(Q*H - S^2)`` — no doubles, no sqrt,
+    bit-identical across engines and aggregation orders.
+
+    The per-type stats layer is vocabulary-sized and broadcast back, so
+    the hourly table never reshuffles to meet it.  Shared by the batch
+    audit (q144) and the streaming-maintained hourly store (s16).
+    """
+    from pyspark.sql import functions as F
+
+    st = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    joined = hourly.join(F.broadcast(st), "event_type")
+    dev = F.col("n") * F.col("h") - F.col("s")
+    return joined.where(
+        dev * dev > F.lit(4) * (F.col("q") * F.col("h") - F.col("s") * F.col("s"))
+    ).select(
+        "event_type",
+        F.col("hr").cast("bigint").alias("hr"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(F.col("n") * F.col("h") > F.col("s"), F.lit("hi"))
+        .otherwise(F.lit("lo"))
+        .alias("side"),
+    )

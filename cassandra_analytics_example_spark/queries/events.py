@@ -1593,6 +1593,10 @@ WHERE (n * h - s) * (n * h - s) > 4 * (q * h - s * s)
     tags=("events", "anomaly", "monitoring"),
 )
 def q144_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.profiling import (
+        hourly_anomaly_flags,
+    )
+
     ev = table(spark, sf_dir, "events")
     hourly = (
         ev.select(
@@ -1602,26 +1606,7 @@ def q144_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    st = hourly.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("h"),
-        F.sum("n").cast("bigint").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
-    )
-    joined = hourly.join(F.broadcast(st), "event_type")
-    dev = F.col("n") * F.col("h") - F.col("s")
-    return (
-        joined.where(
-            dev * dev > F.lit(4) * (F.col("q") * F.col("h") - F.col("s") * F.col("s"))
-        )
-        .select(
-            "event_type",
-            F.col("hr").cast("bigint").alias("hr"),
-            "n",
-            F.when(F.col("n") * F.col("h") > F.col("s"), F.lit("hi"))
-            .otherwise(F.lit("lo"))
-            .alias("side"),
-        )
-    )
+    return hourly_anomaly_flags(hourly)
 
 
 # --------------------------------------------------------------------------

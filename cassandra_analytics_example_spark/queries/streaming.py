@@ -256,3 +256,23 @@ def s15_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_hll(spark, sf_dir)
+
+
+@register(
+    "s16_stream_hourly_anomalies",
+    oracle=None,
+    doc="Structured Streaming: hourly volume-anomaly monitoring — "
+    "per-microbatch partial hourly counts appended via foreachBatch "
+    "(associative sum-merge), live table = merge-on-read sum, anomaly "
+    "layer = the batch audit's exact-integer 2-sigma algebra "
+    "(operators/profiling.py:hourly_anomaly_flags); flags are "
+    "BIT-IDENTICAL to q144's (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "anomaly", "monitoring"),
+)
+def s16_stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_hourly_anomalies,
+    )
+
+    return run_stream_hourly_anomalies(spark, sf_dir)

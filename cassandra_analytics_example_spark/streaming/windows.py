@@ -873,3 +873,57 @@ def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("r").alias("r"))
     )
+
+
+def run_stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume-anomaly monitoring: each microbatch folds to
+    partial (event_type, hr, n) hourly counts APPENDED to a parquet count
+    store via ``foreachBatch`` (associative sum-merge unit — same
+    exactly-once caveat as the count-min store: replay protection comes
+    from the checkpoint's offset tracking, documented at s12); the live
+    hourly table is the merge-on-read ``sum(n) GROUP BY type, hr``, and
+    the anomaly layer is the SAME exact-integer 2-sigma algebra as the
+    batch audit (operators/profiling.py:hourly_anomaly_flags), so the
+    streaming-maintained flags are bit-identical to q144's — pinned by
+    tests/test_streaming_batch_twins.py. Returns (event_type, hr, n, side).
+    """
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.profiling import (
+        hourly_anomaly_flags,
+    )
+
+    out = tempfile.mkdtemp(prefix="hourly_anom_")
+    target = os.path.join(out, "hourly")
+    ck = os.path.join(out, "ck")
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy("event_type", "hr")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    hourly = (
+        spark.read.parquet(target)
+        .groupBy("event_type", "hr")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    return hourly_anomaly_flags(hourly)

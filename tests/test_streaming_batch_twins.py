@@ -372,3 +372,25 @@ def test_s15_stream_hll_matches_batch_registers(spark):
     exact = keys.distinct().count()
     est = hll_estimate(want_df).first().est
     assert abs(est - exact) / exact < 0.20
+
+
+def test_s16_stream_anomalies_match_q144(spark):
+    """The streaming-maintained hourly store, merged on read, must yield
+    BIT-IDENTICAL anomaly flags to the batch audit q144 — integer algebra
+    end to end, so the compare is exact set equality."""
+    from cassandra_analytics_example_spark.queries import load_all
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_hourly_anomalies,
+    )
+
+    got = {
+        (r.event_type, r.hr, r.n, r.side)
+        for r in run_stream_hourly_anomalies(spark, SF01).collect()
+    }
+    registry = load_all()
+    want = {
+        (r.event_type, r.hr, r.n, r.side)
+        for r in registry["q144_hourly_anomalies"].fn(spark, SF01).collect()
+    }
+    assert got == want
+    assert len(want) > 0
