@@ -16,6 +16,7 @@ hash compare (float PageRank would differ by ulps between engines).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,8 +62,18 @@ def pagerank_integer(
     participant has outdeg >= 1, so no dangling-mass correction is needed
     (dangling handling would otherwise be a broadcast scalar per round).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # The edge table feeds every iteration: without a persist its whole
+    # upstream lineage (often a pair-generating self-join) re-executes
+    # per round — at 5 iterations that's 5x the most expensive stage of
+    # the job.  MEMORY_AND_DISK so a 100 TB edge list spills, not OOMs.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = deg.select(F.col("src").alias("node"))
     teleport = PAGERANK_QUANTUM * (damping_den - damping_num) // damping_den
     ranks = nodes.select(

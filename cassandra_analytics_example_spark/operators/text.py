@@ -753,8 +753,12 @@ def duplicated_substring_spans(
     shape as the n-gram coverage pass (q73).
     """
     ln = F.length(F.col(text_col))
+    # The window explosion multiplies rows ~len(text)-fold and runs an md5
+    # per window: spread the (small) doc table first so that map work is
+    # parallel even when the input arrives as a single parquet split — at
+    # real scale spread() is a no-op and file splits provide parallelism.
     win = (
-        df.where(ln >= k)
+        spread(df.where(ln >= k))
         .select(
             F.col(id_col),
             F.col(text_col),

@@ -73,6 +73,22 @@ def build_scaled(spark, out_dir: str) -> None:
         li10 = li10.unionByName(p)
     li10.write.mode("overwrite").parquet(f"{out_dir}/x10/lineitem.parquet")
 
+    # events scale by offsetting event_ids on the SAME users/types/hours:
+    # group populations deepen 10x — the stress mode for the monitoring
+    # family (q144 anomaly stats, q145 drift halves).  (This round's
+    # events vintage is timestamp[us], which plain spark.read handles; a
+    # ns vintage would need the nanosAsLong conf — see queries/_tables.py.)
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ev.write.mode("overwrite").parquet(f"{out_dir}/x1/events.parquet")
+    ev_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_STRIDE))
+        for i in range(COPIES)
+    ]
+    ev10 = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev10 = ev10.unionByName(p)
+    ev10.write.mode("overwrite").parquet(f"{out_dir}/x10/events.parquet")
+
     d_parts = []
     e_parts = []
     for i in range(COPIES):
