@@ -74,6 +74,8 @@ HEADLINE = [
     "q126_deterministic_shuffle",  # seeded training-order permutation
     "q127_compression_quality",  # zlib quality signal (mapInPandas path)
     "q130_bigram_logprob",      # bigram LM with backoff (vocab broadcasts)
+    "q142_substring_dup_spans", # ExactSubstr dedup spans (window-hash groupBy)
+    "q143_pagerank_items",      # integer PageRank, persisted edge lineage
 ]
 
 
