@@ -106,3 +106,75 @@ def pagerank_integer(
         if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
             ranks = truncate_plan(ranks, checkpoint_dir)
     return ranks
+
+
+def triangle_participation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph, via the
+    degree-ordered orientation (the standard distributed-triangle trick:
+    orient every edge from its lower-(degree, id) endpoint to the higher
+    one, so each node's OUT-adjacency is O(sqrt(m)) and the wedge
+    self-join is bounded by sum(outdeg^2) ~ m^1.5 instead of the
+    unoriented sum(deg^2), which a single hub node would blow up).
+
+    Input edges may be directed/duplicated; they are canonicalized to
+    distinct ``a < b`` pairs first.  A triangle {u, v, w} is counted once
+    as an oriented wedge (u→v, u→w) closed by the canonical edge (v, w);
+    each participant's count increments by one.  Everything is an
+    equi-join (wedge on the pivot node, closure on the (a, b) edge key) —
+    never a cross product — and all arithmetic is integer, so results are
+    engine- and partitioning-exact.
+
+    Returns (node, tri_count) for nodes in >= 1 triangle.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ends = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # total order for orientation: (deg, id) packed into one bigint key
+    rank = deg.select(
+        "node",
+        (F.col("deg") * F.lit(1_000_000_000) + F.col("node")).alias("rk"),
+    )
+    ra = rank.withColumnRenamed("node", "a").withColumnRenamed("rk", "rka")
+    rb = rank.withColumnRenamed("node", "b").withColumnRenamed("rk", "rkb")
+    oriented = (
+        und.join(ra, "a")
+        .join(rb, "b")
+        .select(
+            F.when(F.col("rka") < F.col("rkb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("rka") < F.col("rkb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = o1.join(o2, "u").where(F.col("v1") < F.col("v2"))
+    tris = wedges.join(
+        und,
+        (wedges.v1 == und.a) & (wedges.v2 == und.b),
+    ).select("u", "v1", "v2")
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tri_count")
+    )

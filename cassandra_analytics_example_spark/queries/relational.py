@@ -1790,3 +1790,82 @@ def q143_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 100)
     )
+
+
+# --------------------------------------------------------------------------
+# q147 — per-node triangle counts over the co-purchase graph via the
+# degree-ordered orientation (operators/graph.py): the local-clustering /
+# community-density signal over the same graph q143 ranks.  All joins are
+# equi (wedge pivot, closure edge key); the orientation bounds wedge work
+# by sum(outdeg^2) ~ m^1.5 even under hub skew.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q147_triangle_counts",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+),
+rk AS (SELECT node, d * 1000000000 + node AS rk FROM deg),
+o AS (
+  SELECT CASE WHEN ra.rk < rb.rk THEN u.a ELSE u.b END AS u,
+         CASE WHEN ra.rk < rb.rk THEN u.b ELSE u.a END AS v
+  FROM und u
+  JOIN rk ra ON ra.node = u.a
+  JOIN rk rb ON rb.node = u.b
+),
+w AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  WHERE o1.v < o2.v
+),
+t AS (
+  SELECT w.u, w.v1, w.v2
+  FROM w JOIN und ON und.a = w.v1 AND und.b = w.v2
+),
+m AS (
+  SELECT u AS node FROM t
+  UNION ALL SELECT v1 FROM t
+  UNION ALL SELECT v2 FROM t
+)
+SELECT node AS part_key, CAST(count(*) AS BIGINT) AS tri_count
+FROM m GROUP BY node
+""",
+    doc="per-node triangle participation over the co-purchase part graph "
+    "via degree-ordered orientation: each node's out-adjacency is "
+    "O(sqrt(m)), so the wedge self-join is bounded by m^1.5 under any "
+    "hub skew; wedge and closure are equi-joins, counts are exact "
+    "integers — the clustering-density twin of q143's importance ranks",
+    tags=("relational", "graph", "join"),
+)
+def q147_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_participation(edges).select(
+        F.col("node").alias("part_key"), "tri_count"
+    )

@@ -907,3 +907,14 @@ def test_pq_codebook_broadcast_partial_argmin(spark, registry):
     assert "BroadcastHashJoin" in plan
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_triangle_counts_equi_joins_only(spark, registry):
+    """q147: the wedge self-join must pivot on the node key and the
+    closure must be an (a, b) edge-key equi-join — degree-ordered
+    orientation never introduces a cross product, and the heavy layers
+    reuse the persisted canonical edge table (InMemoryTableScan)."""
+    plan = plan_of(spark, registry, "q147_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
