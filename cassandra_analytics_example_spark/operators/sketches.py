@@ -156,3 +156,26 @@ def hll_estimate(registers: DataFrame, group_cols: tuple[str, ...] = ()) -> Data
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("est"))
+
+
+def countmin_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """Join-size estimate from two count-min cell tables: ``min over hash
+    rows d of sum_cell cA[d][cell] * cB[d][cell]`` — the Alon-Matias-
+    Szegedy-style inner-product estimate (an upper bound in expectation
+    per row; the min over independent rows tightens it).  This is the
+    planner primitive: |A join B on k| = sum_k fA(k) * fB(k), estimated
+    from two depth*width summaries WITHOUT touching either table again —
+    at 100 TB the sketches are built in each table's single aggregation
+    pass (mergeable across shards) and the estimate itself is a
+    ~depth*width-row join.
+
+    Returns one row: (est_size).
+    """
+    a = cells_a.select("d", "cell", F.col("c").alias("ca"))
+    b = cells_b.select("d", "cell", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["d", "cell"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("bigint").alias("est_size"))

@@ -3823,3 +3823,70 @@ def q146_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return pq_assign(emb)
+
+
+# ------------------------------------------- join-size estimation audit ---
+# q148 — sketch-based join-cardinality estimation, audited against the
+# exact answer: the self-join size of lineitem on l_partkey (the dedup /
+# candidate-pair blowup number: sum_k c(k)^2) next to the count-min
+# inner-product estimate computed ONLY from the depth*width cell table.
+# The estimate a planner (or a dedup pre-flight) uses to refuse a
+# quadratic bucket before paying for it.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q148_join_size_estimate",
+    oracle="""
+WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+cnt AS (SELECT key, count(*) AS n FROM k GROUP BY key),
+exact_t AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_size FROM cnt),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || key), 1, 15))
+              AS BIGINT) % 256 AS cell,
+         count(*) AS c
+  FROM k, ds GROUP BY 1, 2
+),
+ip AS (SELECT d, CAST(sum(c * c) AS BIGINT) AS ip FROM cells GROUP BY d),
+est_t AS (SELECT CAST(min(ip) AS BIGINT) AS est_size FROM ip)
+SELECT exact_size, est_size,
+       CAST(est_size * 1000 // exact_size AS BIGINT) AS over_permille
+FROM exact_t, est_t
+""",
+    doc="join-cardinality estimation audit: exact self-join size on "
+    "l_partkey (sum of squared key counts — the candidate-pair blowup "
+    "metric) vs the count-min inner-product estimate computed from the "
+    "depth*width cell table alone; the estimate never underestimates, "
+    "and over_permille quantifies its slack in exact integers — the "
+    "pre-flight a planner runs before risking a skewed join "
+    "(operators/sketches.py:countmin_inner_product)",
+    tags=("llm", "sketch", "planning"),
+)
+def q148_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sketches import (
+        countmin_cells,
+        countmin_inner_product,
+    )
+
+    keys = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("key")
+    )
+    exact = (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_size"))
+    )
+    cells = countmin_cells(keys, "key")
+    est = countmin_inner_product(cells, cells)
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_size",
+            "est_size",
+            F.expr("est_size * 1000 div exact_size")
+            .cast("bigint")
+            .alias("over_permille"),
+        )
+    )
