@@ -175,3 +175,44 @@ def hourly_anomaly_flags(hourly: DataFrame) -> DataFrame:
         .otherwise(F.lit("lo"))
         .alias("side"),
     )
+
+
+def functional_dependency_audit(
+    df: DataFrame, candidates: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Test candidate functional dependencies A -> B on one table: the FD
+    holds iff ``count(distinct A) == count(distinct (A, B))``; the gap is
+    the number of EXTRA (A, B) combinations — how many lhs values map to
+    more than one rhs, the schema-discovery signal that tells a pipeline
+    which columns are safe join/dedup keys and which only look like keys
+    at small scale.
+
+    One pass per candidate (two distinct-aggregates share the scan via
+    expand), all integers; rows: (lhs, rhs, n_lhs, n_pairs, holds,
+    extra_combos).
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for lhs, rhs in candidates:
+        parts.append(
+            df.agg(
+                F.countDistinct(F.col(lhs)).cast("bigint").alias("n_lhs"),
+                F.countDistinct(F.col(lhs), F.col(rhs))
+                .cast("bigint")
+                .alias("n_pairs"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+                (F.col("n_pairs") - F.col("n_lhs"))
+                .cast("bigint")
+                .alias("extra_combos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

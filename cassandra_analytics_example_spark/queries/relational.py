@@ -1869,3 +1869,177 @@ def q147_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_participation(edges).select(
         F.col("node").alias("part_key"), "tri_count"
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — local clustering coefficient per node, exact integer permille:
+# cc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1)).  Composes q147's
+# degree-ordered triangle counts with the degree table; nodes with
+# deg < 2 report 0 (the guard the ANSI session demands instead of a
+# divide-by-zero).  The "how cliquish is this node's neighborhood"
+# signal that separates organic co-purchase hubs from catalog bundles.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q149_clustering_coefficient",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+),
+rk AS (SELECT node, d * 1000000000 + node AS rk FROM deg),
+o AS (
+  SELECT CASE WHEN ra.rk < rb.rk THEN u.a ELSE u.b END AS u,
+         CASE WHEN ra.rk < rb.rk THEN u.b ELSE u.a END AS v
+  FROM und u
+  JOIN rk ra ON ra.node = u.a
+  JOIN rk rb ON rb.node = u.b
+),
+w AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  WHERE o1.v < o2.v
+),
+t AS (
+  SELECT w.u, w.v1, w.v2
+  FROM w JOIN und ON und.a = w.v1 AND und.b = w.v2
+),
+m AS (
+  SELECT u AS node FROM t
+  UNION ALL SELECT v1 FROM t
+  UNION ALL SELECT v2 FROM t
+),
+tri AS (SELECT node, count(*) AS tc FROM m GROUP BY node)
+SELECT deg.node AS part_key,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tri.tc, 0) AS BIGINT) AS tri_count,
+       CASE WHEN deg.d >= 2
+            THEN CAST(coalesce(tri.tc, 0) * 2000 // (deg.d * (deg.d - 1))
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS cc_permille
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+""",
+    doc="local clustering coefficient per co-purchase node in exact "
+    "integer permille (2000*tri div deg*(deg-1), deg<2 guarded to 0): "
+    "composes the degree-ordered triangle counts (q147 machinery) with "
+    "the degree table via one node-keyed left join — cliquishness vs "
+    "hubness, all integers",
+    tags=("relational", "graph", "profiling"),
+)
+def q149_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_participation(und)
+    return (
+        deg.join(tri.withColumnRenamed("tri_count", "tc"), "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            "degree",
+            F.coalesce("tc", F.lit(0)).cast("bigint").alias("tri_count"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "coalesce(tc, 0) * 2000 div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("cc_permille"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q150 — functional-dependency discovery: test candidate A -> B rules on
+# orders and lineitem by comparing count(distinct A) with
+# count(distinct (A, B)) — the schema-profiling pass that tells a 100 TB
+# pipeline which columns are REAL keys (safe to dedup/join on) and which
+# only look unique at sample scale.  Mixed verdicts by construction: the
+# PK rules hold, the plausible-looking ones are quantified violations.
+# --------------------------------------------------------------------------
+
+_FD_CANDIDATES = {
+    "orders": [
+        ("o_orderkey", "o_custkey"),
+        ("o_orderkey", "o_totalprice"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderdate", "o_orderpriority"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "l_returnflag"),
+        ("l_partkey", "l_suppkey"),
+    ],
+}
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, cands in _FD_CANDIDATES.items():
+        for a, b in cands:
+            parts.append(f"""
+SELECT '{tbl}' AS tbl, '{a}' AS lhs, '{b}' AS rhs,
+       CAST((SELECT count(DISTINCT {a}) FROM {tbl}) AS BIGINT) AS n_lhs,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT {a}, {b} FROM {tbl}))
+            AS BIGINT) AS n_pairs""")
+    inner = " UNION ALL ".join(parts)
+    return f"""
+SELECT tbl, lhs, rhs, n_lhs, n_pairs,
+       n_pairs = n_lhs AS holds,
+       CAST(n_pairs - n_lhs AS BIGINT) AS extra_combos
+FROM ({inner})
+"""
+
+
+@register(
+    "q150_fd_discovery",
+    oracle=_fd_oracle(),
+    doc="functional-dependency discovery over candidate A -> B rules on "
+    "orders/lineitem: FD holds iff distinct(A) == distinct(A,B), gap = "
+    "extra (A,B) combos in exact integers; each candidate is one "
+    "two-distinct-aggregate pass (expand shares the scan), unioned into "
+    "the audit report (operators/profiling.py:functional_dependency_audit)",
+    tags=("relational", "profiling", "schema"),
+)
+def q150_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.profiling import (
+        functional_dependency_audit,
+    )
+
+    out = None
+    for tbl, cands in _FD_CANDIDATES.items():
+        part = functional_dependency_audit(
+            table(spark, sf_dir, tbl), cands
+        ).select(F.lit(tbl).alias("tbl"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
