@@ -1698,3 +1698,147 @@ def q145_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .cast("bigint"),
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — multi-touch LINEAR attribution in exact integer millis: each
+# purchase distributes 1000 credit millis equally over the view/click
+# touches earlier in its session (1000 div n each, remainder to the
+# EARLIEST touch so every purchase's credit sums to exactly 1000);
+# touchless purchases credit a 'direct' bucket.  The upgrade over q45's
+# last-touch interval join: per-session pair generation is an equi-join
+# on (user, session) — quadratic only within a session, like q125 within
+# a basket — and all credit arithmetic is integer, so the report is
+# engine-exact with conservation auditable (sum = 1000 * n_purchases).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q151_linear_attribution",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+p AS (
+  SELECT user_id, session_id, event_id AS p_id, ts_us AS p_ts
+  FROM sess WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, session_id, event_id AS t_id, ts_us AS t_ts, event_type
+  FROM sess WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT p.p_id, t.event_type, t.t_ts, t.t_id,
+         count(*) OVER (PARTITION BY p.p_id) AS n,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY t.t_ts ASC, t.t_id ASC) AS rn
+  FROM p JOIN t ON p.user_id = t.user_id
+               AND p.session_id = t.session_id
+               AND (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+),
+credited AS (
+  SELECT event_type, p_id,
+         1000 // n + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END AS credit
+  FROM pairs
+),
+touched AS (
+  SELECT event_type AS touch_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+         CAST(sum(credit) AS BIGINT) AS credit_millis
+  FROM credited GROUP BY event_type
+),
+direct AS (
+  SELECT 'direct' AS touch_type,
+         CAST(0 AS BIGINT) AS n_pairs,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(count(*) * 1000 AS BIGINT) AS credit_millis
+  FROM p LEFT JOIN (SELECT DISTINCT p_id FROM pairs) x ON x.p_id = p.p_id
+  WHERE x.p_id IS NULL
+)
+SELECT * FROM touched UNION ALL SELECT * FROM direct
+""",
+    doc="multi-touch linear attribution: each purchase splits 1000 credit "
+    "millis equally over its session's earlier view/click touches "
+    "(integer div, remainder to the earliest touch — conservation holds "
+    "exactly: total credit = 1000 * n_purchases), touchless purchases "
+    "fall into a 'direct' bucket; pair generation is an equi-join on "
+    "(user, session), quadratic only within a session",
+    tags=("events", "attribution", "window"),
+)
+def q151_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.relational import (
+        sessionize,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev.select("user_id", "event_id", "event_type", "ts_us"),
+        user_col="user_id",
+        ts_col="ts_us",
+        gap_seconds=GAP_US,
+        order_tiebreak="event_id",
+    )
+    p = sess.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "session_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    t = sess.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "session_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts_us").alias("t_ts"),
+        "event_type",
+    )
+    pairs = p.join(t, ["user_id", "session_id"]).where(
+        (F.col("t_ts") < F.col("p_ts"))
+        | ((F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id")))
+    )
+    wp = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(
+        F.asc("t_ts"), F.asc("t_id")
+    )
+    credited = pairs.select(
+        "event_type",
+        "p_id",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "event_type",
+        "p_id",
+        (
+            F.expr("1000 div n")
+            + F.when(F.col("rn") == 1, F.expr("1000 % n")).otherwise(F.lit(0))
+        ).alias("credit"),
+    )
+    touched = credited.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases"),
+        F.sum("credit").cast("bigint").alias("credit_millis"),
+    )
+    direct = (
+        p.join(pairs.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .select(
+            F.lit("direct").alias("touch_type"),
+            F.lit(0).cast("bigint").alias("n_pairs"),
+            "n_purchases",
+            (F.col("n_purchases") * F.lit(1000))
+            .cast("bigint")
+            .alias("credit_millis"),
+        )
+    )
+    return touched.unionByName(direct)
