@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.functions.text import (
@@ -1189,4 +1190,194 @@ def cluster_weights(
         F.col("cluster_id"),
         F.col("cluster_size"),
         (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )
+
+
+def incremental_lsh_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delta_pred: Column,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+    num_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup cluster maintenance: fold a DELTA batch into an
+    existing MinHash-LSH clustering WITHOUT re-running pair generation over
+    the base corpus — the operation a 100 TB dedup pipeline performs on
+    every ingest, where the base is petabytes and the delta is a day.
+
+    Mechanism (and the scale contract):
+
+    1. base pairs come from the base-only band index (in production:
+       persisted from the previous run — rebuilt here because the query is
+       self-contained, the same stance as q138's IVF index build);
+    2. the delta pass joins ONLY delta band rows against the full band
+       index — work proportional to the delta's collisions, never
+       base x base;
+    3. delta-touching verified pairs are CONTRACTED onto base cluster
+       representatives (endpoint -> its base rep, else itself), and
+       connected components runs on that contracted graph — nodes are
+       delta docs + the touched base reps, never the base corpus;
+    4. final labels: untouched base clusters keep their label; touched
+       ones take their contracted component's min (= the true min of the
+       merged component, because a base rep IS the min of its base
+       cluster — contraction preserves min-labels exactly).
+
+    The result is bit-identical to a full recompute (the DuckDB oracle
+    does exactly that with a recursive transitive closure), provided no
+    bucket cap binds — this operator deliberately runs uncapped, because
+    a cap makes the pair set depend on which run saw the bucket.
+
+    Returns (doc_id, cluster_id, is_delta, bridged) over every doc in at
+    least one verified pair; ``bridged`` marks clusters holding both base
+    and delta members — the merge events an incremental pipeline audits.
+    """
+    rows_per_band = num_hashes // num_bands
+    reps = exact_dedup(spread(df), id_col, text_col).drop("content_hash")
+    reps = spread(reps)
+    sh = reps.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+        delta_pred.alias("is_delta"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures_from_shingles(sh, id_col, "sh", num_hashes)
+    bands = []
+    for b in range(num_bands):
+        lo = b * rows_per_band + 1
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", lo + r).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+        )
+    banded = (
+        sigs.join(sh.select(F.col(id_col), "is_delta"), id_col)
+        .select(
+            F.col(id_col), "is_delta", F.explode(F.array(*bands)).alias("b")
+        )
+        .select(F.col(id_col), "is_delta", F.col("b.band"), F.col("b.bhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base_b = banded.where(~F.col("is_delta"))
+    delta_b = banded.where(F.col("is_delta"))
+    # base-run candidates: base x base (the "previous run's" pair list)
+    base_cands = (
+        base_b.select(F.col(id_col).alias("id_a"), "band", "bhash")
+        .join(
+            base_b.select(F.col(id_col).alias("id_b"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # delta pass: delta band rows against the FULL index — the only work
+    # that scales with the delta
+    delta_cands = (
+        delta_b.select(F.col(id_col).alias("id_d"), "band", "bhash")
+        .join(
+            banded.select(F.col(id_col).alias("id_o"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .where(F.col("id_d") != F.col("id_o"))
+        .select(
+            F.least("id_d", "id_o").alias("id_a"),
+            F.greatest("id_d", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    cands = base_cands.unionByName(delta_cands).distinct()
+    joined = cands.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    pairs = (
+        joined.select("id_a", "id_b", (inter / union).alias("j"))
+        .where(F.col("j") >= jaccard_threshold)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    flags = sh.select(F.col(id_col), "is_delta")
+    fa = flags.select(F.col(id_col).alias("id_a"), F.col("is_delta").alias("da"))
+    fb = flags.select(F.col(id_col).alias("id_b"), F.col("is_delta").alias("db"))
+    pf = pairs.join(F.broadcast(fa), "id_a").join(F.broadcast(fb), "id_b")
+    base_pairs = pf.where(~F.col("da") & ~F.col("db")).select("id_a", "id_b")
+    delta_pairs = pf.where(F.col("da") | F.col("db")).select("id_a", "id_b")
+    base_cc = connected_components(base_pairs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rep = base_cc.select(
+        F.col("id").alias("m_id"), F.col("cluster_id").alias("m_rep")
+    )
+    contracted = (
+        delta_pairs.join(
+            rep.withColumnRenamed("m_id", "id_a").withColumnRenamed(
+                "m_rep", "rep_a"
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            rep.withColumnRenamed("m_id", "id_b").withColumnRenamed(
+                "m_rep", "rep_b"
+            ),
+            "id_b",
+            "left",
+        )
+        .select(
+            F.coalesce("rep_a", F.col("id_a")).alias("ea"),
+            F.coalesce("rep_b", F.col("id_b")).alias("eb"),
+        )
+        .where(F.col("ea") != F.col("eb"))
+        .select(
+            F.least("ea", "eb").alias("id_a"),
+            F.greatest("ea", "eb").alias("id_b"),
+        )
+        .distinct()
+    )
+    cc2 = connected_components(contracted)
+    c2 = cc2.select(
+        F.col("id").alias("c2_node"), F.col("cluster_id").alias("c2_label")
+    )
+    relabeled_base = (
+        base_cc.join(c2, base_cc.cluster_id == F.col("c2_node"), "left")
+        .select(
+            "id", F.coalesce("c2_label", F.col("cluster_id")).alias("cluster_id")
+        )
+    )
+    new_nodes = (
+        cc2.join(base_cc.select("id"), "id", "left_anti")
+        .select("id", "cluster_id")
+    )
+    assign = relabeled_base.unionByName(new_nodes)
+    out = assign.join(
+        flags.withColumnRenamed(id_col, "id"), "id"
+    )
+    agg = out.groupBy("cluster_id").agg(
+        F.max(F.col("is_delta")).alias("has_delta"),
+        F.max(~F.col("is_delta")).alias("has_base"),
+    )
+    return (
+        out.join(F.broadcast(agg), "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "is_delta",
+            (F.col("has_delta") & F.col("has_base")).alias("bridged"),
+        )
     )

@@ -3890,3 +3890,68 @@ def q148_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("over_permille"),
         )
     )
+
+
+# --------------------------------------- incremental cluster maintenance --
+# q152 — fold a delta batch (doc_id % 5 == 0) into the base MinHash-LSH
+# clustering via rep-graph CONTRACTION (operators/dedup.py:
+# incremental_lsh_clusters): base pairs come from the base-only band
+# index, the delta pass joins only delta band rows against the full
+# index, and components re-run only over delta docs + touched base reps.
+# The oracle is a FULL recompute (recursive transitive closure over the
+# q21 pair SQL) — the incremental result must hash-match it exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q152_incremental_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_Q21_ORACLE}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+),
+cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+fl AS (
+  SELECT doc_id, cluster_id, doc_id % 5 = 0 AS is_delta FROM cc
+)
+SELECT doc_id, cluster_id, is_delta,
+       (sum(CASE WHEN is_delta THEN 1 ELSE 0 END)
+          OVER (PARTITION BY cluster_id) > 0
+        AND sum(CASE WHEN is_delta THEN 0 ELSE 1 END)
+          OVER (PARTITION BY cluster_id) > 0) AS bridged
+FROM fl
+""",
+    doc="incremental near-dup cluster maintenance: delta docs (id % 5 == "
+    "0) fold into the base clustering by joining only delta band rows "
+    "against the band index and re-running components on the CONTRACTED "
+    "graph (delta docs + touched base reps — never base x base); "
+    "contraction preserves min-labels exactly, so the result hash-matches "
+    "the oracle's full recursive-closure recompute; bridged flags the "
+    "merge events",
+    tags=("llm", "dedup", "incremental"),
+)
+def q152_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        incremental_lsh_clusters,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return incremental_lsh_clusters(
+        docs,
+        "doc_id",
+        "text",
+        delta_pred=(F.col("doc_id") % 5 == 0),
+        num_hashes=_MINHASH_SEEDS,
+        shingle_k=_SHINGLE_K,
+        num_bands=_MINHASH_BANDS,
+        jaccard_threshold=0.5,
+    )

@@ -1500,3 +1500,55 @@ def test_substring_spans_locates_planted_duplicate(spark):
     for i in range(2, 6):
         assert out[i].n_dup_windows == 0
         assert out[i].dup_permille == 0
+
+
+def test_incremental_clusters_merge_two_base_clusters(spark):
+    """The strictest incremental case: a DELTA doc similar to members of
+    two previously-separate BASE clusters must merge them — and the
+    incremental contraction result must equal a full recompute
+    (minhash pairs + connected components) label for label."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_example_spark.operators.dedup import (
+        connected_components,
+        incremental_lsh_clusters,
+        minhash_lsh_dedup,
+    )
+
+    a = " ".join(f"alpha{i}" for i in range(20))
+    a2 = " ".join(f"alpha{i}" for i in range(18)) + " beta0 beta1"
+    c = " ".join(f"gamma{i}" for i in range(20))
+    c2 = " ".join(f"gamma{i}" for i in range(18)) + " delta0 delta1"
+    bridge = " ".join(f"alpha{i}" for i in range(14)) + " " + " ".join(
+        f"gamma{i}" for i in range(14)
+    )
+    noise = " ".join(f"zeta{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, a), (2, a2), (3, c), (4, c2), (5, bridge), (6, noise)],
+        ["doc_id", "text"],
+    )
+    kw = dict(
+        num_hashes=8, shingle_k=1, num_bands=8, jaccard_threshold=0.3
+    )
+    inc = {
+        (r.doc_id, r.cluster_id, r.is_delta, r.bridged)
+        for r in incremental_lsh_clusters(
+            docs, "doc_id", "text", delta_pred=(F.col("doc_id") == 5), **kw
+        ).collect()
+    }
+    full_pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text",
+        num_hashes=8, shingle_k=1, num_bands=8, jaccard_threshold=0.3,
+        max_bucket_size=None,
+    )
+    full = {
+        r.id: r.cluster_id
+        for r in connected_components(full_pairs).collect()
+    }
+    # the bridge doc must have merged both base clusters into one
+    assert full.get(5) == 1 and full.get(3) == 1 and full.get(1) == 1, full
+    want = {
+        (i, cl, i == 5, True)  # every clustered doc shares the one
+        for i, cl in full.items()  # bridged cluster in this fixture
+    }
+    assert inc == want

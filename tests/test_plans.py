@@ -918,3 +918,14 @@ def test_triangle_counts_equi_joins_only(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_incremental_clusters_no_cross_and_cached_layers(spark, registry):
+    """q152: candidate generation must stay equi-joined on (band, bhash)
+    and the shingle/band layers must come from the persisted caches
+    (InMemoryTableScan) — the delta pass reads the index, it never
+    recomputes the signature pipeline per consumer."""
+    plan = plan_of(spark, registry, "q152_incremental_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
