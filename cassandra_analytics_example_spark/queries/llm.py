@@ -3870,8 +3870,14 @@ def q148_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         countmin_inner_product,
     )
 
-    keys = table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("key")
+    from cassandra_analytics_example_spark.session import spread
+
+    # the sketch explodes each key x depth and md5-hashes every row: spread
+    # first so a single-split parquet doesn't serialize the hash pipeline
+    keys = spread(
+        table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("string").alias("key")
+        )
     )
     exact = (
         keys.groupBy("key")

@@ -73,6 +73,21 @@ def build_scaled(spark, out_dir: str) -> None:
         li10 = li10.unionByName(p)
     li10.write.mode("overwrite").parquet(f"{out_dir}/x10/lineitem.parquet")
 
+    # orders scale by offsetting o_orderkey over the same customers/dates:
+    # 10x orders per customer/date — deepens the FD/profile group stress
+    ordr = spark.read.parquet(f"{BASE}/orders.parquet")
+    ordr.write.mode("overwrite").parquet(f"{out_dir}/x1/orders.parquet")
+    o_parts = [
+        ordr.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * ID_STRIDE)
+        )
+        for i in range(COPIES)
+    ]
+    o10 = o_parts[0]
+    for p in o_parts[1:]:
+        o10 = o10.unionByName(p)
+    o10.write.mode("overwrite").parquet(f"{out_dir}/x10/orders.parquet")
+
     # events scale by offsetting event_ids on the SAME users/types/hours:
     # group populations deepen 10x — the stress mode for the monitoring
     # family (q144 anomaly stats, q145 drift halves).  (This round's
