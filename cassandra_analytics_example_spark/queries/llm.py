@@ -3961,3 +3961,112 @@ def q152_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bands=_MINHASH_BANDS,
         jaccard_threshold=0.5,
     )
+
+
+# --------------------------------------------- matryoshka truncation ------
+# q153 — dimension-truncation quality audit (the matryoshka-embedding
+# question): for the exact top-5 neighbors of each query (q25's pairs),
+# recompute cosine over only the FIRST d components (d = 16, 32, 64) and
+# re-rank — how much of the neighborhood structure survives a cheaper
+# truncated index.  Per-pair nano-quantized cosines (the ordered-fold
+# doubles are engine-identical, so floor-quantization is exact); the
+# re-rank inversions against the full-dim order are the quality signal.
+# --------------------------------------------------------------------------
+
+_MATRYOSHKA_DIMS = (16, 32, 64)
+
+
+def _q153_oracle() -> str:
+    dims_sql = []
+    for d in _MATRYOSHKA_DIMS:
+        dims_sql.append(f"""
+SELECT query_id, neighbor_id, rnk AS rnk_full, {d} AS dim,
+       list_cosine_similarity(qv[1:{d}], cv[1:{d}]) AS tc
+FROM pairs""")
+    body = " UNION ALL ".join(dims_sql)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id, qv, cv, rnk FROM (
+    SELECT q.query_id, c.neighbor_id, q.qv, c.cv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                       c.neighbor_id ASC) AS rnk
+    FROM q JOIN c ON q.query_id <> c.neighbor_id
+  ) WHERE rnk <= 5
+),
+truncd AS ({body})
+SELECT query_id, neighbor_id,
+       CAST(rnk_full AS BIGINT) AS rnk_full,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(floor(tc * 1000000000) AS BIGINT) AS cos_q,
+       CAST(row_number() OVER (PARTITION BY query_id, dim
+                               ORDER BY tc DESC, neighbor_id ASC)
+            AS BIGINT) AS rnk_trunc
+FROM truncd
+"""
+
+
+@register(
+    "q153_matryoshka_truncation",
+    oracle=_q153_oracle(),
+    doc="matryoshka dimension-truncation audit: the exact top-5 cosine "
+    "neighbors per query re-scored and re-ranked at dims 16/32/64 — "
+    "per-pair nano-quantized truncated cosines plus the truncated rank "
+    "next to the full-dim rank; the 50-pair layer is tiny, so every "
+    "truncation re-rank is a window over 5 rows — the index-cheapening "
+    "decision (shorter vectors = smaller IVF/PQ index) made measurable",
+    tags=("llm", "similarity", "audit"),
+)
+def q153_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rnk_full")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    pairs = top.join(F.broadcast(qv), "query_id").join(
+        F.broadcast(cv), "neighbor_id"
+    )
+    parts = []
+    for d in _MATRYOSHKA_DIMS:
+        parts.append(
+            pairs.select(
+                "query_id",
+                "neighbor_id",
+                F.col("rnk_full").cast("bigint").alias("rnk_full"),
+                F.lit(d).cast("bigint").alias("dim"),
+                cosine_similarity(
+                    F.slice("qv", 1, d), F.slice("cv", 1, d)
+                ).alias("tc"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.desc("tc"), F.asc("neighbor_id")
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rnk_full",
+        "dim",
+        F.expr("cast(floor(tc * 1000000000) as bigint)").alias("cos_q"),
+        F.row_number().over(w).cast("bigint").alias("rnk_trunc"),
+    )
