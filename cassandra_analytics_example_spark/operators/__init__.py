@@ -81,3 +81,34 @@ __all__ = [
     "write_partitioned",
     "compact_files",
 ]
+from cassandra_analytics_example_spark.operators.dedup import (
+    incremental_lsh_clusters,
+)
+from cassandra_analytics_example_spark.operators.graph import (
+    pagerank_integer,
+    triangle_participation,
+)
+from cassandra_analytics_example_spark.operators.profiling import (
+    functional_dependency_audit,
+    hourly_anomaly_flags,
+)
+from cassandra_analytics_example_spark.operators.similarity import (
+    pq_assign,
+)
+from cassandra_analytics_example_spark.operators.sketches import (
+    countmin_inner_product,
+)
+from cassandra_analytics_example_spark.operators.text import (
+    duplicated_substring_spans,
+)
+
+__all__ += [
+    "incremental_lsh_clusters",
+    "pagerank_integer",
+    "triangle_participation",
+    "functional_dependency_audit",
+    "hourly_anomaly_flags",
+    "pq_assign",
+    "countmin_inner_product",
+    "duplicated_substring_spans",
+]
