@@ -1842,3 +1842,58 @@ def q151_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return touched.unionByName(direct)
+
+
+# --------------------------------------------------------------------------
+# q154 — inter-arrival time quantiles per event type: the lag-delta stream
+# (seconds between consecutive same-type events of the same user) pushed
+# through the distributed exact-quantile selector — P50/P95/P99
+# inter-arrival is the time-series capacity/burstiness staple, here
+# quantile_cont-exact without any per-group value buffering (q114's
+# two-pass rank-selection machinery on a derived column).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q154_interarrival_quantiles",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id, event_type
+                      ORDER BY epoch_us(ts), event_id)
+              AS DOUBLE) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       quantile_cont(gap_s, 0.50) AS p50_s,
+       quantile_cont(gap_s, 0.95) AS p95_s,
+       quantile_cont(gap_s, 0.99) AS p99_s
+FROM d WHERE gap_s IS NOT NULL
+GROUP BY event_type
+""",
+    doc="per-type inter-arrival quantiles (seconds between consecutive "
+    "same-user same-type events): one user-keyed lag window derives the "
+    "gaps, then the distributed exact-quantile selector (q114 machinery) "
+    "returns quantile_cont-identical P50/P95/P99 without buffering any "
+    "group — burstiness/capacity profiling at event-stream scale",
+    tags=("events", "window", "quantiles"),
+)
+def q154_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(w)).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return group_quantiles_exact(
+        gaps,
+        "event_type",
+        "gap_s",
+        {"p50_s": 0.50, "p95_s": 0.95, "p99_s": 0.99},
+    )
