@@ -184,3 +184,56 @@ def frame_energies(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spread(payloads).mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    chunk_bytes: int = 64,
+) -> DataFrame:
+    """Chunk-level dedup accounting for binary payloads — the
+    content-addressable-store question: split every payload into
+    fixed-size chunks, digest each, and report the refcount histogram
+    (how many chunks are stored once vs referenced N times) with exact
+    logical-vs-unique byte totals.
+
+    At 100 TB this is the storage planner for blob columns: logical bytes
+    minus unique bytes is what a content-addressed chunk store saves.
+    Fixed-size chunking is the oracle-checkable tier (a content-defined
+    Rabin boundary would shift-tolerantly dedup more but needs a per-byte
+    rolling pass — mapInPandas territory, same output contract).
+
+    All JVM column algebra: one explode by chunk index (bounded by
+    payload size / chunk_bytes), one md5-keyed groupBy for refcounts, one
+    vocabulary-sized histogram aggregate.  Returns (refcount, n_chunks,
+    unique_bytes, logical_bytes) sorted-insensitively.
+    """
+    ln = F.length(F.col(payload_col))
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.ceil(ln.cast("double") / F.lit(chunk_bytes)).cast("int")
+            - F.lit(1),
+        )
+    ).alias("i")
+    chunks = df.where(ln > 0).select(F.col(payload_col), idx).select(
+        F.md5(
+            F.expr(f"substring({payload_col}, 1 + {chunk_bytes} * i, {chunk_bytes})")
+        ).alias("h"),
+        F.length(
+            F.expr(f"substring({payload_col}, 1 + {chunk_bytes} * i, {chunk_bytes})")
+        ).alias("b"),
+    )
+    store = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).alias("refcount"), F.max("b").alias("b")
+    )
+    return store.groupBy("refcount").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("b").cast("bigint").alias("unique_bytes"),
+        (F.sum("b") * F.col("refcount")).cast("bigint").alias("logical_bytes"),
+    ).select(
+        F.col("refcount").cast("bigint").alias("refcount"),
+        "n_chunks",
+        "unique_bytes",
+        "logical_bytes",
+    )

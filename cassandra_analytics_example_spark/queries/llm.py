@@ -4070,3 +4070,56 @@ def q153_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(tc * 1000000000) as bigint)").alias("cos_q"),
         F.row_number().over(w).cast("bigint").alias("rnk_trunc"),
     )
+
+
+# ------------------------------------------------ chunk-store dedup -------
+# q155 — binary chunk-store dedup accounting: payloads split into 64-byte
+# chunks, content-addressed by digest; the refcount histogram with exact
+# logical-vs-unique byte totals is what a content-addressable blob store
+# saves at 100 TB.  Payloads are ASCII-stripped before encoding (the q97
+# convention) so the SQL oracle's character arithmetic equals the Spark
+# side's byte arithmetic on any fixture.
+# --------------------------------------------------------------------------
+
+_CHUNK_B = 64
+
+
+@register(
+    "q155_chunk_store_dedup",
+    oracle=f"""
+WITH a AS (
+  SELECT regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS t FROM documents
+),
+c AS (
+  SELECT md5(substr(t, CAST(1 + {_CHUNK_B} * i AS INTEGER), {_CHUNK_B})) AS h,
+         length(substr(t, CAST(1 + {_CHUNK_B} * i AS INTEGER), {_CHUNK_B})) AS b
+  FROM a, LATERAL unnest(generate_series(
+       0, CAST(ceil(length(t) / {_CHUNK_B}.0) AS INTEGER) - 1)) s(i)
+  WHERE length(t) > 0
+),
+store AS (
+  SELECT h, count(*) AS refcount, max(b) AS b FROM c GROUP BY h
+)
+SELECT CAST(refcount AS BIGINT) AS refcount,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(b) AS BIGINT) AS unique_bytes,
+       CAST(sum(b) * refcount AS BIGINT) AS logical_bytes
+FROM store GROUP BY refcount
+""",
+    doc="content-addressable chunk-store accounting: 64-byte payload "
+    "chunks digested and refcounted, histogram of refcounts with exact "
+    "logical/unique byte totals — logical minus unique is the dedup "
+    "saving a blob store realizes; one bounded explode, one digest-keyed "
+    "groupBy, one vocabulary-sized histogram "
+    "(operators/multimodal.py:chunk_dedup_stats)",
+    tags=("llm", "multimodal", "dedup", "storage"),
+)
+def q155_chunk_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.multimodal import (
+        attach_audio_payload,
+        chunk_dedup_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = attach_audio_payload(docs).select("doc_id", "payload")
+    return chunk_dedup_stats(payloads, "payload", chunk_bytes=_CHUNK_B)
