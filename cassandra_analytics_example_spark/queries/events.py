@@ -1897,3 +1897,79 @@ def q154_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_s",
         {"p50_s": 0.50, "p95_s": 0.95, "p99_s": 0.99},
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — calendar-spine gap fill: the dense hourly spine per event type
+# (every hour between the type's first and last event), left-joined with
+# observed hourly counts so missing hours surface as explicit zeros, plus
+# a per-type continuity summary.  The resampling primitive every
+# time-series rollup needs before windowed math is trustworthy: a naive
+# groupBy silently skips empty buckets, which corrupts moving averages
+# and anomaly baselines downstream.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q156_hourly_gap_fill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hr
+  FROM bounds, LATERAL unnest(generate_series(h0, h1)) t(h)
+),
+filled AS (
+  SELECT s.event_type, s.hr, coalesce(hourly.n, 0) AS n
+  FROM spine s LEFT JOIN hourly
+    ON hourly.event_type = s.event_type AND hourly.hr = s.hr
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(count(*) FILTER (WHERE n = 0) AS BIGINT) AS n_gap_hours,
+       CAST(max(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS has_gaps,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM filled GROUP BY event_type
+""",
+    doc="calendar-spine gap fill per event type: the dense hourly spine "
+    "between each type's first and last hour (sequence+explode, bounded "
+    "by the time range, never a cross join) left-joins observed counts so "
+    "empty buckets surface as zeros; the continuity summary (hours, gap "
+    "hours, totals) is the audit that keeps moving averages and anomaly "
+    "baselines honest",
+    tags=("events", "window", "resample"),
+)
+def q156_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type", F.expr(f"ts_us div {_HOUR_US}").alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"),
+    ).select("event_type", F.col("hr").cast("bigint").alias("hr"))
+    filled = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.count(F.when(F.col("n") == 0, F.lit(1)))
+        .cast("bigint")
+        .alias("n_gap_hours"),
+        F.max(F.when(F.col("n") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("has_gaps"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
