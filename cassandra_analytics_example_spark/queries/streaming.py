@@ -276,3 +276,22 @@ def s16_stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_hourly_anomalies(spark, sf_dir)
+
+
+@register(
+    "s17_stream_chunk_store",
+    oracle=None,
+    doc="Structured Streaming: content-addressable chunk-store "
+    "maintenance — per-microbatch partial (digest, refcount, bytes) rows "
+    "appended via foreachBatch, live store = merge-on-read sum per "
+    "digest, published report = the refcount histogram, BIT-IDENTICAL "
+    "to the batch accounting q155 (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "multimodal", "dedup"),
+)
+def s17_stream_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_chunk_store,
+    )
+
+    return run_stream_chunk_store(spark, sf_dir)

@@ -927,3 +927,87 @@ def run_stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
     return hourly_anomaly_flags(hourly)
+
+
+def run_stream_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content-addressable chunk-store maintenance: each
+    microbatch of documents folds its payload chunks to partial
+    (digest, refcount, bytes) rows APPENDED to a parquet store via
+    ``foreachBatch`` (sum-merge unit, same exactly-once stance as the
+    count-min store s12); the live store is the merge-on-read
+    ``sum(refcount) GROUP BY digest`` and the published report is the
+    refcount histogram — BIT-IDENTICAL to the batch accounting (q155,
+    operators/multimodal.py:chunk_dedup_stats), pinned by
+    tests/test_streaming_batch_twins.py.
+    """
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.multimodal import (
+        attach_audio_payload,
+    )
+
+    out = tempfile.mkdtemp(prefix="chunk_store_")
+    target = os.path.join(out, "store")
+    ck = os.path.join(out, "ck")
+    path = os.path.join(sf_dir, "documents.parquet")
+    probe = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(probe)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .load()
+    )
+    payloads = attach_audio_payload(docs).select("doc_id", "payload")
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        ln = F.length(F.col("payload"))
+        idx = F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(ln.cast("double") / F.lit(64)).cast("int") - F.lit(1),
+            )
+        ).alias("i")
+        (
+            batch.where(ln > 0)
+            .select(F.col("payload"), idx)
+            .select(
+                F.md5(F.expr("substring(payload, 1 + 64 * i, 64)")).alias(
+                    "h"
+                ),
+                F.length(
+                    F.expr("substring(payload, 1 + 64 * i, 64)")
+                ).alias("b"),
+            )
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("b").alias("b"))
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        payloads.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    store = (
+        spark.read.parquet(target)
+        .groupBy("h")
+        .agg(F.sum("n").alias("refcount"), F.max("b").alias("b"))
+    )
+    return store.groupBy("refcount").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("b").cast("bigint").alias("unique_bytes"),
+        (F.sum("b") * F.col("refcount")).cast("bigint").alias("logical_bytes"),
+    ).select(
+        F.col("refcount").cast("bigint").alias("refcount"),
+        "n_chunks",
+        "unique_bytes",
+        "logical_bytes",
+    )

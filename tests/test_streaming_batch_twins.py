@@ -394,3 +394,24 @@ def test_s16_stream_anomalies_match_q144(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_s17_stream_chunk_store_matches_q155(spark):
+    """The streaming-maintained chunk store, merged on read, must publish
+    the exact batch refcount histogram — integer algebra end to end."""
+    from cassandra_analytics_example_spark.queries import load_all
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_chunk_store,
+    )
+
+    got = {
+        (r.refcount, r.n_chunks, r.unique_bytes, r.logical_bytes)
+        for r in run_stream_chunk_store(spark, SF01).collect()
+    }
+    registry = load_all()
+    want = {
+        (r.refcount, r.n_chunks, r.unique_bytes, r.logical_bytes)
+        for r in registry["q155_chunk_store_dedup"].fn(spark, SF01).collect()
+    }
+    assert got == want
+    assert any(rc >= 2 for rc, *_ in want)  # real dedup present
