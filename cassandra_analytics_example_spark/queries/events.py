@@ -1973,3 +1973,221 @@ def q156_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("has_gaps"),
         F.sum("n").cast("bigint").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q157 — LOCF imputation over the dense spine: the q156 gap-filled hourly
+# value series with empty hours imputed by last-observation-carried-
+# forward (exact decimal sums, so the imputed series is engine-identical);
+# leading gaps (before the first observation) stay NULL and are counted.
+# The resample-then-fill primitive feature pipelines need before lag/
+# rolling features are well-defined.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q157_locf_imputation",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hr
+  FROM bounds, LATERAL unnest(generate_series(h0, h1)) t(h)
+),
+filled AS (
+  SELECT s.event_type, s.hr, hourly.v,
+         hourly.v IS NULL AS was_gap
+  FROM spine s LEFT JOIN hourly
+    ON hourly.event_type = s.event_type AND hourly.hr = s.hr
+)
+SELECT event_type, hr,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hr
+         ROWS UNBOUNDED PRECEDING) AS v_locf,
+       was_gap
+FROM filled
+""",
+    doc="LOCF imputation on the dense hourly spine: per-type hourly value "
+    "sums (exact decimal) on the q156 calendar spine, empty hours take "
+    "the last observed value via an ignore-nulls running window — one "
+    "type-keyed shuffle covers spine join and fill; was_gap keeps "
+    "imputed rows auditable",
+    tags=("events", "window", "resample"),
+)
+def q157_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.numeric import money_sum
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_HOUR_US}").alias("hr"),
+            "value",
+        )
+        .groupBy("event_type", "hr")
+        .agg(money_sum("value", "v"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"),
+    ).select("event_type", F.col("hr").cast("bigint").alias("hr"))
+    filled = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", "v", F.col("v").isNull().alias("was_gap")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        "was_gap",
+    )
+
+
+# --------------------------------------------------------------------------
+# q158 — value-concentration (Lorenz/Pareto) deciles WITHOUT a global
+# sort: per-user exact cent totals shard by fixed VALUE RANGES (all of
+# shard k's values >= all of shard k+1's), each shard ranks and
+# cumulates locally, and a ~20-row shard-summary layer provides count
+# and value offsets (the q126 offset trick, here value-ordered).  The
+# row whose global rank hits each decile boundary reports the cumulative
+# value share in exact integer permille — "the top 10% of users carry
+# X% of value" at any scale, one user-keyed aggregate + one shard-local
+# window + one broadcast offset join.
+# --------------------------------------------------------------------------
+
+_LORENZ_W = 500  # value-range shard width in cents
+
+
+@register(
+    "q158_value_concentration",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vc
+  FROM events GROUP BY user_id
+),
+sharded AS (SELECT user_id, vc, -(vc // {_LORENZ_W}) AS shard FROM u),
+local AS (
+  SELECT user_id, vc, shard,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY vc DESC, user_id ASC) AS rn_local,
+         sum(vc) OVER (PARTITION BY shard
+                       ORDER BY vc DESC, user_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum_local
+  FROM sharded
+),
+sizes AS (SELECT shard, count(*) AS n, sum(vc) AS s FROM sharded GROUP BY 1),
+offsets AS (
+  SELECT shard,
+         sum(n) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING) - n AS off_n,
+         sum(s) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING) - s AS off_s
+  FROM sizes
+),
+tot AS (SELECT sum(n) AS n_total, CAST(sum(s) AS BIGINT) AS total_cents
+        FROM sizes),
+ranked AS (
+  SELECT l.user_id, o.off_n + l.rn_local AS rn,
+         CAST(o.off_s + l.cum_local AS BIGINT) AS cum_cents
+  FROM local l JOIN offsets o USING (shard)
+),
+bounds AS (
+  SELECT CAST(k AS BIGINT) AS decile,
+         (n_total * k + 9) // 10 AS brank, n_total, total_cents
+  FROM tot, LATERAL unnest(generate_series(1, 10)) t(k)
+)
+SELECT b.decile,
+       CAST(b.brank AS BIGINT) AS n_users_cum,
+       r.cum_cents,
+       CAST(r.cum_cents * 1000 // b.total_cents AS BIGINT)
+         AS share_permille
+FROM bounds b JOIN ranked r ON r.rn = b.brank
+""",
+    doc="Lorenz/Pareto value-concentration deciles without a global sort: "
+    "fixed value-range shards keep global descending order as (shard, "
+    "local rank); a ~20-row shard-summary layer broadcasts count+value "
+    "offsets; decile boundary rows report cumulative share in exact "
+    "integer permille — concentration analytics at 100 TB with one "
+    "user aggregate, one shard-local window, no single-partition pass "
+    "over users",
+    tags=("events", "analytics", "scale"),
+)
+def q158_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.numeric import dec
+
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.sum(dec("value", 18, 2)) * F.lit(100))
+            .cast("bigint")
+            .alias("vc")
+        )
+        .withColumn("shard", -F.expr(f"vc div {_LORENZ_W}"))
+    )
+    wl = Window.partitionBy("shard").orderBy(
+        F.desc("vc"), F.asc("user_id")
+    )
+    local = u.select(
+        "user_id",
+        "vc",
+        "shard",
+        F.row_number().over(wl).alias("rn_local"),
+        F.sum("vc")
+        .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_local"),
+    )
+    sizes = u.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+    )
+    wo = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = sizes.select(
+        "shard",
+        (F.sum("n").over(wo) - F.col("n")).alias("off_n"),
+        (F.sum("s").over(wo) - F.col("s")).alias("off_s"),
+    )
+    tot = sizes.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("s").cast("bigint").alias("total_cents"),
+    )
+    ranked = local.join(F.broadcast(offsets), "shard").select(
+        "user_id",
+        (F.col("off_n") + F.col("rn_local")).alias("rn"),
+        (F.col("off_s") + F.col("cum_local")).cast("bigint").alias(
+            "cum_cents"
+        ),
+    )
+    bounds = (
+        tot.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"),
+            "n_total",
+            "total_cents",
+        )
+        .select(
+            F.col("k").cast("bigint").alias("decile"),
+            F.expr("(n_total * k + 9) div 10").alias("brank"),
+            "total_cents",
+        )
+    )
+    return ranked.join(F.broadcast(bounds), ranked.rn == bounds.brank).select(
+        "decile",
+        F.col("brank").cast("bigint").alias("n_users_cum"),
+        "cum_cents",
+        F.expr("cum_cents * 1000 div total_cents")
+        .cast("bigint")
+        .alias("share_permille"),
+    )

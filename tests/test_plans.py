@@ -929,3 +929,19 @@ def test_incremental_clusters_no_cross_and_cached_layers(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_value_concentration_no_global_user_window(spark, registry):
+    """q158: the user-sized rank/cumsum windows must partition by the
+    value-range shard; the only unpartitioned windows allowed are over
+    the ~20-row shard-summary layer, and offsets/boundaries come back
+    via broadcast joins."""
+    plan = plan_of(spark, registry, "q158_value_concentration")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and "rn_local" in s:
+            assert "shard#" in s.split("], [")[1], (
+                "user rank window must partition by shard: " + s
+            )
