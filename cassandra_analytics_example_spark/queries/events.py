@@ -2191,3 +2191,85 @@ def q158_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — time-to-convert quantiles: per user, the delay from FIRST view to
+# the first purchase AT OR AFTER it; the global P50/P90/P99 comes from the
+# distributed exact-quantile selector running on ONE group — which is
+# precisely what the q114 machinery is for: rank selection over range
+# cells, no single aggregation buffer ever holds the population.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q159_time_to_convert",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT v.user_id,
+         min(epoch_us(e.ts)) AS first_purchase
+  FROM v JOIN events e
+    ON e.user_id = v.user_id
+   AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= v.first_view
+  GROUP BY v.user_id
+),
+d AS (
+  SELECT 'all' AS grp,
+         CAST(p.first_purchase - v.first_view AS DOUBLE) / 1000000.0
+           AS delay_s
+  FROM v JOIN p USING (user_id)
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(delay_s, 0.50) AS p50_s,
+       quantile_cont(delay_s, 0.90) AS p90_s,
+       quantile_cont(delay_s, 0.99) AS p99_s
+FROM d GROUP BY grp
+""",
+    doc="time-to-convert distribution: per-user delay from first view to "
+    "the first purchase at-or-after it, reduced to exact "
+    "quantile_cont-identical P50/P90/P99 by the distributed rank "
+    "selector over a SINGLE group — the q114 machinery's reason to "
+    "exist: population-scale quantiles with no per-group buffering; "
+    "conversion joins stay user-keyed equi-joins",
+    tags=("events", "funnel", "quantiles"),
+)
+def q159_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_view"))
+    )
+    p = (
+        v.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", "ts_us"
+            ),
+            "user_id",
+        )
+        .where(F.col("ts_us") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_purchase"))
+    )
+    d = v.join(p, "user_id").select(
+        F.lit("all").alias("grp"),
+        (
+            (F.col("first_purchase") - F.col("first_view")).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("delay_s"),
+    )
+    n = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted")
+    )
+    q = group_quantiles_exact(
+        d, "grp", "delay_s", {"p50_s": 0.50, "p90_s": 0.90, "p99_s": 0.99}
+    )
+    return n.join(q, "grp").select(
+        "grp", "n_converted", "p50_s", "p90_s", "p99_s"
+    )
