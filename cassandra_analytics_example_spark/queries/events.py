@@ -2273,3 +2273,134 @@ def q159_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(q, "grp").select(
         "grp", "n_converted", "p50_s", "p90_s", "p99_s"
     )
+
+
+# --------------------------------------------------------------------------
+# q160 — EXACT linear interpolation on the dense spine: gap hours take
+# ``vp + (vn - vp) * (h - hp) div (hn - hp)`` in integer CENTS between
+# the previous (hp, vp) and next (hn, vn) observations — flooring
+# division makes the imputed series bit-identical across engines, unlike
+# float lerp.  Leading/trailing gaps (no neighbor on one side) stay NULL
+# with method 'none'; observed hours pass through as 'obs'.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q160_linear_interpolation",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, CAST(h AS BIGINT) AS hr
+  FROM bounds, LATERAL unnest(generate_series(h0, h1)) t(h)
+),
+filled AS (
+  SELECT s.event_type, s.hr, hourly.vc
+  FROM spine s LEFT JOIN hourly
+    ON hourly.event_type = s.event_type AND hourly.hr = s.hr
+),
+ctx AS (
+  SELECT event_type, hr, vc,
+         last_value(vc IGNORE NULLS) OVER wb AS vp,
+         last_value(CASE WHEN vc IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wb AS hp,
+         first_value(vc IGNORE NULLS) OVER wf AS vn,
+         first_value(CASE WHEN vc IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wf AS hn
+  FROM filled
+  WINDOW wb AS (PARTITION BY event_type ORDER BY hr
+                ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hr,
+       CASE WHEN vc IS NOT NULL THEN vc
+            WHEN vp IS NOT NULL AND vn IS NOT NULL
+            THEN vp + (vn - vp) * (hr - hp) // (hn - hp)
+            ELSE NULL END AS vc_filled,
+       CASE WHEN vc IS NOT NULL THEN 'obs'
+            WHEN vp IS NOT NULL AND vn IS NOT NULL THEN 'interp'
+            ELSE 'none' END AS method
+FROM ctx
+""",
+    doc="exact integer linear interpolation on the dense hourly spine: "
+    "gap hours take vp + (vn-vp)*(h-hp) div (hn-hp) in cents between "
+    "the LOCF and NOCB neighbors — flooring integer lerp is "
+    "engine-identical where float lerp differs by ulps; both neighbor "
+    "windows share the one type-keyed shuffle, edges stay NULL and "
+    "labeled",
+    tags=("events", "window", "resample"),
+)
+def q160_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.numeric import dec
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_HOUR_US}").alias("hr"),
+            "value",
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (F.sum(dec("value", 18, 2)) * F.lit(100))
+            .cast("bigint")
+            .alias("vc")
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"),
+    ).select("event_type", F.col("hr").cast("bigint").alias("hr"))
+    filled = spine.join(hourly, ["event_type", "hr"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("vc").isNotNull(), F.col("hr"))
+    ctx = filled.select(
+        "event_type",
+        "hr",
+        "vc",
+        F.last("vc", ignorenulls=True).over(wb).alias("vp"),
+        F.last(obs_hr, ignorenulls=True).over(wb).alias("hp"),
+        F.first("vc", ignorenulls=True).over(wf).alias("vn"),
+        F.first(obs_hr, ignorenulls=True).over(wf).alias("hn"),
+    )
+    return ctx.select(
+        "event_type",
+        "hr",
+        F.when(F.col("vc").isNotNull(), F.col("vc"))
+        .when(
+            F.col("vp").isNotNull() & F.col("vn").isNotNull(),
+            # Both engines TRUNCATE toward zero on integer division
+            # (Spark `div`, DuckDB `//` — verified -7//2 = -3), so the
+            # lerp is bit-identical on declining segments too.
+            F.expr("vp + (vn - vp) * (hr - hp) div (hn - hp)"),
+        )
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("vc_filled"),
+        F.when(F.col("vc").isNotNull(), F.lit("obs"))
+        .when(
+            F.col("vp").isNotNull() & F.col("vn").isNotNull(),
+            F.lit("interp"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("method"),
+    )
