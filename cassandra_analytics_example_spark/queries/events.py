@@ -2404,3 +2404,70 @@ def q160_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("method"),
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — equi-depth feature binning: per-type exact quartile thresholds
+# (q114 machinery) broadcast back onto the stream; every event lands in a
+# bucket 0-3 by strict-greater comparison against p25/p50/p75, and the
+# per-bucket occupancy audit shows the near-n/4 balance equi-depth
+# promises.  The categorical-feature transform a training pipeline runs
+# before crossing/hashing — thresholds computed distributively, applied
+# as a vocabulary-sized broadcast, the corpus never reshuffles for it.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q161_equidepth_binning",
+    oracle="""
+WITH th AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(value AS DOUBLE), 0.50) AS p50,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type,
+         (CASE WHEN CAST(e.value AS DOUBLE) > th.p25 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(e.value AS DOUBLE) > th.p50 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(e.value AS DOUBLE) > th.p75 THEN 1 ELSE 0 END)
+           AS bucket,
+         CAST(e.value AS DOUBLE) AS v
+  FROM events e JOIN th USING (event_type)
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v) AS v_min, max(v) AS v_max
+FROM b GROUP BY event_type, bucket
+""",
+    doc="equi-depth quartile binning per event type: exact distributed "
+    "thresholds (q114 rank selection, no group buffering) broadcast back "
+    "as a vocabulary-sized table; bucket = strict-greater count against "
+    "p25/p50/p75, per-bucket occupancy + value ranges audit the ~n/4 "
+    "balance — the pre-hash feature transform at stream scale",
+    tags=("events", "feature", "quantiles"),
+)
+def q161_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    th = group_quantiles_exact(
+        ev, "event_type", "v", {"p25": 0.25, "p50": 0.50, "p75": 0.75}
+    )
+    b = ev.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        (
+            (F.col("v") > F.col("p25")).cast("int")
+            + (F.col("v") > F.col("p50")).cast("int")
+            + (F.col("v") > F.col("p75")).cast("int")
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        "v",
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
