@@ -2471,3 +2471,53 @@ def q161_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("v_min"),
         F.max("v").alias("v_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — ingest freshness / staleness SLA audit: per event type, the lag
+# between its newest event and the stream's global high-water mark, with
+# integer-minute lag buckets and an SLA verdict (stale if > 24h behind).
+# The monitoring row every scheduled 100 TB ingest publishes: one
+# vocabulary-sized aggregate, one broadcast scalar, exact integers.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q162_freshness_sla",
+    oracle=f"""
+WITH hw AS (SELECT max(epoch_us(ts)) AS hwm FROM events),
+t AS (
+  SELECT event_type,
+         max(epoch_us(ts)) AS newest,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(t.n AS BIGINT) AS n_events,
+       CAST((hw.hwm - t.newest) // 60000000 AS BIGINT) AS lag_minutes,
+       (hw.hwm - t.newest) > 86400000000 AS stale
+FROM t, hw
+""",
+    doc="ingest freshness SLA: per-type lag behind the global high-water "
+    "mark in exact integer minutes plus a 24h staleness verdict — one "
+    "type-keyed aggregate and one broadcast scalar; the scheduled-ingest "
+    "monitoring row",
+    tags=("events", "monitoring"),
+)
+def q162_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hw = ev.agg(F.max("ts_us").alias("hwm"))
+    t = ev.groupBy("event_type").agg(
+        F.max("ts_us").alias("newest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return t.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        "n_events",
+        F.expr("(hwm - newest) div 60000000").cast("bigint").alias(
+            "lag_minutes"
+        ),
+        (F.col("hwm") - F.col("newest") > F.lit(86_400_000_000)).alias(
+            "stale"
+        ),
+    )
