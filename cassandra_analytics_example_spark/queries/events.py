@@ -2521,3 +2521,76 @@ def q162_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stale"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — robust outlier detection via median/MAD, both through the
+# distributed exact-quantile selector (operators/quantiles.py): median in
+# pass one, median absolute deviation in pass two, then a broadcast-back
+# 3-MAD fence.  The robust twin of q78's mean-based anomaly flag — immune
+# to the very outliers it hunts, and no executor ever buffers a group
+# (event_type has ~5 distinct values; F.percentile would OOM at 100x).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q163_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type,
+         CAST(e.value AS DOUBLE) AS v,
+         med.med,
+         abs(CAST(e.value AS DOUBLE) - med.med) AS d
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       any_value(dev.med) AS med,
+       any_value(mad.mad) AS mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END)
+            * 1000 // count(*) AS BIGINT) AS outlier_permille
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+""",
+    doc="robust per-type outliers: exact median and exact MAD through the "
+    "rank-selection quantile machinery (two bounded passes, zero group "
+    "buffering), 3-MAD fence applied via a vocabulary-sized broadcast — "
+    "the outlier filter that is not skewed by its own targets",
+    tags=("events", "quality", "quantiles"),
+)
+def q163_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = group_quantiles_exact(ev, "event_type", "v", {"med": 0.5})
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = group_quantiles_exact(dev, "event_type", "d", {"mad": 0.5})
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("d") > F.lit(3.0) * F.col("mad")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.expr(
+            "sum(cast(d > 3.0 * mad as bigint)) * 1000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("outlier_permille"),
+    )

@@ -4123,3 +4123,69 @@ def q155_chunk_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     payloads = attach_audio_payload(docs).select("doc_id", "payload")
     return chunk_dedup_stats(payloads, "payload", chunk_bytes=_CHUNK_B)
+
+
+# --------------------------------------------------------------------------
+# q166 — lang x source contingency lift: for every (lang, source) cell,
+# observed count vs the independence expectation, with lift reported in
+# exact integer permille (obs * N * 1000 div (row_total * col_total)).
+# The corpus-composition independence audit: which sources are secretly
+# single-language, which languages cluster in one crawl.  Marginals are
+# two vocabulary-sized aggregates broadcast back onto the cell table —
+# the corpus is scanned once and shuffled once on the cell key.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q166_contingency_lift",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_obs
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, sum(n_obs) AS n_lang FROM cells GROUP BY lang),
+c AS (SELECT source, sum(n_obs) AS n_source FROM cells GROUP BY source),
+t AS (SELECT sum(n_obs) AS n_total FROM cells)
+SELECT cells.lang, cells.source,
+       CAST(cells.n_obs AS BIGINT) AS n_obs,
+       CAST(r.n_lang AS BIGINT) AS n_lang,
+       CAST(c.n_source AS BIGINT) AS n_source,
+       CAST(cells.n_obs * t.n_total * 1000 // (r.n_lang * c.n_source)
+            AS BIGINT) AS lift_permille,
+       cells.n_obs * t.n_total * 1000 // (r.n_lang * c.n_source) > 1500
+         AS over_represented
+FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+""",
+    doc="lang x source contingency lift in exact integer permille: cell "
+    "counts vs the independence expectation, over-representation flag at "
+    "1.5x — marginals derive from the cell table itself (no second corpus "
+    "scan) and broadcast back; the corpus-composition independence audit",
+    tags=("llm", "profiling", "audit"),
+)
+def q166_contingency_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    cells = cells.localCheckpoint(eager=True)
+    r = cells.groupBy("lang").agg(F.sum("n_obs").alias("n_lang"))
+    c = cells.groupBy("source").agg(F.sum("n_obs").alias("n_source"))
+    t = cells.agg(F.sum("n_obs").alias("n_total"))
+    return (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("n_lang").cast("bigint").alias("n_lang"),
+            F.col("n_source").cast("bigint").alias("n_source"),
+            F.expr("n_obs * n_total * 1000 div (n_lang * n_source)")
+            .cast("bigint")
+            .alias("lift_permille"),
+            F.expr(
+                "n_obs * n_total * 1000 div (n_lang * n_source) > 1500"
+            ).alias("over_represented"),
+        )
+    )

@@ -2043,3 +2043,164 @@ def q150_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tbl).alias("tbl"), "*")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --------------------------------------------------------------------------
+# q164 — k-anonymity audit with one-step hierarchical generalization: a
+# record's quasi-identifier is (mktsegment, nation); groups smaller than k
+# re-aggregate one rung up the geography hierarchy (nation -> region) and
+# report at that level.  The privacy gate a training-data release runs
+# before shipping: group sizes are exact, the hierarchy climb is a
+# broadcast join, and the corpus shuffles once per level on a
+# vocabulary-sized key.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q164_k_anonymity",
+    oracle="""
+WITH g1 AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nk, count(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+ok AS (
+  SELECT 'nation' AS level, g1.seg, n.n_name AS geo, g1.n
+  FROM g1 JOIN nation n ON n.n_nationkey = g1.nk
+  WHERE g1.n >= 10
+),
+risk AS (SELECT seg, nk FROM g1 WHERE n < 10),
+g2 AS (
+  SELECT 'region' AS level, r.seg,
+         'region_' || CAST(n.n_regionkey AS VARCHAR) AS geo,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer c
+  JOIN risk r ON r.seg = c.c_mktsegment AND r.nk = c.c_nationkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT level, seg, geo, CAST(n AS BIGINT) AS n,
+       n >= 10 AS meets_k
+FROM (SELECT * FROM ok UNION ALL SELECT * FROM g2)
+""",
+    doc="k-anonymity (k=10) over the (mktsegment, nation) quasi-identifier "
+    "with one-step generalization: under-k groups climb nation -> region "
+    "and re-aggregate; exact group sizes, broadcast hierarchy joins, one "
+    "vocabulary-keyed shuffle per level — the pre-release privacy gate",
+    tags=("relational", "governance", "privacy"),
+)
+def q164_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 10
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.col("n_regionkey").alias("rk"),
+    )
+    g1 = cust.groupBy("seg", "nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ok = (
+        g1.where(F.col("n") >= k)
+        .join(F.broadcast(nat), "nk")
+        .select(
+            F.lit("nation").alias("level"),
+            "seg",
+            F.col("n_name").alias("geo"),
+            "n",
+        )
+    )
+    risk = g1.where(F.col("n") < k).select("seg", "nk")
+    g2 = (
+        cust.join(F.broadcast(risk), ["seg", "nk"])
+        .join(F.broadcast(nat), "nk")
+        .groupBy(
+            "seg", F.concat(F.lit("region_"), F.col("rk")).alias("geo")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("region").alias("level"), "seg", "geo", "n")
+    )
+    return ok.unionByName(g2).select(
+        "level", "seg", "geo", "n", (F.col("n") >= k).alias("meets_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# q165 — Benford first-digit audit over order totals: observed leading-
+# digit distribution vs Benford's law in exact integer permille, the
+# classic synthetic-data / fraud smell test.  One scan, one 9-row
+# aggregate; the expectation table is a literal — nothing transcendental
+# ever runs engine-side, so the audit is bit-identical everywhere.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q165_benford_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT count(*) AS n_total FROM d),
+obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+exp AS (
+  SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                        (6, 67), (7, 58), (8, 51), (9, 46))
+       AS t(digit, benford_permille)
+)
+SELECT exp.digit,
+       CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+       CAST(coalesce(obs.n, 0) * 1000 // tot.n_total AS BIGINT)
+         AS obs_permille,
+       CAST(exp.benford_permille AS BIGINT) AS benford_permille,
+       CAST(coalesce(obs.n, 0) * 1000 // tot.n_total
+            - exp.benford_permille AS BIGINT) AS dev_permille
+FROM exp LEFT JOIN obs USING (digit) CROSS JOIN tot
+""",
+    doc="Benford's-law leading-digit audit over o_totalprice: exact counts, "
+    "integer-permille observed vs the literal Benford expectation, "
+    "deviation per digit — one scan + 9-row aggregate, zero "
+    "transcendentals engine-side; the synthetic/fraud smell test",
+    tags=("relational", "quality", "audit"),
+)
+def q165_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    benford = spark.createDataFrame(
+        [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79), (6, 67),
+         (7, 58), (8, 51), (9, 46)],
+        "digit int, benford_permille bigint",
+    )
+    return (
+        benford.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.expr("coalesce(n, 0) * 1000 div n_total")
+            .cast("bigint")
+            .alias("obs_permille"),
+            F.col("benford_permille").cast("bigint").alias(
+                "benford_permille"
+            ),
+            F.expr(
+                "coalesce(n, 0) * 1000 div n_total - benford_permille"
+            )
+            .cast("bigint")
+            .alias("dev_permille"),
+        )
+    )
