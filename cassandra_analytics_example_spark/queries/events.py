@@ -2594,3 +2594,347 @@ def q163_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("outlier_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — incident impact via a bucketed interval-overlap join: error-storm
+# incidents (consecutive hours whose error count exceeds 1.5x the mean
+# hourly rate, merged into intervals) overlap-joined against user session
+# intervals to report, per incident, how many sessions it touched and the
+# total overlapped session time.  The range-predicate join is decomposed
+# into hour buckets (operators/intervals.py) — equi-join on the bucket id,
+# never a nested loop — so BOTH sides can be corpus-sized; here the
+# incident side is additionally tiny and broadcast.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q167_incident_session_overlap",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+hourly AS (
+  SELECT ts_us // 3600000000 AS hr,
+         count(*) FILTER (WHERE event_type = 'error') AS ne
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT count(*) AS nh, sum(ne) AS se FROM hourly),
+hot AS (
+  SELECT hr FROM hourly CROSS JOIN tot WHERE 2 * ne * nh > 3 * se
+),
+isl AS (
+  SELECT hr, hr - row_number() OVER (ORDER BY hr) AS grp FROM hot
+),
+inc AS (
+  SELECT min(hr) * 3600000000 AS i_start,
+         (max(hr) + 1) * 3600000000 - 1 AS i_end,
+         count(*) AS n_hours
+  FROM isl GROUP BY grp
+),
+marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_id
+  FROM marked
+),
+sess AS (
+  SELECT user_id, session_id,
+         min(ts_us) AS s_start, max(ts_us) AS s_end
+  FROM sessions GROUP BY 1, 2
+),
+hits AS (
+  SELECT i.i_start, i.i_end, i.n_hours,
+         least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start)
+           AS overlap_us
+  FROM inc i JOIN sess s
+    ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+)
+SELECT i.i_start AS incident_start_us,
+       i.i_end AS incident_end_us,
+       CAST(i.n_hours AS BIGINT) AS incident_hours,
+       CAST(count(h.overlap_us) AS BIGINT) AS n_sessions,
+       CAST(coalesce(sum(h.overlap_us), 0) AS BIGINT)
+         AS total_overlap_us
+FROM inc i
+LEFT JOIN hits h
+  ON h.i_start = i.i_start AND h.i_end = i.i_end
+GROUP BY 1, 2, 3
+""",
+    doc="error-storm incident impact: hot hours (exact integer 1.5x-mean "
+    "test, no division) merge into incident intervals; a bucketed "
+    "interval-overlap join (hour-bucket explode + equi-join, "
+    "operators/intervals.py) attaches overlapping 30-min-gap sessions — "
+    "per incident, sessions touched and exact overlapped microseconds; "
+    "the range x range join that stays linear when both sides are huge",
+    tags=("events", "intervals", "join"),
+)
+def q167_incident_session_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hour_us = 3_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    hourly = ev.groupBy(
+        F.expr(f"ts_us div {hour_us}").alias("hr")
+    ).agg(
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("ne")
+    )
+    tot = hourly.agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("ne").alias("se")
+    )
+    hot = (
+        hourly.crossJoin(F.broadcast(tot))
+        .where(F.lit(2) * F.col("ne") * F.col("nh") > F.lit(3) * F.col("se"))
+        .select("hr")
+    )
+    # Hot-hour islands: the hot table is vocabulary-sized (one row per hot
+    # HOUR of wall-clock time), so the single-partition window is bounded.
+    isl = hot.withColumn(
+        "grp", F.col("hr") - F.row_number().over(Window.orderBy("hr"))
+    )
+    inc = isl.groupBy("grp").agg(
+        (F.min("hr") * hour_us).alias("i_start"),
+        ((F.max("hr") + 1) * hour_us - 1).alias("i_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    ).drop("grp")
+
+    sess = (
+        sessionize(
+            ev.select("user_id", "ts_us", "event_id"),
+            user_col="user_id",
+            ts_col="ts_us",
+            gap_seconds=GAP_US,
+            order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end")
+        )
+    )
+
+    from cassandra_analytics_example_spark.operators.intervals import (
+        bucketed_interval_join,
+    )
+
+    hits = bucketed_interval_join(
+        sess,
+        inc,
+        l_start="s_start",
+        l_end="s_end",
+        r_start="i_start",
+        r_end="i_end",
+        bucket_us=hour_us,
+        broadcast_right=True,
+    )
+    agg = hits.groupBy("i_start", "i_end", "n_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+    )
+    return (
+        inc.join(agg, ["i_start", "i_end", "n_hours"], "left")
+        .select(
+            F.col("i_start").alias("incident_start_us"),
+            F.col("i_end").alias("incident_end_us"),
+            F.col("n_hours").alias("incident_hours"),
+            F.coalesce(F.col("n_sessions"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.coalesce(F.col("total_overlap_us"), F.lit(0))
+            .cast("bigint")
+            .alias("total_overlap_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q168 — mergeable equi-width histogram sketch with an exact bracketing
+# audit: shard-local 256-bin histograms (counts only — mergeable by bin
+# addition, the way a 1000-executor cluster summarises a column without
+# moving it) merge into one table, and each target quantile is bracketed
+# by the bins holding its boundary order statistics.  The audit joins the
+# distributed EXACT quantile (rank selector, q114 machinery) and gates
+# est_lo <= exact <= est_hi — a hard invariant of a correct histogram,
+# checked end-to-end.  Sketch state: 256 rows regardless of corpus size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q168_histogram_quantile_sketch",
+    oracle="""
+WITH d AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+),
+mm AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM d),
+binned AS (
+  SELECT CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE least(CAST(floor((d.v - mm.mn) * 256.0
+                                    / (mm.mx - mm.mn)) AS BIGINT), 255)
+         END AS bin
+  FROM d CROSS JOIN mm
+),
+bins AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+  FROM bins
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+k AS (
+  SELECT qs.q,
+         CAST(floor(qs.q * (mm.n - 1)) + 1 AS BIGINT) AS k_lo,
+         CAST(floor(qs.q * (mm.n - 1)) + 1
+              + CASE WHEN qs.q * (mm.n - 1)
+                          > floor(qs.q * (mm.n - 1))
+                     THEN 1 ELSE 0 END AS BIGINT) AS k_hi,
+         mm.mn, mm.mx, mm.n
+  FROM qs CROSS JOIN mm
+),
+sel AS (
+  SELECT k.q, k.mn, k.mx, k.n,
+         min(CASE WHEN cum.cum >= k.k_lo THEN cum.bin END) AS b_lo,
+         min(CASE WHEN cum.cum >= k.k_hi THEN cum.bin END) AS b_hi
+  FROM k CROSS JOIN cum
+  GROUP BY k.q, k.mn, k.mx, k.n
+),
+ex AS (
+  SELECT quantile_cont(v, 0.5) AS p50,
+         quantile_cont(v, 0.9) AS p90,
+         quantile_cont(v, 0.99) AS p99
+  FROM d
+)
+SELECT sel.q,
+       CAST(sel.n AS BIGINT) AS n,
+       CAST(sel.b_lo AS BIGINT) AS bin_lo,
+       CAST(sel.b_hi AS BIGINT) AS bin_hi,
+       sel.mn + sel.b_lo * (sel.mx - sel.mn) / 256.0 AS est_lo,
+       sel.mn + (sel.b_hi + 1) * (sel.mx - sel.mn) / 256.0 AS est_hi,
+       CASE sel.q WHEN 0.5 THEN ex.p50
+                  WHEN 0.9 THEN ex.p90
+                  ELSE ex.p99 END AS exact,
+       (sel.mn + sel.b_lo * (sel.mx - sel.mn) / 256.0
+          <= CASE sel.q WHEN 0.5 THEN ex.p50
+                        WHEN 0.9 THEN ex.p90
+                        ELSE ex.p99 END)
+       AND (CASE sel.q WHEN 0.5 THEN ex.p50
+                       WHEN 0.9 THEN ex.p90
+                       ELSE ex.p99 END
+          <= sel.mn + (sel.b_hi + 1) * (sel.mx - sel.mn) / 256.0)
+         AS ok
+FROM sel CROSS JOIN ex
+""",
+    doc="mergeable 256-bin histogram sketch: shard-local counts merged by "
+    "bin addition, target quantiles bracketed by boundary-rank bins, and "
+    "a hard invariant gate est_lo <= exact <= est_hi against the "
+    "distributed exact rank selector — the constant-state column summary "
+    "a fleet of executors ships to the driver",
+    tags=("events", "sketch", "quantiles"),
+)
+def q168_histogram_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    nb = 256
+    d = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id", F.col("value").cast("double").alias("v")
+        )
+        .where(F.col("v").isNotNull())
+    )
+    mm = d.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = d.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    * F.lit(256.0)
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("bigint"),
+                F.lit(nb - 1).cast("bigint"),
+            )
+        )
+        .alias("bin"),
+        # shard-local sketches: the per-shard layer is what a real fleet
+        # merges; summing it by bin reproduces the global histogram.
+        F.expr("event_id % 8").alias("shard"),
+    )
+    shard_hists = binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bins = shard_hists.groupBy("bin").agg(F.sum("c").alias("c"))
+    cum = bins.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    k = qs.crossJoin(F.broadcast(mm)).select(
+        "q", "mn", "mx", "n",
+        (F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+        .cast("bigint")
+        .alias("k_lo"),
+        (
+            F.floor(F.col("q") * (F.col("n") - 1))
+            + 1
+            + F.when(
+                F.col("q") * (F.col("n") - 1)
+                > F.floor(F.col("q") * (F.col("n") - 1)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("k_hi"),
+    )
+    sel = (
+        k.crossJoin(F.broadcast(cum))
+        .groupBy("q", "mn", "mx", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("k_lo"), F.col("bin"))
+            ).alias("b_lo"),
+            F.min(
+                F.when(F.col("cum") >= F.col("k_hi"), F.col("bin"))
+            ).alias("b_hi"),
+        )
+    )
+    ex = group_quantiles_exact(
+        d.withColumn("g", F.lit(1)), "g", "v",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    ).drop("g")
+    est_lo = F.col("mn") + F.col("b_lo") * (F.col("mx") - F.col("mn")) / F.lit(256.0)
+    est_hi = F.col("mn") + (F.col("b_hi") + 1) * (F.col("mx") - F.col("mn")) / F.lit(256.0)
+    exact = (
+        F.when(F.col("q") == 0.5, F.col("p50"))
+        .when(F.col("q") == 0.9, F.col("p90"))
+        .otherwise(F.col("p99"))
+    )
+    return sel.crossJoin(F.broadcast(ex)).select(
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("b_lo").cast("bigint").alias("bin_lo"),
+        F.col("b_hi").cast("bigint").alias("bin_hi"),
+        est_lo.alias("est_lo"),
+        est_hi.alias("est_hi"),
+        exact.alias("exact"),
+        ((est_lo <= exact) & (exact <= est_hi)).alias("ok"),
+    )
