@@ -2204,3 +2204,58 @@ def q165_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dev_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q169 — Pareto frontier of customers on (order count, lifetime cents):
+# the rows no other customer strictly beats on both axes, computed by the
+# distributed prefix-max skyline (operators/frontier.py) — range-
+# partitioned scan + broadcast offset layer, never a global sort and
+# never an all-pairs dominance join.  The "efficient frontier" selection
+# every ranking/selection pipeline wants at corpus scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q169_pareto_frontier",
+    oracle="""
+WITH agg AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY o_custkey
+),
+w AS (
+  SELECT c_custkey, n_orders, total_cents,
+         max(total_cents) OVER (ORDER BY n_orders DESC
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+  FROM agg
+)
+SELECT c_custkey, n_orders, total_cents
+FROM w WHERE pm IS NULL OR pm <= total_cents
+""",
+    doc="customer Pareto frontier on (n_orders, lifetime cents): strict "
+    "2D dominance via the distributed prefix-max skyline — range "
+    "partitions own contiguous x-slices, local range-frame windows "
+    "exclude same-x ties, broadcast offsets carry cross-partition state; "
+    "exact integer cents, no global sort, no dominance cross join",
+    tags=("relational", "frontier", "ranking"),
+)
+def q169_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.frontier import (
+        pareto_frontier_2d,
+    )
+
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum(dec("o_totalprice")) * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    return pareto_frontier_2d(agg, "n_orders", "total_cents")
