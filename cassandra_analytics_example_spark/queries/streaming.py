@@ -295,3 +295,23 @@ def s17_stream_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_chunk_store(spark, sf_dir)
+
+
+@register(
+    "s18_stream_freshness",
+    oracle=None,
+    doc="Structured Streaming: ingest-freshness SLA monitoring — "
+    "per-microbatch partial (type, newest, n) rows appended via "
+    "foreachBatch (max/sum are associative merge units), live state = "
+    "merge-on-read max+sum per type, published report = the exact "
+    "integer minute-lag + 24h staleness verdict, BIT-IDENTICAL to the "
+    "batch audit q162 (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "monitoring"),
+)
+def s18_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_freshness,
+    )
+
+    return run_stream_freshness(spark, sf_dir)

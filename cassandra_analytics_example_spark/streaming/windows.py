@@ -1011,3 +1011,68 @@ def run_stream_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unique_bytes",
         "logical_bytes",
     )
+
+
+def run_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-freshness monitoring: each microbatch folds to
+    partial (event_type, newest, n) rows APPENDED to a parquet store via
+    ``foreachBatch`` — max and count are both associative merge units, so
+    the live per-type state is the merge-on-read ``max(newest), sum(n)``
+    and the global high-water mark is the max over types.  The published
+    report is the SAME exact-integer minute-lag + 24h staleness row as
+    the batch audit q162, bit-identical to it (pinned by
+    tests/test_streaming_batch_twins.py).  Returns
+    (event_type, n_events, lag_minutes, stale).
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="freshness_")
+    target = os.path.join(out, "state")
+    ck = os.path.join(out, "ck")
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy("event_type")
+            .agg(
+                F.max("ts_us").alias("newest"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    state = (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.max("newest").alias("newest"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+    )
+    hw = state.agg(F.max("newest").alias("hwm"))
+    return state.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        "n_events",
+        F.expr("(hwm - newest) div 60000000").cast("bigint").alias(
+            "lag_minutes"
+        ),
+        (F.col("hwm") - F.col("newest") > F.lit(86_400_000_000)).alias(
+            "stale"
+        ),
+    )

@@ -415,3 +415,25 @@ def test_s17_stream_chunk_store_matches_q155(spark):
     }
     assert got == want
     assert any(rc >= 2 for rc, *_ in want)  # real dedup present
+
+
+def test_s18_stream_freshness_matches_q162(spark):
+    """The streaming-maintained freshness state (max/sum merge-on-read),
+    reduced to minute lags against the high-water mark, must be
+    BIT-IDENTICAL to the batch SLA audit q162 — exact integers end to
+    end, so the compare is exact set equality."""
+    from cassandra_analytics_example_spark.queries import load_all
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_freshness,
+    )
+
+    got = {
+        (r.event_type, r.n_events, r.lag_minutes, r.stale)
+        for r in run_stream_freshness(spark, SF01).collect()
+    }
+    want = {
+        (r.event_type, r.n_events, r.lag_minutes, r.stale)
+        for r in load_all()["q162_freshness_sla"].fn(spark, SF01).collect()
+    }
+    assert got == want
+    assert len(want) > 0
