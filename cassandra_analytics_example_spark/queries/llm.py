@@ -4189,3 +4189,207 @@ def q166_contingency_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("over_represented"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q170 — normalization-aware dedup gain: how many extra duplicates does
+# exact dedup find AFTER canonical text normalization (lowercase, strip
+# non-alphanumerics, collapse whitespace)?  The pre-dedup normalization
+# decision quantified: one corpus scan, digests computed inline, two
+# distinct-counts sharing it — no second scan, no string shuffle (only
+# 16-byte digests move).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q170_normalization_gain",
+    oracle="""
+WITH d AS (
+  SELECT text,
+         md5(text) AS h_raw,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS h_norm,
+         trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) != text AS changed
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(count(DISTINCT h_raw) AS BIGINT) AS groups_raw,
+       CAST(count(DISTINCT h_norm) AS BIGINT) AS groups_norm,
+       CAST(count(*) - count(DISTINCT h_raw) AS BIGINT) AS dups_raw,
+       CAST(count(*) - count(DISTINCT h_norm) AS BIGINT) AS dups_norm,
+       CAST(count(DISTINCT h_raw) - count(DISTINCT h_norm) AS BIGINT)
+         AS gain
+FROM d
+""",
+    doc="normalization-aware exact-dedup gain: md5 digests of raw vs "
+    "canonicalized text (lower, non-alnum -> space, collapse runs, trim) "
+    "in ONE scan; extra duplicate mass surfaced by normalization in "
+    "exact counts — only digests shuffle, never text",
+    tags=("llm", "dedup", "text"),
+)
+def q170_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    d = docs.select(
+        F.md5("text").alias("h_raw"),
+        F.md5(norm).alias("h_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("changed").cast("bigint"))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.countDistinct("h_raw").cast("bigint").alias("groups_raw"),
+        F.countDistinct("h_norm").cast("bigint").alias("groups_norm"),
+        (F.count(F.lit(1)) - F.countDistinct("h_raw"))
+        .cast("bigint")
+        .alias("dups_raw"),
+        (F.count(F.lit(1)) - F.countDistinct("h_norm"))
+        .cast("bigint")
+        .alias("dups_norm"),
+        (F.countDistinct("h_raw") - F.countDistinct("h_norm"))
+        .cast("bigint")
+        .alias("gain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q171 — sequence-length bucketing / padding-waste audit: documents land
+# in the smallest power-of-two token bucket that fits them (capped), and
+# the report prices the padding a fixed-shape training batch would burn.
+# Bucket assignment is a broadcast join against a constant edge table —
+# the corpus never shuffles for it; the per-bucket report is one
+# vocabulary-sized aggregate.  Exact integer token counts (whitespace
+# tokens, the q33 convention) and exact permille waste.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q171_padding_waste",
+    oracle="""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+edges AS (
+  SELECT CAST(b AS BIGINT) AS bucket
+  FROM (VALUES (16), (32), (64), (128), (256), (512), (1024), (2048),
+               (4096), (8192)) e(b)
+),
+assigned AS (
+  SELECT t.toks, min(edges.bucket) AS bucket
+  FROM t JOIN edges ON edges.bucket >= t.toks
+  GROUP BY t.toks
+),
+fat AS (
+  SELECT t.toks, a.bucket
+  FROM t JOIN assigned a ON a.toks = t.toks
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS tokens,
+       CAST(sum(bucket) AS BIGINT) AS padded_slots,
+       CAST((sum(bucket) - sum(toks)) * 1000 // sum(bucket) AS BIGINT)
+         AS waste_permille
+FROM fat GROUP BY bucket
+""",
+    doc="power-of-two sequence-length bucketing with exact padding-waste "
+    "accounting: smallest bucket >= token count via a broadcast "
+    "constant-edge join (corpus unshuffled), per-bucket docs/tokens/"
+    "padded-slots and integer-permille waste — the batch-shape cost "
+    "model for fixed-length training",
+    tags=("llm", "packing", "audit"),
+)
+def q171_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks")
+    )
+    edges = spark.createDataFrame(
+        [(16,), (32,), (64,), (128,), (256,), (512,), (1024,), (2048,),
+         (4096,), (8192,)],
+        "bucket bigint",
+    )
+    # Distinct token counts first (vocabulary-sized), THEN the edge join:
+    # the >= join fans out one row per fitting bucket, so it must run on
+    # the distinct-toks table with min(bucket) folding the fan-out back.
+    tc = t.groupBy("toks").agg(F.count(F.lit(1)).alias("m"))
+    fat = (
+        tc.join(F.broadcast(edges), F.col("bucket") >= F.col("toks"))
+        .groupBy("toks", "m")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return fat.groupBy("bucket").agg(
+        F.sum("m").cast("bigint").alias("n_docs"),
+        F.sum(F.col("toks") * F.col("m")).cast("bigint").alias("tokens"),
+        F.sum(F.col("bucket") * F.col("m"))
+        .cast("bigint")
+        .alias("padded_slots"),
+        F.expr(
+            "(sum(bucket * m) - sum(toks * m)) * 1000 div sum(bucket * m)"
+        )
+        .cast("bigint")
+        .alias("waste_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q172 — label-balance audit with inverse-frequency class weights: per
+# label, share of the corpus in exact permille plus the reweighting
+# factor (uniform-target inverse frequency, in exact permille) a
+# training loop would apply.  One vocabulary-sized aggregate + one
+# broadcast scalar; imbalance verdict at 2x over/under uniform.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q172_label_balance",
+    oracle="""
+WITH l AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+t AS (SELECT sum(n) AS n_total, count(*) AS n_labels FROM l)
+SELECT l.label,
+       CAST(l.n AS BIGINT) AS n,
+       CAST(l.n * 1000 // t.n_total AS BIGINT) AS share_permille,
+       CAST(t.n_total * 1000 // (t.n_labels * l.n) AS BIGINT)
+         AS weight_permille,
+       2 * l.n * t.n_labels > 4 * t.n_total
+         OR 2 * l.n * t.n_labels < t.n_total AS imbalanced
+FROM l CROSS JOIN t
+""",
+    doc="label-balance audit: per-label share and uniform-target "
+    "inverse-frequency class weight in exact integer permille, 2x "
+    "over/under-uniform imbalance verdict — one label-keyed aggregate "
+    "and one broadcast total; the class-weight table a trainer consumes",
+    tags=("llm", "sampling", "audit"),
+)
+def q172_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("label")
+    l = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = l.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_labels")
+    )
+    return l.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 1000 div n_total").cast("bigint").alias(
+            "share_permille"
+        ),
+        F.expr("n_total * 1000 div (n_labels * n)")
+        .cast("bigint")
+        .alias("weight_permille"),
+        F.expr(
+            "2 * n * n_labels > 4 * n_total OR 2 * n * n_labels < n_total"
+        ).alias("imbalanced"),
+    )
