@@ -2938,3 +2938,89 @@ def q168_histogram_quantile_sketch(
         exact.alias("exact"),
         ((est_lo <= exact) & (exact <= est_hi)).alias("ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q173 — time-weighted average of the held value per event type: each
+# (user, type) signal is a LOCF step function; the integral is
+# sum(value x holding-duration) over consecutive-event segments, and the
+# TWA is the exact integer division of the cent-microsecond integral by
+# the observed span.  The irregular-sampling average a metrics store
+# (TimescaleDB's time_weight) computes — here with EXACT decimal/bigint
+# algebra, so a 1000-way partial aggregation is bit-stable.  The lead
+# window partitions by (user, type): millions of small groups, never a
+# whole-type ordering.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q173_time_weighted_avg",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT event_type, cents,
+         lead(ts_us) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts_us, event_id) - ts_us AS dur
+  FROM ev
+),
+g AS (
+  SELECT event_type,
+         count(*) AS n_segments,
+         sum(CAST(cents AS HUGEINT) * dur) AS num,
+         sum(dur) AS span_us
+  FROM seg WHERE dur IS NOT NULL
+  GROUP BY event_type
+  HAVING sum(dur) > 0
+)
+SELECT event_type,
+       CAST(n_segments AS BIGINT) AS n_segments,
+       CAST(span_us AS BIGINT) AS span_us,
+       CAST(num // span_us AS BIGINT) AS twa_cents
+FROM g
+""",
+    doc="time-weighted average held value per type: LOCF step integral "
+    "over consecutive-event segments in exact cent-microsecond decimals "
+    "(order-independent partials), TWA = integral div span in integer "
+    "cents; lead windows ride (user, type) groups — bounded everywhere, "
+    "never a whole-type sort",
+    tags=("events", "timeseries", "quantiles"),
+)
+def q173_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    seg = ev.select(
+        "event_type",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    g = (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("dur")
+            ).alias("num"),
+            F.sum("dur").cast("bigint").alias("span_us"),
+        )
+        .where(F.col("span_us") > 0)
+    )
+    return g.select(
+        "event_type",
+        "n_segments",
+        "span_us",
+        F.expr("CAST(num div span_us AS BIGINT)").alias("twa_cents"),
+    )
