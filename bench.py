@@ -76,6 +76,9 @@ HEADLINE = [
     "q130_bigram_logprob",      # bigram LM with backoff (vocab broadcasts)
     "q142_substring_dup_spans", # ExactSubstr dedup spans (window-hash groupBy)
     "q143_pagerank_items",      # integer PageRank, persisted edge lineage
+    "q167_incident_session_overlap",  # bucketed interval-overlap join
+    "q168_histogram_quantile_sketch", # mergeable histogram + exact bracket
+    "q169_pareto_frontier",     # distributed prefix-max skyline
 ]
 
 

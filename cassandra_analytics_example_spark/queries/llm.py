@@ -4393,3 +4393,104 @@ def q172_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "2 * n * n_labels > 4 * n_total OR 2 * n * n_labels < n_total"
         ).alias("imbalanced"),
     )
+
+
+# --------------------------------------------------------------------------
+# q174 — retrieval quality against label ground truth: for 20 probe
+# vectors, exact cosine top-10 (the q25 brute baseline), scored against
+# the labels a supervised eval would use — per label: probes, hits@10,
+# precision in exact permille, probes with at least one relevant hit,
+# and the reciprocal-rank mass of the first relevant neighbor in exact
+# milli-units (1000 div rank; misses contribute 0).  The eval-harness
+# row of an embedding pipeline — corpus broadcast-joined once, label
+# attachment is two vocabulary joins, every metric integer-exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q174_retrieval_label_eval",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                  label AS q_label
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+             label AS n_label
+      FROM embeddings),
+topk AS (
+  SELECT query_id, q_label, n_label, rnk FROM (
+    SELECT q.query_id, q.q_label, c.n_label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                      c.neighbor_id ASC) AS rnk
+    FROM q JOIN c ON q.query_id <> c.neighbor_id
+  ) WHERE rnk <= 10
+),
+per_q AS (
+  SELECT query_id, q_label,
+         sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS hits,
+         min(CASE WHEN n_label = q_label THEN rnk END) AS first_rel
+  FROM topk GROUP BY query_id, q_label
+)
+SELECT q_label AS label,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(hits) AS BIGINT) AS hits_at_10,
+       CAST(sum(hits) * 1000 // (count(*) * 10) AS BIGINT)
+         AS prec_permille,
+       CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_hit,
+       CAST(sum(coalesce(1000 // first_rel, 0)) AS BIGINT)
+         AS rr_milli_sum
+FROM per_q GROUP BY q_label
+""",
+    doc="retrieval eval vs label ground truth: exact cosine top-10 for 20 "
+    "probes (q25 baseline machinery), per-label precision@10 in exact "
+    "permille, hit coverage, and first-relevant reciprocal-rank mass in "
+    "integer milli-units — the supervised eval row with no floats in "
+    "any metric",
+    tags=("llm", "similarity", "eval"),
+)
+def q174_retrieval_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    probes = emb.filter(F.col("vec_id") < 20)
+    topk = (
+        brute_force_topk(emb, probes, k=10)
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    per_q = topk.groupBy("query_id", "q_label").agg(
+        F.sum((F.col("n_label") == F.col("q_label")).cast("bigint")).alias(
+            "hits"
+        ),
+        F.min(
+            F.when(F.col("n_label") == F.col("q_label"), F.col("rnk"))
+        ).alias("first_rel"),
+    )
+    return per_q.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("hits").cast("bigint").alias("hits_at_10"),
+        F.expr("sum(hits) * 1000 div (count(*) * 10)")
+        .cast("bigint")
+        .alias("prec_permille"),
+        F.sum(F.col("first_rel").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_with_hit"),
+        F.sum(F.coalesce(F.expr("1000 div first_rel"), F.lit(0)))
+        .cast("bigint")
+        .alias("rr_milli_sum"),
+    )
