@@ -3024,3 +3024,105 @@ def q173_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_us",
         F.expr("CAST(num div span_us AS BIGINT)").alias("twa_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q175 — zone-map pruning effectiveness audit: per-day partition stats
+# (row count, min/max value-cents, day bounds) priced against candidate
+# scan predicates — how many partitions could file-skipping eliminate,
+# and how many rows would never be read.  The data-layout feedback loop
+# behind partitioned parquet at 100 TB: stats are ONE corpus aggregate
+# on the partition key; every predicate evaluation afterwards touches
+# only the vocabulary-sized stats table.  Exact integers throughout.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q175_zonemap_pruning",
+    oracle="""
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+stats AS (
+  SELECT day, count(*) AS n, max(cents) AS max_c,
+         max(ts_us) AS day_max_ts
+  FROM ev GROUP BY day
+),
+hw AS (SELECT max(day_max_ts) AS hwm FROM stats),
+per AS (
+  SELECT 'cents>=20000' AS predicate, day, n,
+         max_c < 20000 AS prunable FROM stats
+  UNION ALL
+  SELECT 'cents>=10000', day, n, max_c < 10000 FROM stats
+  UNION ALL
+  SELECT 'last7days', s.day, s.n,
+         s.day_max_ts < hw.hwm - 604800000000
+  FROM stats s CROSS JOIN hw
+)
+SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_prunable,
+       CAST(sum(n) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN prunable THEN n ELSE 0 END) AS BIGINT)
+         AS rows_skipped,
+       CAST(sum(CASE WHEN prunable THEN n ELSE 0 END) * 1000
+            // sum(n) AS BIGINT) AS skip_permille
+FROM per GROUP BY predicate
+""",
+    doc="zone-map pruning audit: per-day (count, max-cents, max-ts) stats "
+    "from ONE partition-key aggregate, then candidate predicates priced "
+    "on the stats table alone — prunable partitions, rows skipped, exact "
+    "permille; the layout feedback a 100 TB partitioned table runs to "
+    "validate its file-skipping story",
+    tags=("events", "layout", "audit"),
+)
+def q175_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    ev = table(spark, sf_dir, "events").select(
+        F.expr(f"ts_us div {day_us}").alias("day"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "ts_us",
+    )
+    stats = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("cents").alias("max_c"),
+        F.max("ts_us").alias("day_max_ts"),
+    )
+    stats = stats.localCheckpoint(eager=True)
+    hw = stats.agg(F.max("day_max_ts").alias("hwm"))
+    p1 = stats.select(
+        F.lit("cents>=20000").alias("predicate"), "day", "n",
+        (F.col("max_c") < 20000).alias("prunable"),
+    )
+    p2 = stats.select(
+        F.lit("cents>=10000").alias("predicate"), "day", "n",
+        (F.col("max_c") < 10000).alias("prunable"),
+    )
+    p3 = stats.crossJoin(F.broadcast(hw)).select(
+        F.lit("last7days").alias("predicate"), "day", "n",
+        (F.col("day_max_ts") < F.col("hwm") - F.lit(604_800_000_000)).alias(
+            "prunable"
+        ),
+    )
+    per = p1.unionByName(p2).unionByName(p3)
+    return per.groupBy("predicate").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum(F.col("prunable").cast("bigint"))
+        .cast("bigint")
+        .alias("n_prunable"),
+        F.sum("n").cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("prunable"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_skipped"),
+        F.expr(
+            "sum(CASE WHEN prunable THEN n ELSE 0 END) * 1000 div sum(n)"
+        )
+        .cast("bigint")
+        .alias("skip_permille"),
+    )

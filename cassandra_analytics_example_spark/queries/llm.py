@@ -4494,3 +4494,131 @@ def q174_retrieval_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rr_milli_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q176 — max-min fair token budget allocation (exact water-filling): a
+# training run has a global token budget (here 40% of the corpus);
+# languages with small corpora are fully satisfied, the rest share the
+# remaining budget at a common integer water level.  The analytic
+# water-level solution — sort demands, prefix sums, one feasibility
+# count — in exact integer arithmetic; demands are ONE corpus aggregate,
+# everything after runs on the vocabulary-sized demand table.  The
+# max-min generalization of the capped mixture plans (q65/q110/q121).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q176_fair_share_allocation",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS demand
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT count(*) AS n_langs, sum(demand) AS total,
+         2 * sum(demand) // 5 AS budget
+  FROM d
+),
+s AS (
+  SELECT lang, demand,
+         row_number() OVER (ORDER BY demand, lang) AS i,
+         sum(demand) OVER (ORDER BY demand, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS prefix
+  FROM d
+),
+f AS (
+  SELECT s.*, tot.n_langs, tot.budget,
+         (s.prefix - s.demand) + (tot.n_langs - s.i + 1) * s.demand
+           <= tot.budget AS feasible
+  FROM s CROSS JOIN tot
+),
+lvl AS (
+  SELECT count(CASE WHEN feasible THEN 1 END) AS k,
+         coalesce(max(CASE WHEN feasible THEN prefix END), 0) AS prefix_k,
+         any_value(n_langs) AS n_langs,
+         any_value(budget) AS budget
+  FROM f
+),
+w AS (
+  SELECT CASE WHEN k = n_langs THEN NULL
+              ELSE (budget - prefix_k) // (n_langs - k) END AS level,
+         k
+  FROM lvl
+)
+SELECT f.lang,
+       CAST(f.demand AS BIGINT) AS demand_tokens,
+       CAST(CASE WHEN f.feasible THEN f.demand ELSE w.level END
+            AS BIGINT) AS alloc_tokens,
+       f.feasible AS satisfied,
+       CAST(w.level AS BIGINT) AS water_level
+FROM f CROSS JOIN w
+""",
+    doc="max-min fair token allocation under a 40%-of-corpus budget: "
+    "exact integer water-filling — sorted demands, prefix sums, "
+    "feasibility count, common level (budget - prefix_k) div (n - k); "
+    "small languages fully satisfied, the rest capped at the level; one "
+    "corpus aggregate, then vocabulary-sized algebra only",
+    tags=("llm", "sampling", "mixture"),
+)
+def q176_fair_share_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("demand")
+        )
+    )
+    d = d.localCheckpoint(eager=True)
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("demand").alias("total"),
+        F.expr("2 * sum(demand) div 5").alias("budget"),
+    )
+    w_ord = Window.orderBy("demand", "lang")
+    s = d.select(
+        "lang",
+        "demand",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("demand")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+    )
+    f = s.crossJoin(F.broadcast(tot)).withColumn(
+        "feasible",
+        (F.col("prefix") - F.col("demand"))
+        + (F.col("n_langs") - F.col("i") + 1) * F.col("demand")
+        <= F.col("budget"),
+    )
+    lvl = f.agg(
+        F.count(F.when(F.col("feasible"), 1)).alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("feasible"), F.col("prefix"))), F.lit(0)
+        ).alias("prefix_k"),
+        F.min("n_langs").alias("n_langs"),
+        F.min("budget").alias("budget"),
+    )
+    w = lvl.select(
+        F.when(F.col("k") == F.col("n_langs"), F.lit(None))
+        .otherwise(
+            F.expr("(budget - prefix_k) div (n_langs - k)")
+        )
+        .cast("bigint")
+        .alias("level"),
+    )
+    return f.crossJoin(F.broadcast(w)).select(
+        "lang",
+        F.col("demand").cast("bigint").alias("demand_tokens"),
+        F.when(F.col("feasible"), F.col("demand"))
+        .otherwise(F.col("level"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.col("feasible").alias("satisfied"),
+        F.col("level").cast("bigint").alias("water_level"),
+    )
