@@ -3126,3 +3126,116 @@ def q175_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skip_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q178 — robust quantile drift between time halves: P50/P95 of the value
+# signal per (event_type, half), both through the distributed exact rank
+# selector on composite groups, compared in exact integer permille.  The
+# robust companion to q145's mean/ratio drift — medians move only when
+# the distribution actually shifts, not when a tail burst lands.  Two
+# bounded corpus passes, a vocabulary-sized compare layer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q178_quantile_drift",
+    oracle="""
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+h AS (
+  SELECT e.event_type,
+         CASE WHEN epoch_us(e.ts) * 2 < b.mn + b.mx THEN 1 ELSE 2 END
+           AS half,
+         CAST(e.value AS DOUBLE) AS v
+  FROM events e CROSS JOIN b
+),
+q AS (
+  SELECT event_type, half,
+         quantile_cont(v, 0.5) AS p50,
+         quantile_cont(v, 0.95) AS p95,
+         count(*) AS n
+  FROM h GROUP BY event_type, half
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n_h1,
+       CAST(c.n AS BIGINT) AS n_h2,
+       a.p50 AS p50_h1, c.p50 AS p50_h2,
+       a.p95 AS p95_h1, c.p95 AS p95_h2,
+       CASE WHEN a.p50 = 0 THEN NULL
+            ELSE CAST(floor(c.p50 * 1000 / a.p50) - 1000 AS BIGINT)
+       END AS p50_drift_permille,
+       CASE WHEN a.p95 = 0 THEN NULL
+            ELSE CAST(floor(c.p95 * 1000 / a.p95) - 1000 AS BIGINT)
+       END AS p95_drift_permille
+FROM q a JOIN q c ON a.event_type = c.event_type
+WHERE a.half = 1 AND c.half = 2
+""",
+    doc="robust drift monitor: exact P50/P95 per (type, time-half) via "
+    "the rank selector on composite groups (no group buffering), halves "
+    "compared in floor-permille — medians ignore the tail bursts that "
+    "whipsaw mean-based drift (q145); two bounded passes",
+    tags=("events", "monitoring", "quantiles"),
+)
+def q178_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts_us", F.col("value").cast("double").alias("v")
+    )
+    b = ev.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    h = ev.crossJoin(F.broadcast(b)).select(
+        F.concat(
+            "event_type",
+            F.lit("#"),
+            F.when(
+                F.col("ts_us") * 2 < F.col("mn") + F.col("mx"), F.lit("1")
+            ).otherwise(F.lit("2")),
+        ).alias("g"),
+        "event_type",
+        F.when(
+            F.col("ts_us") * 2 < F.col("mn") + F.col("mx"), F.lit(1)
+        )
+        .otherwise(F.lit(2))
+        .alias("half"),
+        "v",
+    )
+    qs = group_quantiles_exact(
+        h.select(F.col("g"), "v"), "g", "v", {"p50": 0.5, "p95": 0.95}
+    )
+    n = h.groupBy("g", "event_type", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    q = n.join(F.broadcast(qs), "g")
+    a = q.where(F.col("half") == 1).select(
+        "event_type",
+        F.col("n").alias("n_h1"),
+        F.col("p50").alias("p50_h1"),
+        F.col("p95").alias("p95_h1"),
+    )
+    c = q.where(F.col("half") == 2).select(
+        "event_type",
+        F.col("n").alias("n_h2"),
+        F.col("p50").alias("p50_h2"),
+        F.col("p95").alias("p95_h2"),
+    )
+    out = a.join(c, "event_type")
+    return out.select(
+        "event_type",
+        "n_h1",
+        "n_h2",
+        "p50_h1",
+        "p50_h2",
+        "p95_h1",
+        "p95_h2",
+        F.when(F.col("p50_h1") == 0, F.lit(None))
+        .otherwise(
+            F.floor(F.col("p50_h2") * 1000 / F.col("p50_h1")) - 1000
+        )
+        .cast("bigint")
+        .alias("p50_drift_permille"),
+        F.when(F.col("p95_h1") == 0, F.lit(None))
+        .otherwise(
+            F.floor(F.col("p95_h2") * 1000 / F.col("p95_h1")) - 1000
+        )
+        .cast("bigint")
+        .alias("p95_drift_permille"),
+    )

@@ -4622,3 +4622,148 @@ def q176_fair_share_allocation(
         F.col("feasible").alias("satisfied"),
         F.col("level").cast("bigint").alias("water_level"),
     )
+
+
+# --------------------------------------------------------------------------
+# q177 — incremental inverted-index maintenance audit: the stored base
+# index (90% of docs) and the new-batch delta index (10%) are built as
+# SEPARATE lineages — exactly what an incremental pipeline holds — then
+# merged by term-stat addition (full outer join + coalesced sums) and
+# gated against a fresh full-corpus recount.  df/cf conservation must be
+# exact; the report also prices the delta: terms touched, brand-new
+# terms, touch rate.  At 100 TB only the delta lineage and the
+# term-keyed merge run per batch — the full recount here is the AUDIT.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q177_index_delta_merge",
+    oracle="""
+WITH base AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE doc_id % 10 != 0
+  ) GROUP BY term
+),
+delta AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE doc_id % 10 = 0
+  ) GROUP BY term
+),
+full_ AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY term
+),
+merged AS (
+  SELECT coalesce(b.term, d.term) AS term,
+         coalesce(b.df, 0) + coalesce(d.df, 0) AS df,
+         coalesce(b.cf, 0) + coalesce(d.cf, 0) AS cf,
+         d.term IS NOT NULL AS touched,
+         b.term IS NULL AND d.term IS NOT NULL AS is_new
+  FROM base b FULL OUTER JOIN delta d ON b.term = d.term
+)
+SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_terms_base,
+       CAST((SELECT count(*) FROM delta) AS BIGINT) AS n_terms_delta,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_terms,
+       CAST(sum(CASE WHEN touched THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS touched_permille,
+       CAST(count(*) AS BIGINT) AS n_terms_merged,
+       count(*) = (SELECT count(*) FROM full_)
+         AND NOT EXISTS (
+           SELECT 1 FROM merged m JOIN full_ f ON m.term = f.term
+           WHERE m.df != f.df OR m.cf != f.cf)
+         AS conservation_ok
+FROM merged
+""",
+    doc="incremental index maintenance: base (90%) and delta (10%) "
+    "term-stat indexes built as separate lineages, merged by term-keyed "
+    "stat addition, gated EXACTLY against a full recount (df/cf "
+    "conservation); reports new terms and delta touch rate — the "
+    "term-keyed merge is all a production batch runs",
+    tags=("llm", "retrieval", "incremental"),
+)
+def q177_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+
+    def stats(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        return tok.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+
+    base = stats(docs.where(F.expr("doc_id % 10 != 0"))).localCheckpoint(
+        eager=True
+    )
+    delta = stats(docs.where(F.expr("doc_id % 10 = 0"))).localCheckpoint(
+        eager=True
+    )
+    full = stats(docs)
+
+    b = base.select(
+        F.col("term"), F.col("df").alias("b_df"), F.col("cf").alias("b_cf")
+    )
+    d = delta.select(
+        F.col("term"), F.col("df").alias("d_df"), F.col("cf").alias("d_cf")
+    )
+    merged = b.join(d, "term", "full_outer").select(
+        "term",
+        (F.coalesce("b_df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias(
+            "df"
+        ),
+        (F.coalesce("b_cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).alias(
+            "cf"
+        ),
+        F.col("d_df").isNotNull().alias("touched"),
+        (F.col("b_df").isNull() & F.col("d_df").isNotNull()).alias(
+            "is_new"
+        ),
+    )
+    mism = (
+        merged.join(
+            full.select(
+                "term",
+                F.col("df").alias("f_df"),
+                F.col("cf").alias("f_cf"),
+            ),
+            "term",
+            "full_outer",
+        )
+        .where(
+            F.col("df").isNull()
+            | F.col("f_df").isNull()
+            | (F.col("df") != F.col("f_df"))
+            | (F.col("cf") != F.col("f_cf"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    counts = merged.agg(
+        F.sum(F.col("is_new").cast("bigint")).alias("n_new_terms"),
+        F.expr(
+            "sum(CASE WHEN touched THEN 1 ELSE 0 END) * 1000 div count(*)"
+        ).alias("touched_permille"),
+        F.count(F.lit(1)).alias("n_terms_merged"),
+    )
+    nb = base.agg(F.count(F.lit(1)).alias("n_terms_base"))
+    nd = delta.agg(F.count(F.lit(1)).alias("n_terms_delta"))
+    return (
+        counts.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(mism))
+        .select(
+            F.col("n_terms_base").cast("bigint").alias("n_terms_base"),
+            F.col("n_terms_delta").cast("bigint").alias("n_terms_delta"),
+            F.col("n_new_terms").cast("bigint").alias("n_new_terms"),
+            F.col("touched_permille")
+            .cast("bigint")
+            .alias("touched_permille"),
+            F.col("n_terms_merged").cast("bigint").alias("n_terms_merged"),
+            (F.col("n_mismatch") == 0).alias("conservation_ok"),
+        )
+    )
