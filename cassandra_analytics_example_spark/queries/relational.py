@@ -2259,3 +2259,118 @@ def q169_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pareto_frontier_2d(agg, "n_orders", "total_cents")
+
+
+# --------------------------------------------------------------------------
+# q179 — Bloom-filter false-positive calibration: probe the q90-style
+# portable filter with keys GUARANTEED absent (custkey + 10^12) and
+# compare the measured false-positive rate to the fill-ratio bound
+# (bits_set/m)^k, both in exact integer permille.  The sketch-calibration
+# row (q96 ANN recall, q137 MinHash calibration) for the membership
+# family: every hash is md5-deterministic, so measured FPR is a fixed
+# fact of the fixture that both engines must agree on bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q179_bloom_fpr_calibration",
+    oracle="""
+WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+probe AS (
+  SELECT DISTINCT c_custkey + 1000000000000 AS k FROM customer
+),
+bits AS (
+  SELECT DISTINCT unnest(
+    [(CAST(('0x' || substr(md5('0' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192),
+     (CAST(('0x' || substr(md5('1' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192),
+     (CAST(('0x' || substr(md5('2' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192)]
+  ) AS bit FROM members
+),
+ppos AS (
+  SELECT k, unnest(
+    [(CAST(('0x' || substr(md5('0' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192),
+     (CAST(('0x' || substr(md5('1' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192),
+     (CAST(('0x' || substr(md5('2' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192)]
+  ) AS bit FROM probe
+),
+pass AS (
+  SELECT k FROM ppos JOIN bits USING (bit) GROUP BY k
+  HAVING count(*) = 3
+),
+c AS (
+  SELECT (SELECT count(*) FROM members) AS n_members,
+         (SELECT count(*) FROM bits) AS bits_set,
+         (SELECT count(*) FROM probe) AS n_probes,
+         (SELECT count(*) FROM pass) AS false_hits
+)
+SELECT CAST(8192 AS BIGINT) AS m,
+       CAST(3 AS BIGINT) AS k,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(bits_set AS BIGINT) AS bits_set,
+       CAST(bits_set * 1000 // 8192 AS BIGINT) AS fill_permille,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(false_hits AS BIGINT) AS false_hits,
+       CAST(false_hits * 1000 // n_probes AS BIGINT) AS fpr_permille,
+       CAST(bits_set * bits_set * bits_set * 1000
+            // (CAST(8192 AS BIGINT) * 8192 * 8192) AS BIGINT)
+         AS bound_permille
+FROM c
+""",
+    doc="bloom FPR calibration: md5-deterministic filter (m=8192, k=3) "
+    "over order custkeys probed with guaranteed-absent keys; measured "
+    "false-positive permille vs the exact integer fill-ratio bound "
+    "(bits_set/m)^k — the membership-family calibration row, "
+    "bit-reproducible in any engine",
+    tags=("relational", "sketch", "audit"),
+)
+def q179_bloom_fpr_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m, k = 8192, 3
+    members = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probes = (
+        table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") + F.lit(1_000_000_000_000)).alias("k"))
+        .distinct()
+    )
+    bits = bloom_build(members, "k", m=m, k=k).localCheckpoint(eager=True)
+    probed = bloom_probe(probes, "k", bits, m=m, k=k)
+    nm = members.agg(F.count(F.lit(1)).alias("n_members"))
+    nb = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    pr = probed.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("bloom_pass").cast("bigint")).alias("false_hits"),
+    )
+    return (
+        nm.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(pr))
+        .select(
+            F.lit(m).cast("bigint").alias("m"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("bits_set").cast("bigint").alias("bits_set"),
+            F.expr(f"bits_set * 1000 div {m}")
+            .cast("bigint")
+            .alias("fill_permille"),
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.col("false_hits").cast("bigint").alias("false_hits"),
+            F.expr("false_hits * 1000 div n_probes")
+            .cast("bigint")
+            .alias("fpr_permille"),
+            F.expr(
+                f"bits_set * bits_set * bits_set * 1000 "
+                f"div (CAST({m} AS BIGINT) * {m} * {m})"
+            )
+            .cast("bigint")
+            .alias("bound_permille"),
+        )
+    )
