@@ -315,3 +315,22 @@ def s18_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_freshness(spark, sf_dir)
+
+
+@register(
+    "s19_stream_zonemap",
+    oracle=None,
+    doc="Structured Streaming: zone-map stats maintenance — per-microbatch "
+    "partial per-day (count, max-cents, max-ts) rows appended via "
+    "foreachBatch (sum/max merge units), live stats = merge-on-read "
+    "sum/max per day, feeding the batch pruning audit q175; maintained "
+    "stats are BIT-IDENTICAL to a batch recompute (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "layout", "monitoring"),
+)
+def s19_stream_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_zonemap,
+    )
+
+    return run_stream_zonemap(spark, sf_dir)

@@ -1076,3 +1076,62 @@ def run_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stale"
         ),
     )
+
+
+def run_stream_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming zone-map maintenance: each microbatch folds to partial
+    per-day (n, max_cents, max_ts) rows APPENDED via ``foreachBatch`` —
+    count merges by sum, the zone bounds by max, so the live stats table
+    is the merge-on-read ``sum/max GROUP BY day`` and feeds the same
+    pruning audit as the batch layer (q175).  The maintained stats are
+    BIT-IDENTICAL to a batch recompute (pinned by
+    tests/test_streaming_batch_twins.py).  Returns
+    (day, n, max_c, day_max_ts).
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zonemap_")
+    target = os.path.join(out, "stats")
+    ck = os.path.join(out, "ck")
+
+    ev = stream_events(spark, sf_dir).select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.max("cents").alias("max_c"),
+                F.max("ts_us").alias("day_max_ts"),
+            )
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    return (
+        spark.read.parquet(target)
+        .groupBy("day")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.max("max_c").alias("max_c"),
+            F.max("day_max_ts").alias("day_max_ts"),
+        )
+    )

@@ -437,3 +437,38 @@ def test_s18_stream_freshness_matches_q162(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_s19_stream_zonemap_matches_batch_stats(spark):
+    """The streaming-maintained per-day zone maps (sum/max merge-on-read)
+    must be BIT-IDENTICAL to a batch recompute over the same fixture —
+    exact integers, exact set equality."""
+    from cassandra_analytics_example_spark.queries._tables import events
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_zonemap,
+    )
+
+    got = {
+        (r.day, r.n, r.max_c, r.day_max_ts)
+        for r in run_stream_zonemap(spark, SF01).collect()
+    }
+    ev = events(spark, SF01)
+    want = {
+        (r.day, r.n, r.max_c, r.day_max_ts)
+        for r in ev.select(
+            F.expr("ts_us div 86400000000").alias("day"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            "ts_us",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("cents").alias("max_c"),
+            F.max("ts_us").alias("day_max_ts"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0

@@ -51,6 +51,13 @@ ID_STRIDE = 10_000_000
 
 
 def build_scaled(spark, out_dir: str) -> None:
+    # Dimension tables ride along unscaled at both scales: fact growth is
+    # the stress mode; customers/nations stay the same population.
+    for dim in ("customer", "nation", "region"):
+        d = spark.read.parquet(f"{BASE}/{dim}.parquet")
+        d.write.mode("overwrite").parquet(f"{out_dir}/x1/{dim}.parquet")
+        d.write.mode("overwrite").parquet(f"{out_dir}/x10/{dim}.parquet")
+
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     docs.write.mode("overwrite").parquet(f"{out_dir}/x1/documents.parquet")
