@@ -4767,3 +4767,102 @@ def q177_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_mismatch") == 0).alias("conservation_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q180 — rendezvous (highest-random-weight) shard-map audit: every doc
+# hashes one md5 weight per shard and lands on the argmax — the
+# consistent-hashing scheme whose promise is that growing 8 -> 9 shards
+# moves ONLY the keys the new shard wins (~1/9 of them), never a global
+# reshuffle.  The audit measures both halves of that promise on the real
+# corpus: load balance of the 8-shard map and the exact mover fraction
+# under expansion, all md5-deterministic integers.  One scan, zero
+# shuffles beyond a 9-row aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q180_rendezvous_shard_map",
+    oracle="""
+WITH w AS (
+  SELECT [CAST(('0x' || substr(md5('0' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('2' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('3' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('4' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('5' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('6' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('7' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          CAST(('0x' || substr(md5('8' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)]
+           AS a
+  FROM documents
+),
+k AS (
+  SELECT list_position(a[1:8], list_aggregate(a[1:8], 'max')) AS winner8,
+         a[9] > list_aggregate(a[1:8], 'max') AS mover
+  FROM w
+),
+loads AS (SELECT winner8, count(*) AS n FROM k GROUP BY winner8),
+bal AS (
+  SELECT max(n) AS max_n, min(n) AS min_n, sum(n) AS n_keys FROM loads
+)
+SELECT CAST(bal.n_keys AS BIGINT) AS n_keys,
+       CAST(8 AS BIGINT) AS n_shards,
+       CAST(bal.max_n * 1000 // bal.n_keys AS BIGINT)
+         AS max_load_permille,
+       CAST(bal.min_n * 1000 // bal.n_keys AS BIGINT)
+         AS min_load_permille,
+       CAST((SELECT sum(CASE WHEN mover THEN 1 ELSE 0 END) FROM k)
+            AS BIGINT) AS movers,
+       CAST((SELECT sum(CASE WHEN mover THEN 1 ELSE 0 END) FROM k)
+            * 1000 // bal.n_keys AS BIGINT) AS movers_permille,
+       CAST(1000 // 9 AS BIGINT) AS expected_movers_permille
+FROM bal
+""",
+    doc="rendezvous-hash shard map: per-doc argmax of 8 md5 weights, "
+    "balance in exact permille, and the 8->9 expansion mover fraction "
+    "(exactly the keys shard 9 wins) vs the 1/9 expectation — the "
+    "consistent-hashing audit behind reshuffle-free shard growth; one "
+    "scan, vocabulary-sized aggregates",
+    tags=("llm", "layout", "sharding"),
+)
+def q180_rendezvous_shard_map(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    arr = F.array(*[md5_u60(F.col("key"), seed=j) for j in range(9)])
+    k = docs.select(
+        F.array_position(
+            F.slice(arr, 1, 8), F.array_max(F.slice(arr, 1, 8))
+        ).alias("winner8"),
+        (
+            F.element_at(arr, 9) > F.array_max(F.slice(arr, 1, 8))
+        ).alias("mover"),
+    )
+    k = k.localCheckpoint(eager=True)
+    loads = k.groupBy("winner8").agg(F.count(F.lit(1)).alias("n"))
+    bal = loads.agg(
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+        F.sum("n").alias("n_keys"),
+    )
+    mv = k.agg(F.sum(F.col("mover").cast("bigint")).alias("movers"))
+    return bal.crossJoin(F.broadcast(mv)).select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.lit(8).cast("bigint").alias("n_shards"),
+        F.expr("max_n * 1000 div n_keys")
+        .cast("bigint")
+        .alias("max_load_permille"),
+        F.expr("min_n * 1000 div n_keys")
+        .cast("bigint")
+        .alias("min_load_permille"),
+        F.col("movers").cast("bigint").alias("movers"),
+        F.expr("movers * 1000 div n_keys")
+        .cast("bigint")
+        .alias("movers_permille"),
+        F.lit(111).cast("bigint").alias("expected_movers_permille"),
+    )
