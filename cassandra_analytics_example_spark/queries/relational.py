@@ -2374,3 +2374,178 @@ def q179_bloom_fpr_calibration(
             .alias("bound_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q181 — market-share shift: yearly revenue share per nation in exact
+# permille, with year-over-year rank movement.  The BI contribution
+# analysis: revenue folds in exact decimal (order-independent partials),
+# shares and ranks run on the (year x nation) table — vocabulary-sized,
+# so every window is bounded no matter the corpus.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q181_market_share_shift",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         n.n_name AS nation,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT yr, sum(revenue) AS yr_total FROM rev GROUP BY yr),
+sh AS (
+  SELECT r.yr, r.nation,
+         CAST(floor(r.revenue * 1000 / t.yr_total) AS BIGINT)
+           AS share_permille,
+         row_number() OVER (PARTITION BY r.yr
+                            ORDER BY r.revenue DESC, r.nation) AS rnk
+  FROM rev r JOIN tot t USING (yr)
+)
+SELECT yr, nation, share_permille,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(lag(rnk) OVER (PARTITION BY nation ORDER BY yr) - rnk
+            AS BIGINT) AS rank_gain
+FROM sh
+""",
+    doc="market-share shift: yearly nation revenue share in floor-permille "
+    "(exact decimal folds) with per-year ranks and year-over-year rank "
+    "gain — corpus folds once on the join keys; the share/rank layer "
+    "rides the vocabulary-sized (year, nation) table",
+    tags=("relational", "windows", "analytics"),
+)
+def q181_market_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", revenue_expr().alias("rev")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("yr").cast("bigint").alias("yr"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    rev = rev.localCheckpoint(eager=True)
+    tot = rev.groupBy("yr").agg(F.sum("revenue").alias("yr_total"))
+    w_rank = Window.partitionBy("yr").orderBy(
+        F.col("revenue").desc(), F.col("nation")
+    )
+    sh = rev.join(F.broadcast(tot), "yr").select(
+        "yr",
+        "nation",
+        F.floor(F.col("revenue") * 1000 / F.col("yr_total"))
+        .cast("bigint")
+        .alias("share_permille"),
+        F.row_number().over(w_rank).cast("bigint").alias("rnk"),
+    )
+    w_lag = Window.partitionBy("nation").orderBy("yr")
+    return sh.select(
+        "yr",
+        "nation",
+        "share_permille",
+        "rnk",
+        (F.lag("rnk").over(w_lag) - F.col("rnk"))
+        .cast("bigint")
+        .alias("rank_gain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q182 — referential-integrity and reconciliation audit across the star
+# schema: orphan counts in both directions for every FK edge, in exact
+# integers.  The pre-flight a 100 TB warehouse runs after every load:
+# each edge is one anti-join (bloom/DPP-prunable), dimension sides
+# broadcast, and the report is one row per edge.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q182_referential_integrity",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS edge,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS orphans,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey))
+            AS BIGINT) AS childless_parents
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT count(*) FROM nation n
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_nationkey = n.n_nationkey))
+""",
+    doc="referential-integrity audit over the FK edges lineitem->orders, "
+    "orders->customer, customer->nation: child rows, orphans (anti-join "
+    "against the parent), and childless parents, all exact — each edge "
+    "is one left-anti pass with the dimension side broadcast",
+    tags=("relational", "quality", "audit"),
+)
+def q182_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def edge(name, child, child_key, parent, parent_key):
+        nc = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("orphans"))
+        childless = parent.join(
+            child, child[child_key] == parent[parent_key], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("childless_parents"))
+        return (
+            nc.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(childless))
+            .select(
+                F.lit(name).alias("edge"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("orphans").cast("bigint").alias("orphans"),
+                F.col("childless_parents")
+                .cast("bigint")
+                .alias("childless_parents"),
+            )
+        )
+
+    return (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+        .unionByName(
+            edge("orders.o_custkey->customer", o.select("o_custkey"), "o_custkey", c.select("c_custkey"), "c_custkey")
+        )
+        .unionByName(
+            edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
