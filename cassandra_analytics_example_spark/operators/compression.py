@@ -21,6 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_analytics_example_spark.operators.quantiles import (
+    group_quantiles_exact,
+)
 from cassandra_analytics_example_spark.session import spread
 
 SCORE_SCHEMA = (
@@ -118,10 +121,18 @@ def compression_quality_checks(
             ).otherwise(0)
         ),
     )
-    median = row(
-        "median_ratio_sane",
-        F.median("ratio") > 0.5,
-        F.lit(0),
+    # Median by distributed rank selection (constant group): F.median
+    # buffers the whole column in one aggregation buffer — the banned
+    # exact-quantile anti-pattern (see operators/quantiles.py). The
+    # trailing agg keeps the check row present (ok NULL) on empty input,
+    # matching F.median-on-empty semantics.
+    med = group_quantiles_exact(
+        scored.withColumn("__g", F.lit(1)), "__g", "ratio", {"med": 0.5}
+    )
+    median = med.agg(
+        F.lit("median_ratio_sane").alias("check_name"),
+        (F.min("med") > 0.5).alias("ok"),
+        F.lit(0).cast("bigint").alias("n"),
     )
     invariant = (
         scored.agg(checksum.alias("s"))

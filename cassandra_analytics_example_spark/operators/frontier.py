@@ -38,14 +38,23 @@ def pareto_frontier_2d(
         num_partitions, F.col(x_col).desc()
     ).withColumn("__pid", F.spark_partition_id())
 
-    # Local prefix max over STRICTLY greater x: desc order + range frame
-    # ending 1 before the current value excludes same-x rows.
-    w_local = (
+    # Local prefix max over STRICTLY greater x. A value-based range frame
+    # (rangeBetween ..., -1 over x desc) would only exclude same-x rows
+    # when x values are integer-spaced — a fractional dominator at
+    # x + 0.5 would fall outside the frame and a dominated row would
+    # survive. dense_rank is integer-spaced by construction: rows with
+    # __dr' <= __dr - 1 are exactly the strictly-greater-x rows, for any
+    # numeric x type. Both windows share the (pid, x desc) sort, so this
+    # is still one window exchange.
+    w_sort = Window.partitionBy("__pid").orderBy(F.col(x_col).desc())
+    w_strict = (
         Window.partitionBy("__pid")
-        .orderBy(F.col(x_col).desc())
+        .orderBy("__dr")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    local = part.withColumn("__lm", F.max(y_col).over(w_local))
+    local = part.withColumn("__dr", F.dense_rank().over(w_sort)).withColumn(
+        "__lm", F.max(y_col).over(w_strict)
+    )
 
     # Offset layer: partitions earlier in the range order hold strictly
     # greater x (equal keys are never split by the range partitioner), so
@@ -65,5 +74,5 @@ def pareto_frontier_2d(
         glob.where(
             F.col("__pm").isNull() | (F.col("__pm") <= F.col(y_col))
         )
-        .drop("__pid", "__lm", "__off", "__pm")
+        .drop("__pid", "__dr", "__lm", "__off", "__pm")
     )

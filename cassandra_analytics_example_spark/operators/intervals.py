@@ -48,7 +48,12 @@ def bucketed_interval_join(
     ``least(ends) - greatest(starts)`` (>= 0; 0 means point touch).
     Both bounds are epoch-microsecond bigints.
     """
-    lb = left.withColumn(
+    # Row identity BEFORE the bucket explode: a pair sharing k buckets is
+    # k copies of the SAME (left-row, right-row) identity, so deduping on
+    # the id pair collapses exactly the explode fan-out. Deduping on the
+    # full column set instead would also merge genuinely distinct but
+    # fully-identical input rows, silently losing their pairs.
+    lb = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
         "__b",
         F.explode(
             F.sequence(
@@ -57,7 +62,7 @@ def bucketed_interval_join(
             )
         ),
     )
-    rb = right.withColumn(
+    rb = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
         "__b",
         F.explode(
             F.sequence(
@@ -69,11 +74,13 @@ def bucketed_interval_join(
     if broadcast_right:
         rb = F.broadcast(rb)
     cand = lb.join(rb, "__b").drop("__b")
-    pairs = cand.dropDuplicates(
-        list(left.columns) + list(right.columns)
-    ).where(
-        (F.col(l_start) <= F.col(r_end))
-        & (F.col(r_start) <= F.col(l_end))
+    pairs = (
+        cand.dropDuplicates(["__lid", "__rid"])
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+        )
+        .drop("__lid", "__rid")
     )
     return pairs.withColumn(
         "overlap_us",

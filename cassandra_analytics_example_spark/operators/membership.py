@@ -142,6 +142,7 @@ def bloom_pruned_read(
     m: int = 8192,
     k: int = 3,
     file_format: str = "parquet",
+    max_pruned_files: int = 100_000,
 ):
     """Read only the files whose bloom manifests contain ALL bit positions
     of every ``col: value`` point predicate. The probe's positions are
@@ -150,7 +151,15 @@ def bloom_pruned_read(
     (same discipline as ``layout.pruned_read``). Returns (DataFrame,
     n_files_selected, n_files_total); false-positive files are possible
     (bloom property) — the row-level filter still applies — but false
-    negatives are not, so no qualifying row is ever skipped."""
+    negatives are not, so no qualifying row is ever skipped.
+
+    Driver-memory bound: the survivor path list is only materialized when
+    it is at most ``max_pruned_files`` entries (Spark needs concrete
+    paths on the driver to plan a multi-path scan — the same bound any
+    file catalog has). A larger survivor set means the filter is not
+    selective enough for pruning to pay, so the read falls back to the
+    full ``path`` scan (correct — pruning is an optimization) with
+    ``n_files_selected`` reporting the true survivor count."""
     want: dict[str, list[int]] = {
         c: positions_py(v, m, k) for c, v in point_predicates.items()
     }
@@ -167,13 +176,17 @@ def bloom_pruned_read(
         .filter(F.col("__nhit") >= needed)
         .select("file")
     )
-    keep = sorted(r["file"] for r in survivors.collect())
+    n_selected = survivors.count()
     n_total = bloom_stats.select("file").distinct().count()
-    if not keep:
-        empty = spark.read.format(file_format).load(path).limit(0)
-        df = empty
+    if n_selected == 0:
+        df = spark.read.format(file_format).load(path).limit(0)
+    elif n_selected > max_pruned_files:
+        # Bounded collect only: survivor list too large to ship to the
+        # driver — read everything and let the row filter do the work.
+        df = spark.read.format(file_format).load(path)
     else:
+        keep = sorted(r["file"] for r in survivors.collect())
         df = spark.read.format(file_format).load(keep)
     for c, v in point_predicates.items():
         df = df.filter(F.col(c) == v)
-    return df, len(keep), n_total
+    return df, n_selected, n_total

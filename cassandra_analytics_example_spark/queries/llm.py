@@ -4290,18 +4290,21 @@ edges AS (
 ),
 assigned AS (
   SELECT t.toks, min(edges.bucket) AS bucket
-  FROM t JOIN edges ON edges.bucket >= t.toks
+  FROM t JOIN edges ON edges.bucket >= least(t.toks, 8192)
   GROUP BY t.toks
 ),
 fat AS (
-  SELECT t.toks, a.bucket
+  SELECT t.toks, a.bucket,
+         CASE WHEN t.toks > 8192
+              THEN ((t.toks + 8191) // 8192) * 8192
+              ELSE a.bucket END AS padded
   FROM t JOIN assigned a ON a.toks = t.toks
 )
 SELECT bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(toks) AS BIGINT) AS tokens,
-       CAST(sum(bucket) AS BIGINT) AS padded_slots,
-       CAST((sum(bucket) - sum(toks)) * 1000 // sum(bucket) AS BIGINT)
+       CAST(sum(padded) AS BIGINT) AS padded_slots,
+       CAST((sum(padded) - sum(toks)) * 1000 // sum(padded) AS BIGINT)
          AS waste_permille
 FROM fat GROUP BY bucket
 """,
@@ -4309,7 +4312,10 @@ FROM fat GROUP BY bucket
     "accounting: smallest bucket >= token count via a broadcast "
     "constant-edge join (corpus unshuffled), per-bucket docs/tokens/"
     "padded-slots and integer-permille waste — the batch-shape cost "
-    "model for fixed-length training",
+    "model for fixed-length training. Documents longer than the top "
+    "edge land in the top bucket with chunked-slot accounting "
+    "(ceil(toks/8192) sequences of 8192 slots) — no doc silently "
+    "vanishes from the audit",
     tags=("llm", "packing", "audit"),
 )
 def q171_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4325,20 +4331,33 @@ def q171_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distinct token counts first (vocabulary-sized), THEN the edge join:
     # the >= join fans out one row per fitting bucket, so it must run on
     # the distinct-toks table with min(bucket) folding the fan-out back.
+    # Token counts are clamped to the top edge for ASSIGNMENT only, so
+    # over-long docs fall in the top bucket instead of dropping out of
+    # the inner join; their slot cost is the real chunked cost.
     tc = t.groupBy("toks").agg(F.count(F.lit(1)).alias("m"))
     fat = (
-        tc.join(F.broadcast(edges), F.col("bucket") >= F.col("toks"))
+        tc.join(
+            F.broadcast(edges),
+            F.col("bucket") >= F.least(F.col("toks"), F.lit(8192)),
+        )
         .groupBy("toks", "m")
         .agg(F.min("bucket").alias("bucket"))
+        .withColumn(
+            "padded",
+            F.when(
+                F.col("toks") > 8192,
+                F.expr("((toks + 8191) div 8192) * 8192"),
+            ).otherwise(F.col("bucket")),
+        )
     )
     return fat.groupBy("bucket").agg(
         F.sum("m").cast("bigint").alias("n_docs"),
         F.sum(F.col("toks") * F.col("m")).cast("bigint").alias("tokens"),
-        F.sum(F.col("bucket") * F.col("m"))
+        F.sum(F.col("padded") * F.col("m"))
         .cast("bigint")
         .alias("padded_slots"),
         F.expr(
-            "(sum(bucket * m) - sum(toks * m)) * 1000 div sum(bucket * m)"
+            "(sum(padded * m) - sum(toks * m)) * 1000 div sum(padded * m)"
         )
         .cast("bigint")
         .alias("waste_permille"),

@@ -17,6 +17,9 @@ from cassandra_analytics_example_spark.functions.numeric import (
     money_sum,
     revenue_expr,
 )
+from cassandra_analytics_example_spark.operators.quantiles import (
+    group_quantiles_exact,
+)
 from cassandra_analytics_example_spark.operators.relational import top_k_per_group
 from cassandra_analytics_example_spark.queries import register
 from cassandra_analytics_example_spark.queries._tables import table
@@ -713,10 +716,12 @@ def q39_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q40 — exact percentiles: linear-interpolated quantiles (Spark
-# percentile == DuckDB quantile_cont, both exact). The approximate tier
-# (percentile_approx / KLL) is the 100 TB path but engine-specific, like
-# q37's HLL sketch.
+# q40 — exact percentiles by distributed rank selection. `F.percentile`
+# buffers every value of a group in ONE aggregation buffer; with a
+# 3-value group key (l_returnflag) that is a third of the corpus on one
+# executor — the q113 scale-killer class (queries/events.py q113 notes).
+# group_quantiles_exact computes quantile_cont-identical values with two
+# passes + a range shuffle and bounded window cells instead.
 # --------------------------------------------------------------------------
 
 
@@ -731,18 +736,20 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """,
-    doc="exact interpolated percentiles (p50/p95/p99) per return flag",
-    tags=("relational", "aggregate"),
+    doc="exact interpolated percentiles (p50/p95/p99) per return flag via "
+    "distributed rank selection (operators/quantiles.py) — no per-group "
+    "value buffer, scale-safe for low-cardinality group keys",
+    tags=("relational", "aggregate", "scale"),
 )
 def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(price, F.lit(0.5)).alias("p50"),
-        F.percentile(price, F.lit(0.95)).alias("p95"),
-        F.percentile(price, F.lit(0.99)).alias("p99"),
-        F.max(price).alias("mx"),
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
     )
+    pct = group_quantiles_exact(
+        li, "l_returnflag", "price", {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    )
+    mx = li.groupBy("l_returnflag").agg(F.max("price").alias("mx"))
+    return pct.join(mx, "l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -1504,37 +1511,52 @@ SELECT p, exact_value, within_rank_bound FROM (
   SELECT CAST(0.95 AS DOUBLE), quantile_cont(o_totalprice, 0.95), TRUE FROM orders
 )
 """,
-    doc="approx_percentile accuracy gate: exact percentile_cont values "
-    "(cross-engine-exact, proven by q40) plus a rank-error bound check "
-    "of the engine-native sketch — |rank(approx)/n - p| <= 0.005 must "
-    "hold; the sketch value stays engine-side, the CONTRACT is "
-    "oracle-checked",
-    tags=("relational", "sketch"),
+    doc="approx_percentile accuracy gate: exact quantile_cont values by "
+    "distributed rank selection (operators/quantiles.py — no global "
+    "value buffer) plus a rank-error bound check of the engine-native "
+    "sketch — |rank(approx)/n - p| <= 0.005 must hold, all probed ps "
+    "folded into ONE conditional-aggregate pass; the sketch value stays "
+    "engine-side, the CONTRACT is oracle-checked",
+    tags=("relational", "sketch", "scale"),
 )
 def q99_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    n = o.count()
-    approx = o.agg(
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v")
+    )
+    # Job 1: corpus size + the approx sketch values, one aggregate.
+    head = o.agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.expr(f"approx_percentile(o_totalprice, {p})").alias(f"a{i}")
+            F.expr(f"approx_percentile(v, {p})").alias(f"a{i}")
             for i, p in enumerate(_Q99_PS)
+        ],
+    ).first()
+    n = head["n"]
+    # Job 2: rank of EVERY probed sketch value in one conditional
+    # aggregate (was one filter+count job per p).
+    ranks = o.agg(
+        *[
+            F.sum(
+                F.when(F.col("v") <= float(head[f"a{i}"]), 1).otherwise(0)
+            ).alias(f"r{i}")
+            for i in range(len(_Q99_PS))
         ]
     ).first()
-    rows = []
-    for i, p in enumerate(_Q99_PS):
-        av = float(approx[f"a{i}"])
-        rank = o.filter(F.col("o_totalprice") <= av).count()
-        ok = abs(rank / n - p) <= _Q99_EPS
-        rows.append((p, ok))
-    exact = o.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {p})").alias(f"e{i}")
-            for i, p in enumerate(_Q99_PS)
-        ]
+    # Exact side: rank selection on a constant group — bounded window
+    # cells, never the whole column in one aggregation buffer.
+    exact = group_quantiles_exact(
+        o.withColumn("__g", F.lit(1)),
+        "__g",
+        "v",
+        {f"e{i}": p for i, p in enumerate(_Q99_PS)},
     ).first()
-    return table(spark, sf_dir, "orders").sparkSession.createDataFrame(
+    return spark.createDataFrame(
         [
-            (p, float(exact[f"e{i}"]), rows[i][1])
+            (
+                p,
+                float(exact[f"e{i}"]),
+                abs(ranks[f"r{i}"] / n - p) <= _Q99_EPS,
+            )
             for i, p in enumerate(_Q99_PS)
         ],
         "p double, exact_value double, within_rank_bound boolean",

@@ -69,3 +69,24 @@ def test_plan_no_global_sort_no_cross_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "__pid" in plan  # windows ride the range cells
+
+
+def test_fractional_x_dominator_excluded(spark):
+    """Strict dominance must hold for non-integer x: a dominator at
+    x + 0.5 used to fall outside the value-based (-1) range frame and
+    leave the dominated row alive (r5 ADVICE)."""
+    df = spark.createDataFrame(
+        [(0, 1.0, 5.0), (1, 1.5, 10.0), (2, 0.25, 12.0), (3, 0.75, 11.0)],
+        "id bigint, x double, y double",
+    )
+    # (1.0,5.0) is dominated by (1.5,10.0); (0.25,12.0) survives (max y);
+    # (0.75,11.0) survives (nothing with greater x has greater y).
+    got = sorted(
+        r.id for r in pareto_frontier_2d(df, "x", "y", num_partitions=1).collect()
+    )
+    assert got == [1, 2, 3]
+    # Same answer at higher parallelism (offset layer in play).
+    got8 = sorted(
+        r.id for r in pareto_frontier_2d(df, "x", "y", num_partitions=8).collect()
+    )
+    assert got8 == [1, 2, 3]

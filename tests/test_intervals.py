@@ -110,3 +110,21 @@ def test_q167_plan_no_cartesian(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_rows_keep_their_pairs(spark):
+    """Two fully-identical input rows must each emit their pairs — the
+    dedupe collapses only the bucket-explode fan-out, not duplicate
+    source rows (r5 ADVICE: dedupe is by row identity, not column set)."""
+    left = spark.createDataFrame(
+        [(0, 3 * H), (0, 3 * H)], "l_start bigint, l_end bigint"
+    )
+    right = spark.createDataFrame(
+        [(H, 2 * H)], "r_start bigint, r_end bigint"
+    )
+    got = bucketed_interval_join(
+        left, right, "l_start", "l_end", "r_start", "r_end", bucket_us=H
+    )
+    # Each duplicate left row overlaps the single right row → 2 pairs,
+    # even though both spans share 3 buckets with it.
+    assert got.count() == 2
