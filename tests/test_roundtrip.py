@@ -214,15 +214,33 @@ def test_multi_format_roundtrip(spark, tmp_path):
             assert textable.exceptAll(back.select("id", "course_b64", "marks")).count() == 0, fmt
 
 
-def test_coordinated_write_uri_staging(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("scheme", ["file", "viewfs"])
+def test_coordinated_write_uri_staging(spark, tmp_path, scheme):
     """Object-store readiness: the staged two-phase path must accept
-    URI-addressed staging and targets (file:// here; s3a://hdfs:// are the
-    same code path through the Hadoop FileSystem API — plans/fs.py), with
-    identical listener lifecycle. A POSIX-only staging path would break the
-    moment staging_dir points at a bucket."""
+    URI-addressed staging and targets with an IDENTICAL listener
+    lifecycle on more than one Hadoop FS scheme. ``file://`` is the
+    baseline; ``viewfs://`` is a genuinely different scheme resolved
+    through Hadoop's mount-table layer in-process (no extra jars), so it
+    proves no POSIX/scheme assumption survives anywhere in the path —
+    ``s3a://``/``hdfs://``/``gs://`` differ from it only by connector
+    configuration (credentials/region), not code path."""
+    if scheme == "viewfs":
+        h = spark._jsc.hadoopConfiguration()
+        for link, dst in (
+            ("/staging", f"file://{tmp_path}/vstaging"),
+            ("/u1", f"file://{tmp_path}/v1"),
+            ("/u2", f"file://{tmp_path}/v2"),
+        ):
+            h.set(f"fs.viewfs.mounttable.stagetest.link.{link}", dst)
+        base = "viewfs://stagetest"
+    else:
+        base = f"file://{tmp_path}"
     targets = {
-        "cluster1": {"path": f"file://{tmp_path}/u1"},
-        "cluster2": {"path": f"file://{tmp_path}/u2"},
+        "cluster1": {"path": f"{base}/u1"},
+        "cluster2": {"path": f"{base}/u2"},
     }
     listener = CoordinatedStorageTransportListener(list(targets))
     n = two_clusters_coordinated_write(
@@ -230,7 +248,7 @@ def test_coordinated_write_uri_staging(spark, tmp_path):
         JobConfiguration(
             write_options={
                 "rows": "500",
-                "staging_dir": f"file://{tmp_path}/staging",
+                "staging_dir": f"{base}/staging",
             }
         ),
         targets,
@@ -244,7 +262,8 @@ def test_coordinated_write_uri_staging(spark, tmp_path):
     assert kinds.count("stage_succeeded") == 2
     assert kinds.count("import_succeeded") == 2
     assert kinds[-1] == "job_succeeded"
-    # the staged inventory saw URI paths, not bare POSIX ones
+    # the staged inventory saw URI paths of the scheme under test, not
+    # bare POSIX ones
     staged_events = [e for e in listener.events if e.kind == "object_persisted"]
     assert staged_events
-    assert all("file:" in str(e.detail) for e in staged_events)
+    assert all(f"{scheme}:" in str(e.detail) for e in staged_events)

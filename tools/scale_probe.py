@@ -36,15 +36,23 @@ from cassandra_analytics_example_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALE_PROBE_r05.json",
+    "SCALE_PROBE_r06.json",
 )
+# Round-6 default: the pre-r3 tail the probe has never seen (VERDICT r5
+# next-round #7) — the rank-selection rebuilds (q40/q99) plus the old
+# relational heavies (cube, window analytics, salted join, z-order,
+# denormalization, bloom keep-list).
 DEFAULT_OPS = [
-    "q115_bpe_pair_merges",
-    "q116_semdedup",
-    "q117_ring_negatives",
-    "q118_containment_neardup",
-    "q119_source_leakage_matrix",
-    "q120_boilerplate_coverage",
+    "q35_cube_order_stats",
+    "q36_hash_sample",
+    "q40_percentiles",
+    "q50_window_analytics",
+    "q51_grouping_sets_sql",
+    "q62_salted_skew_join",
+    "q63_zorder_layout",
+    "q79_order_denormalization",
+    "q90_bloom_semi_join",
+    "q99_approx_quantile_bound",
 ]
 COPIES = 10
 ID_STRIDE = 10_000_000
@@ -53,7 +61,7 @@ ID_STRIDE = 10_000_000
 def build_scaled(spark, out_dir: str) -> None:
     # Dimension tables ride along unscaled at both scales: fact growth is
     # the stress mode; customers/nations stay the same population.
-    for dim in ("customer", "nation", "region"):
+    for dim in ("customer", "nation", "region", "supplier", "part"):
         d = spark.read.parquet(f"{BASE}/{dim}.parquet")
         d.write.mode("overwrite").parquet(f"{out_dir}/x1/{dim}.parquet")
         d.write.mode("overwrite").parquet(f"{out_dir}/x10/{dim}.parquet")
