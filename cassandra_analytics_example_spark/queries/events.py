@@ -3239,3 +3239,196 @@ def q178_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p95_drift_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q187 — strict ordered funnel (view → click → purchase): a user counts
+# for step k only with an event at step k strictly AFTER their first
+# qualifying time at step k-1. Three user-keyed min-aggregates chained by
+# equi-joins on user_id — every shuffle shares the user_id key (AQE
+# reuses the partitioning), counts are exact integers. The classic
+# product-analytics operator the reference's surface lacks entirely.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q187_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT CAST(1 AS INT) AS step_no, 'view' AS step,
+         (SELECT count(*) FROM v) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM p)
+)
+SELECT step_no, step, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users * 1000
+            // lag(n_users, 1, n_users) OVER (ORDER BY step_no)
+            AS BIGINT) AS conv_from_prev_permille
+FROM n
+""",
+    doc="strict ordered funnel view->click->purchase: per-step user counts "
+    "and step-over-step conversion in exact integer permille; each step "
+    "requires an event strictly after the user's first qualifying time "
+    "at the previous step (user-keyed min-aggregates chained on one "
+    "join key)",
+    tags=("events", "funnel"),
+)
+def q187_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    steps = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step_no"), F.lit("view").alias("step"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step_no"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step_no"),
+                F.lit("purchase").alias("step"),
+                "n_users",
+            )
+        )
+    )
+    # The lag window runs over the 3-row step table, never the corpus.
+    w = Window.orderBy("step_no")
+    return steps.select(
+        F.col("step_no").cast("int").alias("step_no"),
+        "step",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.expr(
+            "n_users * 1000 div lag(n_users, 1, n_users) "
+            "over (order by step_no)"
+        )
+        .cast("bigint")
+        .alias("conv_from_prev_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q188 — audience-overlap sketch gate (the q99/q37 discipline applied to
+# set intersection): pairwise |users(A) ∩ users(B)| across event types,
+# exact via a distinct-pair self-join, estimated via HLL inclusion-
+# exclusion (est(A) + est(B) - est(A∪B), union by sketch merge — the only
+# way set overlap is computable at 100 TB without reshuffling raw keys
+# twice). The sketch estimate is engine-native (DataSketches), so the
+# CONTRACT is what's oracle-checked: the exact overlap plus a boolean
+# that the sketch lands within 5% relative + 50 absolute of it.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q188_audience_overlap_sketch",
+    oracle="""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS exact_overlap,
+       TRUE AS within_bound
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+    doc="pairwise audience overlap across event types: exact distinct-user "
+    "intersection plus an HLL inclusion-exclusion estimate gated at 5% "
+    "relative + 50 absolute error — mergeable-sketch set algebra, the "
+    "scale path for cross-source overlap (exact leg shuffles distinct "
+    "pairs once)",
+    tags=("events", "sketch", "audit"),
+)
+def q188_audience_overlap_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    d = ev.distinct()
+    exact = (
+        d.alias("a")
+        .join(d.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"),
+    )
+    sa = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("est").alias("est_a"),
+    )
+    sb = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("est").alias("est_b"),
+    )
+    pairs = (
+        sa.crossJoin(F.broadcast(sb))
+        .where(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            F.expr(
+                "hll_sketch_estimate(hll_union(sk_a, sk_b))"
+            ).alias("est_union"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_inter"
+            ),
+        )
+    )
+    return exact.join(pairs, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("est_inter") - F.col("exact_overlap"))
+            <= F.col("exact_overlap") * 0.05 + F.lit(50)
+        ).alias("within_bound"),
+    )

@@ -4885,3 +4885,303 @@ def q180_rendezvous_shard_map(
         .alias("movers_permille"),
         F.lit(111).cast("bigint").alias("expected_movers_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — intra-document repetition (the Gopher/MassiveText "repetitive
+# text" quality signals, Rae et al. 2021 §A1.1): per document, the
+# fraction of word-bigram occurrences that are repeats of an
+# already-seen bigram, and the share of the single most frequent bigram.
+# Both are exact integer permille (counts and integer division), so the
+# signal is engine- and partitioning-invariant. One tokenize lineage,
+# one (doc_id, bigram) hash aggregate, one doc_id aggregate — all
+# map-side-combining, linear in corpus tokens.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q183_intradoc_repetition",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS bg
+  FROM w WHERE len(w) >= 2
+),
+per AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST((sum(c) - count(*)) * 1000 // sum(c) AS BIGINT)
+         AS dup_bigram_permille,
+       CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top_bigram_permille
+FROM per GROUP BY doc_id
+""",
+    doc="Gopher-style intra-document repetition: per-doc duplicate-bigram "
+    "and top-bigram occurrence shares in exact integer permille — the "
+    "templated/looping-text quality filter; docs with <2 tokens have no "
+    "bigrams and are absent by definition",
+    tags=("llm", "text", "quality"),
+)
+def q183_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("bg")
+    )
+    per = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.expr("(sum(c) - count(*)) * 1000 div sum(c)")
+        .cast("bigint")
+        .alias("dup_bigram_permille"),
+        F.expr("max(c) * 1000 div sum(c)")
+        .cast("bigint")
+        .alias("top_bigram_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — per-document word-entropy in quantized integer algebra. True
+# Shannon entropy of the word distribution is H = ln(n) - (Σ c·ln c)/n;
+# a float Σ over a group is summation-order-dependent, so each term is
+# floored to integer millinats FIRST (the q130 bigram-LM discipline:
+# floor(1000·c·ln c) per vocabulary row), making the per-doc sum an
+# exact bigint and the final score engine- and partitioning-invariant.
+# Low entropy flags repetitive/templated text; the score is monotone in
+# true entropy up to the 1e-3 quantization.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q184_word_entropy",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT doc_id, w, count(*) AS cnt FROM t GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CAST(floor(1000.0 * cnt * ln(cnt)) AS BIGINT)) AS BIGINT)
+           AS rep_milli
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens, vocab,
+       CAST(CAST(floor(1000.0 * ln(n_tokens)) AS BIGINT)
+            - rep_milli // n_tokens AS BIGINT) AS entropy_milli
+FROM a
+""",
+    doc="per-document word entropy in quantized millinats: "
+    "floor(1000 ln n) - (sum of floor(1000 c ln c)) div n — per-term "
+    "integer flooring before the group sum keeps the score exact and "
+    "order-invariant (no float fold); low values flag repetitive text",
+    tags=("llm", "text", "quality"),
+)
+def q184_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    c = t.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.floor(F.lit(1000.0) * F.col("cnt") * F.log(F.col("cnt"))))
+        .cast("bigint")
+        .alias("rep_milli"),
+    )
+    return a.select(
+        "doc_id",
+        "n_tokens",
+        "vocab",
+        (
+            F.floor(F.lit(1000.0) * F.log(F.col("n_tokens"))).cast("bigint")
+            - F.expr("rep_milli div n_tokens")
+        )
+        .cast("bigint")
+        .alias("entropy_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q185 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+# each row draws u ~ U(0,1] and competes with key ln(u)/w (equivalent to
+# ranking by u^(1/w)); the global top-k IS a weighted sample without
+# replacement. u is the repo's deterministic md5-uniform (md5_u60 / 2^60),
+# so the "random" draw is reproducible across engines, partitionings and
+# reruns — the property a training pipeline needs for resumable sampling.
+# The top-k is a distributed TakeOrdered (no global sort materialization);
+# the rank window runs on the already-limited k rows only.
+# --------------------------------------------------------------------------
+
+_Q185_K = 50
+_Q185_DEN = float(1 << 60)
+
+
+@register(
+    "q185_weighted_sample",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) + 1) / {_Q185_DEN!r}) / n_chars AS es_key
+  FROM documents
+)
+SELECT doc_id, w, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, w,
+         row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS rnk
+  FROM k
+) WHERE rnk <= {_Q185_K}
+""",
+    doc="deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis keys ln(u)/w on the md5-uniform), weight = "
+    "n_chars, top-50 — reproducible across engines/partitionings; "
+    "distributed TakeOrdered, rank window only over the k winners",
+    tags=("llm", "sampling"),
+)
+def q185_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+        (
+            F.log(
+                (md5_u60(F.col("doc_id").cast("string")) + F.lit(1))
+                / F.lit(_Q185_DEN)
+            )
+            / F.col("n_chars")
+        ).alias("es_key"),
+    )
+    top = keyed.orderBy(F.col("es_key").desc(), F.col("doc_id").asc()).limit(
+        _Q185_K
+    )
+    # The unpartitioned window is bounded: it ranks the k surviving rows
+    # only (post-limit), never the corpus.
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "w", F.row_number().over(w).cast("int").alias("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q186 — label confusability: pairwise cosine between label centroids.
+# Cosine is scale-invariant, so the centroid (mean) direction equals the
+# direction of the per-label SUM vector — no division, and with each
+# component quantized to fixed-point (round(x·1e5), the q47 discipline)
+# the sums are exact bigints: order- and engine-invariant. Dot products
+# run in DECIMAL(38,0) (bigint·bigint would overflow at ~1e19; decimal
+# holds to 1e38, covering ~1e9 vectors/label at this quantization), and
+# only the final cosine touches floats (sqrt/div of fixed scalars —
+# deterministic). The sums table is n_labels × dim rows (tiny,
+# broadcast); the corpus is touched once by the posexplode aggregate.
+# --------------------------------------------------------------------------
+
+_Q186_Q = 100_000  # fixed-point quantization
+
+
+@register(
+    "q186_label_centroid_separation",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, CAST(t.i AS BIGINT) AS dim,
+         CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * {_Q186_Q}) AS BIGINT)
+           AS q
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+),
+s AS (
+  SELECT label, dim, CAST(sum(q) AS DECIMAL(19,0)) AS sv
+  FROM ex GROUP BY label, dim
+),
+norms AS (
+  SELECT label, sum(CAST(sv AS DECIMAL(38,0)) * sv) AS nrm
+  FROM s GROUP BY label
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(CAST(a.sv AS DECIMAL(38,0)) * b.sv) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+         AS centroid_cosine,
+       CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+         >= 0.8 AS confusable
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+""",
+    doc="label-confusability audit: pairwise cosine between label centroid "
+    "directions via exact fixed-point sum vectors (scale-invariance of "
+    "cosine removes the order-dependent float mean); pairs with cosine "
+    ">= 0.8 are flagged confusable — the label-quality signal for a "
+    "classification corpus",
+    tags=("llm", "similarity", "audit"),
+)
+def q186_label_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * _Q186_Q)
+        .cast("bigint")
+        .alias("q"),
+    )
+    s = ex.groupBy("label", "dim").agg(
+        F.sum("q").cast("decimal(19,0)").alias("sv")
+    )
+    norms = s.groupBy("label").agg(
+        F.sum(F.col("sv").cast("decimal(38,0)") * F.col("sv")).alias("nrm")
+    )
+    a = s.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("sv").alias("sv_a"),
+    )
+    b = s.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("sv").alias("sv_b"),
+    )
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.col("sv_a").cast("decimal(38,0)") * F.col("sv_b")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = (
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("nrm_a").cast("double"))
+            * F.sqrt(F.col("nrm_b").cast("double"))
+        )
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            cos.alias("centroid_cosine"),
+            (cos >= 0.8).alias("confusable"),
+        )
+    )
