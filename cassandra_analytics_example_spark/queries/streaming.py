@@ -334,3 +334,22 @@ def s19_stream_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_zonemap(spark, sf_dir)
+
+
+@register(
+    "s20_stream_sliding_topk",
+    oracle=None,
+    doc="Structured Streaming: sliding-window heavy hitters — watermarked "
+    "1h/30min sliding counts maintained in streaming mode, top-3 event "
+    "types per window published from the materialized aggregate with a "
+    "deterministic tiebreak (report pass bounded by windows x types, "
+    "never event volume; batch twin: q38 + rank, "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "window", "sketch"),
+)
+def s20_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_sliding_topk,
+    )
+
+    return run_stream_sliding_topk(spark, sf_dir)

@@ -1135,3 +1135,34 @@ def run_stream_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day_max_ts").alias("day_max_ts"),
         )
     )
+
+
+def run_stream_sliding_topk(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Sliding-window heavy hitters: the watermarked 1h/30min sliding
+    counts run in streaming mode (same operator as s05), then the top-k
+    event types per window are ranked on the MATERIALIZED aggregate — a
+    window function over a streaming aggregate is not executable
+    mid-stream, and the published top-k is the same merge-on-read publish
+    pattern as s15/s17–s19: the stream maintains mergeable per-window
+    counts, the report pass is bounded by (windows × types), never by the
+    event volume. Ranking carries the event-type tiebreak so the top-k is
+    total-ordered and deterministic."""
+    from pyspark.sql import Window
+
+    agg = sliding_aggregate(stream_events(spark, sf_dir))
+    mat = _run_to_memory(agg, spark, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        mat.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -472,3 +472,30 @@ def test_s19_stream_zonemap_matches_batch_stats(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_s20_sliding_topk_matches_ranked_q38(spark):
+    from pyspark.sql import Window
+    from cassandra_analytics_example_spark.queries.events import (
+        q38_sliding_windows,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_sliding_topk,
+    )
+
+    got = run_stream_sliding_topk(spark, SF01)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    want = (
+        q38_sliding_windows(spark, SF01)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+    _assert_same(got, want)
