@@ -3432,3 +3432,77 @@ def q188_audience_overlap_sketch(
             <= F.col("exact_overlap") * 0.05 + F.lit(50)
         ).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# q190 — retention cohort matrix: users grouped by first-activity day
+# (their cohort), then for each day offset the share of the cohort still
+# active. The canonical growth-analytics triangle. Two passes over
+# events: one user-keyed min (cohort assignment, broadcast back is a
+# user-keyed JOIN, not a broadcast — user cardinality scales with the
+# corpus), one (cohort, offset) distinct-user count. Exact integers
+# throughout.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q190_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS cohort_day
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort_day
+           AS day_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1)
+SELECT a.cohort_day, a.day_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(*) * 1000 // s.cohort_size AS BIGINT)
+         AS retained_permille
+FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+""",
+    doc="retention cohort triangle: users bucketed by first-activity day, "
+    "per (cohort, day-offset) distinct active users and retained share "
+    "in exact integer permille — two user-keyed aggregates, no window "
+    "over the corpus",
+    tags=("events", "funnel", "aggregate"),
+)
+def q190_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    ev = table(spark, sf_dir, "events").select("user_id", "ts_us")
+    f = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) div {day_us}").cast("bigint").alias("cohort_day")
+    )
+    act = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.expr(f"ts_us div {day_us}") - F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    sz = f.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(sz, "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_active",
+            F.expr("n_active * 1000 div cohort_size")
+            .cast("bigint")
+            .alias("retained_permille"),
+        )
+    )

@@ -5185,3 +5185,75 @@ def q186_label_centroid_separation(
             (cos >= 0.8).alias("confusable"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q189 — n-gram novelty against a reference corpus: for each held-out
+# document (odd doc_id), the share of its DISTINCT word-3-grams that
+# never occur in the reference half (even doc_id) — the curriculum/
+# freshness signal dual to q43's contamination overlap (which measures
+# how much eval text the train set contains; novelty measures how much
+# NEW text a candidate document adds). The reference vocabulary is a
+# distinct-gram aggregate joined per candidate gram (left join on the
+# gram key — at corpus scale the vocabulary is bucketed, never broadcast
+# wholesale); all shares are exact integer permille.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q189_ngram_novelty",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         i -> array_to_string(w[i:i+2], ' ')))) AS gram
+  FROM w WHERE len(w) >= 3
+),
+ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+ev AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 1)
+SELECT ev.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS novelty_permille
+FROM ev LEFT JOIN ref ON ev.gram = ref.gram
+GROUP BY ev.doc_id
+""",
+    doc="per-document 3-gram novelty vs the even-doc_id reference half: "
+    "distinct grams unseen in the reference vocabulary, exact integer "
+    "permille — the data-freshness/curriculum signal (gram-keyed left "
+    "join, single tokenize lineage)",
+    tags=("llm", "text", "governance"),
+)
+def q189_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias(
+            "gram"
+        ),
+    )
+    ref = (
+        g.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    ev = g.where(F.col("doc_id") % 2 == 1)
+    return (
+        ev.join(ref, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.expr(
+                "sum(case when __seen is null then 1 else 0 end) * 1000 "
+                "div count(*)"
+            )
+            .cast("bigint")
+            .alias("novelty_permille"),
+        )
+    )
