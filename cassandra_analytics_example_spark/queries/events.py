@@ -3506,3 +3506,100 @@ def q190_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retained_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q192 — population stability index (PSI) per event type between the
+# first and second time-halves: the standard drift score
+# Σ (p_i - q_i)·ln(p_i/q_i) over fixed value buckets. Laplace-smoothed
+# bucket shares keep every ratio a single exact-integer division, and
+# each bucket's term is floored to integer micro-units BEFORE the sum
+# (the q184 discipline), so the score is order- and engine-invariant.
+# PSI > 0.1 is the conventional "investigate" threshold.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q192_psi_value_drift",
+    oracle="""
+WITH mid AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) < m THEN 0 ELSE 1 END AS half,
+         least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bucket
+  FROM events, mid
+),
+c AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+  FROM b GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, sum(c1) AS n1, sum(c2) AS n2 FROM c GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type,
+         CAST(floor(1000000.0
+              * ((c.c1 + 1.0) / (n.n1 + 10.0) - (c.c2 + 1.0) / (n.n2 + 10.0))
+              * ln(((c.c1 + 1.0) / (n.n1 + 10.0))
+                   / ((c.c2 + 1.0) / (n.n2 + 10.0)))) AS BIGINT) AS t_micro
+  FROM c JOIN n ON c.event_type = n.event_type
+)
+SELECT event_type, CAST(sum(t_micro) AS BIGINT) AS psi_micro,
+       sum(t_micro) > 100000 AS drifted
+FROM terms GROUP BY event_type
+""",
+    doc="population stability index of the value distribution per event "
+    "type between time halves: Laplace-smoothed fixed-bucket shares, "
+    "per-bucket terms floored to integer micro-units before the sum "
+    "(order-invariant), PSI > 0.1 flags drift — the standard model/data "
+    "drift monitor",
+    tags=("events", "monitoring", "audit"),
+)
+def q192_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts_us", "value")
+    mid = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2))
+        .cast("bigint")
+        .alias("m")
+    )
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("ts_us") < F.col("m"), 0).otherwise(1).alias("half"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / 10).cast("bigint"), F.lit(0)
+            ),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    n = c.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    terms = c.join(n, "event_type").select(
+        "event_type",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                (F.col("c1") + 1.0) / (F.col("n1") + 10.0)
+                - (F.col("c2") + 1.0) / (F.col("n2") + 10.0)
+            )
+            * F.log(
+                ((F.col("c1") + 1.0) / (F.col("n1") + 10.0))
+                / ((F.col("c2") + 1.0) / (F.col("n2") + 10.0))
+            )
+        )
+        .cast("bigint")
+        .alias("t_micro"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("t_micro").cast("bigint").alias("psi_micro"),
+        (F.sum("t_micro") > 100000).alias("drifted"),
+    )

@@ -5257,3 +5257,88 @@ def q189_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q191 — quality-aware canonical selection: inside each near-dup cluster,
+# keep the HIGHEST-QUALITY member (longest text, doc_id tiebreak), not
+# the arbitrary min-id — the decision a real curation pipeline makes
+# after clustering (q46 keeps min-id; this operator upgrades the policy
+# and reports what each cluster kept/dropped). Clusters come from the
+# same MinHash-LSH pairs + connected-components lineage as q21/q46; the
+# representative is a per-cluster argmax via one small-partition window
+# (clusters are bounded by the LSH bucket cap, never corpus-sized).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q191_canonical_selection",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_Q21_ORACLE}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+),
+clusters AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+m AS (
+  SELECT c.cluster_id, c.id, d.n_chars
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT cluster_id, id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, id ASC) AS rn
+  FROM m
+)
+SELECT cluster_id,
+       CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY cluster_id
+""",
+    doc="quality-aware canonical selection per near-dup cluster: keep the "
+    "longest member (doc_id tiebreak) instead of min-id, with per-cluster "
+    "kept/dropped accounting — MinHash-LSH pairs -> connected components "
+    "-> bounded per-cluster argmax window",
+    tags=("llm", "dedup", "governance"),
+)
+def q191_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_SEEDS,
+        shingle_k=_SHINGLE_K,
+        num_bands=_MINHASH_BANDS,
+        jaccard_threshold=0.5,
+    )
+    cc = connected_components(pairs)
+    m = cc.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("id").asc()
+    )
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("id")))
+        .cast("bigint")
+        .alias("rep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
