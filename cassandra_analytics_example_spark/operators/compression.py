@@ -126,8 +126,15 @@ def compression_quality_checks(
     # exact-quantile anti-pattern (see operators/quantiles.py). The
     # trailing agg keeps the check row present (ok NULL) on empty input,
     # matching F.median-on-empty semantics.
+    # num_partitions=8: the scored audit table is corpus-row-count sized
+    # (one row per doc, a few doubles each), so 8 range cells bound the
+    # window while keeping the fixed task overhead low.
     med = group_quantiles_exact(
-        scored.withColumn("__g", F.lit(1)), "__g", "ratio", {"med": 0.5}
+        scored.withColumn("__g", F.lit(1)),
+        "__g",
+        "ratio",
+        {"med": 0.5},
+        num_partitions=8,
     )
     median = med.agg(
         F.lit("median_ratio_sane").alias("check_name"),

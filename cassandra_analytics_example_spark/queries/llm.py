@@ -5342,3 +5342,209 @@ def q191_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q193 — dataset card: the one-table-per-source summary a data release
+# ships with (docs, tokens, language share, exact-dup rate, mean length).
+# Pure integer algebra over two source-keyed aggregates (token counts ride
+# the same lineage as the doc stats; the dup rate reuses the md5 exact-dup
+# definition of q20 scoped within source). The "report" capstone over the
+# corpus-quality signal family.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q193_dataset_card",
+    oracle="""
+WITH d AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         md5(text) AS h
+  FROM documents
+),
+dup AS (
+  SELECT source, h, count(*) AS c FROM d GROUP BY 1, 2
+),
+dupn AS (
+  SELECT source, sum(c - 1) AS n_dup FROM dup GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS en_permille,
+       CAST(max(dupn.n_dup) * 1000 // count(*) AS BIGINT)
+         AS exact_dup_permille,
+       CAST(sum(d.n_chars) // count(*) AS BIGINT) AS mean_chars
+FROM d JOIN dupn ON d.source = dupn.source
+GROUP BY d.source
+""",
+    doc="per-source dataset card: docs, tokens, English share, exact-dup "
+    "rate (md5 within source), mean chars — all exact integer permille; "
+    "the release-notes summary table over two source-keyed aggregates",
+    tags=("llm", "governance", "audit"),
+)
+def q193_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    dupn = (
+        d.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).alias("n_dup"))
+    )
+    return (
+        d.join(dupn, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "sum(case when lang = 'en' then 1 else 0 end) * 1000 "
+                "div count(*)"
+            )
+            .cast("bigint")
+            .alias("en_permille"),
+            F.expr("max(n_dup) * 1000 div count(*)")
+            .cast("bigint")
+            .alias("exact_dup_permille"),
+            F.expr("sum(n_chars) div count(*)")
+            .cast("bigint")
+            .alias("mean_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q194 — temperature-scaled mixture weights (the multilingual/multi-source
+# rebalancing rule p_i ∝ n_i^α with α = 0.5): boosts small sources, damps
+# the head. sqrt is IEEE-correctly-rounded (unlike pow), and each source's
+# sqrt is quantized to integer micro-units BEFORE the total, so the
+# allocation is exact-integer arithmetic end-to-end — order- and
+# engine-invariant (the q184/q192 discipline; α beyond 0.5 would need
+# exp/ln quantization the same way).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q194_temperature_mixture",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS sqrt_micro
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(sqrt_micro) AS tot_sqrt, sum(n) AS tot_n FROM s)
+SELECT s.source, CAST(s.n AS BIGINT) AS n_docs,
+       CAST(s.sqrt_micro * 1000 // t.tot_sqrt AS BIGINT) AS alloc_permille,
+       CAST(s.n * 1000 // t.tot_n AS BIGINT) AS natural_permille,
+       s.sqrt_micro * 1000 // t.tot_sqrt > s.n * 1000 // t.tot_n
+         AS upsampled
+FROM s CROSS JOIN t
+""",
+    doc="temperature-scaled source mixture (p ~ n^0.5): per-source "
+    "allocation vs natural share in exact integer permille, small "
+    "sources flagged upsampled — sqrt quantized to integer micro-units "
+    "per source before totalling, so the weights are order-invariant",
+    tags=("llm", "sampling", "audit"),
+)
+def q194_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * 1000000)
+        .cast("bigint")
+        .alias("sqrt_micro"),
+    )
+    t = s.agg(
+        F.sum("sqrt_micro").alias("tot_sqrt"), F.sum("n").alias("tot_n")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr("sqrt_micro * 1000 div tot_sqrt")
+        .cast("bigint")
+        .alias("alloc_permille"),
+        F.expr("n * 1000 div tot_n").cast("bigint").alias("natural_permille"),
+        F.expr(
+            "sqrt_micro * 1000 div tot_sqrt > n * 1000 div tot_n"
+        ).alias("upsampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q195 — activity segmentation over decoded frames (VAD-shaped): maximal
+# runs of above-threshold-energy frames per document, extracted with the
+# gaps-and-islands pattern (frame_no - row_number is constant within a
+# run) over the q97 frame-energy features. The codec decode itself stays
+# stubbed (operators/multimodal.py decode_audio); the segmentation —
+# the part that is Spark's job — is real, integer-exact, and keyed per
+# document (windows never span documents).
+# --------------------------------------------------------------------------
+
+_Q195_THRESHOLD = 10_000
+
+
+@register(
+    "q195_activity_segments",
+    oracle=f"""
+WITH ascii_docs AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS t
+  FROM documents
+),
+chars AS (
+  SELECT doc_id, unnest(range(1, length(t)+1)) AS i, t
+  FROM ascii_docs
+),
+frames AS (
+  SELECT doc_id, CAST((i-1) // 64 AS INT) AS frame_no,
+         CAST(sum((ord(substr(t, i, 1)) - 96)
+                  * (ord(substr(t, i, 1)) - 96)) AS BIGINT) AS energy
+  FROM chars GROUP BY 1, 2
+),
+active AS (
+  SELECT doc_id, frame_no, energy,
+         frame_no - row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY frame_no) AS grp
+  FROM frames WHERE energy > {_Q195_THRESHOLD}
+)
+SELECT doc_id,
+       CAST(min(frame_no) AS INT) AS seg_start,
+       CAST(max(frame_no) AS INT) AS seg_end,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS seg_energy
+FROM active GROUP BY doc_id, grp
+""",
+    doc="VAD-shaped activity segmentation: maximal runs of frames with "
+    "energy > 10000 per document via gaps-and-islands (frame_no minus "
+    "doc-keyed row_number), over the deterministic q97 frame energies — "
+    "integer-exact segment spans/energies; decode remains an "
+    "environment-limited stub behind the same Arrow path",
+    tags=("llm", "multimodal"),
+)
+def q195_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.multimodal import (
+        attach_audio_payload,
+        frame_energies,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frames = frame_energies(attach_audio_payload(docs), frame_size=64)
+    active = frames.where(F.col("energy") > _Q195_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    grp = active.withColumn(
+        "grp", F.col("frame_no") - F.row_number().over(w)
+    )
+    return grp.groupBy("doc_id", "grp").agg(
+        F.min("frame_no").cast("int").alias("seg_start"),
+        F.max("frame_no").cast("int").alias("seg_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("seg_energy"),
+    ).drop("grp")
