@@ -178,3 +178,65 @@ def triangle_participation(
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("tri_count")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous seeded label propagation (Raghavan et al. 2007, the
+    semi-supervised variant): seeds keep their label forever; every other
+    node takes, each round, the MAJORITY label among its currently
+    labelled neighbours (count desc, label asc tiebreak — a total order,
+    so the result is deterministic under any partitioning). Nodes with no
+    labelled neighbour stay unlabelled and are absent from the output.
+
+    ``edges`` must be the DIRECTED expansion of the graph (both (u,v)
+    and (v,u) present for an undirected edge); ``seeds`` is
+    ``(node, label)``. Returns ``(node, label, is_seed)``.
+
+    Per round: one edge⋈labels equi-join + one (node, label) count
+    aggregate + one per-node argmax window partitioned by node (bounded
+    by the node's distinct neighbour-label count, never the graph) —
+    the same Pregel-on-DataFrames step shape as ``pagerank_integer``,
+    with labels instead of mass. The frontier table is persisted per
+    round so lineage stays one-round deep.
+    """
+    labels = seeds.select(
+        "node", "label", F.lit(True).alias("is_seed")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    try:
+        for _ in range(rounds):
+            votes = (
+                edges.join(
+                    labels.select(F.col("node").alias("src"), "label"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("node").orderBy(
+                F.col("c").desc(), F.col("label").asc()
+            )
+            majority = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "label")
+            )
+            seeds_only = labels.where(F.col("is_seed"))
+            nxt = seeds_only.unionByName(
+                majority.join(
+                    seeds_only.select("node"), "node", "left_anti"
+                ).select("node", "label", F.lit(False).alias("is_seed"))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            labels.unpersist()
+            labels = nxt
+        return labels
+    except Exception:
+        labels.unpersist()
+        raise

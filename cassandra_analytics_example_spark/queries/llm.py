@@ -5548,3 +5548,61 @@ def q195_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum("energy").cast("bigint").alias("seg_energy"),
     ).drop("grp")
+
+
+# --------------------------------------------------------------------------
+# q196 — schema evolution across file generations: an old generation
+# written WITHOUT a column, a new generation WITH it, read back together
+# under mergeSchema — the steady-state of any long-lived 100 TB table
+# (columns get added; historical files are never rewritten). The audit
+# proves union semantics: per generation, row counts and the new
+# column's null backfill vs populated counts. Generations split the
+# documents corpus by doc_id parity so the oracle recomputes the same
+# report from the source table alone.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q196_schema_evolution",
+    oracle="""
+SELECT CAST(doc_id % 2 AS INT) AS generation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_quality,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS quality_sum
+FROM documents
+GROUP BY 1
+""",
+    doc="schema-evolution read: old-generation files lack the new "
+    "'quality' column, new-generation files carry it; a mergeSchema scan "
+    "unions the schemas with null backfill, audited per generation "
+    "(rows, nulls, populated sum) — historical files never rewritten",
+    tags=("llm", "sources", "governance"),
+)
+def q196_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    old = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text", F.col("n_chars").alias("quality"))
+    )
+    old.write.mode("overwrite").parquet(f"{out}/gen=0")
+    new.write.mode("overwrite").parquet(f"{out}/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=0", f"{out}/gen=1"
+    )
+    return merged.groupBy(
+        (F.col("doc_id") % 2).cast("int").alias("generation")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_quality"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0)))
+        .cast("bigint")
+        .alias("quality_sum"),
+    )

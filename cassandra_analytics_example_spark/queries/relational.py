@@ -2571,3 +2571,105 @@ def q182_referential_integrity(
             edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q197 — seeded label propagation over the co-purchase part graph: every
+# 10th part is seeded with a deterministic community label (partkey % 7);
+# two synchronous rounds spread labels by neighbour majority vote with a
+# total-order tiebreak. The community-assignment member of the graph
+# family (q143 importance, q147/q149 density, CC in dedup) — the same
+# one-join-one-aggregate-per-round Pregel step, with labels as the
+# propagated state (operators/graph.py:label_propagation).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q197_label_propagation",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+),
+l0 AS (
+  SELECT DISTINCT src AS node, src % 7 AS label FROM edges
+  WHERE src % 10 = 0
+),
+n1 AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM edges e JOIN l0 l ON l.node = e.src
+  GROUP BY 1, 2
+),
+a1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM n1) WHERE rn = 1
+),
+l1 AS (
+  SELECT node, label, TRUE AS is_seed FROM l0
+  UNION ALL
+  SELECT a.node, a.label, FALSE FROM a1 a
+  WHERE a.node NOT IN (SELECT node FROM l0)
+),
+n2 AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM edges e JOIN l1 l ON l.node = e.src
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM n2) WHERE rn = 1
+)
+SELECT node AS part_key, CAST(label AS BIGINT) AS label, is_seed FROM (
+  SELECT node, label, TRUE AS is_seed FROM l0
+  UNION ALL
+  SELECT a.node, a.label, FALSE FROM a2 a
+  WHERE a.node NOT IN (SELECT node FROM l0)
+)
+""",
+    doc="seeded synchronous label propagation (2 rounds) over the "
+    "co-purchase part graph: seeds pinned, others take the neighbour "
+    "majority label with a total-order tiebreak — deterministic "
+    "community assignment, one equi-join + one bounded argmax window "
+    "per round",
+    tags=("relational", "graph", "iterative"),
+)
+def q197_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.graph import (
+        label_propagation,
+    )
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % 10 == 0)
+        .select("node", (F.col("node") % 7).alias("label"))
+    )
+    out = label_propagation(edges, seeds, rounds=2)
+    return out.select(
+        F.col("node").alias("part_key"),
+        F.col("label").cast("bigint").alias("label"),
+        "is_seed",
+    )
