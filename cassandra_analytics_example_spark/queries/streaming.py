@@ -353,3 +353,24 @@ def s20_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_sliding_topk(spark, sf_dir)
+
+
+@register(
+    "s21_stream_incremental_dedup",
+    oracle=None,
+    doc="Structured Streaming: incremental ingest dedup — each microbatch "
+    "anti-joins its md5 content hashes against a persisted inventory, "
+    "appends survivors to the accepted store and their hashes to the "
+    "inventory, so the dedup frontier grows WITH the stream; "
+    "hash-keyed joins only, inventory 32 bytes/doc (batch twin: q61, "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "dedup"),
+)
+def s21_stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_incremental_dedup,
+    )
+
+    return run_stream_incremental_dedup(spark, sf_dir)

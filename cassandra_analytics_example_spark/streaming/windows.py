@@ -1166,3 +1166,69 @@ def run_stream_sliding_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ingest dedup: a recrawl stream (doc_id % 3)
+    checked against a PERSISTED md5 inventory (seeded from doc_id % 7 —
+    the q61 scenario in streaming form). Each microbatch anti-joins its
+    content hashes against the current inventory, appends the survivors
+    to the accepted store, and appends their hashes to the inventory —
+    so later microbatches also dedupe against earlier accepted ones
+    (the inventory GROWS with the stream, which the batch operator
+    can't express). The inventory is a hash-only table (32 bytes/doc);
+    the anti-join is hash-keyed, never corpus-wide. Offsets are
+    checkpointed (availableNow), so each file is folded once; replays
+    after a checkpoint wipe would re-append — the same
+    at-least-once-without-checkpoint stance as s12/s15, documented.
+
+    Batch twin: q61 (single-file source = one microbatch, so the
+    stream's extra within-stream growth is a no-op on the fixture and
+    the accepted set is BIT-IDENTICAL to the batch anti-join)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_inc_dedup_")
+    inv = os.path.join(out, "inventory")
+    acc = os.path.join(out, "accepted")
+    ck = os.path.join(out, "ck")
+    path = os.path.join(sf_dir, "documents.parquet")
+    base = spark.read.parquet(path)
+    (
+        base.where(F.col("doc_id") % 7 == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .write.mode("overwrite")
+        .parquet(inv)
+    )
+    probe = base.schema
+    stream = (
+        spark.readStream.schema(probe)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .load()
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.md5("text").alias("content_hash"))
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        seen = batch.sparkSession.read.parquet(inv)
+        fresh = batch.join(seen, "content_hash", "left_anti")
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(acc)
+            fresh.select("content_hash").write.mode("append").parquet(inv)
+        finally:
+            fresh.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(acc)

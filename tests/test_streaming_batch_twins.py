@@ -499,3 +499,18 @@ def test_s20_sliding_topk_matches_ranked_q38(spark):
         )
     )
     _assert_same(got, want)
+
+
+def test_s21_incremental_dedup_matches_q61(spark):
+    from cassandra_analytics_example_spark.queries.llm import (
+        q61_incremental_dedup,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_incremental_dedup,
+    )
+
+    got = run_stream_incremental_dedup(spark, SF01).select(
+        "doc_id", "content_hash"
+    )
+    want = q61_incremental_dedup(spark, SF01)
+    _assert_same(got, want)
