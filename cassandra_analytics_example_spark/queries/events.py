@@ -3603,3 +3603,57 @@ def q192_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t_micro").cast("bigint").alias("psi_micro"),
         (F.sum("t_micro") > 100000).alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — OHLC bars (open/high/low/close) per event type per hour: the
+# canonical downsampling shape for any metered series. Open/close are
+# min_by/max_by on a (ts, event_id) total order packed into one
+# wide-decimal key (ts_us*1e7 + event_id overflows bigint, so the key
+# is DECIMAL(38,0)/HUGEINT on the two engines) — deterministic when two
+# events share a timestamp; values surface as exact cents. One
+# hour-keyed aggregate, map-side combinable.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q200_ohlc_bars",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+         CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS ord,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, hour_bucket,
+       CAST(arg_min(cents, ord) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(arg_max(cents, ord) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+""",
+    doc="hourly OHLC bars per event type: open/close by min_by/max_by on a "
+    "(ts, event_id) total order (deterministic under timestamp ties), "
+    "high/low/count exact — one map-side-combinable hour-keyed "
+    "aggregate, the metered-series downsampling shape",
+    tags=("events", "aggregate", "window"),
+)
+def q200_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_us div 3600000000").cast("bigint").alias("hour_bucket"),
+        (
+            F.col("ts_us").cast("decimal(38,0)") * 10000000
+            + F.col("event_id")
+        ).alias("ord"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ev.groupBy("event_type", "hour_bucket").agg(
+        F.min_by("cents", "ord").cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max_by("cents", "ord").cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

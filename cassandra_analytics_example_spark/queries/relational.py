@@ -2673,3 +2673,167 @@ def q197_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
         "is_seed",
     )
+
+
+# --------------------------------------------------------------------------
+# q198 — cardinality-capped rollup ("top-N + other"): the reporting
+# staple that keeps dashboards bounded — the top 10 customers by revenue
+# keep their identity, everyone else folds into one OTHER row so the
+# result is 11 rows at any corpus size. The top-N is a distributed
+# TakeOrdered on the aggregated (customer-sized) layer; OTHER is total
+# minus top (one extra scalar aggregate), so the corpus is scanned once.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q198_topn_plus_other",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents,
+         count(*) AS n
+  FROM orders GROUP BY o_custkey
+),
+top AS (
+  SELECT o_custkey, cents, n,
+         row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rnk
+  FROM c QUALIFY rnk <= 10
+),
+tot AS (SELECT sum(cents) AS tc, sum(n) AS tn FROM c)
+SELECT CAST(o_custkey AS VARCHAR) AS customer,
+       CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(rnk AS INT) AS rnk
+FROM top
+UNION ALL
+SELECT 'OTHER',
+       CAST(t.tc - (SELECT sum(cents) FROM top) AS BIGINT),
+       CAST(t.tn - (SELECT sum(n) FROM top) AS BIGINT),
+       CAST(11 AS INT)
+FROM tot t
+""",
+    doc="top-10 customers by exact-cents revenue with an OTHER fold-in row "
+    "(total minus top) — bounded-output reporting rollup: TakeOrdered on "
+    "the customer-sized aggregate plus one scalar total, corpus scanned "
+    "once",
+    tags=("relational", "aggregate", "topk"),
+)
+def q198_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 18, 2) * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    top = (
+        c.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+            ),
+        )
+    )
+    tot = c.agg(F.sum("cents").alias("tc"), F.sum("n").alias("tn"))
+    topsum = top.agg(
+        F.sum("cents").alias("sc"), F.sum("n").alias("sn")
+    )
+    other = (
+        tot.crossJoin(F.broadcast(topsum))
+        .select(
+            F.lit("OTHER").alias("customer"),
+            (F.col("tc") - F.col("sc")).cast("bigint").alias("revenue_cents"),
+            (F.col("tn") - F.col("sn")).cast("bigint").alias("n_orders"),
+            F.lit(11).cast("int").alias("rnk"),
+        )
+    )
+    return top.select(
+        F.col("o_custkey").cast("string").alias("customer"),
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("rnk").cast("int").alias("rnk"),
+    ).unionByName(other)
+
+
+# --------------------------------------------------------------------------
+# q199 — share-of-parent in the geography hierarchy: each nation's
+# revenue as a share of its region, each region's as a share of the
+# world — the drill-down percent-of-parent report. One fact aggregate at
+# the finest grain, parent layers derived from it (never a second corpus
+# scan), shares in exact integer permille of exact cents.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q199_share_of_parent",
+    oracle="""
+WITH f AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+rg AS (SELECT region, sum(cents) AS rcents FROM f GROUP BY 1),
+w AS (SELECT sum(cents) AS wcents FROM f)
+SELECT f.region, f.nation, f.cents,
+       CAST(f.cents * 1000 // rg.rcents AS BIGINT) AS share_of_region,
+       CAST(rg.rcents * 1000 // w.wcents AS BIGINT) AS region_share_of_world
+FROM f JOIN rg ON f.region = rg.region CROSS JOIN w
+""",
+    doc="percent-of-parent drill-down over region->nation: nation revenue "
+    "share within region and region share of world, exact cents and "
+    "integer permille — one finest-grain fact aggregate, parent layers "
+    "derived without rescanning the corpus",
+    tags=("relational", "aggregate", "join"),
+)
+def q199_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    f = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    rg = f.groupBy("region").agg(F.sum("cents").alias("rcents"))
+    w = f.agg(F.sum("cents").alias("wcents"))
+    return (
+        f.join(F.broadcast(rg), "region")
+        .crossJoin(F.broadcast(w))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.expr("cents * 1000 div rcents")
+            .cast("bigint")
+            .alias("share_of_region"),
+            F.expr("rcents * 1000 div wcents")
+            .cast("bigint")
+            .alias("region_share_of_world"),
+        )
+    )
