@@ -188,3 +188,65 @@ def ref_cql_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("addr.zip")).alias("sum_zip"),
         F.countDistinct(F.col("pair.second")).alias("n_pair_seconds"),
     )
+
+
+_TOKEN_QUARTER = (1 << 60) // 4
+
+_TOKEN_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       CAST(sum(i) AS BIGINT) AS sum_marks,
+       min(i) AS min_id,
+       max(i) AS max_id
+FROM range(0, {N_ROWS}) t(i)
+WHERE CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      < {_TOKEN_QUARTER}
+"""
+
+
+@register(
+    "ref_token_range_scan",
+    oracle=_TOKEN_ORACLE,
+    doc="token-range read over the token-bucketed stand-in layout — the "
+    "SURVEY §4.1 'token-range partition pruning' piece: the bulk write "
+    "lays rows out token-contiguously (token_buckets/token_column, the "
+    "analogue of token-sorted SSTables, SURVEY §3.1 step 3) and a read "
+    "with token_range prunes whole files before any row is scanned "
+    "(the analogue of the connector planning splits per token range). "
+    "Pruning is split-level only and provably result-neutral: the exact "
+    "md5_u60 row predicate is applied on top, and the digest equals the "
+    "same predicate over the full generator range "
+    "(tests/test_cassandra_standin.py asserts the split-count drop)",
+    tags=("reference", "cassandra"),
+)
+def ref_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    root = tempfile.mkdtemp(prefix="ref-token-range-")
+    opts = {
+        "format": "cassandra",
+        "sidecar_contact_points": root,
+        "keyspace": "spark_test",
+        "table": "test_tokens",
+    }
+    write(
+        gen_dataset_deterministic(spark, N_ROWS, 8),
+        {
+            **opts,
+            "partition_key": "id",
+            "splits": "8",
+            "token_buckets": "16",
+            "token_column": "id",
+        },
+    )
+    scan = sources_read(
+        spark, {**opts, "token_range": f"0,{_TOKEN_QUARTER}"}
+    )
+    exact = scan.where(
+        md5_u60(F.col("id").cast("string")) < F.lit(_TOKEN_QUARTER)
+    )
+    return exact.select(
+        F.count("*").alias("n_rows"),
+        F.sum("marks").alias("sum_marks"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -75,6 +75,31 @@ _RETAINED = ".retained"
 
 _PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
 
+#: portable token space: md5_u60 tokens (first 15 hex chars of md5 of the
+#: partition key's string form) lie in [0, 2^60) — the stand-in analogue of
+#: Cassandra's Murmur3 token ring, chosen md5-based so oracles/queries can
+#: recompute the SAME token in any engine (functions/text.py:md5_u60).
+TOKEN_SPACE = 1 << 60
+
+_LAYOUT = "_layout.json"
+
+
+def _token60(value) -> int:
+    """Row token: md5_u60 of the value's string form (int→str matches
+    Spark's bigint→string cast, so Spark-side md5_u60 agrees row-for-row)."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+
+
+def _bucket_bounds(b: int, n: int) -> tuple[int, int]:
+    """Token interval [lo, hi) owned by bucket ``b`` of ``n`` equal-width
+    buckets (last bucket absorbs the remainder)."""
+    width = TOKEN_SPACE // n
+    lo = b * width
+    hi = TOKEN_SPACE if b == n - 1 else (b + 1) * width
+    return lo, hi
+
 
 def table_dir(options) -> str:
     """Resolve ``<cluster root>/<keyspace>/<table>`` from the option map.
@@ -111,6 +136,20 @@ def _data_files(tdir: str) -> list[str]:
         for f in os.listdir(tdir)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
+
+
+def _read_layout(tdir: str) -> dict:
+    p = os.path.join(tdir, _LAYOUT)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_layout(tdir: str, layout: dict) -> None:
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, _LAYOUT), "w") as f:
+        json.dump(layout, f)
 
 
 def _manifest_path(tdir: str, name: str) -> str:
@@ -175,6 +214,30 @@ class StandInReaderBase(DataSourceReader):
             self._files = snapshot_files(tdir, snapshot)
         else:
             self._files = _data_files(tdir)
+        # Token-range SPLIT PRUNING (the SURVEY §4.1 "token-range partition
+        # pruning" custom piece): ``token_range="lo,hi"`` drops every
+        # token-bucketed file whose bucket interval misses [lo, hi) — the
+        # stand-in analogue of the connector planning input splits per
+        # token range. This prunes SPLITS only (like the reference's
+        # ``sizing`` option steers split planning); exact row filtering is
+        # the query's own md5_u60 predicate, so pruning can never change
+        # results, only skip files. Non-bucketed files are always kept.
+        tr = options.get("token_range")
+        if tr:
+            lo, hi = (int(x) for x in str(tr).split(","))
+            layout = _read_layout(tdir)
+            n = int(layout.get("token_buckets", 0)) if layout else 0
+            if n > 0:
+                kept = []
+                for p in self._files:
+                    base = os.path.basename(p)
+                    if base.startswith("bucket="):
+                        b = int(base[len("bucket="):].split("-", 1)[0])
+                        blo, bhi = _bucket_bounds(b, n)
+                        if bhi <= lo or blo >= hi:
+                            continue
+                    kept.append(p)
+                self._files = kept
         self._schema = schema
         self._pushed: list[tuple[str, str, object]] = []
     def partitions(self) -> list[_FilePartition]:
@@ -248,6 +311,17 @@ class StandInWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._job = uuid.uuid4().hex
         self._staging = os.path.join(self._tdir, f".staging-{self._job}")
+        # Token-bucketed write discipline: ``token_buckets=N`` +
+        # ``token_column=<pk>`` lays each task's rows out as one file per
+        # owning token bucket — token-contiguous files, the stand-in
+        # analogue of the bulk writer's token-sorted SSTables
+        # (SURVEY §3.1 step 3). Readers then prune whole files by
+        # ``token_range``.
+        tb = options.get("token_buckets")
+        self._token_buckets = int(tb) if tb else 0
+        self._token_col = options.get("token_column")
+        if self._token_buckets and not self._token_col:
+            raise ValueError("token_buckets requires token_column")
 
     def _arrow_schema(self):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -268,9 +342,32 @@ class StandInWriter(DataSourceArrowWriter):
             return _StagedFile(staged="", final="")
         pid = TaskContext.get().partitionId()
         os.makedirs(self._staging, exist_ok=True)
+        table = pa.Table.from_batches(batches, schema=batches[0].schema)
+        if self._token_buckets:
+            # One staged file per owning token bucket. Tokens are computed
+            # per row in this (already-Python) writer; width is TOKEN_SPACE
+            # div N so _bucket_bounds on the read side agrees exactly.
+            import numpy as np
+
+            keys = table.column(self._token_col).to_pylist()
+            width = TOKEN_SPACE // self._token_buckets
+            buckets = np.minimum(
+                np.array([_token60(k) // width for k in keys]),
+                self._token_buckets - 1,
+            )
+            staged_l, final_l = [], []
+            for b in sorted(set(buckets.tolist())):
+                part = table.filter(pa.array(buckets == b))
+                fname = f"bucket={b:05d}-part-{pid:05d}-{self._job}.parquet"
+                staged = os.path.join(self._staging, fname)
+                pq.write_table(part, staged)
+                staged_l.append(staged)
+                final_l.append(os.path.join(self._tdir, fname))
+            return _StagedFile(
+                staged="\n".join(staged_l), final="\n".join(final_l)
+            )
         fname = f"part-{pid:05d}-{self._job}.parquet"
         staged = os.path.join(self._staging, fname)
-        table = pa.Table.from_batches(batches, schema=batches[0].schema)
         pq.write_table(table, staged)
         return _StagedFile(staged=staged, final=os.path.join(self._tdir, fname))
 
@@ -295,8 +392,19 @@ class StandInWriter(DataSourceArrowWriter):
         staged_any = False
         for m in messages:
             if m is not None and m.staged:
-                os.replace(m.staged, m.final)
+                # a token-bucketed task stages several files ("\n"-joined;
+                # newlines cannot occur in these generated paths)
+                for s, f in zip(m.staged.split("\n"), m.final.split("\n")):
+                    os.replace(s, f)
                 staged_any = True
+        if self._token_buckets:
+            _write_layout(
+                self._tdir,
+                {
+                    "token_buckets": self._token_buckets,
+                    "token_column": self._token_col,
+                },
+            )
         if self._overwrite and not staged_any:
             # every task was empty: preserve the table's schema with a
             # zero-row file so a subsequent read sees an empty table, not
@@ -311,8 +419,10 @@ class StandInWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and m.staged and os.path.exists(m.staged):
-                os.remove(m.staged)
+            if m is not None and m.staged:
+                for s in m.staged.split("\n"):
+                    if s and os.path.exists(s):
+                        os.remove(s)
         try:
             os.rmdir(self._staging)
         except OSError:

@@ -424,3 +424,63 @@ def test_wide_types_snapshot_isolation_and_append(spark, tmp_path):
     )
     assert snap.count() == 120
     assert read(spark, _opts(tmp_path, table="wide")).count() == 200
+
+
+def test_token_range_scan_prunes_splits_and_preserves_results(spark, tmp_path):
+    """Token-bucketed writes lay rows out token-contiguously; a token_range
+    read must (a) plan strictly fewer input splits than the full scan and
+    (b) lose no qualifying row — pruning is split-level, the exact md5_u60
+    predicate on top makes it result-neutral."""
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+    from cassandra_analytics_example_spark.sources.standin import TOKEN_SPACE
+
+    opts = _opts(tmp_path, table="test_tokens")
+    write(
+        gen_dataset_deterministic(spark, 2000, 4),
+        {
+            **opts,
+            "partition_key": "id",
+            "splits": "4",
+            "token_buckets": "16",
+            "token_column": "id",
+        },
+    )
+    quarter = TOKEN_SPACE // 4
+    full = read(spark, opts)
+    pruned = read(spark, {**opts, "token_range": f"0,{quarter}"})
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    tok = md5_u60(F.col("id").cast("string"))
+    want = sorted(r.id for r in full.where(tok < quarter).collect())
+    got = sorted(r.id for r in pruned.where(tok < quarter).collect())
+    assert got == want
+    assert 0 < len(got) < 2000
+
+
+def test_token_bucket_files_are_token_disjoint(spark, tmp_path):
+    """Every bucket file's rows must lie inside the bucket's token bounds —
+    the token-contiguous-SSTable invariant that makes pruning sound."""
+    from cassandra_analytics_example_spark.sources.standin import (
+        TOKEN_SPACE,
+        _bucket_bounds,
+        _token60,
+    )
+
+    opts = _opts(tmp_path, table="test_tokens2")
+    write(
+        gen_dataset_deterministic(spark, 500, 2),
+        {
+            **opts,
+            "partition_key": "id",
+            "splits": "2",
+            "token_buckets": "8",
+            "token_column": "id",
+        },
+    )
+    tdir = table_dir({k: v for k, v in opts.items() if k != "format"})
+    files = glob.glob(os.path.join(tdir, "bucket=*.parquet"))
+    assert files
+    for f in files:
+        b = int(os.path.basename(f)[len("bucket="):].split("-", 1)[0])
+        lo, hi = _bucket_bounds(b, 8)
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        assert all(lo <= _token60(i) < hi for i in ids), f
