@@ -5606,3 +5606,71 @@ def q196_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quality_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — group-aware k-fold cross-validation assignment: folds are dealt
+# by hashing the SOURCE (not the document), so near-duplicates within a
+# source can never straddle folds (the q134 leakage rule, extended from
+# one split to k). The audit reports per-fold population and balance;
+# the md5 hash makes assignment reproducible across engines and stable
+# under corpus growth (a new doc never moves an existing source).
+# --------------------------------------------------------------------------
+
+_Q201_K = 5
+
+
+@register(
+    "q201_grouped_kfold",
+    oracle=f"""
+WITH a AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % {_Q201_K}
+           AS fold,
+         count(*) AS n_docs,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS toks
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_docs) AS tot FROM a)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_docs) * 1000 // t.tot AS BIGINT) AS share_permille
+FROM a CROSS JOIN t
+GROUP BY fold, t.tot
+""",
+    doc=f"group-aware {_Q201_K}-fold CV assignment: folds dealt by "
+    "md5(source) so within-source near-dups never straddle folds; "
+    "per-fold sources/docs/tokens and share in exact integer permille "
+    "— reproducible and growth-stable",
+    tags=("llm", "sampling", "governance"),
+)
+def q201_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    docs = table(spark, sf_dir, "documents")
+    a = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias(
+            "toks"
+        ),
+    ).select(
+        (md5_u60(F.col("source")) % _Q201_K).alias("fold"),
+        "n_docs",
+        "toks",
+    )
+    t = a.agg(F.sum("n_docs").alias("tot"))
+    return (
+        a.crossJoin(F.broadcast(t))
+        .groupBy("fold", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.expr("sum(n_docs) * 1000 div tot")
+            .cast("bigint")
+            .alias("share_permille"),
+        )
+        .drop("tot")
+    )

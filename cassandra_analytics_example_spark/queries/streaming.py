@@ -374,3 +374,23 @@ def s21_stream_incremental_dedup(
     )
 
     return run_stream_incremental_dedup(spark, sf_dir)
+
+
+@register(
+    "s22_stream_stream_outer_join",
+    oracle=None,
+    doc="Structured Streaming: watermarked stream-stream LEFT OUTER join — "
+    "unmatched views emit null-padded only when the watermark passes "
+    "their last possible match time (emit-on-state-expiry), state "
+    "bounded by the time-range condition (batch twin: left join + the "
+    "same watermark inequality, tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "join"),
+)
+def s22_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_stream_outer_join,
+    )
+
+    return run_stream_stream_outer_join(spark, sf_dir)

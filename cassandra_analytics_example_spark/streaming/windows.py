@@ -1232,3 +1232,58 @@ def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.read.parquet(acc)
+
+
+def run_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view joins its
+    user's purchases within 1 hour; views that never match are emitted
+    null-padded ONLY once the watermark passes their last possible match
+    time (view_ts + 1h) — before that the row might still match a late
+    purchase, so outer results are held in state. This
+    emit-on-state-expiry behavior is the defining difference from the
+    inner join (s06): the unmatched-side output is watermark-gated, and
+    views younger than (final watermark - 1h) are legitimately ABSENT
+    from a bounded run's output. State stays bounded by the same
+    time-range condition as s06.
+
+    Batch twin: left join + the same watermark inequality
+    (tests/test_streaming_batch_twins.py pins matched AND null-padded
+    rows to the batch recompute)."""
+    events = stream_events(spark, sf_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+        .alias("v")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+        .alias("p")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """v.user_id = p.user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval 1 hour"""
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
+    )
+    return _run_to_memory(joined, spark, "append")

@@ -514,3 +514,41 @@ def test_s21_incremental_dedup_matches_q61(spark):
     )
     want = q61_incremental_dedup(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s22_outer_join_matches_batch_watermark_math(spark):
+    from cassandra_analytics_example_spark.queries._tables import table
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_stream_outer_join,
+    )
+
+    got = run_stream_stream_outer_join(spark, SF01).select(
+        "user_id", "view_id", "purchase_id", "view_ts_us"
+    )
+    ev = table(spark, SF01, "events")
+    hour_us = 3_600_000_000
+    wm_us = ev.agg(F.max("ts_us")).first()[0] - 2 * hour_us
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("pt"),
+    )
+    j = v.join(
+        p,
+        (v.user_id == p.p_user_id)
+        & (F.col("pt") >= F.col("view_ts_us"))
+        & (F.col("pt") <= F.col("view_ts_us") + hour_us),
+        "left",
+    )
+    # matched rows always emit; unmatched views emit null-padded only
+    # once the watermark passed view_ts + 1h (state expiry)
+    want = j.where(
+        F.col("purchase_id").isNotNull()
+        | (F.col("view_ts_us") + hour_us < wm_us)
+    ).select("user_id", "view_id", "purchase_id", "view_ts_us")
+    _assert_same(got, want)
