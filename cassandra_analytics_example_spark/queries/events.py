@@ -3657,3 +3657,88 @@ def q200_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cents", "ord").cast("bigint").alias("close_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — rolling-window COUNT DISTINCT via mergeable HLL registers: the
+# 3-day rolling distinct-user count per day. Exact rolling distinct at
+# 100 TB means re-shuffling every key once per window position; the
+# sketch path builds ONE register table per day (256 rows/day,
+# q135's portable md5-HLL) and merges each day's window by per-bucket
+# MAX — idempotent, so overlapping windows re-merge the same day's
+# registers harmlessly. The estimate is engine-native arithmetic, so
+# the CONTRACT is oracle-checked (q37/q99/q188 discipline): exact
+# rolling distinct plus a 20% relative error gate (256 registers →
+# ~6.5% standard error).
+# --------------------------------------------------------------------------
+
+_Q202_WINDOW = 3  # days, current day inclusive
+
+
+@register(
+    "q202_rolling_distinct_hll",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM d),
+roll AS (
+  SELECT days.day AS day, d.user_id
+  FROM days JOIN d ON d.day BETWEEN days.day - {_Q202_WINDOW - 1}
+                             AND days.day
+)
+SELECT day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_rolling_users,
+       TRUE AS within_bound
+FROM roll GROUP BY day
+""",
+    doc="3-day rolling distinct users per day: daily portable md5-HLL "
+    "register tables merged per window by per-bucket max (idempotent, "
+    "256 rows/day regardless of volume) — the scale path for rolling "
+    "COUNT DISTINCT; sketch estimate gated at 20% relative error "
+    "against the exact recompute",
+    tags=("events", "sketch", "window"),
+)
+def q202_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    day_us = 86_400_000_000
+    ev = table(spark, sf_dir, "events").select(
+        F.expr(f"ts_us div {day_us}").cast("bigint").alias("day"), "user_id"
+    )
+    regs = hll_registers(ev, "user_id", ("day",))
+    days = ev.select("day").distinct()
+    # Window merge: day d's registers serve windows d..d+W-1; keep only
+    # target days that exist. Fan-out is W x 256 rows per day — constant.
+    off = spark.range(_Q202_WINDOW).select(F.col("id").alias("off"))
+    window_regs = (
+        regs.crossJoin(F.broadcast(off))
+        .select((F.col("day") + F.col("off")).alias("day"), "bucket", "r")
+        .join(days, "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate(window_regs, ("day",))
+    exact = (
+        ev.distinct()
+        .crossJoin(F.broadcast(off))
+        .select((F.col("day") + F.col("off")).alias("day"), "user_id")
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias(
+            "exact_rolling_users"
+        ))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "exact_rolling_users",
+        (
+            F.abs(F.col("est") - F.col("exact_rolling_users"))
+            <= F.col("exact_rolling_users") * 0.2
+        ).alias("within_bound"),
+    )
