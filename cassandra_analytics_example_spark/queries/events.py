@@ -3742,3 +3742,167 @@ def q202_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_rolling_users") * 0.2
         ).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# q203 — calibration curve: bucket a score (the event value, fixed-width
+# deciles — fixed edges, not quantiles, so no rank machinery) and report
+# the observed positive rate (purchase events) per bucket next to the
+# bucket's mean score in exact integer algebra. The reliability-diagram
+# table every scored model ships with; monotone deviations flag
+# miscalibration. One bucket-keyed aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q203_score_calibration",
+    oracle="""
+WITH b AS (
+  SELECT least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(pos) * 1000 // count(*) AS BIGINT) AS pos_rate_permille,
+       CAST(sum(v_milli) // count(*) AS BIGINT) AS mean_score_milli
+FROM b GROUP BY bucket
+""",
+    doc="calibration/reliability table: fixed-width score deciles with "
+    "observed positive rate and mean score in exact integer units — "
+    "one bucket-keyed aggregate, no quantile machinery",
+    tags=("events", "audit", "aggregate"),
+)
+def q203_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("bigint"), F.lit(0)),
+            F.lit(9),
+        ).alias("bucket"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.expr("sum(pos) * 1000 div count(*)")
+        .cast("bigint")
+        .alias("pos_rate_permille"),
+        F.expr("sum(v_milli) div count(*)")
+        .cast("bigint")
+        .alias("mean_score_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q204 — A/B experiment readout with an EXACT-integer chi-square test:
+# users dealt to variants by md5 hash (reproducible assignment), outcome
+# = did the user ever make a high-value (>= 90) purchase — rare enough
+# on the fixture that both converted and unconverted cells populate. The 2x2 chi-square statistic
+# N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is compared against the
+# alpha=0.05 critical value 3.841 by cross-multiplication in
+# DECIMAL(38,0) — no floats anywhere, so the significance verdict is
+# engine- and partitioning-exact. The experimentation-analysis staple.
+# DECIMAL(38,0) bounds the exact form to ~3e8 users per cell
+# (N·(ad-bc)² ≤ 1e38); beyond that ANSI mode raises rather than
+# silently overflowing, and the test is degenerate at that scale anyway
+# (any visible difference is significant) — downscale counts first.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q204_ab_test_chisq",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value >= 90
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+cell AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS a,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS b,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS c,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS d
+  FROM u
+)
+SELECT CAST(a AS BIGINT) AS control_converted,
+       CAST(b AS BIGINT) AS control_not,
+       CAST(c AS BIGINT) AS treat_converted,
+       CAST(d AS BIGINT) AS treat_not,
+       CAST(CAST(a AS BIGINT) * 1000 // CAST(a + b AS BIGINT) AS BIGINT)
+         AS control_rate_permille,
+       CAST(CAST(c AS BIGINT) * 1000 // CAST(c + d AS BIGINT) AS BIGINT)
+         AS treat_rate_permille,
+       (a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000
+         > 3841 * (a + b) * (c + d) * (a + c) * (b + d) AS significant
+FROM cell
+""",
+    doc="A/B readout: md5-hash variant assignment, per-variant conversion "
+    "in exact permille, and a 2x2 chi-square significance verdict at "
+    "alpha=0.05 computed entirely by DECIMAL(38,0) cross-multiplication "
+    "— no floats, engine-exact; one user-keyed aggregate + one scalar "
+    "cell table",
+    tags=("events", "audit", "aggregate"),
+)
+def q204_ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 90),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (md5_u60(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "converted",
+    )
+    dec38 = "decimal(38,0)"
+    cell = u.agg(
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1).otherwise(0))
+        .cast(dec38)
+        .alias("a"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1).otherwise(0))
+        .cast(dec38)
+        .alias("b"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1).otherwise(0))
+        .cast(dec38)
+        .alias("c"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1).otherwise(0))
+        .cast(dec38)
+        .alias("d"),
+    )
+    return cell.select(
+        F.col("a").cast("bigint").alias("control_converted"),
+        F.col("b").cast("bigint").alias("control_not"),
+        F.col("c").cast("bigint").alias("treat_converted"),
+        F.col("d").cast("bigint").alias("treat_not"),
+        F.expr(
+            "cast(cast(a as bigint) * 1000 div cast(a + b as bigint) "
+            "as bigint)"
+        ).alias("control_rate_permille"),
+        F.expr(
+            "cast(cast(c as bigint) * 1000 div cast(c + d as bigint) "
+            "as bigint)"
+        ).alias("treat_rate_permille"),
+        F.expr(
+            "(a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000 "
+            "> 3841 * (a + b) * (c + d) * (a + c) * (b + d)"
+        ).alias("significant"),
+    )
