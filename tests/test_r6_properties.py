@@ -1,0 +1,172 @@
+"""Randomized property checks for the round-6 operators — seeded numpy
+data, exact comparisons against independent reference implementations
+(the test_asof_property.py style): the distributed formulation must agree
+with the obvious single-node one on data it never saw during development,
+including duplicates, ties, and degenerate groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.frontier import (
+    pareto_frontier_2d,
+)
+from cassandra_analytics_example_spark.operators.graph import (
+    label_propagation,
+)
+from cassandra_analytics_example_spark.operators.intervals import (
+    bucketed_interval_join,
+)
+from cassandra_analytics_example_spark.operators.quantiles import (
+    group_quantiles_exact,
+)
+
+
+def test_group_quantiles_match_numpy_linear(spark):
+    rng = np.random.default_rng(20260814)
+    # heavy duplicates + tiny and large groups + one single-row group
+    vals = np.concatenate(
+        [
+            rng.integers(0, 50, 4000).astype(float),  # many ties
+            rng.normal(100, 30, 3000),
+            [7.5],  # group "z" has exactly one row
+        ]
+    )
+    grps = np.concatenate(
+        [
+            rng.choice(["a", "b", "c"], 4000),
+            rng.choice(["a", "d"], 3000),
+            ["z"],
+        ]
+    )
+    pdf = pd.DataFrame({"g": grps, "v": vals})
+    for parts in (3, 64):
+        got = (
+            group_quantiles_exact(
+                spark.createDataFrame(pdf),
+                "g",
+                "v",
+                {"p25": 0.25, "p50": 0.5, "p99": 0.99},
+                num_partitions=parts,
+            )
+            .toPandas()
+            .set_index("g")
+            .sort_index()
+        )
+        for g, sub in pdf.groupby("g"):
+            v = np.sort(sub["v"].to_numpy())
+            for name, q in (("p25", 0.25), ("p50", 0.5), ("p99", 0.99)):
+                # the operator replicates DuckDB quantile_cont bit-for-bit:
+                # lo*(1-frac) + hi*frac (numpy's lo + frac*(hi-lo) differs
+                # by an ulp on some inputs — quantiles.py:130 note)
+                r = q * (len(v) - 1)
+                lo, hi = v[int(np.floor(r))], v[int(np.ceil(r))]
+                frac = r - np.floor(r)
+                want = lo if frac == 0 else lo * (1 - frac) + hi * frac
+                assert got.loc[g, name] == want, (parts, g, name)
+
+
+def test_pareto_frontier_matches_bruteforce_random_floats(spark):
+    rng = np.random.default_rng(20260814)
+    # clustered duplicates + fractional gaps — the r5 ADVICE regression zone
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "x": np.round(rng.normal(0, 2, 500), 1),
+            "y": np.round(rng.normal(0, 2, 500), 1),
+        }
+    )
+    dominated = set()
+    xs, ys = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+    for i in range(len(pdf)):
+        if ((xs > xs[i]) & (ys > ys[i])).any():
+            dominated.add(i)
+    want = sorted(set(range(len(pdf))) - dominated)
+    for parts in (1, 16):
+        got = sorted(
+            r.id
+            for r in pareto_frontier_2d(
+                spark.createDataFrame(pdf), "x", "y", num_partitions=parts
+            ).collect()
+        )
+        assert got == want, parts
+
+
+def test_interval_join_matches_bruteforce_with_duplicates(spark):
+    rng = np.random.default_rng(20260814)
+    H = 1000
+    ls = rng.integers(0, 20 * H, 300)
+    left = pd.DataFrame(
+        {"l_start": ls, "l_end": ls + rng.integers(0, 5 * H, 300)}
+    )
+    left = pd.concat([left, left.iloc[:20]], ignore_index=True)  # dup rows
+    rs = rng.integers(0, 20 * H, 200)
+    right = pd.DataFrame(
+        {"r_start": rs, "r_end": rs + rng.integers(0, 3 * H, 200)}
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = bucketed_interval_join(
+        ldf, rdf, "l_start", "l_end", "r_start", "r_end", bucket_us=H
+    )
+    brute = ldf.crossJoin(rdf).where(
+        (F.col("l_start") <= F.col("r_end"))
+        & (F.col("r_start") <= F.col("l_end"))
+    )
+    cols = ["l_start", "l_end", "r_start", "r_end"]
+    # multiset compare via collected tuples (exceptAll over these two
+    # shared-lineage plans trips a Catalyst INTERNAL_ERROR attribute bug)
+    g = sorted(map(tuple, got.select(cols).collect()))
+    b = sorted(map(tuple, brute.select(cols).collect()))
+    assert len(g) == len(b)
+    assert g == b
+
+
+def _lpa_reference(edges: pd.DataFrame, seeds: dict, rounds: int) -> dict:
+    labels = dict(seeds)
+    for _ in range(rounds):
+        votes: dict = {}
+        for src, dst in edges.itertuples(index=False):
+            if src in labels:
+                votes.setdefault(dst, {}).setdefault(labels[src], 0)
+                votes[dst][labels[src]] += 1
+        nxt = dict(seeds)
+        for node, vv in votes.items():
+            if node in seeds:
+                continue
+            best = sorted(vv.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[node] = best
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_reference_and_pins_seeds(spark):
+    rng = np.random.default_rng(20260814)
+    n = 120
+    und = pd.DataFrame(
+        {
+            "a": rng.integers(0, n, 400),
+            "b": rng.integers(0, n, 400),
+        }
+    )
+    und = und[und.a != und.b].drop_duplicates()
+    edges = pd.concat(
+        [und, und.rename(columns={"a": "b", "b": "a"})], ignore_index=True
+    ).rename(columns={"a": "src", "b": "dst"}).drop_duplicates()
+    seeds = {int(v): int(v) % 5 for v in range(0, n, 7)}
+    want = _lpa_reference(edges[["src", "dst"]], seeds, rounds=2)
+
+    edf = spark.createDataFrame(edges)
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"node": list(seeds), "label": list(seeds.values())}
+        )
+    )
+    out = label_propagation(edf.repartition(13), sdf, rounds=2)
+    got = {int(r.node): int(r.label) for r in out.collect()}
+    assert got == want
+    for node, lab in seeds.items():
+        assert got[node] == lab
