@@ -5674,3 +5674,120 @@ def q201_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("tot")
     )
+
+
+# --------------------------------------------------------------------------
+# q205 — dedup-detector evaluation: SimHash's predicted near-dup pairs
+# (q23: hamming <= 3) scored against the blocked-Jaccard ground truth
+# (q22: 3-gram Jaccard >= 0.3) — precision/recall in exact integer
+# permille. The eval harness the dedup family needs before anyone tunes
+# thresholds at 100 TB: both pair sets come from their production
+# blocking paths (never all-pairs), the comparison is one equi-join on
+# the (id_a, id_b) key, and the verdict is a single bounded summary row.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q205_simhash_eval",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS toks
+  FROM w
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+),
+dfreq AS (
+  SELECT tok, count(*) AS dfreq FROM tok GROUP BY tok
+),
+blocked AS (
+  SELECT doc_id, tok AS block_tok FROM (
+    SELECT t.doc_id, t.tok,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.tok) AS rn
+    FROM tok t JOIN dfreq d USING (tok)) WHERE rn <= 3
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a JOIN blocked b
+    ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS j
+    FROM cands c JOIN toks a ON c.id_a = a.doc_id
+                 JOIN toks b ON c.id_b = b.doc_id
+  ) WHERE j >= 0.3
+),
+hvals AS (
+  SELECT doc_id, {_simhash_hv} AS hv FROM w
+),
+fp AS (
+  SELECT doc_id, CAST({_simhash_votes} AS BIGINT) AS simhash
+  FROM hvals WHERE len(hv) > 0
+),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bb
+  FROM fp, UNNEST([0, 1, 2, 3]) AS t(band)
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+j AS (
+  SELECT (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM pred JOIN truth USING (id_a, id_b)) AS n_both
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_both * 1000 // n_pred AS BIGINT) AS precision_permille,
+       CAST(n_both * 1000 // n_truth AS BIGINT) AS recall_permille
+FROM j
+""",
+    doc="dedup-detector eval: SimHash hamming<=3 pairs scored against the "
+    "blocked 3-gram Jaccard>=0.3 ground truth — precision/recall in "
+    "exact integer permille, both sides from their production blocking "
+    "paths (no all-pairs anywhere), one pair-keyed equi-join",
+    tags=("llm", "dedup", "audit"),
+)
+def q205_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    truth = token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, n_blocks=3
+    ).select("id_a", "id_b")
+    pred = simhash_near_dup_pairs(
+        docs, "doc_id", "text", n_bits=_SIMHASH_BITS, n_bands=4,
+        max_hamming=3,
+    ).select("id_a", "id_b")
+    both = pred.join(truth, ["id_a", "id_b"])
+    counts = (
+        pred.agg(F.count(F.lit(1)).alias("n_pred"))
+        .crossJoin(
+            F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        )
+        .crossJoin(
+            F.broadcast(both.agg(F.count(F.lit(1)).alias("n_both")))
+        )
+    )
+    return counts.select(
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.expr("n_both * 1000 div n_pred")
+        .cast("bigint")
+        .alias("precision_permille"),
+        F.expr("n_both * 1000 div n_truth")
+        .cast("bigint")
+        .alias("recall_permille"),
+    )

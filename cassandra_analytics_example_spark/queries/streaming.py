@@ -394,3 +394,22 @@ def s22_stream_stream_outer_join(
     )
 
     return run_stream_stream_outer_join(spark, sf_dir)
+
+
+@register(
+    "s23_stream_psi_drift",
+    oracle=None,
+    doc="Structured Streaming: PSI drift monitor — baseline histogram "
+    "pinned once, per-microbatch (type, bucket) count partials appended "
+    "via foreachBatch (sum merge unit), published PSI computed from the "
+    "merged-on-read live histogram with micro-unit-quantized terms, "
+    "BIT-IDENTICAL to the batch monitor q192 (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "monitoring", "audit"),
+)
+def s23_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_psi_drift,
+    )
+
+    return run_stream_psi_drift(spark, sf_dir)

@@ -1287,3 +1287,124 @@ def run_stream_stream_outer_join(
         F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
     )
     return _run_to_memory(joined, spark, "append")
+
+
+def run_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: the monitoring setup pins a baseline
+    histogram (first time-half, the q192 split) once; the stream folds
+    the second half's per-(type, bucket) COUNT PARTIALS into an appended
+    store via ``foreachBatch`` (sum is the merge unit — the s12/s16
+    stance), and the published report joins baseline with the
+    merged-on-read live histogram and computes the same
+    micro-unit-quantized PSI as the batch monitor. Because sum-merge is
+    exact and the per-bucket terms quantize BEFORE summation, the
+    published table is BIT-IDENTICAL to q192's batch recompute
+    (tests/test_streaming_batch_twins.py)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_psi_")
+    live = os.path.join(out, "live")
+    ck = os.path.join(out, "ck")
+    path = os.path.join(sf_dir, "events.parquet")
+    base = spark.read.parquet(path)
+    ts_us_b = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        if dict(base.dtypes)["ts"] not in ("bigint", "long")
+        else F.expr("ts div 1000")
+    )
+    bb = base.select(
+        "event_type", ts_us_b.alias("ts_us"), "value"
+    )
+    mid = bb.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2))
+        .cast("bigint")
+        .alias("m")
+    ).first()["m"]
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10).cast("bigint"), F.lit(0)),
+        F.lit(9),
+    )
+    baseline = (
+        bb.where(F.col("ts_us") < mid)
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    baseline.write.mode("overwrite").parquet(os.path.join(out, "baseline"))
+
+    probe = base.schema
+    stream = (
+        spark.readStream.schema(probe)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    ts_us_s = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        if dict(base.dtypes)["ts"] not in ("bigint", "long")
+        else F.expr("ts div 1000")
+    )
+    live_stream = stream.select(
+        "event_type", ts_us_s.alias("ts_us"), "value"
+    ).where(F.col("ts_us") >= mid)
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.select("event_type", bucket.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .write.mode("append")
+            .parquet(live)
+        )
+
+    q = (
+        live_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    base_h = spark.read.parquet(os.path.join(out, "baseline"))
+    live_h = (
+        spark.read.parquet(live)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c2").alias("c2"))
+    )
+    c = (
+        base_h.join(live_h, ["event_type", "bucket"], "full_outer")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    n = c.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    terms = c.join(n, "event_type").select(
+        "event_type",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                (F.col("c1") + 1.0) / (F.col("n1") + 10.0)
+                - (F.col("c2") + 1.0) / (F.col("n2") + 10.0)
+            )
+            * F.log(
+                ((F.col("c1") + 1.0) / (F.col("n1") + 10.0))
+                / ((F.col("c2") + 1.0) / (F.col("n2") + 10.0))
+            )
+        )
+        .cast("bigint")
+        .alias("t_micro"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("t_micro").cast("bigint").alias("psi_micro"),
+        (F.sum("t_micro") > 100000).alias("drifted"),
+    )

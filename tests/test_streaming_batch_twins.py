@@ -552,3 +552,16 @@ def test_s22_outer_join_matches_batch_watermark_math(spark):
         | (F.col("view_ts_us") + hour_us < wm_us)
     ).select("user_id", "view_id", "purchase_id", "view_ts_us")
     _assert_same(got, want)
+
+
+def test_s23_psi_drift_matches_q192(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q192_psi_value_drift,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_psi_drift,
+    )
+
+    got = run_stream_psi_drift(spark, SF01)
+    want = q192_psi_value_drift(spark, SF01)
+    _assert_same(got, want)
