@@ -3906,3 +3906,56 @@ def q204_ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "> 3841 * (a + b) * (c + d) * (a + c) * (b + d)"
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# q206 — per-group MODE without the banned mode() aggregate: the plan
+# lint (tests/test_plan_lint.py) rejects exact mode()/median() because
+# they buffer whole groups; this query is the sanctioned rewrite —
+# count by (group, value) first (map-side combinable), then argmax via
+# a window over the AGGREGATED layer, whose partition is bounded by the
+# value domain (rounded value: <= 101 rows per group), never the
+# corpus. Total-order tiebreak (smallest value wins) keeps it exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q206_group_mode",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value) AS BIGINT) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, v, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, v ASC) AS rn
+  FROM c
+)
+SELECT event_type, CAST(v AS BIGINT) AS mode_value,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM r WHERE rn = 1
+""",
+    doc="per-group mode via count-then-argmax: (group, value) aggregate "
+    "with map-side partials, argmax window bounded by the value domain "
+    "(<= 101 rows per group), deterministic smallest-value tiebreak — "
+    "the scale-safe rewrite of the banned mode() aggregate",
+    tags=("events", "aggregate", "scale"),
+)
+def q206_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round("value").cast("bigint").alias("v")
+    )
+    c = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("v").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("v").cast("bigint").alias("mode_value"),
+            F.col("n").cast("bigint").alias("n_occurrences"),
+        )
+    )

@@ -2837,3 +2837,71 @@ def q199_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("region_share_of_world"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q207 — subject access report (the read dual of q76's right-to-be-
+# forgotten): everything the platform holds about one subject key,
+# summarized per table — row counts, value totals in exact cents, and
+# activity bounds as epoch-µs. Each leg is an indexed/pushed point
+# lookup (predicate reaches the scan), unioned into one bounded report;
+# at 100 TB each leg touches only the subject's partitions.
+# --------------------------------------------------------------------------
+
+_Q207_SUBJECT = 42
+
+
+@register(
+    "q207_subject_access_report",
+    oracle=f"""
+SELECT 'orders' AS source_table,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS total_cents,
+       CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_us,
+       CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us
+FROM orders WHERE o_custkey = {_Q207_SUBJECT}
+UNION ALL
+SELECT 'events',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+       CAST(min(epoch_us(ts)) AS BIGINT),
+       CAST(max(epoch_us(ts)) AS BIGINT)
+FROM events WHERE user_id = {_Q207_SUBJECT}
+""",
+    doc="subject access report: per-table row counts, exact-cents value "
+    "totals and activity bounds for one subject key — pushed point "
+    "lookups unioned into a bounded report (the read dual of the q76 "
+    "forget propagation)",
+    tags=("relational", "governance"),
+)
+def q207_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") == _Q207_SUBJECT
+    )
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id") == _Q207_SUBJECT
+    )
+    orders_leg = o.agg(
+        F.lit("orders").alias("source_table"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(dec("o_totalprice", 18, 2) * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .cast("bigint")
+        .alias("first_us"),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .cast("bigint")
+        .alias("last_us"),
+    )
+    events_leg = ev.agg(
+        F.lit("events").alias("source_table"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min("ts_us").cast("bigint").alias("first_us"),
+        F.max("ts_us").cast("bigint").alias("last_us"),
+    )
+    return orders_leg.unionByName(events_leg)
