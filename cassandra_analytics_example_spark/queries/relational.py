@@ -2905,3 +2905,152 @@ def q207_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").cast("bigint").alias("last_us"),
     )
     return orders_leg.unionByName(events_leg)
+
+
+# --------------------------------------------------------------------------
+# q208 — TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+# the fixture's columns (lateness = shipped > 90 days after the order
+# date; the fixture carries no receipt/commit dates): for finished
+# orders, count per supplier the multi-supplier orders where THIS
+# supplier shipped late and NO OTHER supplier did — the classic
+# exists + not-exists double-correlation, expressed as one order-keyed
+# supplier-set aggregate instead of two correlated subqueries (one
+# shuffle on the order key; the per-order state is its distinct
+# supplier/late-supplier sets, bounded by suppliers-per-order).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q208_waiting_suppliers",
+    oracle="""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS late
+  FROM li GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+  FROM per_supp GROUP BY 1
+),
+blamed AS (
+  SELECT ps.l_suppkey
+  FROM per_supp ps JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+  WHERE ps.late = 1 AND po.n_supps > 1 AND po.n_late = 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape: suppliers solely responsible for a late "
+    "multi-supplier finished order — the exists/not-exists double "
+    "correlation rewritten as order-keyed supplier-set aggregates "
+    "(one shuffle, per-order state bounded by suppliers-per-order), "
+    "top-20 with a deterministic tiebreak",
+    tags=("relational", "join", "topk"),
+)
+def q208_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    per_supp = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        per_supp.join(per_order, "l_orderkey")
+        .where(
+            (F.col("late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .select("l_suppkey")
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — TPC-H Q2 shape (minimum-cost supplier), adapted: per part, the
+# supplier(s) whose best offered unit price (min extended price in exact
+# cents over that part-supplier's lineitems) equals the part's global
+# minimum — the correlated-min subquery decorrelated into one aggregate
+# plus a part-keyed min window over the (part, supplier) layer, whose
+# partition is bounded by suppliers-per-part, never the corpus.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q209_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (
+  SELECT l_partkey, l_suppkey, cost_cents,
+         min(cost_cents) OVER (PARTITION BY l_partkey) AS best
+  FROM ps
+)
+SELECT m.l_partkey AS part_key, s.s_suppkey, s.s_name,
+       CAST(cost_cents AS BIGINT) AS cost_cents
+FROM m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+WHERE cost_cents = best AND m.l_partkey < 100
+""",
+    doc="TPC-H Q2 shape: per part the minimum-cost supplier(s) in exact "
+    "cents — correlated min decorrelated into a (part, supplier) "
+    "aggregate plus a part-keyed min window bounded by "
+    "suppliers-per-part; ties kept (deterministic set)",
+    tags=("relational", "join", "window"),
+)
+def q209_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min((dec("l_extendedprice", 18, 2) * 100).cast("bigint")).alias(
+            "cost_cents"
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    m = ps.withColumn("best", F.min("cost_cents").over(w)).where(
+        (F.col("cost_cents") == F.col("best")) & (F.col("l_partkey") < 100)
+    )
+    return m.join(F.broadcast(s), m.l_suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("part_key"),
+        "s_suppkey",
+        "s_name",
+        F.col("cost_cents").cast("bigint").alias("cost_cents"),
+    )
