@@ -243,3 +243,28 @@ def pruned_read(
     for c, (lo, hi) in predicates.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
     return df, len(keep), n_total
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    *,
+    file_format: str = "parquet",
+) -> None:
+    """Idempotent partition backfill: overwrite ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched
+    (``partitionOverwriteMode=dynamic`` as a per-write option, so the
+    session conf is never mutated). This is the reprocessing primitive a
+    100 TB pipeline leans on daily — recompute one bad day and swap it in
+    atomically-per-partition — and it is idempotent: re-running the same
+    backfill converges to the same state (STATIC overwrite mode would
+    instead drop every partition not in the batch — the classic
+    destroyed-table incident this wrapper exists to prevent)."""
+    (
+        df.write.mode("overwrite")
+        .format(file_format)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )

@@ -3,6 +3,7 @@ joins, small-file compaction (operators/layout.py)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -287,3 +288,48 @@ def test_bloom_pruned_read_absent_key_returns_empty(spark, tmpdir):
         spark, f"{tmpdir}/b2", stats, {"id": 999_999}, m=65536, k=3
     )
     assert got.count() == 0 and n_tot >= 2
+
+
+def test_backfill_overwrites_only_present_partitions(spark, tmpdir):
+    from cassandra_analytics_example_spark.operators.layout import (
+        backfill_partitions,
+        write_partitioned,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    path = os.path.join(tmpdir, "events_part")
+    write_partitioned(ev, path, ["event_type"])
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # backfill ONE partition with a halved recompute
+    patch = ev.where(F.col("event_type") == "click").where(
+        F.col("event_id") % 2 == 0
+    )
+    n_patch = patch.count()
+    backfill_partitions(patch, path, ["event_type"])
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert after["click"] == n_patch
+    for k, v in before.items():
+        if k != "click":
+            assert after[k] == v, k
+    # idempotence: re-running the same backfill converges
+    backfill_partitions(patch, path, ["event_type"])
+    again = (
+        spark.read.parquet(path)
+        .where(F.col("event_type") == "click")
+        .count()
+    )
+    assert again == n_patch
