@@ -3054,3 +3054,273 @@ def q209_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.col("cost_cents").cast("bigint").alias("cost_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q210 — TPC-H Q14 shape: promotion revenue share per month — what
+# fraction of each month's discounted revenue came from PROMO-type
+# parts. Exact DECIMAL revenue on both legs of one conditional
+# aggregate (no second scan), share in integer permille; the part type
+# is a broadcast dimension attach.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q210_promo_revenue_share",
+    oracle="""
+WITH r AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+         -- scale-4 revenue x 10000 is INTEGRAL exactly (decimal(12,2) x
+         -- decimal(4,2) has scale 4), so the fixed-point units carry no
+         -- per-row truncate-vs-round ambiguity between engines
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+           AS rev4,
+         p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END) AS BIGINT)
+         AS promo_rev4,
+       CAST(sum(rev4) AS BIGINT) AS total_rev4,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END) * 1000
+            // sum(rev4) AS BIGINT) AS promo_permille
+FROM r GROUP BY ship_month
+""",
+    doc="TPC-H Q14 shape: PROMO-part share of monthly discounted revenue "
+    "— one conditional aggregate over exact scale-4 fixed-point revenue "
+    "(integral by construction, no cents rounding ambiguity), broadcast "
+    "part dimension, share in integer permille",
+    tags=("relational", "aggregate", "join"),
+)
+def q210_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev4 = (
+        dec("l_extendedprice", 12, 2)
+        * (F.lit(1) - dec("l_discount", 4, 2))
+        * 10000
+    ).cast("bigint")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+            "ship_month"
+        ),
+        rev4.alias("rev4"),
+        F.when(F.col("p_type") == "PROMO", rev4).otherwise(0).alias(
+            "promo"
+        ),
+    )
+    return j.groupBy("ship_month").agg(
+        F.sum("promo").cast("bigint").alias("promo_rev4"),
+        F.sum("rev4").cast("bigint").alias("total_rev4"),
+        F.expr("sum(promo) * 1000 div sum(rev4)")
+        .cast("bigint")
+        .alias("promo_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q211 — TPC-H Q17 shape: small-quantity orders for a brand — lineitems
+# whose quantity is below 20% of that part's average order quantity, and
+# the revenue they represent. The correlated AVG subquery decorrelates
+# into a part-keyed aggregate; the 0.2·avg comparison cross-multiplies
+# to 5·qty·cnt < sum so the threshold test is exact integer algebra
+# (fractional-average comparisons never touch floats).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q211_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pa.cnt < pa.sum_qty
+GROUP BY p.p_brand
+""",
+    doc="TPC-H Q17 shape: lineitems below 20% of their part's average "
+    "quantity and their exact-cents revenue per brand — correlated AVG "
+    "decorrelated to a part-keyed aggregate, threshold cross-multiplied "
+    "to exact integers (5*qty*cnt < sum), part dimension broadcast",
+    tags=("relational", "aggregate", "join"),
+)
+def q211_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .where(
+            5 * F.col("l_quantity").cast("bigint") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            F.sum((dec("l_extendedprice", 12, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q212 — TPC-H Q18 shape: large-volume orders — orders whose total
+# quantity exceeds 300, with their customer. HAVING over an exact
+# integer sum on the order key, then broadcast-attached dimensions;
+# output bounded by the qualifying orders.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q212_large_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS totalprice_cents,
+       CAST(t.sum_qty AS BIGINT) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    doc="TPC-H Q18 shape: orders with total quantity > 300 and their "
+    "customers — HAVING over an exact integer order-keyed sum, "
+    "dimensions broadcast-attached to the bounded qualifying set",
+    tags=("relational", "aggregate", "join"),
+)
+def q212_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        t.join(o, t.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("orderdate_us"),
+            (dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .alias("totalprice_cents"),
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q213 — TPC-H Q22 shape: dormant high-balance customers — customers
+# with an account balance above their nation group's positive average
+# and NO orders in the final year of the corpus, counted per nation. The correlated average
+# decorrelates to one broadcast scalar per group; "no orders" is a
+# left-anti join on the customer key; the above-average test
+# cross-multiplies exact cents (bal·n > sum) so no float ever decides
+# membership.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q213_dormant_customers",
+    oracle="""
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+avg_pos AS (
+  SELECT c_nationkey,
+         CAST(sum(bal_cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM bal WHERE bal_cents > 0 GROUP BY c_nationkey
+),
+mx AS (SELECT max(o_orderdate) AS m FROM orders),
+dormant AS (
+  SELECT b.c_custkey, b.c_nationkey, b.bal_cents
+  FROM bal b JOIN avg_pos a ON a.c_nationkey = b.c_nationkey, mx
+  WHERE b.bal_cents * a.n > a.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = b.c_custkey
+                      AND o.o_orderdate >= mx.m - INTERVAL 365 DAY)
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM dormant d JOIN nation n ON n.n_nationkey = d.c_nationkey
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q22 shape: customers above their nation's positive-average "
+    "balance with no orders in the final year, per nation — correlated "
+    "avg decorrelated to a nation-keyed aggregate, membership decided "
+    "by exact-cents cross-multiplication, dormancy via left-anti join "
+    "against the recent-orders key set",
+    tags=("relational", "join", "aggregate"),
+)
+def q213_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    o_all = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    mx = o_all.agg(F.max("o_orderdate").alias("m"))
+    o = (
+        o_all.crossJoin(F.broadcast(mx))
+        .where(
+            F.col("o_orderdate") >= F.col("m") - F.expr("INTERVAL 365 DAY")
+        )
+        .select("o_custkey")
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_pos = (
+        c.where(F.col("bal_cents") > 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    dormant = (
+        c.join(F.broadcast(avg_pos), "c_nationkey")
+        .where(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        dormant.join(F.broadcast(n), dormant.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+        )
+    )
