@@ -5791,3 +5791,89 @@ def q205_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q214 — OLS fit + Pearson correlation in exact integer algebra: both
+# reduce to five exact sums (Σx, Σy, Σxy, Σx², Σy² — map-side
+# combinable, order-invariant bigints), so the slope can be an exact
+# integer division (micro-units) and the correlation a single
+# deterministic float expression over exact DECIMAL(38,0) moments —
+# never a float accumulation. The corr()/regr_slope() built-ins sum
+# doubles in partition order and cannot hash-match across engines; this
+# is the engine's sanctioned rewrite, here fitting token count against
+# character count over the corpus (a near-linear relation).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q214_ols_corr_exact",
+    oracle="""
+WITH v AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+            // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+         AS slope_micro,
+       CAST(CAST((sy * (n * sxx - sx * sx)
+                  - sx * (n * sxy - sx * sy)) * 1000 AS HUGEINT)
+            // CAST(n * (n * sxx - sx * sx) AS HUGEINT) AS BIGINT)
+         AS intercept_milli,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+FROM m
+""",
+    doc="OLS slope/intercept and Pearson r from five exact integer "
+    "moments (order-invariant, map-side combinable): slope in exact "
+    "integer micro-units, intercept in milli-units, r as one "
+    "deterministic float expression over exact moments — the sanctioned "
+    "rewrite of the float-accumulating corr()/regr_slope() built-ins; "
+    "fits tokens ~ chars over the corpus",
+    tags=("llm", "aggregate", "audit"),
+)
+def q214_ols_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
+    )
+    dec38 = "decimal(38,0)"
+    m = v.agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec38).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+            "as bigint)"
+        ).alias("slope_micro"),
+        F.expr(
+            "cast((sy * (n * sxx - sx * sx) - sx * (n * sxy - sx * sy)) "
+            "* 1000 div (n * (n * sxx - sx * sx)) as bigint)"
+        ).alias("intercept_milli"),
+        (
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / (
+                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
+                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+            )
+        ).alias("pearson_r"),
+    )
