@@ -413,3 +413,21 @@ def s23_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_psi_drift(spark, sf_dir)
+
+
+@register(
+    "s24_stream_ohlc",
+    oracle=None,
+    doc="Structured Streaming: OHLC bar maintenance — per-microbatch "
+    "partial bars (argmin/argmax on the total ordering key, max/min/"
+    "sum) appended via foreachBatch, merged on read into bars "
+    "BIT-IDENTICAL to the batch q200 at any microbatch split (batch "
+    "twin gate: tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "aggregate", "window"),
+)
+def s24_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_ohlc,
+    )
+
+    return run_stream_ohlc(spark, sf_dir)

@@ -1408,3 +1408,68 @@ def run_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t_micro").cast("bigint").alias("psi_micro"),
         (F.sum("t_micro") > 100000).alias("drifted"),
     )
+
+
+def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bar maintenance: each microbatch folds its events
+    to per-(type, hour) PARTIAL bars — (first ord, open), (last ord,
+    close), high, low, count — appended via ``foreachBatch``. Every
+    component is a mergeable unit: open = value at the MIN ordering key
+    across partials (argmin of argmins), close = at the MAX, high/low =
+    max/min, n = sum — so the merged-on-read published table is
+    BIT-IDENTICAL to the batch q200 at any microbatch split (twin gate:
+    tests/test_streaming_batch_twins.py). The ordering key is the same
+    wide-decimal (ts, event_id) total order as q200."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_ohlc_")
+    store = os.path.join(out, "store")
+    ck = os.path.join(out, "ck")
+    events = stream_events(spark, sf_dir)
+    base = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000")
+        .cast("bigint")
+        .alias("hour_bucket"),
+        (
+            F.unix_micros("ts").cast("decimal(38,0)") * 10000000
+            + F.col("event_id")
+        ).alias("ord"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy("event_type", "hour_bucket")
+            .agg(
+                F.min("ord").alias("o_ord"),
+                F.min_by("cents", "ord").alias("o_cents"),
+                F.max("cents").alias("high"),
+                F.min("cents").alias("low"),
+                F.max("ord").alias("c_ord"),
+                F.max_by("cents", "ord").alias("c_cents"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        base.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    partials = spark.read.parquet(store)
+    return partials.groupBy("event_type", "hour_bucket").agg(
+        F.min_by("o_cents", "o_ord").cast("bigint").alias("open_cents"),
+        F.max("high").cast("bigint").alias("high_cents"),
+        F.min("low").cast("bigint").alias("low_cents"),
+        F.max_by("c_cents", "c_ord").cast("bigint").alias("close_cents"),
+        F.sum("n").cast("bigint").alias("n"),
+    )

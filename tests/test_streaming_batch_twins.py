@@ -565,3 +565,16 @@ def test_s23_psi_drift_matches_q192(spark):
     got = run_stream_psi_drift(spark, SF01)
     want = q192_psi_value_drift(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s24_stream_ohlc_matches_q200(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q200_ohlc_bars,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_ohlc,
+    )
+
+    got = run_stream_ohlc(spark, SF01)
+    want = q200_ohlc_bars(spark, SF01)
+    _assert_same(got, want)
