@@ -3324,3 +3324,77 @@ def q213_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q215 — period-over-period report: monthly revenue with month-over-month
+# and year-over-year deltas in exact integer permille. The comparison
+# joins are equi-joins on derived month keys (never window-lag over a
+# calendar with holes — a missing month must compare against NOTHING,
+# not the previous existing row, which is exactly what lag() would
+# silently do). Absent comparison periods surface as NULL deltas.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q215_period_over_period",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_part('year', o_orderdate) AS BIGINT) * 12
+         + CAST(date_part('month', o_orderdate) AS BIGINT) - 1 AS mkey,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT cur.month, cur.cents,
+       CAST((cur.cents - prev.cents) * 1000 // prev.cents AS BIGINT)
+         AS mom_permille,
+       CAST((cur.cents - yoy.cents) * 1000 // yoy.cents AS BIGINT)
+         AS yoy_permille
+FROM m cur
+LEFT JOIN m prev ON prev.mkey = cur.mkey - 1
+LEFT JOIN m yoy ON yoy.mkey = cur.mkey - 12
+""",
+    doc="monthly revenue with MoM and YoY deltas in exact integer "
+    "permille — equi-joins on derived month keys so calendar holes "
+    "compare against NULL instead of lag()'s previous-existing-row "
+    "trap; one month-keyed aggregate feeds all three legs",
+    tags=("relational", "aggregate", "window"),
+)
+def q215_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year("o_orderdate").cast("bigint") * 12
+            + F.month("o_orderdate").cast("bigint")
+            - 1
+        ).alias("mkey"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    prev = m.select(
+        (F.col("mkey") + 1).alias("mkey"), F.col("cents").alias("prev_cents")
+    )
+    yoy = m.select(
+        (F.col("mkey") + 12).alias("mkey"), F.col("cents").alias("yoy_cents")
+    )
+    return (
+        m.join(prev, "mkey", "left")
+        .join(yoy, "mkey", "left")
+        .select(
+            "month",
+            "cents",
+            F.expr("(cents - prev_cents) * 1000 div prev_cents")
+            .cast("bigint")
+            .alias("mom_permille"),
+            F.expr("(cents - yoy_cents) * 1000 div yoy_cents")
+            .cast("bigint")
+            .alias("yoy_permille"),
+        )
+    )
