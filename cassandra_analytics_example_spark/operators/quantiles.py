@@ -151,3 +151,75 @@ def group_quantiles_exact(
         ]
     )
     return named.withColumnRenamed("__g", group_col)
+
+
+def weighted_quantile_exact(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    tiebreak_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact weighted quantile by distributed rank selection: the smallest
+    value whose cumulative weight reaches ``ceil(W * q_num / q_den)``
+    (the inf{v : F(v) >= q} definition, threshold computed in EXACT
+    integer arithmetic — weights must be non-negative integers).
+
+    Same bounded-memory shape as :func:`group_quantiles_exact`: one
+    range shuffle on (value, tiebreak), per-cell weight sums with a
+    broadcast cumulative-offset layer, and a window only inside range
+    cells — no aggregation buffer ever holds a group. Returns one row
+    ``(quantile_value, total_weight, threshold)``.
+    """
+    if q_num <= 0 or q_den <= 0 or q_num > q_den:
+        raise ValueError("quantile must satisfy 0 < q_num/q_den <= 1")
+    base = df.select(
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast("bigint").alias("__w"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).where(F.col("__v").isNotNull() & (F.col("__w") > 0))
+
+    part = base.repartitionByRange(
+        num_partitions, "__v", "__tb"
+    ).withColumn("__pid", F.spark_partition_id())
+    cells = part.groupBy("__pid").agg(F.sum("__w").alias("__cw"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = cells.select(
+        "__pid",
+        F.coalesce(F.sum("__cw").over(w_off), F.lit(0)).alias("__off"),
+        F.col("__cw"),
+    )
+    total = offsets.agg(
+        (F.max(F.col("__off") + F.col("__cw"))).alias("__tw")
+    )
+    # threshold T = ceil(W * q_num / q_den), exact in bigints
+    thr = total.select(
+        "__tw",
+        F.expr(f"(__tw * {q_num} + {q_den} - 1) div {q_den}").alias("__thr"),
+    )
+    # candidate cells: those whose span [off, off+cw] can contain T
+    cand = (
+        part.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(thr))
+        .where(
+            (F.col("__off") < F.col("__thr"))
+            & (F.col("__off") + F.col("__cw") >= F.col("__thr"))
+        )
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("__v", "__tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    crossed = cand.withColumn(
+        "__cum", F.col("__off") + F.sum("__w").over(w_local)
+    ).where(F.col("__cum") >= F.col("__thr"))
+    return crossed.agg(
+        F.min("__v").alias("quantile_value"),
+        F.min("__tw").cast("bigint").alias("total_weight"),
+        F.min("__thr").cast("bigint").alias("threshold"),
+    )

@@ -5877,3 +5877,59 @@ def q214_ols_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# q216 — token-weighted median document length: the median character
+# count where each document counts with its TOKEN weight (half the
+# corpus's tokens live in docs at least this long — the length
+# statistic that matters for packing/batching, where doc-count medians
+# mislead). Exact weighted quantile by distributed rank selection
+# (operators/quantiles.py:weighted_quantile_exact): integer ceil
+# threshold, range cells + broadcast offset layer, no group buffer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q216_weighted_median_length",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM t),
+cum AS (
+  SELECT v, sum(w) OVER (ORDER BY v, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cw
+  FROM t
+)
+SELECT CAST(min(v) AS BIGINT) AS quantile_value,
+       CAST(tot.W AS BIGINT) AS total_weight,
+       CAST((tot.W + 1) // 2 AS BIGINT) AS threshold
+FROM cum, tot
+WHERE cw >= (tot.W + 1) // 2
+GROUP BY tot.W
+""",
+    doc="token-weighted median document length (smallest length whose "
+    "cumulative token weight reaches ceil(W/2)) — exact integer "
+    "threshold, distributed rank selection with range cells and a "
+    "broadcast offset layer, no value buffer",
+    tags=("llm", "aggregate", "scale"),
+)
+def q216_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.quantiles import (
+        weighted_quantile_exact,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("v"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("w"),
+    )
+    out = weighted_quantile_exact(docs, "v", "w", 1, 2, "doc_id")
+    return out.select(
+        F.col("quantile_value").cast("bigint").alias("quantile_value"),
+        "total_weight",
+        "threshold",
+    )
