@@ -170,3 +170,31 @@ def test_label_propagation_matches_reference_and_pins_seeds(spark):
     assert got == want
     for node, lab in seeds.items():
         assert got[node] == lab
+
+
+def test_weighted_quantile_matches_pandas_reference(spark):
+    from cassandra_analytics_example_spark.operators.quantiles import (
+        weighted_quantile_exact,
+    )
+
+    rng = np.random.default_rng(20260815)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(3000),
+            "v": rng.integers(0, 500, 3000),  # heavy value ties
+            "w": rng.integers(1, 40, 3000),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    for num, den in ((1, 2), (9, 10), (1, 4)):
+        got = weighted_quantile_exact(
+            sdf, "v", "w", num, den, "id", num_partitions=16
+        ).collect()[0]
+        s = pdf.sort_values(["v", "id"])
+        cw = s["w"].cumsum()
+        W = int(s["w"].sum())
+        T = -(-W * num // den)  # ceil
+        want = int(s.loc[cw >= T, "v"].iloc[0])
+        assert got["quantile_value"] == want, (num, den)
+        assert got["total_weight"] == W
+        assert got["threshold"] == T
