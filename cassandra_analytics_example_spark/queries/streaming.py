@@ -431,3 +431,24 @@ def s24_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_ohlc(spark, sf_dir)
+
+
+@register(
+    "s25_stream_weighted_sample",
+    oracle=None,
+    doc="Structured Streaming: weighted sampling without replacement — "
+    "per-microbatch local top-k on the deterministic "
+    "Efraimidis-Spirakis key appended via foreachBatch (top-k is a "
+    "mergeable unit), published sample = top-k of partials, "
+    "BIT-IDENTICAL to the batch q185 at any microbatch split (batch "
+    "twin gate: tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "sampling"),
+)
+def s25_stream_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_weighted_sample,
+    )
+
+    return run_stream_weighted_sample(spark, sf_dir)

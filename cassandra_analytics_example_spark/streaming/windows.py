@@ -1473,3 +1473,78 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_cents", "c_ord").cast("bigint").alias("close_cents"),
         F.sum("n").cast("bigint").alias("n"),
     )
+
+
+def run_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted sampling without replacement: each microbatch
+    computes the deterministic Efraimidis–Spirakis key (ln(md5-uniform)/w,
+    the q185 formula) for its documents and appends its LOCAL top-k; the
+    published sample is the top-k of the appended partials. Top-k is a
+    mergeable unit (the global top-k is always contained in the union of
+    per-batch top-ks), and the key is deterministic, so the published
+    sample is BIT-IDENTICAL to the batch q185 at any microbatch split —
+    the resumable-sampling property a training pipeline needs (twin
+    gate: tests/test_streaming_batch_twins.py)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    k = 50
+    den = float(1 << 60)
+    out = tempfile.mkdtemp(prefix="stream_wsample_")
+    store = os.path.join(out, "partials")
+    ck = os.path.join(out, "ck")
+    path = os.path.join(sf_dir, "documents.parquet")
+    probe = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(probe)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .load()
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+        (
+            F.log(
+                (
+                    F.expr(
+                        "cast(conv(substring(md5(cast(doc_id as string)), "
+                        "1, 15), 16, 10) as bigint)"
+                    )
+                    + F.lit(1)
+                )
+                / F.lit(den)
+            )
+            / F.col("n_chars")
+        ).alias("es_key"),
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        keyed.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    partials = spark.read.parquet(store)
+    top = partials.orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "w", F.row_number().over(w).cast("int").alias("rnk")
+    )

@@ -578,3 +578,18 @@ def test_s24_stream_ohlc_matches_q200(spark):
     got = run_stream_ohlc(spark, SF01)
     want = q200_ohlc_bars(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s25_weighted_sample_matches_q185(spark):
+    from cassandra_analytics_example_spark.queries.llm import (
+        q185_weighted_sample,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_weighted_sample,
+    )
+
+    got = run_stream_weighted_sample(spark, SF01).select(
+        "doc_id", "w", "rnk"
+    )
+    want = q185_weighted_sample(spark, SF01)
+    _assert_same(got, want)
