@@ -3959,3 +3959,134 @@ def q206_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_occurrences"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q217 — Poisson bootstrap confidence interval (the resampling idiom
+# that actually works at 100 TB: classic bootstrap needs N draws per
+# resample — impossible distributed — but each row's multiplicity in a
+# resample is ~Poisson(1), drawable independently per row). Every draw
+# is DETERMINISTIC: the md5-uniform of (event_id, resample) inverted
+# through the exact integer Poisson(1) CDF thresholds (2^60-scaled), so
+# any engine reproduces the same 32 resamples bit-for-bit. Per-resample
+# means quantize to micro-units before the CI order statistics — the
+# whole audit is exact integers.
+# --------------------------------------------------------------------------
+
+_Q217_B = 32
+# floor(CDF_Poisson(1)(k) * 2^60) for k = 0..4; >= t4 draws weight 5
+_Q217_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+
+
+def _q217_weight_sql(u: str) -> str:
+    t = _Q217_T
+    return (
+        f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
+        f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 "
+        f"WHEN {u} < {t[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "q217_poisson_bootstrap_ci",
+    oracle=f"""
+WITH d AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT d.cents, t.b,
+         {_q217_weight_sql("CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#' || CAST(t.b AS VARCHAR)), 1, 15)) AS BIGINT)")}
+           AS w
+  FROM d, UNNEST(range(0, {_Q217_B})) AS t(b)
+),
+means AS (
+  SELECT b,
+         CAST(sum(w * cents) * 10000 // sum(w) AS BIGINT) AS mean_microcents
+  FROM r GROUP BY b HAVING sum(w) > 0
+),
+pt AS (
+  SELECT CAST(sum(cents) * 10000 // count(*) AS BIGINT) AS point FROM d
+)
+SELECT CAST(pt.point AS BIGINT) AS mean_microcents,
+       CAST((SELECT count(*) FROM means) AS BIGINT) AS n_resamples,
+       CAST((SELECT min(m) FROM (SELECT mean_microcents AS m FROM means
+             ORDER BY m LIMIT {_Q217_B} OFFSET 1)) AS BIGINT) AS ci_lo,
+       CAST((SELECT max(m) FROM (SELECT mean_microcents AS m FROM means
+             ORDER BY m DESC LIMIT {_Q217_B} OFFSET 1)) AS BIGINT) AS ci_hi
+FROM pt
+""",
+    doc=f"Poisson bootstrap CI for the mean purchase value: {_Q217_B} "
+    "deterministic resamples (per-row Poisson(1) multiplicity via exact "
+    "integer inverse-CDF on the md5-uniform — reproducible in any "
+    "engine), per-resample means in exact integer micro-cents, CI = "
+    "2nd-smallest..2nd-largest resample mean — the only bootstrap shape "
+    "that distributes (no N-draw resampling pass)",
+    tags=("events", "audit", "sketch"),
+)
+def q217_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = spark.range(_Q217_B).select(F.col("id").cast("int").alias("b"))
+    u = md5_u60(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit("#"),
+            F.col("b").cast("string"),
+        )
+    )
+    t = _Q217_T
+    w = (
+        F.when(u < t[0], 0)
+        .when(u < t[1], 1)
+        .when(u < t[2], 2)
+        .when(u < t[3], 3)
+        .when(u < t[4], 4)
+        .otherwise(5)
+    )
+    r = ev.crossJoin(F.broadcast(b)).select(
+        "cents", "b", w.alias("w")
+    )
+    means = (
+        r.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            F.expr("swc * 10000 div sw").cast("bigint").alias(
+                "mean_microcents"
+            )
+        )
+    )
+    pt = ev.agg(
+        F.expr("sum(cents) * 10000 div count(*)")
+        .cast("bigint")
+        .alias("point")
+    )
+    # CI order statistics over the means table — a BOUNDED collect of at
+    # most B=32 rows (scalar-class driver read, like .first()).
+    ordered = means.orderBy("mean_microcents").collect()
+    vals = [r2["mean_microcents"] for r2 in ordered]
+    ci_lo = vals[1] if len(vals) > 1 else vals[0]
+    ci_hi = vals[-2] if len(vals) > 1 else vals[-1]
+    n = len(vals)
+    return pt.select(
+        F.col("point").alias("mean_microcents"),
+        F.lit(n).cast("bigint").alias("n_resamples"),
+        F.lit(ci_lo).cast("bigint").alias("ci_lo"),
+        F.lit(ci_hi).cast("bigint").alias("ci_hi"),
+    )
