@@ -3398,3 +3398,298 @@ def q215_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("yoy_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q218 — TPC-H Q7 shape: nation-pair trade flow. Revenue shipped from a
+# supplier nation to a (different) customer nation per ship year. The
+# supplier and nation dimensions broadcast onto lineitem; the one big
+# shuffle is lineitem⋈orders on the order key; customer attaches to the
+# order side before that join so the shuffle carries the already-reduced
+# (orderkey, cust_nation) pairs. Revenue in exact scale-4 fixed point.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q218_nation_trade_flow",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, n.n_name AS cust_nation
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+l AS (
+  SELECT l_orderkey,
+         CAST(date_part('year', l_shipdate) AS BIGINT) AS ship_year,
+         n.n_name AS supp_nation,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+           AS rev4
+  FROM lineitem li JOIN supplier s ON s.s_suppkey = li.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT l.supp_nation, o.cust_nation, l.ship_year,
+       CAST(sum(l.rev4) AS BIGINT) AS rev4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+WHERE l.supp_nation <> o.cust_nation
+GROUP BY l.supp_nation, o.cust_nation, l.ship_year
+""",
+    doc="TPC-H Q7 shape: supplier-nation to customer-nation revenue flow "
+    "per ship year — dimensions broadcast onto both legs, one order-key "
+    "shuffle join, exact scale-4 fixed-point revenue",
+    tags=("relational", "join", "aggregate"),
+)
+def q218_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        (revenue_expr() * 10000).cast("bigint").alias("rev4"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    supp_side = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey
+    ).join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "l_orderkey",
+        "ship_year",
+        "rev4",
+        F.col("n_name").alias("supp_nation"),
+    )
+    cust_side = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("o_orderkey", F.col("n_name").alias("cust_nation"))
+
+    return (
+        supp_side.join(
+            cust_side, supp_side.l_orderkey == cust_side.o_orderkey
+        )
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.sum("rev4").cast("bigint").alias("rev4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q219 — TPC-H Q9 shape: revenue by supplier nation and order year for a
+# part-name family. Part (filtered BEFORE the join: Catalyst pushes the
+# LIKE into the broadcast build side) and supplier/nation broadcast onto
+# lineitem; orders attaches the year via the single order-key shuffle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q219_nation_part_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(date_part('year', o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000
+                     AS BIGINT)) AS BIGINT) AS rev4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem li
+JOIN part p ON p.p_partkey = li.l_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+GROUP BY n.n_name, CAST(date_part('year', o.o_orderdate) AS BIGINT)
+""",
+    doc="TPC-H Q9 shape: revenue for the 'widget' part family by supplier "
+    "nation and order year — LIKE-filtered part broadcast, supplier and "
+    "nation broadcast, one order-key shuffle join",
+    tags=("relational", "join", "aggregate"),
+)
+def q219_nation_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (revenue_expr() * 10000).cast("bigint").alias("rev4"),
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.sum("rev4").cast("bigint").alias("rev4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q220 — TPC-H Q12 shape: late-shipment priority audit. Lines shipped
+# more than 60 days after their order date, bucketed by return flag (the
+# fixture's stand-in for ship mode), counting urgent-class vs low-class
+# order priorities in one conditional aggregate. The late predicate is a
+# per-row comparison evaluated after the single order-key shuffle join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q220_late_shipment_priority",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+""",
+    doc="TPC-H Q12 shape: lines shipped >60 days after order date "
+    "bucketed by return flag, urgent-class vs low-class priorities in "
+    "one conditional aggregate after the order-key join",
+    tags=("relational", "join", "aggregate"),
+)
+def q220_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q221 — TPC-H Q19 shape: disjunctive brand/size/quantity revenue. The OR
+# of three (brand, size-band, quantity-band) conjunctions — the classic
+# pushdown test: the part-side conjuncts prune the broadcast build side
+# (brand/size), the lineitem-side quantity bands stay in the scan filter,
+# and only the cross terms are evaluated post-join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q221_disjunctive_band_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000
+                     AS BIGINT)) AS BIGINT) AS rev4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+""",
+    doc="TPC-H Q19 shape: disjunction of three brand/size/quantity band "
+    "conjunctions over the part-key join — Catalyst extracts the "
+    "common part-side and lineitem-side conjuncts into the scans",
+    tags=("relational", "join", "filter"),
+)
+def q221_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (revenue_expr() * 10000).cast("bigint").alias("rev4"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum("rev4").cast("bigint").alias("rev4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q222 — TPC-H Q16 shape: supplier cardinality per part profile. Distinct
+# suppliers that shipped each (brand, type, size) profile, excluding one
+# brand and the PROMO type family — the part dimension filters broadcast
+# onto lineitem and the distinct count is a two-level hash aggregate
+# (partial distinct per partition, merge on the profile key), never a
+# buffered collect_set.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q222_supplier_part_profiles",
+    oracle="""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY p.p_brand, p.p_type, CAST(p.p_size AS BIGINT)
+""",
+    doc="TPC-H Q16 shape: distinct shipping suppliers per (brand, type, "
+    "size) profile with brand/type exclusions — filtered part broadcast, "
+    "two-level distinct hash aggregate",
+    tags=("relational", "join", "aggregate"),
+)
+def q222_supplier_part_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
+        )
+        .agg(
+            F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
