@@ -1,0 +1,135 @@
+"""Distributed global order statistics — exclusive prefix sums and the
+exact rank metrics built on them (ROC AUC via the Mann-Whitney U rank
+statistic).
+
+A global ``Window.orderBy(...)`` with no partition key funnels the whole
+corpus through ONE task — the single-ordering failure mode the quantile
+selector (operators/quantiles.py) exists to avoid.  This module applies
+the same two-layer trick to running sums:
+
+1. ``repartitionByRange`` on the order key so each partition holds a
+   contiguous slice of the global order;
+2. a LOCAL window prefix sum inside each (partition) cell;
+3. a tiny per-cell totals table, whose own exclusive prefix (computed on
+   at-most-``num_partitions`` rows) broadcasts back as the cell offset.
+
+Cost: one range shuffle + one bounded local window + one broadcast.  No
+task ever sees more than ~|corpus| / num_partitions rows.
+
+Reference scope note: the reference engine (558-LoC Scala ETL,
+``App.scala``/``SparkUtils.scala``) has no rank/window machinery at all —
+this belongs to the SURVEY §2.8 analytics surface the new engine adds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exclusive_prefix_sums(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Append ``<c>_before`` columns: for each row, the sum of ``c`` over
+    all rows STRICTLY before it in the total order given by ``order_cols``.
+
+    The caller must ensure ``order_cols`` is a total order (no duplicate
+    keys) — with duplicates, "strictly before" would be ambiguous between
+    engines.  Sum columns must be integral (bigint-safe) so partial sums
+    are associative and engine-portable.
+    """
+    if not order_cols or not sum_cols:
+        raise ValueError("order_cols and sum_cols must be non-empty")
+
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+
+    # Per-cell totals -> exclusive per-cell offsets.  The offsets table has
+    # at most num_partitions rows; its own prefix window is driver-cheap
+    # and the result broadcasts.
+    cells = part.groupBy("__pid").agg(
+        *[F.sum(F.col(c)).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    w_cells = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = cells.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(w_cells), F.lit(0))
+            .alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    w_local = Window.partitionBy("__pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    out = part.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_before",
+            (
+                F.col(f"__off_{c}")
+                + F.coalesce(F.sum(F.col(c)).over(w_local), F.lit(0))
+            ).cast("bigint"),
+        )
+    return out.drop(
+        "__pid", *[f"__off_{c}" for c in sum_cols]
+    )
+
+
+def roc_auc_exact(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact ROC AUC by the Mann-Whitney U rank statistic, tie-corrected,
+    in pure integer arithmetic.
+
+    ``scored`` must have an integral ``score_col`` and a 0/1 ``label_col``.
+    With ``np(s)`` positives and ``nn(s)`` negatives at each distinct
+    score and ``neg_below(s)`` the negatives at strictly lower scores,
+
+        2·U = 2·Σ np(s)·neg_below(s) + Σ np(s)·nn(s)
+        AUC = U / (n_pos · n_neg)
+
+    Returns one row ``(n_pos, n_neg, u2, auc_ppm)`` with
+    ``auc_ppm = ⌊2U · 500000 / (n_pos · n_neg)⌋`` (AUC in parts-per-
+    million, exact floor division — engine-portable, no float division).
+    The per-score aggregate makes score ties exact (average-rank
+    semantics), and the prefix layer is the range-partitioned cell-offset
+    pattern, so no task ever holds a whole score ordering.
+    """
+    g = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("__np"),
+    ).withColumn("__nn", F.col("__n") - F.col("__np"))
+
+    pre = exclusive_prefix_sums(
+        g, ["__s"], ["__nn"], num_partitions=num_partitions
+    )
+    return pre.agg(
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.sum("__nn").cast("bigint").alias("n_neg"),
+        (
+            F.lit(2) * F.sum(F.col("__np") * F.col("__nn_before"))
+            + F.sum(F.col("__np") * F.col("__nn"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("u2 * 500000 div (n_pos * n_neg)")
+        .cast("bigint")
+        .alias("auc_ppm"),
+    )

@@ -5933,3 +5933,172 @@ def q216_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_weight",
         "threshold",
     )
+
+
+# --------------------------------------------------------------------------
+# q223 — exact ROC AUC of an embedding-derived score against the fixture
+# labels, via the distributed Mann-Whitney U rank statistic
+# (operators/ranking.py): per-score tie groups, a range-partitioned
+# exclusive prefix sum of negatives (never a global single-task window),
+# and pure integer algebra to parts-per-million. The "classifier" score
+# is a deterministic ordered fold of the first 8 embedding dims — the
+# point is the exact rank machinery, which any real model score plugs
+# into unchanged.
+# --------------------------------------------------------------------------
+
+_Q223_SCORE_SQL = (
+    "CAST(round(("
+    + " + ".join(f"CAST(embedding[{i}] AS DOUBLE)" for i in range(1, 9))
+    + ") * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "q223_roc_auc_exact",
+    oracle=f"""
+WITH s AS (
+  SELECT {_Q223_SCORE_SQL} AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT np, n - np AS nn,
+         coalesce(sum(n - np) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM g
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       CAST(2 * sum(np * neg_below) + sum(np * nn) AS BIGINT) AS u2,
+       CAST((2 * sum(np * neg_below) + sum(np * nn)) * 500000
+            // (sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+FROM c
+""",
+    doc="exact tie-corrected ROC AUC via the distributed Mann-Whitney U "
+    "rank statistic — per-score tie groups, range-partitioned exclusive "
+    "prefix sum (no single-task global window), integer ppm output",
+    tags=("llm", "eval", "ranking"),
+)
+def q223_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        roc_auc_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    score = F.round(
+        sum(
+            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
+            start=F.element_at("embedding", 1).cast("double"),
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    scored = emb.select(
+        score.alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("is_pos"),
+    )
+    return roc_auc_exact(scored, "score", "is_pos")
+
+
+# --------------------------------------------------------------------------
+# q224 — confusion-matrix threshold sweep for the same embedding-derived
+# score: TP/FP/FN/TN plus precision/recall in integer permille at five
+# fixed thresholds, computed in ONE conditional-aggregate corpus pass
+# (4 x 5 unrolled CASE sums — never a thresholds x corpus explode) and
+# unpivoted with stack(). Degenerate cells (no predicted / no actual
+# positives) surface NULL ratios instead of tripping ANSI div-by-zero.
+# --------------------------------------------------------------------------
+
+_Q224_THRESHOLDS = (-1500000, -500000, 0, 500000, 1500000)
+
+
+@register(
+    "q224_threshold_sweep",
+    oracle=f"""
+WITH s AS (
+  SELECT {_Q223_SCORE_SQL} AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+t(threshold) AS (VALUES {", ".join(f"({t})" for t in _Q224_THRESHOLDS)}),
+m AS (
+  SELECT t.threshold,
+         CAST(sum(CASE WHEN s.score >= t.threshold AND s.pos = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s.score >= t.threshold AND s.pos = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN s.score < t.threshold AND s.pos = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN s.score < t.threshold AND s.pos = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM s, t GROUP BY t.threshold
+)
+SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp * 1000 // (tp + fp) AS BIGINT)
+       END AS precision_permille,
+       CASE WHEN tp + fn > 0 THEN CAST(tp * 1000 // (tp + fn) AS BIGINT)
+       END AS recall_permille
+FROM m
+""",
+    doc="confusion matrix + precision/recall permille at five thresholds "
+    "in one unrolled conditional-aggregate pass over the corpus, "
+    "stack()-unpivoted; NULL ratios on degenerate cells",
+    tags=("llm", "eval"),
+)
+def q224_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    score = F.round(
+        sum(
+            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
+            start=F.element_at("embedding", 1).cast("double"),
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    s = emb.select(
+        score.alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
+    )
+    aggs = []
+    for i, t in enumerate(_Q224_THRESHOLDS):
+        ge = F.col("score") >= F.lit(t)
+        pos = F.col("pos") == 1
+        aggs += [
+            F.sum(F.when(ge & pos, 1).otherwise(0)).cast("bigint").alias(f"tp{i}"),
+            F.sum(F.when(ge & ~pos, 1).otherwise(0)).cast("bigint").alias(f"fp{i}"),
+            F.sum(F.when(~ge & pos, 1).otherwise(0)).cast("bigint").alias(f"fn{i}"),
+            F.sum(F.when(~ge & ~pos, 1).otherwise(0)).cast("bigint").alias(f"tn{i}"),
+        ]
+    wide = s.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), tp{i}, fp{i}, fn{i}, tn{i}"
+        for i, t in enumerate(_Q224_THRESHOLDS)
+    )
+    tall = wide.select(
+        F.expr(
+            f"stack({len(_Q224_THRESHOLDS)}, {stack_args}) "
+            "AS (threshold, tp, fp, fn, tn)"
+        )
+    )
+    return tall.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 1000 div (tp + fp)"),
+        )
+        .cast("bigint")
+        .alias("precision_permille"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 1000 div (tp + fn)"),
+        )
+        .cast("bigint")
+        .alias("recall_permille"),
+    )

@@ -198,3 +198,59 @@ def test_weighted_quantile_matches_pandas_reference(spark):
         assert got["quantile_value"] == want, (num, den)
         assert got["total_weight"] == W
         assert got["threshold"] == T
+
+
+def test_exclusive_prefix_sums_match_pandas(spark):
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    rng = np.random.default_rng(20260815)
+    keys = rng.permutation(np.arange(5000))
+    pdf = pd.DataFrame(
+        {
+            "k": keys,
+            "a": rng.integers(0, 100, 5000),
+            "b": rng.integers(-50, 50, 5000),
+        }
+    )
+    for parts in (1, 7, 64):
+        got = (
+            exclusive_prefix_sums(
+                spark.createDataFrame(pdf), ["k"], ["a", "b"], parts
+            )
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        ref = pdf.sort_values("k").reset_index(drop=True)
+        for c in ("a", "b"):
+            want = ref[c].cumsum().shift(1, fill_value=0).astype("int64")
+            assert (got[f"{c}_before"].to_numpy() == want.to_numpy()).all(), (
+                parts,
+                c,
+            )
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    from cassandra_analytics_example_spark.operators.ranking import (
+        roc_auc_exact,
+    )
+
+    rng = np.random.default_rng(20260816)
+    # heavy score ties (20 distinct scores for 2000 rows) so the
+    # average-rank tie correction actually matters
+    scores = rng.integers(0, 20, 2000)
+    labels = (rng.random(2000) < (scores / 25.0 + 0.1)).astype(int)
+    pdf = pd.DataFrame({"score": scores, "is_pos": labels})
+    got = roc_auc_exact(
+        spark.createDataFrame(pdf), "score", "is_pos", num_partitions=13
+    ).toPandas()
+    pos = pdf[pdf.is_pos == 1].score.to_numpy()
+    neg = pdf[pdf.is_pos == 0].score.to_numpy()
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    u2 = 2 * int(wins) + int(ties)
+    assert got.n_pos[0] == len(pos) and got.n_neg[0] == len(neg)
+    assert got.u2[0] == u2
+    assert got.auc_ppm[0] == u2 * 500000 // (len(pos) * len(neg))
