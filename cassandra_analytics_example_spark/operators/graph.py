@@ -240,3 +240,83 @@ def label_propagation(
     except Exception:
         labels.unpersist()
         raise
+
+
+def k_core_rounds(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    rounds: int = 4,
+    k_num: int = 8,
+    k_den: int = 5,
+) -> DataFrame:
+    """Iterative k-core peeling over an undirected edge list (each edge
+    stored once with ``a < b``), k chosen adaptively relative to the
+    initial mean degree: ``k = (k_num·|E|) div (k_den·|V|) + 1`` (the
+    default 8/5 is 0.8x the mean degree — high enough to cascade for
+    several rounds on the co-purchase fixture graphs, low enough that
+    early rounds keep a non-trivial core).
+
+    Each round recomputes degrees inside the surviving subgraph, keeps
+    nodes with ``deg >= k``, and restricts edges to surviving endpoint
+    pairs (two semi-joins).  Returns one row per round:
+    ``(round, k, n_nodes, n_edges)`` — the survivor trajectory, which is
+    deterministic and lets an oracle unroll the same fixed number of
+    rounds.  The peel is a degree groupBy + two equi-semi-joins per
+    round (the Pregel step shape, like pagerank_integer above): no
+    global windows, no driver materialization; the threshold is a 1-row
+    broadcast.  Each round's edge table persists so the next round's
+    degree pass and the stats row share one materialization instead of
+    re-running the whole peel lineage.
+    """
+    e0 = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    kf = (
+        e0.select(F.explode(F.array("a", "b")).alias("node"))
+        .agg(
+            F.count("*").alias("__two_e"),
+            F.count_distinct("node").alias("__v"),
+        )
+        .select(
+            (
+                F.expr(f"(__two_e div 2 * {k_num}) div (__v * {k_den})")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    stats = []
+    e = e0
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("__d"))
+        )
+        surv = (
+            deg.crossJoin(F.broadcast(kf))
+            .where(F.col("__d") >= F.col("k"))
+            .select("node")
+        )
+        e = (
+            e.join(surv, e.a == surv.node, "left_semi")
+            .join(surv, F.col("b") == surv.node, "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        stats.append(
+            surv.agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
+            .crossJoin(F.broadcast(kf))
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("k").cast("bigint").alias("k"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

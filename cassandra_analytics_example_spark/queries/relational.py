@@ -3693,3 +3693,92 @@ def q222_supplier_part_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q225 — k-core peeling trajectory of the co-purchase part graph
+# (operators/graph.py k_core_rounds): four peel rounds at an adaptive
+# threshold k = 0.8·mean-degree + 1, emitting the surviving node/edge
+# counts per round. Each round is a degree groupBy plus two semi-joins
+# (the Pregel step shape — no global state, threshold is a 1-row
+# broadcast); the oracle unrolls the same four rounds as materialized
+# CTEs. The "dense core extraction" primitive for curriculum/canonical
+# selection over near-dup graphs.
+# --------------------------------------------------------------------------
+
+
+def _q225_oracle(rounds: int = 4) -> str:
+    parts = []
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY node
+),
+s{r} AS MATERIALIZED (SELECT node FROM d{r}, kf WHERE d >= kf.k),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM s{r}) AND b IN (SELECT node FROM s{r})
+)"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, kf.k AS k,"
+        f" (SELECT count(*) FROM s{r}) AS n_nodes,"
+        f" (SELECT count(*) FROM e{r}) AS n_edges FROM kf"
+        for r in range(1, rounds + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+kf AS MATERIALIZED (
+  SELECT CAST((SELECT count(*) * 8 FROM e0)
+         // (SELECT count(DISTINCT node) * 5 FROM
+              (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0))
+         + 1 AS BIGINT) AS k
+),
+{ctes}
+SELECT CAST(round AS BIGINT) AS round, CAST(k AS BIGINT) AS k,
+       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+FROM ({rows})
+"""
+
+
+@register(
+    "q225_kcore_trajectory",
+    oracle=_q225_oracle(),
+    doc="k-core peeling trajectory (4 rounds, adaptive k = 0.8·mean-"
+    "degree + 1) of the co-purchase part graph — per-round degree "
+    "groupBy + two semi-joins, per-round survivor node/edge counts; "
+    "oracle unrolls the same rounds as materialized CTEs",
+    tags=("relational", "graph", "iterative"),
+)
+def q225_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.graph import (
+        k_core_rounds,
+    )
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ia, ib = items.alias("ia"), items.alias("ib")
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .where(F.col("ia.l_partkey") < F.col("ib.l_partkey"))
+        .select(
+            F.col("ia.l_partkey").alias("a"),
+            F.col("ib.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    return k_core_rounds(edges, rounds=4)
