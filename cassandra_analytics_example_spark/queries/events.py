@@ -4090,3 +4090,186 @@ def q217_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ci_lo).cast("bigint").alias("ci_lo"),
         F.lit(ci_hi).cast("bigint").alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# q226 — seasonal hour-of-week forecast audit: train a per-(event_type,
+# hour-of-week) mean-value profile on everything before the final 7 days,
+# predict the final week with it, and report MAE in exact integer
+# micro-units per event type. Hour-of-week is epoch-hour mod 168 (no
+# engine-specific weekday conventions); the split point is max(ts) - 7d
+# (a 1-row broadcast scalar, so the query adapts to any fixture span);
+# test hours absent from the training profile are counted, not silently
+# scored. The profile is types x 168 rows — broadcast, never shuffled.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q226_seasonal_forecast_mae",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 168 AS how,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+         epoch_us(ts) AS us
+  FROM events
+),
+cut AS (SELECT max(us) - 604800000000 AS cutoff FROM e),
+train AS (SELECT event_type, how, v_micro FROM e, cut WHERE us < cutoff),
+prof AS (
+  SELECT event_type, how,
+         CAST(sum(v_micro) // count(*) AS BIGINT) AS pred_micro
+  FROM train GROUP BY event_type, how
+),
+trn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_train
+  FROM train GROUP BY event_type
+),
+test AS (SELECT event_type, how, v_micro FROM e, cut WHERE us >= cutoff),
+j AS (
+  SELECT t.event_type, t.v_micro, p.pred_micro
+  FROM test t LEFT JOIN prof p
+    ON p.event_type = t.event_type AND p.how = t.how
+),
+a AS (
+  SELECT event_type,
+         CAST(count(pred_micro) AS BIGINT) AS n_test_scored,
+         CAST(count(*) - count(pred_micro) AS BIGINT) AS n_test_unmatched,
+         CASE WHEN count(pred_micro) > 0 THEN
+           CAST(sum(CASE WHEN pred_micro IS NOT NULL
+                    THEN abs(v_micro - pred_micro) ELSE 0 END)
+                // count(pred_micro) AS BIGINT)
+         END AS mae_micro
+  FROM j GROUP BY event_type
+)
+SELECT a.event_type, trn.n_train, a.n_test_scored, a.n_test_unmatched,
+       a.mae_micro
+FROM a JOIN trn ON trn.event_type = a.event_type
+""",
+    doc="hour-of-week mean-value profile trained on all but the final 7 "
+    "days, scored on the final week: MAE in exact integer micro-units "
+    "per event type — epoch-hour mod 168 bucketing, broadcast profile, "
+    "unmatched test hours surfaced not silently scored",
+    tags=("events", "timeseries", "eval"),
+)
+def q226_seasonal_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("ts_us div 3600000000") % 168).alias("how"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+        "ts_us",
+    )
+    cut = ev.agg(
+        (F.max("ts_us") - F.lit(604800000000)).alias("cutoff")
+    )
+    train = ev.crossJoin(F.broadcast(cut)).where(
+        F.col("ts_us") < F.col("cutoff")
+    )
+    prof = train.groupBy("event_type", "how").agg(
+        F.expr("sum(v_micro) div count(*)")
+        .cast("bigint")
+        .alias("pred_micro")
+    )
+    trn = train.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_train")
+    )
+    test = ev.crossJoin(F.broadcast(cut)).where(
+        F.col("ts_us") >= F.col("cutoff")
+    )
+    j = test.join(F.broadcast(prof), ["event_type", "how"], "left")
+    a = j.groupBy("event_type").agg(
+        F.count("pred_micro").cast("bigint").alias("n_test_scored"),
+        (F.count("*") - F.count("pred_micro"))
+        .cast("bigint")
+        .alias("n_test_unmatched"),
+        F.expr(
+            "CASE WHEN count(pred_micro) > 0 THEN "
+            "CAST(sum(CASE WHEN pred_micro IS NOT NULL "
+            "THEN abs(v_micro - pred_micro) ELSE 0 END) "
+            "div count(pred_micro) AS BIGINT) END"
+        ).alias("mae_micro"),
+    )
+    return a.join(F.broadcast(trn), "event_type").select(
+        "event_type", "n_train", "n_test_scored", "n_test_unmatched",
+        "mae_micro",
+    )
+
+
+# --------------------------------------------------------------------------
+# q227 — noisy aggregate release with deterministic seeded noise: per-
+# event-type counts and value sums published with bounded integer noise
+# derived from md5('q227' || event_type) — the differential-privacy
+# release *shape* (noise magnitude column, per-release seed, exact true
+# values never in the output) with reproducible noise so both engines
+# and any re-run produce the identical release. Swapping the md5-derived
+# noise for true Laplace draws is a one-line change; everything else
+# (scale, budget accounting, column contract) is what a DP release
+# pipeline needs at 100 TB: one hash-partitioned aggregate, no extra
+# passes for the noise.
+# --------------------------------------------------------------------------
+
+_Q227_NOISE_HALF_WIDTH = 50  # +-50 events / +-50 micro-units of sum
+
+
+@register(
+    "q227_noisy_release",
+    oracle=f"""
+WITH a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_micro_true
+  FROM events GROUP BY event_type
+),
+n AS (
+  SELECT event_type, n_true, sum_micro_true,
+         CAST(('0x' || substr(md5('q227c' || event_type), 1, 15)) AS BIGINT)
+           % {2 * _Q227_NOISE_HALF_WIDTH + 1} - {_Q227_NOISE_HALF_WIDTH}
+           AS noise_n,
+         CAST(('0x' || substr(md5('q227s' || event_type), 1, 15)) AS BIGINT)
+           % {2 * _Q227_NOISE_HALF_WIDTH + 1} - {_Q227_NOISE_HALF_WIDTH}
+           AS noise_s
+  FROM a
+)
+SELECT event_type,
+       CAST(n_true + noise_n AS BIGINT) AS n_released,
+       CAST(sum_micro_true + noise_s AS BIGINT) AS sum_micro_released,
+       CAST({_Q227_NOISE_HALF_WIDTH} AS BIGINT) AS noise_half_width
+FROM n
+""",
+    doc="noisy per-type count/sum release with deterministic md5-seeded "
+    "bounded integer noise — the DP release column contract (noise "
+    "magnitude published, true values withheld) with reproducible "
+    "noise; single hash aggregate, noise computed post-aggregate",
+    tags=("events", "governance"),
+)
+def q227_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import md5_u60
+
+    w = _Q227_NOISE_HALF_WIDTH
+    a = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_micro_true"),
+        )
+    )
+    noise_n = (
+        md5_u60(F.concat(F.lit("q227c"), F.col("event_type"))) % (2 * w + 1)
+        - w
+    )
+    noise_s = (
+        md5_u60(F.concat(F.lit("q227s"), F.col("event_type"))) % (2 * w + 1)
+        - w
+    )
+    return a.select(
+        "event_type",
+        (F.col("n_true") + noise_n).cast("bigint").alias("n_released"),
+        (F.col("sum_micro_true") + noise_s)
+        .cast("bigint")
+        .alias("sum_micro_released"),
+        F.lit(w).cast("bigint").alias("noise_half_width"),
+    )
