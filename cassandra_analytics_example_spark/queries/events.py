@@ -4273,3 +4273,88 @@ def q227_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_micro_released"),
         F.lit(w).cast("bigint").alias("noise_half_width"),
     )
+
+
+# --------------------------------------------------------------------------
+# q228 — threshold up-crossing alerts (batch twin of s26): per
+# (user, event_type) ordered by (ts, event_id), an alert fires when the
+# value crosses from below to at-or-above the type's threshold between
+# consecutive events. The lag window partitions on the (user, type) key
+# — bounded per-key cells, never a global ordering; the per-type
+# threshold is a literal CASE. Output: alerts and alerted-user counts
+# per type.
+# --------------------------------------------------------------------------
+
+THRESHOLDS_Q228 = {
+    "error": 100.0,
+    "signup": 150.0,
+    "view": 200.0,
+    "click": 250.0,
+    "purchase": 300.0,
+}
+
+
+@register(
+    "q228_threshold_crossings",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CASE WHEN value >= (CASE event_type
+              WHEN 'error' THEN 100.0 WHEN 'signup' THEN 150.0
+              WHEN 'view' THEN 200.0 WHEN 'click' THEN 250.0
+              ELSE 300.0 END) THEN 1 ELSE 0 END AS side
+  FROM events
+),
+l AS (
+  SELECT user_id, event_type, side,
+         lag(side) OVER (PARTITION BY user_id, event_type
+                         ORDER BY us, event_id) AS prev_side
+  FROM s
+),
+a AS (
+  SELECT user_id, event_type,
+         CAST(count(*) FILTER (WHERE prev_side = 0 AND side = 1)
+              AS BIGINT) AS n_up
+  FROM l GROUP BY user_id, event_type
+)
+SELECT event_type, CAST(sum(n_up) AS BIGINT) AS n_alerts,
+       CAST(count(*) FILTER (WHERE n_up > 0) AS BIGINT) AS n_users_alerted
+FROM a GROUP BY event_type
+""",
+    doc="per-(user, type) threshold up-crossing alerts between "
+    "consecutive events — bounded per-key lag windows, literal per-type "
+    "thresholds; batch twin of streaming s26",
+    tags=("events", "window", "monitoring"),
+)
+def q228_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    thr = F.when(F.col("event_type") == "error", 100.0)
+    for t, v in (("signup", 150.0), ("view", 200.0), ("click", 250.0)):
+        thr = thr.when(F.col("event_type") == t, v)
+    thr = thr.otherwise(300.0)
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.when(F.col("value") >= thr, 1).otherwise(0).alias("side"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    lagged = s.withColumn("prev_side", F.lag("side").over(w))
+    a = lagged.groupBy("user_id", "event_type").agg(
+        F.sum(
+            F.when(
+                (F.col("prev_side") == 0) & (F.col("side") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_up")
+    )
+    return a.groupBy("event_type").agg(
+        F.sum("n_up").cast("bigint").alias("n_alerts"),
+        F.sum(F.when(F.col("n_up") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_alerted"),
+    )

@@ -452,3 +452,20 @@ def s25_stream_weighted_sample(
     )
 
     return run_stream_weighted_sample(spark, sf_dir)
+
+
+@register(
+    "s26_stream_threshold_alerts",
+    oracle=None,
+    doc="Structured Streaming: stateful per-(user, type) threshold "
+    "up-crossing alerts via applyInPandasWithState — one integer of "
+    "state per key (the last-seen side), per-batch sorted boundary "
+    "handling (batch twin: q228)",
+    tags=("streaming", "stateful", "monitoring"),
+)
+def s26_stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_threshold_alerts,
+    )
+
+    return run_stream_threshold_alerts(spark, sf_dir)

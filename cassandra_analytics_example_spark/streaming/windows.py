@@ -1548,3 +1548,88 @@ def run_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "w", F.row_number().over(w).cast("int").alias("rnk")
     )
+
+
+def threshold_alerts(events: DataFrame) -> DataFrame:
+    """Stateful threshold up-crossing detection (streaming twin of q228):
+    per (user_id, event_type) key, an alert fires when the value crosses
+    from below to at-or-above the type's threshold between consecutive
+    events in (ts, event_id) order.
+
+    State per key is ONE integer — the side (below/above) of the key's
+    last-seen event — so state size is O(live keys), independent of
+    stream length. Each microbatch sorts its own rows for the key (batch-
+    local, bounded) and counts in-batch crossings plus the boundary
+    crossing against the carried side.
+
+    Cross-batch correctness assumes per-key ord-monotonic arrival — the
+    contract a Kafka topic keyed by user gives (per-partition order);
+    the file-source harness satisfies it trivially. This is the same
+    assumption every last-write-wins streaming consumer makes, stated
+    here instead of hidden."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thresholds = {
+        "error": 100.0,
+        "signup": 150.0,
+        "view": 200.0,
+        "click": 250.0,
+        "purchase": 300.0,
+    }
+
+    def _alerts(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [p for p in pdfs if len(p) > 0]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values(["ts_us", "event_id"])
+            .reset_index(drop=True)
+        )
+        thr = thresholds.get(key[1], 300.0)
+        side = (pdf["value"] >= thr).astype("int64")
+        n_up = int(((side.shift(1) == 0) & (side == 1)).sum())
+        if state.exists:
+            (last_side,) = state.get
+            if last_side == 0 and int(side.iloc[0]) == 1:
+                n_up += 1
+        state.update((int(side.iloc[-1]),))
+        if n_up > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "n_up": [n_up],
+                }
+            )
+
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        _alerts,
+        outputStructType="user_id bigint, event_type string, n_up bigint",
+        stateStructType="last_side bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the threshold-alert operator over the bounded fixture stream
+    and summarize: per event type, total alerts and distinct alerted
+    users (keys emit at most one row per microbatch, so the distinct is
+    over a per-batch-emissions table, not raw events)."""
+    out = threshold_alerts(stream_events(spark, sf_dir))
+    per_batch = _run_to_memory(out, spark, "append")
+    return per_batch.groupBy("event_type").agg(
+        F.sum("n_up").cast("bigint").alias("n_alerts"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_alerted"),
+    )

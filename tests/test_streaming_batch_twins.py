@@ -593,3 +593,16 @@ def test_s25_weighted_sample_matches_q185(spark):
     )
     want = q185_weighted_sample(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s26_threshold_alerts_match_q228(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q228_threshold_crossings,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_threshold_alerts,
+    )
+
+    got = run_stream_threshold_alerts(spark, SF01)
+    want = q228_threshold_crossings(spark, SF01)
+    _assert_same(got, want)
