@@ -320,3 +320,76 @@ def k_core_rounds(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def bfs_hop_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    node: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS level sets over an undirected edge list: the
+    number of nodes at hop distance 0..max_hops from the seed set, plus
+    one ``dist = -1`` row for nodes unreached within the bound.
+
+    Frontier expansion is the Pregel step: per hop, one edge equi-join
+    against the (persisted) frontier in each direction, a distinct, and
+    a left-anti join against the reached set — no per-node state beyond
+    membership, no driver materialization.  Hop-bounded because an
+    unbounded BFS on a 100 TB graph is a different algorithm (iterate-
+    to-fixpoint with lineage checkpointing, as pagerank_integer does);
+    bounded level sets are what seed-expansion audits actually use.
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    all_nodes = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reached = (
+        seeds.select(F.col(node).alias("node"))
+        .join(all_nodes, "node", "left_semi")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = reached
+    levels = [
+        reached.agg(F.count("*").cast("bigint").alias("n_nodes")).select(
+            F.lit(0).cast("bigint").alias("dist"), "n_nodes"
+        )
+    ]
+    for h in range(1, max_hops + 1):
+        nbr = (
+            e.join(frontier, e.a == frontier.node, "left_semi")
+            .select(F.col("b").alias("node"))
+            .unionByName(
+                e.join(frontier, e.b == frontier.node, "left_semi").select(
+                    F.col("a").alias("node")
+                )
+            )
+            .distinct()
+        )
+        frontier = nbr.join(reached, "node", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        reached = reached.unionByName(frontier).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        levels.append(
+            frontier.agg(
+                F.count("*").cast("bigint").alias("n_nodes")
+            ).select(F.lit(h).cast("bigint").alias("dist"), "n_nodes")
+        )
+    unreached = (
+        all_nodes.join(reached, "node", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(F.lit(-1).cast("bigint").alias("dist"), "n_nodes")
+    )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.unionByName(unreached)

@@ -4358,3 +4358,94 @@ def q228_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_users_alerted"),
     )
+
+
+# --------------------------------------------------------------------------
+# q230 — exponentially-weighted moving value (alpha = 1/2, 16 terms) at
+# each (user, type) key's latest event, summed per type. With alpha a
+# power of two every weight 2^-(j+1) is a dyadic rational, so each term
+# v_micro * 2^-(j+1) is EXACT in a double (v_micro < 2^29, 16 extra
+# mantissa bits needed, 29 + 17 < 53) and the 16-term sum is exact and
+# order-independent — the trick that makes an EWMA hash-comparable
+# across engines. The recursion unrolls to 16 lag() terms over the
+# bounded per-key window; missing history contributes 0 (documented:
+# the EWMA of a short history is the truncated series, not a
+# renormalized one).
+# --------------------------------------------------------------------------
+
+_Q230_TERMS = 16
+
+
+def _q230_series() -> str:
+    """The unrolled dyadic lag series — one text, both engines."""
+    return " + ".join(
+        f"coalesce(CAST(lag(v_micro, {j}) OVER w AS DOUBLE), 0.0)"
+        f" / {float(2 ** (j + 1))!r}"
+        for j in range(_Q230_TERMS)
+    )
+
+
+@register(
+    "q230_ewma_latest",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type,
+         {_q230_series()} AS ewma,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY us DESC, event_id DESC) AS rn_desc
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       -- ewma * 2^16 is an exact integer (dyadic lsb 2^-16); summing
+       -- AS BIGINT keeps the aggregate associative at any parallelism,
+       -- then one flooring shift recovers floor(sum(ewma))
+       CAST(sum(CAST(ewma * 65536.0 AS BIGINT)) // 65536 AS BIGINT)
+         AS total_ewma_micro
+FROM s WHERE rn_desc = 1
+GROUP BY event_type
+""",
+    doc="EWMA (alpha=1/2, 16 dyadic terms — bit-exact in doubles) at "
+    "each (user, type) key's latest event, summed per type — unrolled "
+    "lag series over bounded per-key windows, no recursion, no state",
+    tags=("events", "timeseries", "window"),
+)
+def q230_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    ewma = None
+    for j in range(_Q230_TERMS):
+        term = F.coalesce(
+            F.lag("v_micro", j).over(w).cast("double"), F.lit(0.0)
+        ) / F.lit(float(2 ** (j + 1)))
+        ewma = term if ewma is None else ewma + term
+    w_desc = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    s = ev.select(
+        "event_type",
+        ewma.alias("ewma"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    return (
+        s.where(F.col("rn_desc") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.expr("sum(CAST(ewma * 65536.0 AS BIGINT)) div 65536")
+            .cast("bigint")
+            .alias("total_ewma_micro"),
+        )
+    )

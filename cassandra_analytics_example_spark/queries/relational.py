@@ -3782,3 +3782,98 @@ def q225_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_core_rounds(edges, rounds=4)
+
+
+# --------------------------------------------------------------------------
+# q229 — multi-source BFS level sets over the co-purchase graph
+# (operators/graph.py bfs_hop_counts): hop-distance histogram (0..3 and
+# unreached) from a deterministic seed set (part keys ≡ 0 mod 97). Each
+# hop is one persisted-frontier edge join per direction + distinct +
+# anti-join — the Pregel expansion step, hop-bounded by design. The
+# oracle unrolls the same three expansions as materialized CTEs.
+# --------------------------------------------------------------------------
+
+
+def _q229_oracle(max_hops: int = 3) -> str:
+    parts = []
+    for h in range(1, max_hops + 1):
+        fr = f"r0" if h == 1 else f"n{h-1}"
+        reach = "r0" if h == 1 else f"t{h-1}"
+        parts.append(
+            f"""n{h} AS MATERIALIZED (
+  SELECT DISTINCT nbr AS node FROM (
+    SELECT b AS nbr FROM e0 WHERE a IN (SELECT node FROM {fr})
+    UNION ALL
+    SELECT a AS nbr FROM e0 WHERE b IN (SELECT node FROM {fr})
+  ) WHERE nbr NOT IN (SELECT node FROM {reach})
+),
+t{h} AS MATERIALIZED (
+  SELECT node FROM {reach} UNION SELECT node FROM n{h}
+)"""
+        )
+    rows = ["SELECT 0 AS dist, (SELECT count(*) FROM r0) AS n_nodes"]
+    rows += [
+        f"SELECT {h} AS dist, (SELECT count(*) FROM n{h}) AS n_nodes"
+        for h in range(1, max_hops + 1)
+    ]
+    rows.append(
+        f"SELECT -1 AS dist, (SELECT count(*) FROM nodes "
+        f"WHERE node NOT IN (SELECT node FROM t{max_hops})) AS n_nodes"
+    )
+    ctes = ",\n".join(parts)
+    unioned = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM
+    (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+),
+r0 AS MATERIALIZED (SELECT node FROM nodes WHERE node % 97 = 0),
+{ctes}
+SELECT CAST(dist AS BIGINT) AS dist, CAST(n_nodes AS BIGINT) AS n_nodes
+FROM ({unioned})
+"""
+
+
+@register(
+    "q229_bfs_hop_histogram",
+    oracle=_q229_oracle(),
+    doc="multi-source BFS hop-distance histogram (seeds: part keys "
+    "divisible by 97; hops 0-3 plus unreached) over the co-purchase "
+    "graph — persisted-frontier Pregel expansion, one edge join per "
+    "direction per hop; oracle unrolls the same level sets",
+    tags=("relational", "graph", "iterative"),
+)
+def q229_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.graph import (
+        bfs_hop_counts,
+    )
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ia, ib = items.alias("ia"), items.alias("ib")
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .where(F.col("ia.l_partkey") < F.col("ib.l_partkey"))
+        .select(
+            F.col("ia.l_partkey").alias("a"),
+            F.col("ib.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    seeds = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("node"))
+        .where(F.col("node") % 97 == 0)
+    )
+    return bfs_hop_counts(edges, seeds, max_hops=3)
