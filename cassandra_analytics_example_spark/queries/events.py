@@ -4449,3 +4449,107 @@ def q230_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_ewma_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q231 — exact peak concurrency by distributed sweep-line: sessionize
+# (30-min gap), emit +1/-1 boundary points per session interval
+# (half-open [start, end+1µs) so simultaneous exit/enter never double-
+# counts), and take the running sum over the boundary total order with
+# the range-partitioned exclusive-prefix operator (operators/ranking.py)
+# — never a single-task global window. Output: the peak, its first
+# timestamp, and the session count. The capacity-planning primitive
+# (max concurrent sessions/connections/streams) done exactly at scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q231_peak_concurrency",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+x AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+),
+iv AS (
+  SELECT user_id, sess_id, min(us) AS start_us, max(us) + 1 AS end_us
+  FROM s GROUP BY user_id, sess_id
+),
+p AS (
+  SELECT start_us AS ts, 1 AS delta, user_id, sess_id FROM iv
+  UNION ALL
+  SELECT end_us AS ts, -1 AS delta, user_id, sess_id FROM iv
+),
+c AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta, user_id, sess_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM p
+),
+m AS (SELECT max(conc) AS peak FROM c)
+SELECT CAST(m.peak AS BIGINT) AS peak_concurrency,
+       CAST((SELECT min(ts) FROM c, m WHERE c.conc = m.peak) AS BIGINT)
+         AS peak_at_us,
+       CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions
+FROM m
+""",
+    doc="exact peak concurrent sessions via sweep-line: 30-min-gap "
+    "sessions, half-open +1/-1 boundary points, range-partitioned "
+    "exclusive prefix sum (no global single-task window), peak + first "
+    "peak timestamp + session count",
+    tags=("events", "sessions", "ranking"),
+)
+def q231_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "ts_us", "event_id"
+    )
+    sess = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"),
+        (F.max("ts_us") + 1).alias("end_us"),
+    )
+    pts = iv.select(
+        F.col("start_us").alias("ts"),
+        F.lit(1).cast("bigint").alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        iv.select(
+            F.col("end_us").alias("ts"),
+            F.lit(-1).cast("bigint").alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    pre = exclusive_prefix_sums(
+        pts, ["ts", "delta", "user_id", "session_id"], ["delta"]
+    )
+    conc = pre.select(
+        "ts", (F.col("delta_before") + F.col("delta")).alias("conc")
+    )
+    peak = conc.agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    peak_at = (
+        conc.join(F.broadcast(peak), conc.conc == peak.peak_concurrency)
+        .agg(F.min("ts").cast("bigint").alias("peak_at_us"))
+    )
+    n_sess = iv.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    return (
+        peak.crossJoin(F.broadcast(peak_at))
+        .crossJoin(F.broadcast(n_sess))
+        .select("peak_concurrency", "peak_at_us", "n_sessions")
+    )

@@ -6102,3 +6102,74 @@ def q224_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q232 — corpus rank normalization: each document's quality proxy
+# (n_chars) mapped to its exact corpus-wide rank permille (ties share
+# the permille of their group's lower boundary), then the per-source
+# decile histogram — the "is this source's quality distribution shifted
+# vs the corpus" drift view, and the feature transform that makes raw
+# scores comparable across corpus versions. The rank layer is per-score
+# groups + the range-partitioned exclusive prefix (operators/ranking.py)
+# over DISTINCT scores — never a corpus-sized global window; docs get
+# their permille back via an equi-join on score.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q232_rank_normalized_quality",
+    oracle="""
+WITH g AS (
+  SELECT n_chars AS score, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY n_chars
+),
+c AS (
+  SELECT score, n,
+         coalesce(sum(n) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_below,
+         (SELECT sum(n) FROM g) AS n_total
+  FROM g
+),
+r AS (
+  SELECT score, CAST(n_below * 1000 // n_total AS BIGINT) AS permille
+  FROM c
+)
+SELECT d.source,
+       CAST(r.permille // 100 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN r ON r.score = d.n_chars
+GROUP BY d.source, CAST(r.permille // 100 AS BIGINT)
+""",
+    doc="corpus-wide rank-permille normalization of the n_chars quality "
+    "proxy (ties share their group boundary permille) rolled into a "
+    "per-source decile histogram — per-score groups + range-partitioned "
+    "exclusive prefix, permille joined back on the score key",
+    tags=("llm", "quality", "ranking"),
+)
+def q232_rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+    g = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    pre = exclusive_prefix_sums(g, ["score"], ["n"])
+    tot = g.agg(F.sum("n").alias("n_total"))
+    r = pre.crossJoin(F.broadcast(tot)).select(
+        "score",
+        F.expr("n_before * 1000 div n_total").cast("bigint").alias(
+            "permille"
+        ),
+    )
+    return (
+        docs.join(r, docs.n_chars == r.score)
+        .groupBy(
+            "source",
+            F.expr("permille div 100").cast("bigint").alias("decile"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

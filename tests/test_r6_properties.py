@@ -254,3 +254,73 @@ def test_roc_auc_matches_pair_counting(spark):
     assert got.n_pos[0] == len(pos) and got.n_neg[0] == len(neg)
     assert got.u2[0] == u2
     assert got.auc_ppm[0] == u2 * 500000 // (len(pos) * len(neg))
+
+
+def _random_edges(rng, n_nodes, n_edges):
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    return sorted(set(zip(lo.tolist(), hi.tolist())))
+
+
+def test_bfs_hop_counts_match_python_bfs(spark):
+    from cassandra_analytics_example_spark.operators.graph import (
+        bfs_hop_counts,
+    )
+
+    rng = np.random.default_rng(20260817)
+    edges = _random_edges(rng, 400, 900)
+    adj: dict[int, set] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    seeds = [n for n in adj if n % 7 == 0]
+    dist = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for h in (1, 2, 3):
+        frontier = {
+            m for n in frontier for m in adj[n] if m not in dist
+        }
+        for m in frontier:
+            dist[m] = h
+    want = {
+        h: sum(1 for d in dist.values() if d == h) for h in (0, 1, 2, 3)
+    }
+    want[-1] = len(adj) - len(dist)
+
+    e = spark.createDataFrame(edges, "a bigint, b bigint")
+    s = spark.createDataFrame([(n,) for n in range(0, 400, 7)], "node bigint")
+    got = {
+        int(r["dist"]): int(r["n_nodes"])
+        for r in bfs_hop_counts(e, s, max_hops=3).collect()
+    }
+    assert got == want
+
+
+def test_k_core_rounds_match_python_peel(spark):
+    from cassandra_analytics_example_spark.operators.graph import (
+        k_core_rounds,
+    )
+
+    rng = np.random.default_rng(20260818)
+    edges = _random_edges(rng, 150, 1400)
+    nodes = {n for e in edges for n in e}
+    k = (len(edges) * 8) // (len(nodes) * 5) + 1
+    cur = list(edges)
+    want = []
+    for r in range(1, 5):
+        deg: dict[int, int] = {}
+        for x, y in cur:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        surv = {n for n, d in deg.items() if d >= k}
+        cur = [(x, y) for x, y in cur if x in surv and y in surv]
+        want.append((r, k, len(surv), len(cur)))
+
+    e = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = [
+        (int(r["round"]), int(r["k"]), int(r["n_nodes"]), int(r["n_edges"]))
+        for r in k_core_rounds(e).orderBy("round").collect()
+    ]
+    assert got == want
