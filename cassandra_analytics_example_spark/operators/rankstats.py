@@ -1,0 +1,304 @@
+"""Exact distributed rank statistics — Spearman correlation, Gini
+concentration, two-sample Kolmogorov–Smirnov, Kaplan–Meier survival.
+
+All four reduce to the same scale-safe skeleton:
+
+1. collapse the corpus to its DISTINCT value groups (one groupBy —
+   map-side combinable, output bounded by the value domain, never the
+   row count);
+2. lay the groups on the global value order with the range-partitioned
+   exclusive-prefix operator (``operators/ranking.py`` — range shuffle +
+   bounded local window + broadcast cell offsets, never a single-task
+   global window);
+3. finish with exact integer algebra (DECIMAL(38,0) moments where
+   products can outgrow bigint), so every output hash-matches a SQL
+   oracle bit-for-bit.
+
+Float appears in exactly two sanctioned forms (the q214 precedent):
+a single deterministic closed-form expression over exact moments
+(Spearman's rho), or per-cell ``floor``-quantized ``ln`` contributions
+summed as integers (Kaplan–Meier's log-survival) — never a float
+accumulation whose partition order could differ between engines.
+
+Reference scope note: the reference engine
+(smiklosovic/cassandra-analytics-example, ``App.scala`` /
+``SparkUtils.scala``) ships no statistics at all — this module belongs
+to the SURVEY §2.8 analytics surface the Spark engine adds on top of
+the reference's ETL job shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.ranking import (
+    exclusive_prefix_sums,
+)
+
+_DEC = "decimal(38,0)"
+
+
+def doubled_average_ranks(
+    df: DataFrame, value_col: str, num_partitions: int = 64
+) -> DataFrame:
+    """Per distinct value of ``value_col``: the DOUBLED average rank of
+    that value's rows under ascending order (``2r`` is always an exact
+    integer even for fractional tie-averaged ranks) plus the tie count.
+
+    With ``n(v)`` rows at value ``v`` and ``b(v)`` rows strictly below,
+    average-rank semantics give ``r(v) = b(v) + (n(v)+1)/2``, so
+    ``2·r(v) = 2·b(v) + n(v) + 1`` — integer arithmetic end to end.
+    Returns ``(value_col, __n, __r2)``; the group table is bounded by
+    the distinct-value count and the prefix layer is the range-cell +
+    broadcast-offset pattern, so no task ever holds a full ordering.
+    """
+    g = df.groupBy(F.col(value_col)).agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    pre = exclusive_prefix_sums(
+        g, [value_col], ["__n"], num_partitions=num_partitions
+    )
+    return pre.select(
+        value_col,
+        "__n",
+        (F.lit(2) * F.col("__n_before") + F.col("__n") + F.lit(1))
+        .cast("bigint")
+        .alias("__r2"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation of two integral
+    columns: one row ``(n, rho)``.
+
+    Ranks are tie-averaged and carried DOUBLED (exact integers); rho is
+    Pearson's r over the doubled ranks — scaling both variables by 2
+    leaves r unchanged — computed from five exact DECIMAL(38,0) moments
+    with a single closed-form float expression (the q214 discipline:
+    exact order-invariant sums, one deterministic division at the end).
+
+    Three bounded passes: two distinct-value rank tables (each a groupBy
+    + prefix layer over the value domain), one broadcast-join of the
+    rank tables back onto the rows, one moment aggregation.
+    """
+    rx = doubled_average_ranks(df, x_col, num_partitions).withColumnRenamed(
+        "__r2", "__rx"
+    ).drop("__n")
+    ry = doubled_average_ranks(df, y_col, num_partitions).withColumnRenamed(
+        "__r2", "__ry"
+    ).drop("__n")
+    ranked = (
+        df.select(x_col, y_col)
+        .join(rx, x_col)
+        .join(ry, y_col)
+        .select(F.col("__rx").alias("x"), F.col("__ry").alias("y"))
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / (
+                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
+                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+            )
+        ).alias("rho"),
+    )
+
+
+def gini_exact(
+    df: DataFrame, value_col: str, num_partitions: int = 64
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative integral column, in
+    parts-per-million: one row ``(n, total, gini_ppm)``.
+
+    With the values sorted ascending and 1-based ranks ``i``,
+    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)``; ties make the rank
+    assignment within a value group arbitrary, but equal values make
+    ``Σ i·x_i`` invariant to that choice, so the statistic is exact.
+    Per distinct value ``v`` with count ``n(v)`` and ``b(v)`` rows
+    strictly below, the group's rank sum is
+    ``Σ_i i = n(v)·b(v) + n(v)·(n(v)+1)/2``, so
+
+        Σ i·x_i = Σ_v v · (n(v)·b(v) + n(v)·(n(v)+1)/2)
+
+    — a distinct-value groupBy plus one prefix layer, never a global
+    sort of the rows.  All products run in DECIMAL(38,0); the output is
+    the exact floor of ``10⁶·G``.
+    """
+    g = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    pre = exclusive_prefix_sums(
+        g, ["__v"], ["__n"], num_partitions=num_partitions
+    )
+    m = pre.agg(
+        F.sum("__n").cast(_DEC).alias("n"),
+        F.sum(F.col("__v").cast(_DEC) * F.col("__n")).alias("sx"),
+        F.sum(
+            F.col("__v").cast(_DEC)
+            * (
+                F.col("__n").cast(_DEC) * F.col("__n_before")
+                + (
+                    F.col("__n").cast(_DEC)
+                    * (F.col("__n") + F.lit(1))
+                    / F.lit(2)
+                ).cast(_DEC)
+            )
+        ).alias("srx"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("total"),
+        F.expr(
+            "cast((2 * srx - (n + 1) * sx) * 1000000 div (n * sx) as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the two
+    groups of a binary ``group_col`` (0/1 integral): one row
+    ``(n_a, n_b, d_ppm, d_at)`` where ``d_ppm = ⌊10⁶·D⌋`` and ``d_at``
+    is the smallest value attaining the supremum.
+
+    The ECDF difference only changes at distinct observed values, so
+    ``D = max_v |A(v)·n_b − B(v)·n_a| / (n_a·n_b)`` with ``A(v)``/
+    ``B(v)`` the cumulative counts through ``v`` — a per-value groupBy,
+    one prefix layer over the merged value order, and exact integer
+    cross-multiplication (no per-sample division, no float ECDFs).
+    """
+    g = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == 0, F.lit(0)).otherwise(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("__nb"),
+    )
+    pre = exclusive_prefix_sums(
+        g, ["__v"], ["__na", "__nb"], num_partitions=num_partitions
+    )
+    tot = pre.agg(
+        F.sum("__na").cast("bigint").alias("n_a"),
+        F.sum("__nb").cast("bigint").alias("n_b"),
+    )
+    cum = pre.select(
+        "__v",
+        (F.col("__na_before") + F.col("__na")).alias("__ca"),
+        (F.col("__nb_before") + F.col("__nb")).alias("__cb"),
+    ).crossJoin(F.broadcast(tot))
+    gap = cum.select(
+        "__v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("__ca").cast(_DEC) * F.col("n_b")
+            - F.col("__cb").cast(_DEC) * F.col("n_a")
+        ).alias("__gap"),
+    )
+    best = gap.agg(F.max("__gap").alias("__best"))
+    return (
+        gap.join(F.broadcast(best), gap["__gap"] == best["__best"])
+        .groupBy("n_a", "n_b", "__best")
+        .agg(F.min("__v").cast("bigint").alias("d_at"))
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(__best * 1000000 div "
+                "(cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("d_ppm"),
+            "d_at",
+        )
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact Kaplan–Meier survival table over integral durations with a
+    0/1 ``event_col`` (1 = event observed, 0 = right-censored at that
+    duration): one row per distinct duration with at least one observed
+    event — ``(t, n_risk, n_events, n_censored, log_s_nano)``.
+
+    ``n_risk(t)`` is subjects with duration ≥ t, computed as
+    ``N − (rows strictly below t)`` from one prefix layer.  The product
+    estimator ``S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)`` is carried in log space
+    with each step's ``ln(1 − dᵢ/nᵢ)`` floor-quantized to integer
+    nano-nats BEFORE the cumulative sum (the repo's sanctioned
+    quantize-then-integer-sum pattern), so the running sum is exact
+    integer arithmetic and engine-portable; the cumulative layer is a
+    second bounded prefix pass over the distinct-duration table.
+    """
+    g = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(F.col(event_col).cast("bigint")).alias("n_events"),
+    ).withColumn("n_censored", F.col("__n") - F.col("n_events"))
+    pre = exclusive_prefix_sums(
+        g, ["t"], ["__n"], num_partitions=num_partitions
+    )
+    tot = pre.agg(F.sum("__n").cast("bigint").alias("__grand"))
+    risk = pre.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_events",
+        "n_censored",
+        (F.col("__grand") - F.col("__n_before"))
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    # Per-step quantized log factor; durations where nobody dies
+    # contribute 0 and are dropped from the output (standard KM table).
+    step = risk.withColumn(
+        "__step",
+        F.when(
+            F.col("n_events") > 0,
+            F.floor(
+                F.lit(1_000_000_000.0)
+                * F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    cum = exclusive_prefix_sums(
+        step, ["t"], ["__step"], num_partitions=num_partitions
+    )
+    return (
+        cum.filter(F.col("n_events") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t"),
+            "n_risk",
+            "n_events",
+            "n_censored",
+            (F.col("__step_before") + F.col("__step"))
+            .cast("bigint")
+            .alias("log_s_nano"),
+        )
+    )

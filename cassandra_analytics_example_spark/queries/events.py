@@ -4553,3 +4553,363 @@ def q231_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_sess))
         .select("peak_concurrency", "peak_at_us", "n_sessions")
     )
+
+
+# --------------------------------------------------------------------------
+# q234 — exact Gini coefficient of per-user purchase spend: the
+# inequality statistic behind "how concentrated is revenue", computed
+# WITHOUT a global sort of the rows — the per-user spend table collapses
+# to distinct-value groups, one range-partitioned prefix layer lays them
+# on the value order, and the classic rank formula runs in exact
+# DECIMAL(38,0) algebra (operators/rankstats.py:gini_exact). Ties make
+# the within-group rank choice irrelevant, so the ppm output is exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q234_gini_user_spend",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+g AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY cents),
+p AS (
+  SELECT v, n,
+         coalesce(sum(n) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS b
+  FROM g
+),
+m AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT) * n) AS HUGEINT) AS sx,
+         CAST(sum(CAST(v AS HUGEINT)
+                  * (n * b + (n * (n + 1)) // 2)) AS HUGEINT) AS srx
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS total,
+       CAST((2 * srx - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini_ppm
+FROM m
+""",
+    doc="exact Gini coefficient of per-user purchase spend in ppm: "
+    "distinct-value groups + range-partitioned prefix layer + the rank "
+    "formula in exact DECIMAL(38,0) — no global row sort, no float "
+    "accumulation",
+    tags=("events", "aggregate", "ranking"),
+)
+def q234_gini_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        gini_exact,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return gini_exact(spend, "cents")
+
+
+# --------------------------------------------------------------------------
+# q235 — two-sample Kolmogorov–Smirnov distance between the purchase and
+# click value distributions, exact in integer cross-multiplication: the
+# ECDF gap only moves at observed values, so distinct-cents groups + one
+# prefix layer give every cumulative pair, and |A·n_b − B·n_a| avoids
+# per-sample division entirely (operators/rankstats.py:ks_two_sample).
+# The drift gate for "did this slice's distribution move" at any scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q235_ks_purchase_click",
+    oracle="""
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS b
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT v,
+         CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(b) AS BIGINT) AS nb
+  FROM e GROUP BY v
+),
+c AS (
+  SELECT v,
+         sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM g
+),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+      FROM g),
+gap AS (
+  SELECT v, abs(CAST(ca AS HUGEINT) * t.n_b - CAST(cb AS HUGEINT) * t.n_a)
+           AS gp
+  FROM c, t
+),
+m AS (SELECT max(gp) AS mg FROM gap)
+SELECT t.n_a, t.n_b,
+       CAST(m.mg * 1000000 // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT)
+         AS d_ppm,
+       CAST((SELECT min(v) FROM gap, m WHERE gap.gp = m.mg) AS BIGINT)
+         AS d_at
+FROM t, m
+""",
+    doc="exact two-sample Kolmogorov-Smirnov distance (ppm) between "
+    "purchase and click value distributions: distinct-value ECDF steps, "
+    "range-partitioned prefix layer, integer cross-multiplied gap — "
+    "plus the smallest value attaining the supremum",
+    tags=("events", "aggregate", "ranking", "audit"),
+)
+def q235_ks_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        ks_two_sample,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sample = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("b"),
+    )
+    return ks_two_sample(sample, "v", "b")
+
+
+# --------------------------------------------------------------------------
+# q236 — Kaplan–Meier survival of user lifetimes: per user, lifetime =
+# days between first and last event; the lifetime is an observed
+# "churn" event only when the user has been silent for ≥ 12 hours before
+# the corpus end (the fixture corpus spans ~30 days with near-daily
+# activity, so half-day silence is the churn signal at this cadence), else right-censored. The product estimator runs in
+# log space with each step's ln(1 − d/n) floor-quantized to integer
+# nano-nats BEFORE the cumulative sum (the repo's quantize-then-
+# integer-sum discipline), both the at-risk and the cumulative layers
+# being range-partitioned prefix passes over the bounded distinct-
+# duration table (operators/rankstats.py:kaplan_meier).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q236_kaplan_meier_lifetimes",
+    oracle="""
+WITH u AS (
+  SELECT user_id, epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT max(l) AS m FROM u),
+d AS (
+  SELECT (l - f) // 86400000000 AS t,
+         CASE WHEN l <= mx.m - 43200000000 THEN 1 ELSE 0 END AS ev
+  FROM u, mx
+),
+g AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ev) AS BIGINT) AS n_events
+  FROM d GROUP BY t
+),
+p AS (
+  SELECT t, n, n_events, n - n_events AS n_censored,
+         (SELECT sum(n) FROM g)
+           - coalesce(sum(n) OVER (ORDER BY t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+  FROM g
+),
+s AS (
+  SELECT t, n_risk, n_events, n_censored,
+         CASE WHEN n_events > 0 AND n_events < n_risk
+              THEN CAST(floor(1000000000.0
+                              * ln(CAST(n_risk - n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE))) AS BIGINT)
+              ELSE 0 END AS step,
+         CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM p
+)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+       CAST(CASE WHEN max(dead) OVER (ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) = 1
+                 THEN NULL
+                 ELSE sum(step) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            END AS BIGINT) AS log_s_nano
+FROM s
+WHERE n_events > 0
+ORDER BY t
+""",
+    doc="Kaplan-Meier survival table of user lifetimes (days first->last "
+    "event, churn observed iff silent >= 12 hours before corpus end): "
+    "at-risk counts and cumulative log-survival both via range-"
+    "partitioned prefix passes, per-step ln quantized to integer "
+    "nano-nats before summation; NULL survival after S hits 0",
+    tags=("events", "aggregate", "ranking", "audit"),
+)
+def q236_kaplan_meier_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        kaplan_meier,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("f"), F.max("ts_us").alias("l")
+    )
+    mx = u.agg(F.max("l").alias("m"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(l - f) div 86400000000").cast("bigint").alias("t"),
+        F.when(F.col("l") <= F.col("m") - F.lit(43_200_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    km = kaplan_meier(d, "t", "ev")
+    # After survival reaches 0 (n_events == n_risk at some step), log-S is
+    # undefined: NULL from that step on, matching the oracle's CASE.
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        km.withColumn(
+            "__dead",
+            F.max(
+                F.when(F.col("n_events") >= F.col("n_risk"), F.lit(1))
+                .otherwise(F.lit(0))
+            ).over(w),
+        )
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.when(F.col("__dead") == 1, F.lit(None).cast("bigint"))
+            .otherwise(F.col("log_s_nano"))
+            .alias("log_s_nano"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q237 — mean NDCG@10 of each user's event feed against value-graded
+# relevance, in pure integer arithmetic: position discounts 1/log₂(i+1)
+# for the fixed i = 1..10 are pre-quantized micro-unit constants (a
+# 10-row broadcast literal table — no runtime libm anywhere), relevance
+# grades purchases 3 / clicks 1 / rest 0, per-user DCG and ideal-DCG
+# are integer dot products under per-user windows (small bounded
+# groups), and the corpus mean is an exact integer floor division.
+# Ranking-quality eval ("are the high-value actions early in the
+# feed?") with no float anywhere — hash-portable by construction.
+# --------------------------------------------------------------------------
+
+_NDCG_DISC = (
+    (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+    (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065),
+)
+
+
+@register(
+    "q237_ndcg_user_feeds",
+    oracle=f"""
+WITH disc(i, dm) AS (VALUES {', '.join(f'({i}, {d})' for i, d in _NDCG_DISC)}),
+e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE event_type WHEN 'purchase' THEN 3
+                         WHEN 'click' THEN 1 ELSE 0 END AS rel
+  FROM events
+),
+feed AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS pos
+  FROM e
+),
+ideal AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY rel DESC, us, event_id) AS pos
+  FROM e
+),
+dcg AS (
+  SELECT f.user_id,
+         CAST(sum(f.rel * d.dm) AS BIGINT) AS dcg_micro
+  FROM feed f JOIN disc d ON d.i = f.pos
+  GROUP BY f.user_id
+),
+idcg AS (
+  SELECT i.user_id,
+         CAST(sum(i.rel * d.dm) AS BIGINT) AS idcg_micro
+  FROM ideal i JOIN disc d ON d.i = i.pos
+  GROUP BY i.user_id
+),
+per_user AS (
+  SELECT dcg.user_id,
+         CAST(dcg.dcg_micro * 1000 // idcg.idcg_micro AS BIGINT)
+           AS ndcg_permille
+  FROM dcg JOIN idcg ON dcg.user_id = idcg.user_id
+  WHERE idcg.idcg_micro > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(ndcg_permille) // count(*) AS BIGINT)
+         AS mean_ndcg_permille,
+       CAST(min(ndcg_permille) AS BIGINT) AS min_ndcg_permille
+FROM per_user
+""",
+    doc="mean NDCG@10 of per-user event feeds (relevance: purchase 3, "
+    "click 1, else 0; feed order = timestamp): fixed 10-row integer "
+    "micro-discount table (no runtime libm), per-user integer dot "
+    "products under bounded windows, exact integer corpus mean",
+    tags=("events", "ranking", "eval"),
+)
+def q237_ndcg_user_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(F.col("event_type") == "purchase", F.lit(3))
+        .when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+    )
+    disc = F.broadcast(
+        ev.sparkSession.createDataFrame(list(_NDCG_DISC), "i int, dm bigint")
+    )
+    w_feed = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_ideal = Window.partitionBy("user_id").orderBy(
+        F.col("rel").desc(), "ts_us", "event_id"
+    )
+    ranked = ev.withColumn("pos_f", F.row_number().over(w_feed)).withColumn(
+        "pos_i", F.row_number().over(w_ideal)
+    )
+    dcg = (
+        ranked.join(disc, ranked.pos_f == disc.i)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("rel") * F.col("dm")).cast("bigint").alias("dcg"))
+    )
+    idcg = (
+        ranked.join(disc, ranked.pos_i == disc.i)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("rel") * F.col("dm")).cast("bigint").alias("idcg"))
+    )
+    per_user = (
+        dcg.join(idcg, "user_id")
+        .filter(F.col("idcg") > 0)
+        .select(
+            F.expr("cast(dcg * 1000 div idcg as bigint)").alias(
+                "ndcg_permille"
+            )
+        )
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr(
+            "cast(sum(ndcg_permille) div count(*) as bigint)"
+        ).alias("mean_ndcg_permille"),
+        F.min("ndcg_permille").cast("bigint").alias("min_ndcg_permille"),
+    )

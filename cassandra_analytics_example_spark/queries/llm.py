@@ -6173,3 +6173,156 @@ def q232_rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# q233 — exact tie-corrected Spearman rank correlation between document
+# character count and token count: the monotonicity check Pearson (q214)
+# can't give. Tie-averaged ranks are carried DOUBLED so they stay exact
+# integers (2r = 2·below + n + 1 per distinct-value group), each rank
+# table is a distinct-value groupBy + range-partitioned prefix layer
+# (never a global row sort), and rho is Pearson over the doubled ranks —
+# five exact DECIMAL(38,0) moments, one closed-form float expression
+# (operators/rankstats.py:spearman_rho, the q214 determinism discipline).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q233_spearman_chars_tokens",
+    oracle="""
+WITH v AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+gx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY x),
+rx AS (
+  SELECT x,
+         2 * coalesce(sum(n) OVER (ORDER BY x
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) + n + 1 AS r2
+  FROM gx
+),
+gy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY y),
+ry AS (
+  SELECT y,
+         2 * coalesce(sum(n) OVER (ORDER BY y
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) + n + 1 AS r2
+  FROM gy
+),
+r AS (
+  SELECT CAST(rx.r2 AS BIGINT) AS a, CAST(ry.r2 AS BIGINT) AS b
+  FROM v JOIN rx ON v.x = rx.x JOIN ry ON v.y = ry.y
+),
+m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(a) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(b) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(a * b) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(a * a) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(b * b) AS DECIMAL(38,0)) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+FROM m
+""",
+    doc="exact tie-corrected Spearman rank correlation of chars vs "
+    "tokens: doubled tie-averaged ranks (exact integers) from distinct-"
+    "value groups + range-partitioned prefix layers, rho from five "
+    "exact DECIMAL(38,0) moments in one deterministic float expression",
+    tags=("llm", "aggregate", "ranking"),
+)
+def q233_spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        spearman_rho,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
+    )
+    return spearman_rho(docs, "x", "y")
+
+
+# --------------------------------------------------------------------------
+# q238 — mutual information between document language and source, in
+# integer micro-nats: how much knowing the source tells you about the
+# language (the dataset-mixing diagnostic — high MI means sources are
+# language-siloed, near-zero means well mixed). The contingency table is
+# one groupBy (bounded by |langs|×|sources|), marginals broadcast back,
+# and each cell's n_xy·ln(n_xy·N / (n_x·n_y)) is floor-quantized to an
+# integer BEFORE the sum (the repo's quantize-then-integer-sum pattern),
+# so the result is engine-portable with no float accumulation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q238_mutual_info_lang_source",
+    oracle="""
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+  FROM documents GROUP BY lang, source
+),
+mt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c),
+mlg AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM c GROUP BY lang),
+msr AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny FROM c GROUP BY source),
+cells AS (
+  SELECT c.nxy,
+         CAST(floor(1000000.0 * c.nxy
+                    * ln((CAST(c.nxy AS DOUBLE) * mt.n)
+                         / (CAST(mlg.nx AS DOUBLE) * msr.ny))) AS BIGINT)
+           AS contrib
+  FROM c JOIN mlg USING (lang) JOIN msr USING (source), mt
+)
+SELECT CAST(mt.n AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cells,
+       CAST((SELECT sum(contrib) FROM cells) // mt.n AS BIGINT)
+         AS mi_micro_nats
+FROM mt
+""",
+    doc="mutual information between lang and source in integer micro-"
+    "nats: bounded contingency groupBy, broadcast marginals, per-cell "
+    "floor-quantized n_xy*ln(n_xy*N/(n_x*n_y)) summed as integers, "
+    "exact integer normalization by N",
+    tags=("llm", "aggregate", "audit"),
+)
+def q238_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("nxy")
+    )
+    mt = c.agg(F.sum("nxy").cast("bigint").alias("n"))
+    mlg = c.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    msr = c.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    cells = (
+        c.join(F.broadcast(mlg), "lang")
+        .join(F.broadcast(msr), "source")
+        .crossJoin(F.broadcast(mt))
+        .select(
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("nxy")
+                * F.log(
+                    (F.col("nxy").cast("double") * F.col("n"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            )
+            .cast("bigint")
+            .alias("contrib")
+        )
+    )
+    n_cells = c.agg(F.count("*").cast("bigint").alias("n_cells"))
+    tot = cells.agg(F.sum("contrib").alias("s"))
+    return (
+        mt.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_cells",
+            F.expr("cast(s div n as bigint)").alias("mi_micro_nats"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Randomized property checks for operators/rankstats.py — seeded numpy
+data, exact comparisons against independent single-node references
+(pandas/pure-python), including heavy ties, tiny samples, and the
+degenerate cases (constant columns, all-censored cohorts).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.rankstats import (
+    doubled_average_ranks,
+    gini_exact,
+    kaplan_meier,
+    ks_two_sample,
+    spearman_rho,
+)
+
+
+def _spearman_reference(x: np.ndarray, y: np.ndarray) -> float:
+    # tie-averaged ranks via pandas, then plain Pearson on the ranks
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    rx = rx - rx.mean()
+    ry = ry - ry.mean()
+    return float((rx * ry).sum() / math.sqrt((rx * rx).sum() * (ry * ry).sum()))
+
+
+def test_doubled_average_ranks_match_pandas(spark):
+    rng = np.random.default_rng(20260814)
+    vals = rng.integers(0, 40, 3000)  # heavy ties
+    pdf = pd.DataFrame({"v": vals})
+    got = (
+        doubled_average_ranks(spark.createDataFrame(pdf), "v")
+        .toPandas()
+        .set_index("v")["__r2"]
+        .sort_index()
+    )
+    ref = pd.DataFrame(
+        {"v": vals, "r": pd.Series(vals).rank(method="average")}
+    ).groupby("v")["r"].first()
+    for v in ref.index:
+        assert got[v] == int(round(2 * ref[v])), f"value {v}"
+
+
+def test_spearman_matches_pandas_reference(spark):
+    rng = np.random.default_rng(7)
+    n = 4000
+    x = rng.integers(0, 200, n)
+    y = (x * 3 + rng.integers(-50, 50, n)).clip(0)  # correlated + ties
+    pdf = pd.DataFrame({"x": x.astype(int), "y": y.astype(int)})
+    row = spearman_rho(spark.createDataFrame(pdf), "x", "y").collect()[0]
+    assert row["n"] == n
+    ref = _spearman_reference(x, y)
+    assert abs(row["rho"] - ref) < 1e-12
+    # anti-correlated sanity
+    pdf2 = pd.DataFrame({"x": x.astype(int), "y": (-x).astype(int)})
+    row2 = spearman_rho(spark.createDataFrame(pdf2), "x", "y").collect()[0]
+    assert abs(row2["rho"] + 1.0) < 1e-12
+
+
+def test_gini_matches_bruteforce_sorted_formula(spark):
+    rng = np.random.default_rng(99)
+    for vals in (
+        rng.integers(0, 10_000, 2500),
+        np.full(100, 7),  # perfectly equal -> G = 0
+        np.concatenate([np.zeros(999), [10_000]]),  # near-total concentration
+    ):
+        vals = vals.astype(int)
+        pdf = pd.DataFrame({"v": vals})
+        row = gini_exact(spark.createDataFrame(pdf), "v").collect()[0]
+        s = np.sort(vals)
+        n = len(s)
+        num = 2 * int((np.arange(1, n + 1) * s).sum()) - (n + 1) * int(s.sum())
+        want = num * 1_000_000 // (n * int(s.sum()))
+        assert row["n"] == n and row["total"] == int(s.sum())
+        assert row["gini_ppm"] == want
+
+
+def test_ks_two_sample_matches_bruteforce_ecdf(spark):
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 300, 1500)
+    b = rng.integers(50, 350, 900)  # shifted distribution
+    pdf = pd.DataFrame(
+        {
+            "v": np.concatenate([a, b]).astype(int),
+            "b": np.concatenate([np.zeros_like(a), np.ones_like(b)]),
+        }
+    )
+    row = ks_two_sample(spark.createDataFrame(pdf), "v", "b").collect()[0]
+    vs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), vs, side="right")
+    cb = np.searchsorted(np.sort(b), vs, side="right")
+    gaps = np.abs(ca.astype(object) * len(b) - cb.astype(object) * len(a))
+    best = max(gaps)
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["d_ppm"] == best * 1_000_000 // (len(a) * len(b))
+    assert row["d_at"] == int(vs[np.argmax(gaps == best)])
+
+
+def _km_reference(durs, evs):
+    df = pd.DataFrame({"t": durs, "e": evs})
+    g = df.groupby("t").agg(n=("e", "size"), d=("e", "sum")).sort_index()
+    N = len(df)
+    out, below, log_nano, dead = [], 0, 0, False
+    for t, r in g.iterrows():
+        n_risk = N - below
+        below += int(r["n"])
+        if r["d"] == 0:
+            continue
+        if r["d"] >= n_risk:
+            dead = True
+        if not dead:
+            log_nano += math.floor(
+                1e9 * math.log((n_risk - int(r["d"])) / n_risk)
+            )
+        out.append(
+            (
+                int(t),
+                n_risk,
+                int(r["d"]),
+                int(r["n"] - r["d"]),
+                None if dead else log_nano,
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("all_events", [False, True])
+def test_kaplan_meier_matches_python_reference(spark, all_events):
+    rng = np.random.default_rng(5)
+    durs = rng.integers(0, 60, 800)
+    evs = (
+        np.ones(800, dtype=int)
+        if all_events  # forces S(t)=0 at the max duration -> NULL tail
+        else rng.integers(0, 2, 800)
+    )
+    pdf = pd.DataFrame({"t": durs.astype(int), "e": evs})
+    got = [
+        (r["t"], r["n_risk"], r["n_events"], r["n_censored"], r["log_s_nano"])
+        for r in kaplan_meier(spark.createDataFrame(pdf), "t", "e")
+        .orderBy("t")
+        .collect()
+    ]
+    # the operator emits raw cumulative log-S; NULL-after-death is applied
+    # by the query layer, so compare the non-dead prefix exactly and the
+    # structural columns everywhere
+    ref = _km_reference(durs, evs)
+    assert [g[:4] for g in got] == [r[:4] for r in ref]
+    for g, r in zip(got, ref):
+        if r[4] is not None:
+            assert g[4] == r[4]
