@@ -3877,3 +3877,390 @@ def q229_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") % 97 == 0)
     )
     return bfs_hop_counts(edges, seeds, max_hops=3)
+
+
+# --------------------------------------------------------------------------
+# q239 — TPC-H Q4 shape: order-priority checking. Count 1996 orders, by
+# priority, having at least one "late" line (shipped more than 60 days
+# after the order date — the fixture's stand-in for Q4's commit-vs-
+# receipt lag). The existence test is a LEFT SEMI join on the order key
+# with the lateness predicate inside the join condition, so the probe
+# side never duplicates orders and the date filter prunes the orders
+# scan before the one shuffle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q239_priority_late_orders",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: 1996 orders with at least one line shipped >60 "
+    "days after ordering, counted by priority — LEFT SEMI join with the "
+    "lateness predicate in the join condition, date filter pushed to "
+    "the orders scan",
+    tags=("relational", "join", "aggregate"),
+)
+def q239_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + interval 60 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# q240 — TPC-H Q8 shape: national market share. Within the revenue that
+# AMERICA-region customers spent on ECONOMY-type parts, the share (exact
+# floor-permille) supplied by NATION_0 suppliers, per order year. Part,
+# supplier, nation, and region dimensions all broadcast; the one big
+# shuffle is lineitem⋈orders on the order key; revenue folds in exact
+# decimal before the share division on the year-sized table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q240_national_market_share",
+    oracle="""
+WITH l AS (
+  SELECT li.l_orderkey,
+         CAST(CAST(li.l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(li.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+           AS rev4,
+         CASE WHEN ns.n_name = 'NATION_0' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem li
+  JOIN part p ON p.p_partkey = li.l_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+),
+o AS (
+  SELECT o.o_orderkey, CAST(year(o.o_orderdate) AS BIGINT) AS yr
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'AMERICA'
+),
+yr AS (
+  SELECT o.yr,
+         CAST(sum(l.rev4) AS BIGINT) AS market_rev4,
+         CAST(sum(CASE WHEN l.is_target = 1 THEN l.rev4 ELSE 0 END)
+              AS BIGINT) AS target_rev4
+  FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.yr
+)
+SELECT yr, market_rev4, target_rev4,
+       CAST(CAST(target_rev4 AS HUGEINT) * 1000 // market_rev4 AS BIGINT)
+         AS share_permille
+FROM yr
+""",
+    doc="TPC-H Q8 shape: NATION_0 suppliers' share (floor-permille) of "
+    "AMERICA-region customers' ECONOMY-part revenue per order year — "
+    "all dimensions broadcast, one order-key shuffle, exact decimal "
+    "folds before the share division on the year-sized table",
+    tags=("relational", "join", "aggregate", "analytics"),
+)
+def q240_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (revenue_expr() * 10000).cast("bigint").alias("rev4"),
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    l = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "l_orderkey",
+            "rev4",
+            F.when(F.col("n_name") == "NATION_0", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_target"),
+        )
+    )
+    nc = (
+        n.join(
+            F.broadcast(r.where(F.col("r_name") == "AMERICA")),
+            n.n_regionkey == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .select(F.col("n_nationkey").alias("cn_nationkey"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .join(
+            table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nc),
+            F.col("c_nationkey") == F.col("cn_nationkey"),
+            "left_semi",
+        )
+        .select("o_orderkey", "yr")
+    )
+    yr = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("yr")
+        .agg(
+            F.sum("rev4").cast("bigint").alias("market_rev4"),
+            F.sum(
+                F.when(F.col("is_target") == 1, F.col("rev4")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("target_rev4"),
+        )
+    )
+    return yr.select(
+        "yr",
+        "market_rev4",
+        "target_rev4",
+        F.expr(
+            "cast(cast(target_rev4 as decimal(38,0)) * 1000 "
+            "div market_rev4 as bigint)"
+        ).alias("share_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q241 — TPC-H Q11 shape: important-stock identification. Per-part value
+# shipped by NATION_1 suppliers, keeping parts whose value exceeds 0.1%
+# of the grand total. The grand total is a one-row aggregate of the
+# already-reduced per-part table, broadcast back as the HAVING
+# threshold — the corpus folds exactly once on (partkey).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q241_important_stock",
+    oracle="""
+WITH pv AS (
+  SELECT li.l_partkey AS partkey,
+         CAST(sum(CAST(CAST(li.l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(li.l_discount AS DECIMAL(4,2)))
+                       * 10000 AS BIGINT)) AS BIGINT) AS value4
+  FROM lineitem li
+  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+                AND n.n_name = 'NATION_1'
+  GROUP BY li.l_partkey
+),
+t AS (SELECT CAST(sum(value4) AS HUGEINT) AS grand FROM pv)
+SELECT pv.partkey, pv.value4
+FROM pv, t
+WHERE CAST(pv.value4 AS HUGEINT) * 1000 > t.grand
+""",
+    doc="TPC-H Q11 shape: per-part shipped value from NATION_1 suppliers, "
+    "kept where value > 0.1% of the grand total — one corpus fold on "
+    "partkey, one-row grand total broadcast back as the threshold",
+    tags=("relational", "join", "aggregate"),
+)
+def q241_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (revenue_expr() * 10000).cast("bigint").alias("rev4"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_1"
+    )
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("rev4").cast("bigint").alias("value4"))
+    )
+    t = pv.agg(F.sum("value4").cast("decimal(38,0)").alias("grand"))
+    return (
+        pv.crossJoin(F.broadcast(t))
+        .where(F.col("value4").cast("decimal(38,0)") * 1000 > F.col("grand"))
+        .select("partkey", "value4")
+    )
+
+
+# --------------------------------------------------------------------------
+# q242 — TPC-H Q15 shape: top supplier. Revenue per supplier over 1996Q1
+# and the supplier(s) achieving the maximum — tie-safe by joining the
+# per-supplier table against its own one-row max (broadcast), exactly
+# the view + max subquery shape of Q15 without the view. One corpus
+# fold on suppkey; the date filter prunes the scan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q242_top_supplier",
+    oracle="""
+WITH sr AS (
+  SELECT li.l_suppkey AS suppkey,
+         CAST(sum(CAST(CAST(li.l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(li.l_discount AS DECIMAL(4,2)))
+                       * 10000 AS BIGINT)) AS BIGINT) AS rev4
+  FROM lineitem li
+  WHERE li.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND li.l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY li.l_suppkey
+),
+m AS (SELECT max(rev4) AS best FROM sr)
+SELECT s.s_suppkey, s.s_name, sr.rev4
+FROM sr JOIN m ON sr.rev4 = m.best
+JOIN supplier s ON s.s_suppkey = sr.suppkey
+""",
+    doc="TPC-H Q15 shape: per-supplier 1996Q1 revenue and the tie-safe "
+    "argmax supplier(s) via a broadcast one-row max join — one corpus "
+    "fold on suppkey, date filter pushed to the scan",
+    tags=("relational", "join", "aggregate"),
+)
+def q242_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", (revenue_expr() * 10000).cast("bigint").alias("rev4"))
+    )
+    sr = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum("rev4").cast("bigint").alias("rev4")
+    )
+    m = sr.agg(F.max("rev4").alias("best"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sr.join(F.broadcast(m), sr.rev4 == F.col("best"))
+        .join(F.broadcast(s), sr.suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "rev4")
+    )
+
+
+# --------------------------------------------------------------------------
+# q243 — TPC-H Q20 shape: dominant-supplier detection. NATION_2
+# suppliers who, for at least one PROMO-type part, shipped more than
+# half of that part's total 1996 volume. The (supplier, part) and
+# per-part quantity tables come from the same single fold of the 1996
+# PROMO lines (one shuffle); the per-part totals ride a second
+# aggregation of the already-reduced pair table, joined back on the
+# part key; the final supplier list is a LEFT SEMI against the
+# qualifying pairs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q243_dominant_suppliers",
+    oracle="""
+WITH pl AS (
+  SELECT li.l_suppkey AS suppkey, li.l_partkey AS partkey,
+         CAST(sum(CAST(round(li.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem li
+  JOIN part p ON p.p_partkey = li.l_partkey AND p.p_type = 'PROMO'
+  WHERE li.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND li.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY li.l_suppkey, li.l_partkey
+),
+pt AS (SELECT partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+       FROM pl GROUP BY partkey),
+qual AS (
+  SELECT DISTINCT pl.suppkey
+  FROM pl JOIN pt ON pt.partkey = pl.partkey
+  WHERE pl.qty * 2 > pt.total_qty
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_2'
+JOIN qual ON qual.suppkey = s.s_suppkey
+""",
+    doc="TPC-H Q20 shape: NATION_2 suppliers shipping >50% of some PROMO "
+    "part's 1996 volume — one fold to (supplier, part) quantities, "
+    "per-part totals from the reduced table, LEFT SEMI back to the "
+    "supplier dimension",
+    tags=("relational", "join", "aggregate"),
+)
+def q243_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.round("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    pl = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum("qty").cast("bigint").alias("qty"))
+    )
+    pt = pl.groupBy("partkey").agg(
+        F.sum("qty").cast("bigint").alias("total_qty")
+    )
+    qual = (
+        pl.join(pt, "partkey")
+        .where(F.col("qty") * 2 > F.col("total_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        s.join(
+            F.broadcast(n.select("n_nationkey")),
+            s.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(qual, s.s_suppkey == qual.suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
