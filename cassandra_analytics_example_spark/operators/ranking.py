@@ -133,3 +133,61 @@ def roc_auc_exact(
         .cast("bigint")
         .alias("auc_ppm"),
     )
+
+
+def average_precision_exact(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact average precision (area under the step PR curve) in pure
+    integer arithmetic — the PR-side companion to ``roc_auc_exact``.
+
+    Thresholds sweep the distinct scores descending; at each threshold
+    ``s`` every row with score ≥ s is predicted positive, so with
+    ``tp(s)``/``n(s)`` the positives/rows at score ≥ s and ``np(s)`` the
+    positives exactly at ``s``,
+
+        AP = Σ_s (np(s)/P) · (tp(s)/n(s))
+
+    (the step interpolation — each threshold's recall gain times its
+    precision).  Each cell's ``10⁹·np·tp div n`` is an exact integer
+    floor (no float anywhere, not even a quantized log), summed as
+    bigints; the final ``ap_ppm = Σ div (1000·P)``.  The ≥-cumulative
+    counts come from ascending exclusive prefix sums plus broadcast
+    totals, so no task ever holds a full score ordering.  Returns one
+    row ``(n_pos, n_total, ap_ppm)``.
+    """
+    g = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("__np"),
+    )
+    pre = exclusive_prefix_sums(
+        g, ["__s"], ["__n", "__np"], num_partitions=num_partitions
+    )
+    tot = pre.agg(
+        F.sum("__n").cast("bigint").alias("__nt"),
+        F.sum("__np").cast("bigint").alias("__pt"),
+    )
+    cells = pre.crossJoin(F.broadcast(tot)).select(
+        "__np",
+        (F.col("__nt") - F.col("__n_before")).alias("__n_ge"),
+        (F.col("__pt") - F.col("__np_before")).alias("__tp_ge"),
+        "__pt",
+    )
+    contrib = cells.filter(F.col("__np") > 0).select(
+        "__pt",
+        F.expr(
+            "cast(cast(1000000000 as decimal(38,0)) * __np * __tp_ge "
+            "div __n_ge as bigint)"
+        ).alias("__c"),
+    )
+    return contrib.groupBy("__pt").agg(
+        F.sum("__c").alias("__sc")
+    ).select(
+        F.col("__pt").alias("n_pos"),
+        F.expr("cast(__sc div (1000 * __pt) as bigint)").alias("ap_ppm"),
+    ).crossJoin(
+        F.broadcast(tot.select(F.col("__nt").alias("n_total")))
+    ).select("n_pos", "n_total", "ap_ppm")

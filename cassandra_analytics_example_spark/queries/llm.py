@@ -6326,3 +6326,177 @@ def q238_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(s div n as bigint)").alias("mi_micro_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q244 — exact average precision (area under the step PR curve) for the
+# q223 embedding-derived score against the same high-label positives:
+# the eval that matters when positives are rare and ROC AUC flatters.
+# Thresholds sweep distinct scores descending; each threshold's recall
+# gain times its precision accumulates as an exact integer floor
+# (10⁹·np·tp div n per score cell — no float, no libm), with the
+# ≥-cumulative counts from ascending range-partitioned prefix sums plus
+# broadcast totals (operators/ranking.py:average_precision_exact).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q244_average_precision_exact",
+    oracle=f"""
+WITH s AS (
+  SELECT {_Q223_SCORE_SQL} AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+  FROM s GROUP BY score
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(np) AS BIGINT) AS pt
+      FROM g),
+c AS (
+  SELECT np,
+         t.nt - coalesce(sum(n) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_ge,
+         t.pt - coalesce(sum(np) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp_ge,
+         t.pt, t.nt
+  FROM g, t
+)
+SELECT CAST(pt AS BIGINT) AS n_pos,
+       CAST(nt AS BIGINT) AS n_total,
+       CAST(sum(CAST(1000000000 AS HUGEINT) * np * tp_ge // n_ge)
+            // (1000 * pt) AS BIGINT) AS ap_ppm
+FROM c WHERE np > 0
+GROUP BY pt, nt
+""",
+    doc="exact average precision (step PR-curve area) in ppm for the "
+    "embedding-derived score vs high-label positives: per-score-cell "
+    "integer floors (no float, no libm), >=-cumulative counts from "
+    "range-partitioned prefix sums + broadcast totals",
+    tags=("llm", "eval", "ranking"),
+)
+def q244_average_precision_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        average_precision_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    score = F.round(
+        sum(
+            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
+            start=F.element_at("embedding", 1).cast("double"),
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    scored = emb.select(
+        score.alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("is_pos"),
+    )
+    return average_precision_exact(scored, "score", "is_pos")
+
+
+# --------------------------------------------------------------------------
+# q245 — Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq)
+# against ln(rank) over terms with frequency ≥ 2 (the Zipf exponent is
+# −slope; natural text sits near 1). Ranks come from the descending
+# frequency order with a deterministic term tie-break, assigned via the
+# range-partitioned prefix layer over the VOCABULARY table (never the
+# token stream); both logs are floor-quantized to integer micro-units
+# per term before the five exact DECIMAL(38,0) moments, so the slope is
+# one exact integer division (the q214 discipline). The corpus-health
+# audit ("is this text distribution natural?") at any scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q245_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+v AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq
+  FROM tok WHERE term <> '' GROUP BY term
+),
+f AS (SELECT term, freq FROM v WHERE freq >= 2),
+r AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM f
+),
+q AS (
+  SELECT CAST(floor(1000000.0 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+         CAST(floor(1000000.0 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+  FROM r
+),
+m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+            // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+         AS slope_micro
+FROM m
+""",
+    doc="Zipf-law fit: OLS slope (exact integer micro-units) of "
+    "ln(freq) vs ln(rank) over the frequency->=2 vocabulary — ranks from "
+    "the range-partitioned prefix layer on (freq desc, term), logs "
+    "floor-quantized per term before exact DECIMAL(38,0) moments",
+    tags=("llm", "aggregate", "audit", "ranking"),
+)
+def q245_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .where(F.col("freq") >= 2)
+    )
+    ranked = exclusive_prefix_sums(
+        v.select(
+            (-F.col("freq")).alias("negf"),
+            "term",
+            "freq",
+            F.lit(1).cast("bigint").alias("one"),
+        ),
+        ["negf", "term"],
+        ["one"],
+    ).select(
+        "freq", (F.col("one_before") + 1).alias("rnk")
+    )
+    q = ranked.select(
+        F.floor(F.lit(1_000_000.0) * F.log(F.col("rnk").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.lit(1_000_000.0) * F.log(F.col("freq").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec38 = "decimal(38,0)"
+    m = q.agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+            "as bigint)"
+        ).alias("slope_micro"),
+    )

@@ -155,3 +155,47 @@ def test_kaplan_meier_matches_python_reference(spark, all_events):
     for g, r in zip(got, ref):
         if r[4] is not None:
             assert g[4] == r[4]
+
+
+def test_average_precision_matches_step_reference(spark):
+    from cassandra_analytics_example_spark.operators.ranking import (
+        average_precision_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    score = rng.integers(0, 500, n)  # heavy ties
+    # positives skew toward high scores
+    pos = (rng.random(n) < (score / 700)).astype(int)
+    if pos.sum() == 0:
+        pos[score.argmax()] = 1
+    pdf = pd.DataFrame({"score": score.astype(int), "is_pos": pos})
+    row = average_precision_exact(
+        spark.createDataFrame(pdf), "score", "is_pos"
+    ).collect()[0]
+    # single-node step-AP over descending distinct scores with the SAME
+    # per-cell integer floors the operator defines
+    g = (
+        pdf.groupby("score")
+        .agg(n=("is_pos", "size"), np=("is_pos", "sum"))
+        .sort_index(ascending=False)
+    )
+    n_ge = g["n"].cumsum()
+    tp_ge = g["np"].cumsum()
+    P = int(pdf["is_pos"].sum())
+    acc = 0
+    for s in g.index:
+        if g.loc[s, "np"] > 0:
+            acc += (10**9 * int(g.loc[s, "np"]) * int(tp_ge[s])) // int(
+                n_ge[s]
+            )
+    assert row["n_pos"] == P and row["n_total"] == n
+    assert row["ap_ppm"] == acc // (1000 * P)
+    # sanity: a perfect classifier has AP ~ 1
+    perfect = pd.DataFrame(
+        {"score": pos * 10 + rng.integers(0, 5, n), "is_pos": pos}
+    )
+    r2 = average_precision_exact(
+        spark.createDataFrame(perfect), "score", "is_pos"
+    ).collect()[0]
+    assert r2["ap_ppm"] > 900_000
