@@ -198,6 +198,17 @@ def ks_two_sample(
         .cast("bigint")
         .alias("__nb"),
     )
+    return ks_from_counts(g, num_partitions=num_partitions)
+
+
+def ks_from_counts(
+    g: DataFrame, num_partitions: int = 64
+) -> DataFrame:
+    """KS statistic from a pre-aggregated per-value count table
+    ``(__v, __na, __nb)`` — the mergeable-partial entry point: per-value
+    counts sum-merge exactly across shards or stream microbatches, so a
+    streaming monitor that appends count partials and calls this on the
+    merged-on-read table is bit-identical to the batch recompute."""
     pre = exclusive_prefix_sums(
         g, ["__v"], ["__na", "__nb"], num_partitions=num_partitions
     )

@@ -4913,3 +4913,77 @@ def q237_ndcg_user_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_ndcg_permille"),
         F.min("ndcg_permille").cast("bigint").alias("min_ndcg_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q246 — temporal distribution drift: the exact two-sample KS distance
+# between the first and second time-half of the purchase value stream
+# (split at the midpoint of the observed time range — no driver
+# scalars; the midpoint is a broadcast one-row aggregate). The batch
+# value-twin of the s27 streaming monitor: both funnel through the
+# same count-level KS algebra (operators/rankstats.py:ks_from_counts),
+# whose per-value count partials sum-merge exactly, so stream and
+# batch agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q246_ks_time_drift",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+mp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+e AS (SELECT v, CASE WHEN us >= mp.mid THEN 1 ELSE 0 END AS grp FROM b, mp),
+g AS (
+  SELECT v,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(grp) AS BIGINT) AS nb
+  FROM e GROUP BY v
+),
+c AS (
+  SELECT v,
+         sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM g
+),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+      FROM g),
+gap AS (
+  SELECT v, abs(CAST(ca AS HUGEINT) * t.n_b - CAST(cb AS HUGEINT) * t.n_a)
+           AS gp
+  FROM c, t
+),
+m AS (SELECT max(gp) AS mg FROM gap)
+SELECT t.n_a, t.n_b,
+       CAST(m.mg * 1000000 // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT)
+         AS d_ppm,
+       CAST((SELECT min(v) FROM gap, m WHERE gap.gp = m.mg) AS BIGINT)
+         AS d_at
+FROM t, m
+""",
+    doc="exact KS distance (ppm) between first- and second-time-half "
+    "purchase values, split at the broadcast time midpoint — the batch "
+    "value-twin of the s27 streaming KS monitor (same count-level "
+    "integer algebra, sum-mergeable partials)",
+    tags=("events", "aggregate", "ranking", "audit", "streaming-twin"),
+)
+def q246_ks_time_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        ks_two_sample,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mp = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid")
+    )
+    sample = ev.crossJoin(F.broadcast(mp)).select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("ts_us") >= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("grp"),
+    )
+    return ks_two_sample(sample, "v", "grp")

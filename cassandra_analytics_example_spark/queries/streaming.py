@@ -469,3 +469,22 @@ def s26_stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_threshold_alerts(spark, sf_dir)
+
+
+@register(
+    "s27_stream_ks_drift",
+    oracle=None,
+    doc="Structured Streaming: two-sample KS drift monitor — baseline "
+    "per-value counts pinned once, per-microbatch count partials "
+    "appended via foreachBatch (sum merge unit), published KS computed "
+    "from the merged-on-read counts with pure integer cross-"
+    "multiplication, BIT-IDENTICAL to the batch q246 (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "monitoring", "audit", "ranking"),
+)
+def s27_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_ks_drift,
+    )
+
+    return run_stream_ks_drift(spark, sf_dir)

@@ -1633,3 +1633,96 @@ def run_stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_up").cast("bigint").alias("n_alerts"),
         F.count_distinct("user_id").cast("bigint").alias("n_users_alerted"),
     )
+
+
+def run_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-sample KS drift monitor: the baseline per-value
+    count table (first time-half of purchase values, the q246 split) is
+    pinned once; the stream folds the second half's per-value COUNT
+    PARTIALS into an appended store via ``foreachBatch`` (sum is the
+    merge unit — the s12/s16/s23 stance), and the published report runs
+    the count-level KS algebra (``operators/rankstats.py:
+    ks_from_counts``) on baseline ⋈ merged-on-read live counts.
+    Count partials sum-merge exactly and the KS layer is pure integer
+    cross-multiplication, so the published row is BIT-IDENTICAL to the
+    batch q246 at any microbatch split
+    (tests/test_streaming_batch_twins.py)."""
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        ks_from_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_ks_")
+    live = os.path.join(out, "live")
+    ck = os.path.join(out, "ck")
+    path = os.path.join(sf_dir, "events.parquet")
+    base = spark.read.parquet(path)
+    ts_us_col = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        if dict(base.dtypes)["ts"] not in ("bigint", "long")
+        else F.expr("ts div 1000")
+    )
+    bb = base.where(F.col("event_type") == "purchase").select(
+        ts_us_col.alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    mid = bb.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("m")
+    ).first()["m"]
+    baseline = (
+        bb.where(F.col("ts_us") < mid)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    )
+    baseline.write.mode("overwrite").parquet(os.path.join(out, "baseline"))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    live_stream = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            ts_us_col.alias("ts_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        .where(F.col("ts_us") >= mid)
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+            .write.mode("append")
+            .parquet(live)
+        )
+
+    q = (
+        live_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    base_h = spark.read.parquet(os.path.join(out, "baseline"))
+    live_h = (
+        spark.read.parquet(live).groupBy("v").agg(F.sum("nb").alias("nb"))
+    )
+    g = (
+        base_h.join(live_h, ["v"], "full_outer")
+        .select(
+            F.col("v").alias("__v"),
+            F.coalesce(F.col("na"), F.lit(0)).cast("bigint").alias("__na"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("__nb"),
+        )
+    )
+    return ks_from_counts(g)

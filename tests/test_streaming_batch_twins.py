@@ -606,3 +606,16 @@ def test_s26_threshold_alerts_match_q228(spark):
     got = run_stream_threshold_alerts(spark, SF01)
     want = q228_threshold_crossings(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s27_ks_drift_matches_q246(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q246_ks_time_drift,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_ks_drift,
+    )
+
+    got = run_stream_ks_drift(spark, SF01)
+    want = q246_ks_time_drift(spark, SF01)
+    _assert_same(got, want)
