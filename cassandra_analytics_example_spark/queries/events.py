@@ -4987,3 +4987,460 @@ def q246_ks_time_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("grp"),
     )
     return ks_two_sample(sample, "v", "grp")
+
+
+# --------------------------------------------------------------------------
+# q247 — purchase odds ratio across a user split with an exact-integer
+# Katz confidence interval: users hash-split A/B (md5, the q42/q58
+# discipline), the 2×2 contingency table (purchased-or-not × arm) folds
+# in ONE conditional-aggregate pass, and the odds ratio plus its 95% CI
+# come out in quantized micro-units — ln(OR) and its standard error are
+# each ONE deterministic float expression over the four exact cells
+# (the q214 stance), floor-quantized before the ± fold, never a float
+# accumulation. Haldane +0.5 correction keeps zero cells finite.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q247_purchase_odds_ratio",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 = 0 THEN 0 ELSE 1 END AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 AND bought = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN arm = 0 AND bought = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN arm = 1 AND bought = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN arm = 1 AND bought = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM u
+)
+SELECT a, b, c, d,
+       CAST(floor(1000000.0
+                  * ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))))
+            AS BIGINT) AS log_or_micro,
+       CAST(floor(1000000.0
+                  * 1.959964
+                  * sqrt(1.0/(a + 0.5) + 1.0/(b + 0.5)
+                         + 1.0/(c + 0.5) + 1.0/(d + 0.5))) AS BIGINT)
+         AS half_ci_micro
+FROM c
+""",
+    doc="purchase odds ratio across an md5 user split with exact-integer "
+    "2x2 cells from one conditional-aggregate pass; ln(OR) and the 95% "
+    "Katz half-interval each one deterministic float expression over "
+    "the exact cells, floor-quantized to micro-units (Haldane +0.5)",
+    tags=("events", "aggregate", "eval", "audit"),
+)
+def q247_purchase_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("bought")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+        "bought",
+    )
+    cells = u.agg(
+        F.sum(
+            F.when((F.col("arm") == 0) & (F.col("bought") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("a"),
+        F.sum(
+            F.when((F.col("arm") == 0) & (F.col("bought") == 0), 1).otherwise(0)
+        ).cast("bigint").alias("b"),
+        F.sum(
+            F.when((F.col("arm") == 1) & (F.col("bought") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("c"),
+        F.sum(
+            F.when((F.col("arm") == 1) & (F.col("bought") == 0), 1).otherwise(0)
+        ).cast("bigint").alias("d"),
+    )
+    return cells.select(
+        "a", "b", "c", "d",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.log(
+                ((F.col("a") + 0.5) * (F.col("d") + 0.5))
+                / ((F.col("b") + 0.5) * (F.col("c") + 0.5))
+            )
+        ).cast("bigint").alias("log_or_micro"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.lit(1.959964)
+            * F.sqrt(
+                1.0 / (F.col("a") + 0.5)
+                + 1.0 / (F.col("b") + 0.5)
+                + 1.0 / (F.col("c") + 0.5)
+                + 1.0 / (F.col("d") + 0.5)
+            )
+        ).cast("bigint").alias("half_ci_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q248 — autocorrelation of the hourly event-count series at lags 1, 2,
+# 3, 6, 12, 24: the seasonality detector. The corpus folds ONCE to the
+# bounded hourly table; each lag is an equi-self-join on hour+lag of
+# that table (never the event stream), and each lag's ACF is Pearson
+# over the exact integer (count, lagged-count) pairs — five exact
+# DECIMAL(38,0) moments per lag, one deterministic float expression
+# (the q214 discipline). Missing hours count as zero activity via a
+# dense hour spine derived from the observed range.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q248_hourly_autocorrelation",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS c
+  FROM events GROUP BY 1
+),
+r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+spine AS (
+  SELECT r.h0 + x.gen AS h
+  FROM r, (SELECT unnest(generate_series(0, 2000)) AS gen) x
+  WHERE r.h0 + x.gen <= r.h1
+),
+d AS (
+  SELECT spine.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM spine LEFT JOIN e ON e.h = spine.h
+),
+lags(lag) AS (VALUES (1), (2), (3), (6), (12), (24)),
+p AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN d a ON TRUE
+  JOIN d b ON b.h = a.h + l.lag
+),
+m AS (
+  SELECT lag,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+FROM m
+""",
+    doc="hourly-count autocorrelation at lags 1/2/3/6/12/24 over a dense "
+    "hour spine (missing hours = 0): one corpus fold to the bounded "
+    "hourly table, per-lag equi-self-joins of that table, Pearson from "
+    "five exact DECIMAL(38,0) moments per lag",
+    tags=("events", "timeseries", "aggregate"),
+)
+def q248_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    e = ev.groupBy(
+        F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        r.select(
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+        )
+    )
+    d = spine.join(e, "h", "left").select(
+        "h", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
+    )
+    lags = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(1,), (2,), (3,), (6,), (12,), (24,)], "lag bigint"
+        )
+    )
+    a = d.select(F.col("h").alias("ha"), F.col("c").alias("x"))
+    b = d.select(F.col("h").alias("hb"), F.col("c").alias("y"))
+    p = a.crossJoin(lags).join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+    dec38 = "decimal(38,0)"
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec38).alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / (
+                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
+                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+            )
+        ).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q249 — CUSUM changepoint scan over the hourly event-count series, in
+# EXACT integer arithmetic: scaling deviations by n turns the classic
+# cumulative sum of (c_i − mean) into Σ (n·c_i − total) — an integer
+# prefix sum with no division anywhere. The corpus folds once to the
+# dense hourly table (missing hours = 0); the running sum rides the
+# range-partitioned prefix operator, and the report is the argmax hour
+# of |CUSUM| (tie-broken to the earliest hour) with the peak scaled
+# back to micro-events via one exact integer division at the end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q249_cusum_changepoint",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS c
+  FROM events GROUP BY 1
+),
+r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+spine AS (
+  SELECT r.h0 + x.gen AS h
+  FROM r, (SELECT unnest(generate_series(0, 2000)) AS gen) x
+  WHERE r.h0 + x.gen <= r.h1
+),
+d AS (
+  SELECT spine.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM spine LEFT JOIN e ON e.h = spine.h
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS total
+      FROM d),
+cu AS (
+  SELECT d.h,
+         sum(t.n * d.c - t.total)
+           OVER (ORDER BY d.h ROWS UNBOUNDED PRECEDING) AS s
+  FROM d, t
+),
+m AS (SELECT max(abs(s)) AS peak FROM cu)
+SELECT t.n AS n_hours, t.total AS n_events,
+       CAST((SELECT min(h) FROM cu, m WHERE abs(cu.s) = m.peak) AS BIGINT)
+         AS change_at_hour,
+       CAST(m.peak * 1000000 // t.n AS BIGINT) AS peak_micro_events
+FROM t, m
+""",
+    doc="CUSUM changepoint over the dense hourly count series in exact "
+    "integer arithmetic (deviations scaled by n: sum of n*c - total), "
+    "range-partitioned prefix sum, earliest argmax hour of |CUSUM|, "
+    "peak scaled to micro-events by one exact division",
+    tags=("events", "timeseries", "ranking", "audit"),
+)
+def q249_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.groupBy(
+        F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = r.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    d = spine.join(e, "h", "left").select(
+        "h", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    dev = d.crossJoin(F.broadcast(t)).select(
+        "h",
+        "n",
+        "total",
+        (F.col("n") * F.col("c") - F.col("total")).alias("dev"),
+    )
+    cu = exclusive_prefix_sums(dev, ["h"], ["dev"]).select(
+        "h",
+        "n",
+        "total",
+        (F.col("dev_before") + F.col("dev")).alias("s"),
+    )
+    m = cu.agg(F.max(F.abs(F.col("s"))).alias("peak"))
+    at = (
+        cu.join(F.broadcast(m), F.abs(cu.s) == m.peak)
+        .agg(F.min("h").cast("bigint").alias("change_at_hour"))
+    )
+    return (
+        t.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n").alias("n_hours"),
+            F.col("total").alias("n_events"),
+            "change_at_hour",
+            F.expr("cast(peak * 1000000 div n as bigint)").alias(
+                "peak_micro_events"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q250 — conditional entropy of the session transition matrix H(next |
+# current) in integer micro-nats: how predictable the next action is.
+# Transitions come from ONE lead window per user (ordered by time with
+# the event-id tie-break); the transition matrix is vocabulary-sized
+# (|event_type|²), marginals broadcast back, and each cell's
+# n_xy·ln(n_x/n_xy) floor-quantizes BEFORE the integer sum (the repo's
+# quantize-then-sum discipline), normalized by one exact division.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q250_transition_entropy",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS x, nxt AS y, CAST(count(*) AS BIGINT) AS nxy
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c GROUP BY x),
+t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c),
+cells AS (
+  SELECT CAST(floor(1000000.0 * c.nxy
+                    * ln(CAST(mx.nx AS DOUBLE) / c.nxy)) AS BIGINT)
+           AS contrib
+  FROM c JOIN mx USING (x)
+)
+SELECT t.n AS n_transitions,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cells,
+       CAST((SELECT sum(contrib) FROM cells) // t.n AS BIGINT)
+         AS cond_entropy_micro_nats
+FROM t
+""",
+    doc="conditional entropy H(next|current) of the per-user event "
+    "transition matrix in integer micro-nats: one lead window per user, "
+    "vocabulary-sized transition counts, broadcast marginals, per-cell "
+    "floor-quantized n_xy*ln(n_x/n_xy) summed as integers",
+    tags=("events", "sessions", "aggregate", "audit"),
+)
+def q250_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("x"), F.col("nxt").alias("y")
+    ).agg(F.count("*").cast("bigint").alias("nxy"))
+    mx = c.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    t = c.agg(F.sum("nxy").cast("bigint").alias("n"))
+    cells = c.join(F.broadcast(mx), "x").select(
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("nxy")
+            * F.log(F.col("nx").cast("double") / F.col("nxy"))
+        )
+        .cast("bigint")
+        .alias("contrib")
+    )
+    n_cells = c.agg(F.count("*").cast("bigint").alias("n_cells"))
+    sc = cells.agg(F.sum("contrib").alias("s"))
+    return (
+        t.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(sc))
+        .select(
+            F.col("n").alias("n_transitions"),
+            "n_cells",
+            F.expr("cast(s div n as bigint)").alias(
+                "cond_entropy_micro_nats"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q251 — inter-rater agreement (Cohen's kappa) between two independent
+# rule-based document labelers — the label-quality audit for weak
+# supervision: observed agreement corrected for chance, EXACT in parts-
+# per-million with no float anywhere (kappa = (N·agree − Σ_k r1_k·r2_k)
+# / (N² − Σ_k r1_k·r2_k) — both numerator and denominator exact
+# integers from one conditional-aggregate pass). Rater 1 labels by
+# character length, rater 2 by whitespace token count.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q251_cohens_kappa_labelers",
+    oracle="""
+WITH l AS (
+  SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+           AS r2
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree,
+         CAST(sum(r1) AS BIGINT) AS n1,
+         CAST(sum(r2) AS BIGINT) AS n2
+  FROM l
+)
+SELECT n, agree,
+       CAST((CAST(n AS HUGEINT) * agree - (n1 * n2 + (n - n1) * (n - n2)))
+            * 1000000
+            // (CAST(n AS HUGEINT) * n - (n1 * n2 + (n - n1) * (n - n2)))
+            AS BIGINT) AS kappa_ppm
+FROM c
+""",
+    doc="Cohen's kappa between two rule-based labelers (length vs token "
+    "count) exact in ppm: one conditional-aggregate pass for the "
+    "agreement and marginal products, pure integer division — the "
+    "weak-supervision label-quality audit",
+    tags=("llm", "eval", "aggregate", "audit"),
+)
+def q251_cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    l = docs.select(
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("r1"),
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= 40, 1
+        ).otherwise(0).alias("r2"),
+    )
+    c = l.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("r1").cast("bigint").alias("n1"),
+        F.sum("r2").cast("bigint").alias("n2"),
+    )
+    return c.select(
+        "n",
+        "agree",
+        F.expr(
+            "cast((cast(n as decimal(38,0)) * agree "
+            "- (n1 * n2 + (n - n1) * (n - n2))) * 1000000 "
+            "div (cast(n as decimal(38,0)) * n "
+            "- (n1 * n2 + (n - n1) * (n - n2))) as bigint)"
+        ).alias("kappa_ppm"),
+    )
