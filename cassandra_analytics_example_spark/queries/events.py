@@ -5444,3 +5444,260 @@ def q251_cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- (n1 * n2 + (n - n1) * (n - n2))) as bigint)"
         ).alias("kappa_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q253 — RFM segmentation at scale: per-user recency (µs since last
+# event), frequency (event count), monetary (purchase cents) quintile-
+# scored 1–5 and rolled up to segment counts. The quintile thresholds
+# come from the exact rank-selection quantile operator on a CONSTANT
+# group (operators/quantiles.py — no value buffer, quantile_cont-
+# identical doubles), broadcast back for the bucket CASE; the user
+# table is never globally sorted or ntile'd through one task. Higher
+# scores are better: frequency/monetary score by value above
+# thresholds, recency by value below.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q253_rfm_segments",
+    oracle="""
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+u AS (
+  SELECT user_id,
+         CAST(mx.m - max(epoch_us(ts)) AS BIGINT) AS recency,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END), 0) AS BIGINT) AS monetary
+  FROM events, mx GROUP BY user_id, mx.m
+),
+q AS (
+  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+  FROM u
+),
+s AS (
+  SELECT CAST(1 + (CASE WHEN u.recency < q.rq[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.recency < q.rq[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.recency < q.rq[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.recency < q.rq[4] THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_score,
+         CAST(1 + (CASE WHEN u.frequency > q.fq[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.frequency > q.fq[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.frequency > q.fq[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.frequency > q.fq[4] THEN 1 ELSE 0 END)
+              AS BIGINT) AS f_score,
+         CAST(1 + (CASE WHEN u.monetary > q.mq[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.monetary > q.mq[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.monetary > q.mq[3] THEN 1 ELSE 0 END)
+                + (CASE WHEN u.monetary > q.mq[4] THEN 1 ELSE 0 END)
+              AS BIGINT) AS m_score
+  FROM u, q
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY r_score, f_score, m_score
+""",
+    doc="RFM segmentation: per-user recency/frequency/monetary quintile "
+    "scores 1-5 from exact rank-selection quantile thresholds "
+    "(constant-group, broadcast back — no ntile through one task), "
+    "rolled up to (r,f,m) segment counts",
+    tags=("events", "aggregate", "ranking", "analytics"),
+)
+def q253_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.quantiles import (
+        group_quantiles_exact,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts_us").alias("m"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (F.first("m") - F.max("ts_us")).cast("bigint").alias("recency"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("bigint"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("monetary"),
+        )
+    )
+    qs = {"q20": 0.2, "q40": 0.4, "q60": 0.6, "q80": 0.8}
+    u1 = u.withColumn("one", F.lit(1))
+    thresholds = None
+    for metric in ("recency", "frequency", "monetary"):
+        th = group_quantiles_exact(u1, "one", metric, qs).select(
+            *[F.col(k).alias(f"{metric[0]}_{k}") for k in qs]
+        )
+        thresholds = (
+            th
+            if thresholds is None
+            else thresholds.crossJoin(F.broadcast(th))
+        )
+    score = lambda v, pfx, op: sum(  # noqa: E731
+        (
+            F.when(op(F.col(v), F.col(f"{pfx}_{k}")), 1).otherwise(0)
+            for k in ("q40", "q60", "q80")
+        ),
+        start=F.lit(1)
+        + F.when(op(F.col(v), F.col(f"{pfx}_q20")), 1).otherwise(0),
+    )
+    s = u.crossJoin(F.broadcast(thresholds)).select(
+        score("recency", "r", lambda a, b: a < b)
+        .cast("bigint")
+        .alias("r_score"),
+        score("frequency", "f", lambda a, b: a > b)
+        .cast("bigint")
+        .alias("f_score"),
+        score("monetary", "m", lambda a, b: a > b)
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# q254 — first-touch vs last-touch revenue attribution: sessions (30-min
+# gap, the q231 sessionization) containing a purchase attribute their
+# total purchase revenue to (a) the session's first event type and (b)
+# the event type immediately preceding the session's FIRST purchase
+# ('direct' when the purchase opens the session). All windows ride the
+# (user, session) partitioning — bounded groups, one shuffle — and the
+# two models publish as one long-format channel table. Revenue in exact
+# integer cents.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q254_revenue_attribution",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x
+),
+r AS (
+  SELECT *,
+         row_number() OVER ws AS rn,
+         first_value(event_type) OVER ws AS first_type,
+         lag(event_type) OVER ws AS prev_type
+  FROM s WINDOW ws AS (PARTITION BY user_id, sess ORDER BY us, event_id)
+),
+agg AS (
+  SELECT user_id, sess,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+              AS BIGINT) AS rev,
+         min(CASE WHEN event_type = 'purchase' THEN rn END) AS first_p
+  FROM r GROUP BY user_id, sess
+),
+conv AS (
+  SELECT r.first_type,
+         coalesce(r.prev_type, 'direct') AS last_touch,
+         a.rev
+  FROM r JOIN agg a ON a.user_id = r.user_id AND a.sess = r.sess
+                    AND a.first_p = r.rn
+  WHERE a.rev > 0
+),
+lng AS (
+  SELECT 'first_touch' AS model, first_type AS channel, rev FROM conv
+  UNION ALL
+  SELECT 'last_touch' AS model, last_touch AS channel, rev FROM conv
+)
+SELECT model, channel,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(rev) AS BIGINT) AS rev_cents
+FROM lng GROUP BY model, channel
+""",
+    doc="first-touch vs last-touch revenue attribution over 30-min-gap "
+    "sessions: per-session first event type and pre-first-purchase "
+    "event type ('direct' when the purchase opens the session), total "
+    "purchase cents per channel under both models — all windows on the "
+    "bounded (user, session) partitioning",
+    tags=("events", "sessions", "analytics", "aggregate"),
+)
+def q254_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    sess = sessionize(ev, "user_id", "ts_us", 1_800_000_000, "event_id")
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    r = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        "cents",
+        F.row_number().over(ws).alias("rn"),
+        F.first("event_type").over(ws).alias("first_type"),
+        F.lag("event_type").over(ws).alias("prev_type"),
+    )
+    agg = r.groupBy("user_id", "session_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rev"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("first_p"),
+    )
+    conv = (
+        r.join(
+            agg,
+            (r.user_id == agg.user_id)
+            & (r.session_id == agg.session_id)
+            & (agg.first_p == r.rn),
+        )
+        .where(F.col("rev") > 0)
+        .select(
+            "first_type",
+            F.coalesce(F.col("prev_type"), F.lit("direct")).alias(
+                "last_touch"
+            ),
+            "rev",
+        )
+    )
+    lng = conv.select(
+        F.lit("first_touch").alias("model"),
+        F.col("first_type").alias("channel"),
+        "rev",
+    ).unionByName(
+        conv.select(
+            F.lit("last_touch").alias("model"),
+            F.col("last_touch").alias("channel"),
+            "rev",
+        )
+    )
+    return lng.groupBy("model", "channel").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("rev").cast("bigint").alias("rev_cents"),
+    )

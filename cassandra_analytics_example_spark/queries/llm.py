@@ -6500,3 +6500,58 @@ def q245_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as bigint)"
         ).alias("slope_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# q252 — template-prefix audit: the top shared 16-character document
+# prefixes with doc counts and floor-permille corpus share — the cheap
+# detector for boilerplate templates and scraped-page chrome that
+# near-dup passes at higher shingle sizes can miss. One groupBy on the
+# prefix (vocabulary-sized output), top-10 via Spark's per-partition
+# TakeOrdered merge (never a global sort of the prefix table),
+# deterministic (count desc, prefix) tie-break.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q252_template_prefixes",
+    oracle="""
+WITH p AS (
+  SELECT substr(text, 1, 16) AS prefix, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE len(text) >= 16
+  GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents
+      WHERE len(text) >= 16)
+SELECT p.prefix, p.n_docs,
+       CAST(p.n_docs * 1000 // t.total AS BIGINT) AS share_permille
+FROM p, t
+ORDER BY p.n_docs DESC, p.prefix
+LIMIT 10
+""",
+    doc="top-10 shared 16-char document prefixes with counts and floor-"
+    "permille share: vocabulary-sized prefix groupBy, TakeOrdered top-k "
+    "(no global sort), deterministic tie-break — the boilerplate/"
+    "template detector",
+    tags=("llm", "dedup", "audit", "topk"),
+)
+def q252_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(
+        F.length("text") >= 16
+    )
+    p = docs.groupBy(
+        F.substring("text", 1, 16).alias("prefix")
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    t = docs.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "prefix",
+            "n_docs",
+            F.expr("cast(n_docs * 1000 div total as bigint)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(10)
+    )
