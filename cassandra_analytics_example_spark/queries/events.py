@@ -5701,3 +5701,85 @@ def q254_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sessions"),
         F.sum("rev").cast("bigint").alias("rev_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q255 — out-of-fold target encoding of event_type against purchase
+# cents: the leakage-safe categorical encoder. Rows hash-split into 5
+# folds (md5 on event_id); the encoding a fold-k row would receive is
+# the mean target over the OTHER four folds, computed leave-one-fold-
+# out from the (type, fold) partial-sum table — sums and counts fold
+# once, the totals broadcast back, and each cell's encoding is one
+# exact integer floor division to micro-cents. Output is the bounded
+# (event_type, fold) encoding table itself: |types|×5 rows at any
+# corpus size, with no per-row re-aggregation anywhere.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q255_oof_target_encoding",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+              % 5 AS BIGINT) AS fold,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+pf AS (
+  SELECT event_type, fold,
+         CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM e GROUP BY event_type, fold
+),
+t AS (
+  SELECT event_type, CAST(sum(s) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS ct
+  FROM pf GROUP BY event_type
+)
+SELECT pf.event_type, pf.fold,
+       CAST(pf.c AS BIGINT) AS n_rows,
+       CAST((t.st - pf.s) * 1000000 // (t.ct - pf.c) AS BIGINT)
+         AS encoding_micro_cents
+FROM pf JOIN t USING (event_type)
+WHERE t.ct > pf.c
+""",
+    doc="out-of-fold target encoding (event_type -> mean purchase cents "
+    "over the other 4 md5 folds): one (type, fold) partial-sum fold, "
+    "broadcast totals, leave-one-fold-out by exact subtraction and one "
+    "integer floor division to micro-cents — the leakage-safe encoder "
+    "as a bounded encoding table",
+    tags=("events", "aggregate", "eval", "sampling"),
+)
+def q255_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    pf = e.groupBy("event_type", "fold").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    t = pf.groupBy("event_type").agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("c").cast("bigint").alias("ct"),
+    )
+    return (
+        pf.join(F.broadcast(t), "event_type")
+        .where(F.col("ct") > F.col("c"))
+        .select(
+            "event_type",
+            "fold",
+            F.col("c").alias("n_rows"),
+            F.expr(
+                "cast((st - s) * 1000000 div (ct - c) as bigint)"
+            ).alias("encoding_micro_cents"),
+        )
+    )

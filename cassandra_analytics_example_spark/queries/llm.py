@@ -6555,3 +6555,224 @@ def q252_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "prefix")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q256 — KMV (k-minimum-values) sketches of per-source vocabularies and
+# the sketch-estimated Jaccard between the two largest sources: the
+# mergeable-alternative to HLL that also supports set-resemblance. Each
+# source keeps its k=128 smallest md5 token hashes (per-source window
+# rank on the bounded vocabulary table — deterministic, no RNG);
+# distinct-count estimate (k−1)·2¹²⁸-free: hashes map to the integer
+# line via the first 15 hex digits, estimate = (k−1)·M div h_k. The
+# Jaccard estimate is |KMV_k(A∪B) ∩ A ∩ B| / k on the union's k
+# smallest — all exact integer arithmetic over md5 values, so the
+# sketch is reproducible on any engine.
+# --------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_M = 16**15  # hash domain size for the 15-hex-digit prefix
+
+
+@register(
+    "q256_kmv_source_jaccard",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+h AS (
+  SELECT source, term,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv
+  FROM tok WHERE term <> ''
+),
+top2 AS (
+  SELECT source FROM h GROUP BY source
+  ORDER BY count(*) DESC, source LIMIT 2
+),
+r AS (
+  SELECT h.source, h.hv,
+         row_number() OVER (PARTITION BY h.source ORDER BY h.hv) AS rk
+  FROM h JOIN top2 USING (source)
+),
+kmv AS (SELECT source, hv, rk FROM r WHERE rk <= {_KMV_K}),
+est AS (
+  SELECT source,
+         CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS BIGINT)
+              ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_M} AS HUGEINT)
+                        // max(CASE WHEN rk = {_KMV_K} THEN hv END)
+                        AS BIGINT)
+         END AS est_distinct
+  FROM kmv GROUP BY source
+),
+u AS (
+  SELECT hv, count(*) AS nsrc FROM kmv GROUP BY hv
+),
+uk AS (
+  SELECT hv, nsrc, row_number() OVER (ORDER BY hv) AS rk FROM u
+),
+j AS (
+  SELECT CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) * 1000
+              // {_KMV_K} AS BIGINT) AS jaccard_permille
+  FROM uk WHERE rk <= {_KMV_K}
+)
+SELECT (SELECT min(source) FROM top2) AS source_a,
+       (SELECT max(source) FROM top2) AS source_b,
+       (SELECT min(est_distinct) FROM est) AS est_distinct_min,
+       (SELECT max(est_distinct) FROM est) AS est_distinct_max,
+       j.jaccard_permille
+FROM j
+""",
+    doc="KMV k=128 sketches of the two largest sources' vocabularies "
+    "(smallest md5 hashes, deterministic): distinct-count estimates "
+    "(k-1)*M div h_k and the union-sketch Jaccard estimate in exact "
+    "integer arithmetic — the mergeable set-resemblance sketch",
+    tags=("llm", "sketch", "dedup", "aggregate"),
+)
+def q256_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    h = tok.select(
+        "source",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    top2 = F.broadcast(
+        h.groupBy("source")
+        .agg(F.count("*").alias("nv"))
+        .orderBy(F.col("nv").desc(), "source")
+        .limit(2)
+        .select("source")
+    )
+    hs = h.join(top2, "source")
+    wr = Window.partitionBy("source").orderBy("hv")
+    kmv = hs.withColumn("rk", F.row_number().over(wr)).where(
+        F.col("rk") <= _KMV_K
+    )
+    # a source whose whole vocabulary fits under k has an EXACT count —
+    # the standard KMV small-set degeneration (estimator needs the k-th
+    # minimum, which does not exist)
+    est = kmv.groupBy("source").agg(
+        F.expr(
+            f"case when count(*) < {_KMV_K} then cast(count(*) as bigint) "
+            f"else cast(({_KMV_K} - 1) * cast({_KMV_M} as decimal(38,0)) "
+            f"div max(case when rk = {_KMV_K} then hv end) as bigint) end"
+        ).alias("est_distinct")
+    )
+    u = kmv.groupBy("hv").agg(F.count("*").alias("nsrc"))
+    uk = u.withColumn(
+        "rk", F.row_number().over(Window.orderBy("hv"))
+    ).where(F.col("rk") <= _KMV_K)
+    j = uk.agg(
+        F.expr(
+            f"cast(sum(case when nsrc = 2 then 1 else 0 end) * 1000 "
+            f"div {_KMV_K} as bigint)"
+        ).alias("jaccard_permille")
+    )
+    names = top2.agg(
+        F.min("source").alias("source_a"), F.max("source").alias("source_b")
+    )
+    ests = est.agg(
+        F.min("est_distinct").alias("est_distinct_min"),
+        F.max("est_distinct").alias("est_distinct_max"),
+    )
+    return (
+        names.crossJoin(F.broadcast(ests))
+        .crossJoin(F.broadcast(j))
+        .select(
+            "source_a",
+            "source_b",
+            "est_distinct_min",
+            "est_distinct_max",
+            "jaccard_permille",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q257 — per-dimension embedding statistics: mean and variance of every
+# embedding coordinate in quantized micro-units from exact integer
+# moments (values quantized to 1e-6 BEFORE summation — never a float
+# accumulation), plus each dimension's share of total variance in
+# permille. The anisotropy audit behind whitening/matryoshka decisions:
+# posexplode fans the corpus to (dim, value) pairs once, the moment
+# table is |dims| rows, and everything downstream rides it.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q257_embedding_dim_stats",
+    oracle="""
+WITH v AS (
+  SELECT g.dim,
+         CAST(round(CAST(g.val AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (
+    SELECT unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings g
+  ) g
+),
+m AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+  FROM v GROUP BY dim
+),
+st AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(s // n AS BIGINT) AS mean_micro,
+         CAST((ss - CAST(s AS HUGEINT) * s // n) // n // 1000000 AS BIGINT)
+           AS var_micro
+  FROM m
+),
+t AS (SELECT CAST(sum(var_micro) AS BIGINT) AS tv FROM st)
+SELECT st.dim, st.mean_micro, st.var_micro,
+       CAST(st.var_micro * 1000 // t.tv AS BIGINT) AS var_share_permille
+FROM st, t
+""",
+    doc="per-dimension embedding mean/variance in micro-units from exact "
+    "integer moments (1e-6 quantization before summation) with each "
+    "dim's variance share in permille — the anisotropy audit; one "
+    "posexplode fan-out, |dims|-row moment table",
+    tags=("llm", "similarity", "aggregate", "audit"),
+)
+def q257_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.round(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    m = v.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("ss"),
+    )
+    st = m.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr("cast(s div n as bigint)").alias("mean_micro"),
+        F.expr(
+            "cast((ss - cast(s as decimal(38,0)) * s div n) div n "
+            "div 1000000 as bigint)"
+        ).alias("var_micro"),
+    )
+    t = st.agg(F.sum("var_micro").cast("bigint").alias("tv"))
+    return st.crossJoin(F.broadcast(t)).select(
+        "dim",
+        "mean_micro",
+        "var_micro",
+        F.expr("cast(var_micro * 1000 div tv as bigint)").alias(
+            "var_share_permille"
+        ),
+    )

@@ -199,3 +199,38 @@ def test_average_precision_matches_step_reference(spark):
         spark.createDataFrame(perfect), "score", "is_pos"
     ).collect()[0]
     assert r2["ap_ppm"] > 900_000
+
+
+def test_kmv_estimator_path_accuracy(spark, tmp_path):
+    # the shipped fixtures have tiny vocabularies (exact small-set path);
+    # this drives the k-th-minimum ESTIMATOR path on a synthetic corpus
+    # with known distinct counts and overlap
+    from cassandra_analytics_example_spark.queries.llm import (
+        q256_kmv_source_jaccard,
+    )
+
+    rng = np.random.default_rng(13)
+    shared = [f"w{i}" for i in range(1500)]
+    only_a = [f"a{i}" for i in range(1500)]
+    only_b = [f"b{i}" for i in range(1500)]
+    rows = []
+    for i in range(300):
+        pool = shared + only_a
+        rows.append((i, " ".join(rng.choice(pool, 40)), "en", "srcA", 1))
+    for i in range(300, 600):
+        pool = shared + only_b
+        rows.append((i, " ".join(rng.choice(pool, 40)), "en", "srcB", 1))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = q256_kmv_source_jaccard(spark, str(tmp_path)).collect()[0]
+    # each source saw ~3000 candidate terms, sampled 12000 draws -> close
+    # to full coverage; KMV k=128 estimate should land within ~35%
+    for est in (row["est_distinct_min"], row["est_distinct_max"]):
+        assert 1500 < est < 4800, est
+    # true vocab Jaccard ~ shared/(shared+onlyA+onlyB) ~ 1/3; sketch
+    # estimate is coarse at k=128 but must be in the right region
+    assert 150 < row["jaccard_permille"] < 550, row["jaccard_permille"]
