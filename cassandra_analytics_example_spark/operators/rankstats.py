@@ -313,3 +313,52 @@ def kaplan_meier(
             .alias("log_s_nano"),
         )
     )
+
+
+def cusum_changepoint_from_counts(
+    d: DataFrame, num_partitions: int = 64
+) -> DataFrame:
+    """CUSUM changepoint scan over a dense per-bucket count table
+    ``(h, c)`` — the mergeable-partial entry point (the ``ks_from_counts``
+    stance): per-bucket counts sum-merge exactly across shards or stream
+    microbatches, so a streaming monitor appending count partials and
+    calling this on the merged-on-read dense table is bit-identical to
+    the batch recompute.
+
+    Scaling deviations by n turns the cumulative sum of ``c_i − mean``
+    into ``Σ (n·c_i − total)`` — an exact integer prefix sum (range-
+    partitioned, never one task).  Returns one row ``(n_hours, n_events,
+    change_at_hour, peak_micro_events)`` with the earliest argmax of
+    |CUSUM| and the peak scaled back by one exact division.
+    """
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    dev = d.crossJoin(F.broadcast(t)).select(
+        "h",
+        "n",
+        "total",
+        (F.col("n") * F.col("c") - F.col("total")).alias("dev"),
+    )
+    cu = exclusive_prefix_sums(
+        dev, ["h"], ["dev"], num_partitions=num_partitions
+    ).select(
+        "h", "n", "total", (F.col("dev_before") + F.col("dev")).alias("s")
+    )
+    m = cu.agg(F.max(F.abs(F.col("s"))).alias("peak"))
+    at = cu.join(F.broadcast(m), F.abs(cu.s) == m.peak).agg(
+        F.min("h").cast("bigint").alias("change_at_hour")
+    )
+    return (
+        t.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n").alias("n_hours"),
+            F.col("total").alias("n_events"),
+            "change_at_hour",
+            F.expr("cast(peak * 1000000 div n as bigint)").alias(
+                "peak_micro_events"
+            ),
+        )
+    )

@@ -5248,8 +5248,8 @@ FROM t, m
     tags=("events", "timeseries", "ranking", "audit"),
 )
 def q249_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_analytics_example_spark.operators.ranking import (
-        exclusive_prefix_sums,
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        cusum_changepoint_from_counts,
     )
 
     ev = table(spark, sf_dir, "events")
@@ -5263,39 +5263,7 @@ def q249_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spine.join(e, "h", "left").select(
         "h", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
     )
-    t = d.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("c").cast("bigint").alias("total"),
-    )
-    dev = d.crossJoin(F.broadcast(t)).select(
-        "h",
-        "n",
-        "total",
-        (F.col("n") * F.col("c") - F.col("total")).alias("dev"),
-    )
-    cu = exclusive_prefix_sums(dev, ["h"], ["dev"]).select(
-        "h",
-        "n",
-        "total",
-        (F.col("dev_before") + F.col("dev")).alias("s"),
-    )
-    m = cu.agg(F.max(F.abs(F.col("s"))).alias("peak"))
-    at = (
-        cu.join(F.broadcast(m), F.abs(cu.s) == m.peak)
-        .agg(F.min("h").cast("bigint").alias("change_at_hour"))
-    )
-    return (
-        t.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(at))
-        .select(
-            F.col("n").alias("n_hours"),
-            F.col("total").alias("n_events"),
-            "change_at_hour",
-            F.expr("cast(peak * 1000000 div n as bigint)").alias(
-                "peak_micro_events"
-            ),
-        )
-    )
+    return cusum_changepoint_from_counts(d)
 
 
 # --------------------------------------------------------------------------

@@ -488,3 +488,21 @@ def s27_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_ks_drift(spark, sf_dir)
+
+
+@register(
+    "s28_stream_cusum",
+    oracle=None,
+    doc="Structured Streaming: CUSUM changepoint monitor — per-microbatch "
+    "hourly count partials appended via foreachBatch (sum merge unit), "
+    "published integer CUSUM scan over the densified merged-on-read "
+    "hourly table, BIT-IDENTICAL to the batch q249 (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "monitoring", "timeseries", "audit"),
+)
+def s28_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_cusum,
+    )
+
+    return run_stream_cusum(spark, sf_dir)

@@ -1726,3 +1726,71 @@ def run_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ks_from_counts(g)
+
+
+def run_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM changepoint monitor: each microbatch folds its
+    events to per-hour COUNT PARTIALS appended via ``foreachBatch``
+    (sum is the merge unit); the published report densifies the
+    merged-on-read hourly table over the observed range and runs the
+    integer CUSUM scan (``operators/rankstats.py:
+    cusum_changepoint_from_counts``).  Count partials sum-merge exactly
+    and the scan is pure integer arithmetic, so the published row is
+    BIT-IDENTICAL to the batch q249 at any microbatch split
+    (tests/test_streaming_batch_twins.py)."""
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        cusum_changepoint_from_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_cusum_")
+    live = os.path.join(out, "live")
+    ck = os.path.join(out, "ck")
+    base = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_us_col = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        if dict(base.dtypes)["ts"] not in ("bigint", "long")
+        else F.expr("ts div 1000")
+    )
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.select(ts_us_col.alias("ts_us"))
+            .groupBy(F.expr("ts_us div 3600000000").alias("h"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(live)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    e = spark.read.parquet(live).groupBy("h").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = r.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    d = spine.join(e, "h", "left").select(
+        "h", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
+    )
+    return cusum_changepoint_from_counts(d)

@@ -619,3 +619,16 @@ def test_s27_ks_drift_matches_q246(spark):
     got = run_stream_ks_drift(spark, SF01)
     want = q246_ks_time_drift(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s28_cusum_matches_q249(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q249_cusum_changepoint,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_cusum,
+    )
+
+    got = run_stream_cusum(spark, SF01)
+    want = q249_cusum_changepoint(spark, SF01)
+    _assert_same(got, want)
