@@ -5751,3 +5751,140 @@ def q255_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("encoding_micro_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q258 — spatial radius join via geo-cell bucketing: users get
+# deterministic md5-derived positions (integer micro-degrees in a ~±0.5°
+# box around 45°N), and the join finds all user pairs within ~2 km
+# WITHOUT an all-pairs pass — each point lands in one grid cell of the
+# radius size, candidates come from an equi-join on the 3×3 neighbor
+# cells (a 9-row broadcast offset table), and the verifier is the
+# equirectangular squared distance in EXACT integer arithmetic
+# (Δlat² + (Δlon·707 div 1000)², cos 45° ≈ 0.707 — no trig at runtime,
+# engine-portable).  The standard scale-safe spatial-join shape: cell
+# partitioning bounds candidates exactly like the band/LSH joins.
+# --------------------------------------------------------------------------
+
+_GEO_CELL = 18000  # micro-degrees ≈ 2 km at 45°N (the radius)
+_GEO_R2 = 18000 * 18000  # squared radius threshold in micro-deg²
+
+
+@register(
+    "q258_spatial_radius_join",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+              % 1000000 - 500000 AS BIGINT) AS lat,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 7, 6))::BIGINT
+              % 1000000 - 500000 AS BIGINT) AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+c AS (
+  SELECT user_id, lat, lon,
+         CAST(floor(lat / {_GEO_CELL}.0) AS BIGINT) AS cx,
+         CAST(floor(lon / {_GEO_CELL}.0) AS BIGINT) AS cy
+  FROM u
+),
+off(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+),
+cand AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         a.lat - b.lat AS dlat, a.lon - b.lon AS dlon
+  FROM c a
+  JOIN off o ON TRUE
+  JOIN c b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.user_id < b.user_id
+),
+pairs AS (
+  SELECT ua, ub
+  FROM cand
+  WHERE dlat * dlat
+        + (abs(dlon) * 707 // 1000) * (abs(dlon) * 707 // 1000)
+        <= {_GEO_R2}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT ua) AS BIGINT) AS n_left_users,
+       CAST(coalesce(min(ua), -1) AS BIGINT) AS min_user
+FROM pairs
+""",
+    doc="spatial radius join (~2 km) over md5-derived user positions: "
+    "one grid cell per point at radius size, 3x3 neighbor-cell equi-"
+    "join from a 9-row broadcast offset table, exact integer "
+    "equirectangular distance verify (no runtime trig) — the cell-"
+    "bucketed spatial-join shape, candidates bounded like band/LSH",
+    tags=("events", "join", "spatial", "dedup"),
+)
+def q258_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+            - 500_000
+        ).alias("lat"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 7, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+            - 500_000
+        ).alias("lon"),
+    )
+    c = u.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _GEO_CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("lon") / _GEO_CELL).cast("bigint").alias("cy"),
+    )
+    off = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+            "dx bigint, dy bigint",
+        )
+    )
+    a = c.select(
+        F.col("user_id").alias("ua"),
+        F.col("lat").alias("la"),
+        F.col("lon").alias("loa"),
+        "cx",
+        "cy",
+    ).crossJoin(off)
+    b = c.select(
+        F.col("user_id").alias("ub"),
+        F.col("lat").alias("lb"),
+        F.col("lon").alias("lob"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    cand = a.join(
+        b,
+        (b.bx == a.cx + a.dx) & (b.by == a.cy + a.dy) & (a.ua < b.ub),
+    ).select(
+        "ua",
+        "ub",
+        (F.col("la") - F.col("lb")).alias("dlat"),
+        (F.col("loa") - F.col("lob")).alias("dlon"),
+    )
+    # abs before the scaled division: DuckDB's // floors while Spark's
+    # div truncates toward zero — they only agree on non-negative operands
+    pairs = cand.where(
+        F.col("dlat") * F.col("dlat")
+        + F.expr("(abs(dlon) * 707 div 1000) * (abs(dlon) * 707 div 1000)")
+        <= F.lit(_GEO_R2)
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_distinct("ua").cast("bigint").alias("n_left_users"),
+        F.coalesce(F.min("ua"), F.lit(-1)).cast("bigint").alias("min_user"),
+    )
