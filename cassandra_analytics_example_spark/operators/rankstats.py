@@ -266,6 +266,8 @@ def kaplan_meier(
     quantize-then-integer-sum pattern), so the running sum is exact
     integer arithmetic and engine-portable; the cumulative layer is a
     second bounded prefix pass over the distinct-duration table.
+    ``log_s_nano`` is NULL at and after any step where every subject at
+    risk dies (S hits exactly 0; its logarithm is undefined).
     """
     g = df.groupBy(F.col(duration_col).alias("t")).agg(
         F.count("*").cast("bigint").alias("__n"),
@@ -285,10 +287,14 @@ def kaplan_meier(
     )
     # Per-step quantized log factor; durations where nobody dies
     # contribute 0 and are dropped from the output (standard KM table).
+    # A step where EVERYONE at risk dies drives S to exactly 0 — ln(0)
+    # is undefined, so the step contributes 0 to the running sum and a
+    # death marker instead; log_s_nano is NULL at and after that step
+    # (the marker rides the same prefix pass, so no extra shuffle).
     step = risk.withColumn(
         "__step",
         F.when(
-            F.col("n_events") > 0,
+            (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
             F.floor(
                 F.lit(1_000_000_000.0)
                 * F.log(
@@ -297,9 +303,14 @@ def kaplan_meier(
                 )
             ).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
+    ).withColumn(
+        "__died",
+        F.when(F.col("n_events") >= F.col("n_risk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
     )
     cum = exclusive_prefix_sums(
-        step, ["t"], ["__step"], num_partitions=num_partitions
+        step, ["t"], ["__step", "__died"], num_partitions=num_partitions
     )
     return (
         cum.filter(F.col("n_events") > 0)
@@ -308,8 +319,13 @@ def kaplan_meier(
             "n_risk",
             "n_events",
             "n_censored",
-            (F.col("__step_before") + F.col("__step"))
-            .cast("bigint")
+            F.when(
+                F.col("__died_before") + F.col("__died") > 0,
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(
+                (F.col("__step_before") + F.col("__step")).cast("bigint")
+            )
             .alias("log_s_nano"),
         )
     )
@@ -361,4 +377,23 @@ def cusum_changepoint_from_counts(
                 "peak_micro_events"
             ),
         )
+    )
+
+
+def densify_counts(e: DataFrame, bucket_col: str = "h") -> DataFrame:
+    """Densify a sparse per-bucket count table ``(bucket_col, c)`` over
+    the full observed integer bucket range, missing buckets = 0 — the
+    shared spine for the hourly CUSUM/ACF family (q248/q249/s28), so the
+    batch queries and their streaming twins cannot drift apart.  The
+    spine explodes from the two-value bounds row; its size is the bucket
+    range, never the corpus."""
+    r = e.agg(
+        F.min(bucket_col).alias("__h0"), F.max(bucket_col).alias("__h1")
+    )
+    spine = r.select(
+        F.explode(F.sequence(F.col("__h0"), F.col("__h1"))).alias(bucket_col)
+    )
+    return spine.join(e, bucket_col, "left").select(
+        bucket_col,
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
     )

@@ -4772,27 +4772,10 @@ def q236_kaplan_meier_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("ev"),
     )
-    km = kaplan_meier(d, "t", "ev")
-    # After survival reaches 0 (n_events == n_risk at some step), log-S is
-    # undefined: NULL from that step on, matching the oracle's CASE.
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        km.withColumn(
-            "__dead",
-            F.max(
-                F.when(F.col("n_events") >= F.col("n_risk"), F.lit(1))
-                .otherwise(F.lit(0))
-            ).over(w),
-        )
-        .select(
-            "t",
-            "n_risk",
-            "n_events",
-            "n_censored",
-            F.when(F.col("__dead") == 1, F.lit(None).cast("bigint"))
-            .otherwise(F.col("log_s_nano"))
-            .alias("log_s_nano"),
-        )
+    # the operator itself NULLs log-S at and after any step where S hits
+    # exactly 0, matching the oracle's CASE
+    return kaplan_meier(d, "t", "ev").select(
+        "t", "n_risk", "n_events", "n_censored", "log_s_nano"
     )
 
 
@@ -5115,9 +5098,8 @@ WITH e AS (
 ),
 r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
 spine AS (
-  SELECT r.h0 + x.gen AS h
-  FROM r, (SELECT unnest(generate_series(0, 2000)) AS gen) x
-  WHERE r.h0 + x.gen <= r.h1
+  SELECT CAST(t.h AS BIGINT) AS h
+  FROM r, LATERAL unnest(generate_series(r.h0, r.h1)) t(h)
 ),
 d AS (
   SELECT spine.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
@@ -5154,19 +5136,15 @@ FROM m
     tags=("events", "timeseries", "aggregate"),
 )
 def q248_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        densify_counts,
+    )
+
     ev = table(spark, sf_dir, "events")
     e = ev.groupBy(
         F.expr("ts_us div 3600000000").alias("h")
     ).agg(F.count("*").cast("bigint").alias("c"))
-    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = (
-        r.select(
-            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
-        )
-    )
-    d = spine.join(e, "h", "left").select(
-        "h", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
-    )
+    d = densify_counts(e)
     lags = F.broadcast(
         ev.sparkSession.createDataFrame(
             [(1,), (2,), (3,), (6,), (12,), (24,)], "lag bigint"
@@ -5218,9 +5196,8 @@ WITH e AS (
 ),
 r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
 spine AS (
-  SELECT r.h0 + x.gen AS h
-  FROM r, (SELECT unnest(generate_series(0, 2000)) AS gen) x
-  WHERE r.h0 + x.gen <= r.h1
+  SELECT CAST(t.h AS BIGINT) AS h
+  FROM r, LATERAL unnest(generate_series(r.h0, r.h1)) t(h)
 ),
 d AS (
   SELECT spine.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
@@ -5250,19 +5227,14 @@ FROM t, m
 def q249_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_example_spark.operators.rankstats import (
         cusum_changepoint_from_counts,
+        densify_counts,
     )
 
     ev = table(spark, sf_dir, "events")
     e = ev.groupBy(
         F.expr("ts_us div 3600000000").alias("h")
     ).agg(F.count("*").cast("bigint").alias("c"))
-    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = r.select(
-        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
-    )
-    d = spine.join(e, "h", "left").select(
-        "h", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
-    )
+    d = densify_counts(e)
     return cusum_changepoint_from_counts(d)
 
 
@@ -5500,6 +5472,10 @@ def q253_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
+    # the per-user fold feeds three multi-pass quantile selections plus
+    # the scoring pass — persist it once instead of re-folding events
+    # (the dedup.py/windows.py persist discipline)
+    u = u.persist()
     qs = {"q20": 0.2, "q40": 0.4, "q60": 0.6, "q80": 0.8}
     u1 = u.withColumn("one", F.lit(1))
     thresholds = None
@@ -5756,14 +5732,17 @@ def q255_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q258 — spatial radius join via geo-cell bucketing: users get
 # deterministic md5-derived positions (integer micro-degrees in a ~±0.5°
-# box around 45°N), and the join finds all user pairs within ~2 km
-# WITHOUT an all-pairs pass — each point lands in one grid cell of the
-# radius size, candidates come from an equi-join on the 3×3 neighbor
-# cells (a 9-row broadcast offset table), and the verifier is the
-# equirectangular squared distance in EXACT integer arithmetic
-# (Δlat² + (Δlon·707 div 1000)², cos 45° ≈ 0.707 — no trig at runtime,
-# engine-portable).  The standard scale-safe spatial-join shape: cell
-# partitioning bounds candidates exactly like the band/LSH joins.
+# box around 45°N), and the join finds ALL user pairs within the radius
+# WITHOUT an all-pairs pass.  Longitudes scale to the local metric FIRST
+# (slon = lon·707 div 1000, cos 45° ≈ 0.707 — per-point, exact integer,
+# no trig at runtime), so the distance Δlat² + Δslon² is isotropic in
+# (lat, slon) space; each point then lands in one grid cell of the
+# radius size in THAT space, which is what makes the 3×3 neighbor-cell
+# equi-join (a 9-row broadcast offset table) provably complete — any
+# in-radius pair differs by ≤ 1 cell on each axis.  (Bucketing raw lon
+# would under-cover: the radius spans 1/0.707 ≈ 1.41 lon cells.)  The
+# standard scale-safe spatial-join shape: cell partitioning bounds
+# candidates exactly like the band/LSH joins.
 # --------------------------------------------------------------------------
 
 _GEO_CELL = 18000  # micro-degrees ≈ 2 km at 45°N (the radius)
@@ -5782,9 +5761,9 @@ WITH u AS (
   FROM (SELECT DISTINCT user_id FROM events)
 ),
 c AS (
-  SELECT user_id, lat, lon,
+  SELECT user_id, lat, lon * 707 // 1000 AS slon,
          CAST(floor(lat / {_GEO_CELL}.0) AS BIGINT) AS cx,
-         CAST(floor(lon / {_GEO_CELL}.0) AS BIGINT) AS cy
+         CAST(floor((lon * 707 // 1000) / {_GEO_CELL}.0) AS BIGINT) AS cy
   FROM u
 ),
 off(dx, dy) AS (
@@ -5792,7 +5771,7 @@ off(dx, dy) AS (
 ),
 cand AS (
   SELECT a.user_id AS ua, b.user_id AS ub,
-         a.lat - b.lat AS dlat, a.lon - b.lon AS dlon
+         a.lat - b.lat AS dlat, a.slon - b.slon AS dslon
   FROM c a
   JOIN off o ON TRUE
   JOIN c b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
@@ -5801,9 +5780,7 @@ cand AS (
 pairs AS (
   SELECT ua, ub
   FROM cand
-  WHERE dlat * dlat
-        + (abs(dlon) * 707 // 1000) * (abs(dlon) * 707 // 1000)
-        <= {_GEO_R2}
+  WHERE dlat * dlat + dslon * dslon <= {_GEO_R2}
 )
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(count(DISTINCT ua) AS BIGINT) AS n_left_users,
@@ -5840,12 +5817,17 @@ def q258_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 500_000
         ).alias("lon"),
     )
+    # scale lon to the local metric BEFORE bucketing (integer truncating
+    # division — DuckDB's integer // and Spark's div agree, verified),
+    # so cells are radius-sized in the same space the verifier measures
     c = u.select(
         "user_id",
         "lat",
-        "lon",
+        F.expr("lon * 707 div 1000").alias("slon"),
         F.floor(F.col("lat") / _GEO_CELL).cast("bigint").alias("cx"),
-        F.floor(F.col("lon") / _GEO_CELL).cast("bigint").alias("cy"),
+        F.floor(F.expr("lon * 707 div 1000") / _GEO_CELL)
+        .cast("bigint")
+        .alias("cy"),
     )
     off = F.broadcast(
         ev.sparkSession.createDataFrame(
@@ -5856,14 +5838,14 @@ def q258_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.select(
         F.col("user_id").alias("ua"),
         F.col("lat").alias("la"),
-        F.col("lon").alias("loa"),
+        F.col("slon").alias("sla"),
         "cx",
         "cy",
     ).crossJoin(off)
     b = c.select(
         F.col("user_id").alias("ub"),
         F.col("lat").alias("lb"),
-        F.col("lon").alias("lob"),
+        F.col("slon").alias("slb"),
         F.col("cx").alias("bx"),
         F.col("cy").alias("by"),
     )
@@ -5874,13 +5856,10 @@ def q258_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ua",
         "ub",
         (F.col("la") - F.col("lb")).alias("dlat"),
-        (F.col("loa") - F.col("lob")).alias("dlon"),
+        (F.col("sla") - F.col("slb")).alias("dslon"),
     )
-    # abs before the scaled division: DuckDB's // floors while Spark's
-    # div truncates toward zero — they only agree on non-negative operands
     pairs = cand.where(
-        F.col("dlat") * F.col("dlat")
-        + F.expr("(abs(dlon) * 707 div 1000) * (abs(dlon) * 707 div 1000)")
+        F.col("dlat") * F.col("dlat") + F.col("dslon") * F.col("dslon")
         <= F.lit(_GEO_R2)
     )
     return pairs.agg(

@@ -1742,6 +1742,7 @@ def run_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cassandra_analytics_example_spark.operators.rankstats import (
         cusum_changepoint_from_counts,
+        densify_counts,
     )
 
     out = tempfile.mkdtemp(prefix="stream_cusum_")
@@ -1786,11 +1787,4 @@ def run_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(live).groupBy("h").agg(
         F.sum("c").cast("bigint").alias("c")
     )
-    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = r.select(
-        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
-    )
-    d = spine.join(e, "h", "left").select(
-        "h", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
-    )
-    return cusum_changepoint_from_counts(d)
+    return cusum_changepoint_from_counts(densify_counts(e))

@@ -147,14 +147,10 @@ def test_kaplan_meier_matches_python_reference(spark, all_events):
         .orderBy("t")
         .collect()
     ]
-    # the operator emits raw cumulative log-S; NULL-after-death is applied
-    # by the query layer, so compare the non-dead prefix exactly and the
-    # structural columns everywhere
+    # NULL-after-death is the operator's contract: compare everything,
+    # including the None tail
     ref = _km_reference(durs, evs)
-    assert [g[:4] for g in got] == [r[:4] for r in ref]
-    for g, r in zip(got, ref):
-        if r[4] is not None:
-            assert g[4] == r[4]
+    assert got == ref
 
 
 def test_average_precision_matches_step_reference(spark):
@@ -234,3 +230,50 @@ def test_kmv_estimator_path_accuracy(spark, tmp_path):
     # true vocab Jaccard ~ shared/(shared+onlyA+onlyB) ~ 1/3; sketch
     # estimate is coarse at k=128 but must be in the right region
     assert 150 < row["jaccard_permille"] < 550, row["jaccard_permille"]
+
+
+def test_spatial_radius_join_matches_bruteforce(spark, tmp_path):
+    # completeness check for the cell-bucketed candidate generation: the
+    # md5-derived positions of 3000 users, brute-forced in pandas with
+    # the same integer metric, must produce the exact same pair count
+    import hashlib
+
+    from cassandra_analytics_example_spark.queries.events import (
+        q258_spatial_radius_join,
+        _GEO_R2,
+    )
+
+    users = list(range(3000))
+    pdf = pd.DataFrame(
+        {
+            "event_id": users,
+            "ts": pd.to_datetime("2026-01-01"),
+            "user_id": users,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = q258_spatial_radius_join(spark, str(tmp_path)).collect()[0]
+
+    # exact truncating division toward zero, like Spark div / DuckDB //
+    def slon(lon):
+        q, r = divmod(abs(lon) * 707, 1000)
+        return q if lon >= 0 else -q
+
+    pts = []
+    for u in users:
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        lat = int(h[0:6], 16) % 1_000_000 - 500_000
+        lon = int(h[6:12], 16) % 1_000_000 - 500_000
+        pts.append((u, lat, slon(lon)))
+    arr = np.array([(p[1], p[2]) for p in pts], dtype=np.int64)
+    d2 = (
+        (arr[:, None, 0] - arr[None, :, 0]) ** 2
+        + (arr[:, None, 1] - arr[None, :, 1]) ** 2
+    )
+    iu = np.triu_indices(len(users), k=1)
+    want_pairs = int((d2[iu] <= _GEO_R2).sum())
+    assert got["n_pairs"] == want_pairs, (got["n_pairs"], want_pairs)
+    assert want_pairs > 0  # the fixture must actually exercise pairs
