@@ -5867,3 +5867,66 @@ def q258_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("ua").cast("bigint").alias("n_left_users"),
         F.coalesce(F.min("ua"), F.lit(-1)).cast("bigint").alias("min_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# q259 — MRR and hit-rate@10 of per-user event feeds against purchase
+# relevance: the retrieval-eval pair NDCG (q237) doesn't cover. Each
+# user's feed ranks by time (event-id tie-break); the first purchase
+# position gives the reciprocal rank — quantized per user to exact
+# integer micro-units (10⁶ div rank) BEFORE the mean, so the corpus
+# aggregate is one integer fold. Hit@10 is a windowed min-position
+# threshold. Per-user windows ride bounded groups; no global ordering.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q259_mrr_hit_rate",
+    oracle="""
+WITH f AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS pos
+  FROM events
+),
+fp AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN pos END) AS first_p
+  FROM f GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN first_p IS NOT NULL
+                     THEN 1000000 // first_p ELSE 0 END)
+            // count(*) AS BIGINT) AS mrr_micro,
+       CAST(sum(CASE WHEN first_p <= 10 THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS hit10_permille
+FROM fp
+""",
+    doc="MRR and hit-rate@10 of per-user feeds vs purchase relevance: "
+    "per-user reciprocal rank quantized to integer micro-units before "
+    "the mean (one integer fold), hit@10 from the min purchase "
+    "position — bounded per-user windows, no global ordering",
+    tags=("events", "eval", "ranking"),
+)
+def q259_mrr_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    f = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("pos")
+    )
+    fp = f.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).alias("first_p")
+    )
+    return fp.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr(
+            "cast(sum(case when first_p is not null "
+            "then 1000000 div first_p else 0 end) div count(*) as bigint)"
+        ).alias("mrr_micro"),
+        F.expr(
+            "cast(sum(case when first_p <= 10 then 1 else 0 end) * 1000 "
+            "div count(*) as bigint)"
+        ).alias("hit10_permille"),
+    )

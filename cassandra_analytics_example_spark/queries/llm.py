@@ -6776,3 +6776,211 @@ def q257_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_share_permille"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q260 — Brier score of the rank-calibrated classifier: the q223 score
+# maps to an empirical probability via its corpus rank permille (the
+# q232 normalization — distinct-score groups + prefix layer, never a
+# global row sort), and the Brier score against the high-label outcome
+# is Σ (perm − 1000·y)² in EXACT integer arithmetic, reported in
+# micro-units by one final division. The proper-scoring-rule companion
+# to AUC (q223) and AP (q244): rank calibration makes it measure pure
+# discrimination loss, engine-portable with no float anywhere.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q260_brier_rank_calibrated",
+    oracle=f"""
+WITH s AS (
+  SELECT {_Q223_SCORE_SQL} AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT score, n, np,
+         coalesce(sum(n) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g),
+p AS (
+  SELECT np, n - np AS nn,
+         CAST(below * 1000 // t.nt AS BIGINT) AS perm
+  FROM c, t
+)
+SELECT t.nt AS n_total,
+       CAST((SELECT sum(np * (perm - 1000) * (perm - 1000)
+                        + (nn) * perm * perm) FROM p)
+            // t.nt AS BIGINT) AS brier_micro
+FROM t
+""",
+    doc="Brier score (micro-units) of the rank-calibrated q223 score: "
+    "probability = corpus rank permille from distinct-score groups + "
+    "prefix layer, score = sum (perm - 1000y)^2 in exact integers, one "
+    "final division — proper-scoring-rule companion to AUC/AP",
+    tags=("llm", "eval", "ranking"),
+)
+def q260_brier_rank_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    score = F.round(
+        sum(
+            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
+            start=F.element_at("embedding", 1).cast("double"),
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    s = emb.select(
+        score.alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    pre = exclusive_prefix_sums(g, ["score"], ["n"])
+    t = pre.agg(F.sum("n").cast("bigint").alias("nt"))
+    p = pre.crossJoin(F.broadcast(t)).select(
+        "np",
+        (F.col("n") - F.col("np")).alias("nn"),
+        F.expr("cast(n_before * 1000 div nt as bigint)").alias("perm"),
+        "nt",
+    )
+    return p.groupBy("nt").agg(
+        F.expr(
+            "cast(sum(np * (perm - 1000) * (perm - 1000) "
+            "+ nn * perm * perm) div nt as bigint)"
+        ).alias("brier_micro")
+    ).select(F.col("nt").alias("n_total"), "brier_micro")
+
+
+# --------------------------------------------------------------------------
+# q261 — decile gains table for the q223 score: rows bucket into score
+# deciles by GLOBAL RANK (distinct-score groups + prefix layer — tie
+# groups share a decile, never a single-task ntile), and each decile
+# reports its positive count, rate in permille, and the cumulative
+# lift over the base rate in permille scanning from the top decile
+# down. The classic model-targeting readout ("mail the top 2 deciles"),
+# exact integers end to end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q261_decile_gains",
+    oracle=f"""
+WITH s AS (
+  SELECT {_Q223_SCORE_SQL} AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT score, n, np,
+         coalesce(sum(n) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM g
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(np) AS BIGINT) AS pt
+      FROM g),
+d AS (
+  SELECT CAST(above * 10 // t.nt AS BIGINT) AS decile, n, np
+  FROM c, t
+),
+dd AS (
+  SELECT decile, CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(np) AS BIGINT) AS n_pos
+  FROM d GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_rows, n_pos,
+         sum(n_rows) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(n_pos) OVER (ORDER BY decile
+                          ROWS UNBOUNDED PRECEDING) AS cp
+  FROM dd
+)
+SELECT cum.decile, cum.n_rows, cum.n_pos,
+       CAST(cum.n_pos * 1000 // cum.n_rows AS BIGINT) AS rate_permille,
+       CAST(CAST(cum.cp AS HUGEINT) * t.nt * 1000
+            // (CAST(cum.cn AS HUGEINT) * t.pt) AS BIGINT)
+         AS cum_lift_permille
+FROM cum, t
+""",
+    doc="decile gains table for the q223 score: deciles by global rank "
+    "from distinct-score groups + prefix layer (tie groups share a "
+    "decile, no single-task ntile), per-decile positive rate and "
+    "cumulative lift over base rate in exact integer permille, top "
+    "decile first",
+    tags=("llm", "eval", "ranking", "aggregate"),
+)
+def q261_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    score = F.round(
+        sum(
+            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
+            start=F.element_at("embedding", 1).cast("double"),
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    s = emb.select(
+        score.alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    # rank from the TOP: prefix over descending score via negated key
+    pre = exclusive_prefix_sums(
+        g.select((-F.col("score")).alias("negs"), "n", "np"),
+        ["negs"],
+        ["n"],
+    )
+    t = pre.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("np").cast("bigint").alias("pt"),
+    )
+    d = pre.crossJoin(F.broadcast(t)).select(
+        F.expr("cast(n_before * 10 div nt as bigint)").alias("decile"),
+        "n",
+        "np",
+    )
+    dd = d.groupBy("decile").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+    )
+    cum = exclusive_prefix_sums(dd, ["decile"], ["n_rows", "n_pos"]).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        (F.col("n_rows_before") + F.col("n_rows")).alias("cn"),
+        (F.col("n_pos_before") + F.col("n_pos")).alias("cp"),
+    )
+    return cum.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.expr("cast(n_pos * 1000 div n_rows as bigint)").alias(
+            "rate_permille"
+        ),
+        F.expr(
+            "cast(cast(cp as decimal(38,0)) * nt * 1000 "
+            "div (cast(cn as decimal(38,0)) * pt) as bigint)"
+        ).alias("cum_lift_permille"),
+    )
