@@ -79,6 +79,12 @@ HEADLINE = [
     "q167_incident_session_overlap",  # bucketed interval-overlap join
     "q168_histogram_quantile_sketch", # mergeable histogram + exact bracket
     "q169_pareto_frontier",     # distributed prefix-max skyline
+    "q231_peak_concurrency",    # sweep-line prefix sum over session boundaries
+    "q233_spearman_chars_tokens",  # doubled-rank Spearman (prefix + moments)
+    "q244_average_precision_exact",  # integer step-PR area over prefix cells
+    "q249_cusum_changepoint",   # dense-spine integer CUSUM scan
+    "q253_rfm_segments",        # persisted fold + 3 rank-selection thresholds
+    "q258_spatial_radius_join", # scaled-lon cell-bucketed radius join
 ]
 
 

@@ -4264,3 +4264,69 @@ def q243_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qual, s.s_suppkey == qual.suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q262 — hierarchical subtree rollup over the synthetic decimal-digit
+# part tree (parent(k) = k div 10): every ancestor chain materializes in
+# CLOSED FORM — anc = k div 10^i for a fixed 13-step power table
+# exploded per part (no iterative self-joins, no driver-side recursion;
+# chains are ≤ 13 long because bigint keys have ≤ 13 decimal digits at
+# any scale) — then one groupBy on the ancestor sums descendant count
+# and retail value. The oracle proves the closed form equals true
+# recursion: DuckDB computes the same chains with WITH RECURSIVE.
+# Output: the depth-≤-2 internal nodes (partkey < 100) — bounded.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q262_subtree_rollup",
+    oracle="""
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         p_partkey AS a
+  FROM part
+  UNION ALL
+  SELECT node, cents, a // 10 FROM anc WHERE a // 10 > 0
+),
+roll AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS n_desc,
+         CAST(sum(cents) AS BIGINT) AS subtree_cents
+  FROM anc GROUP BY a
+)
+SELECT node, n_desc, subtree_cents
+FROM roll WHERE node < 100
+""",
+    doc="hierarchical subtree rollup over the parent(k)=k div 10 part "
+    "tree: ancestor chains in closed form (fixed 13-entry power-of-10 "
+    "explode, no iteration), one ancestor groupBy for descendant count "
+    "+ subtree retail cents; oracle proves equivalence to WITH "
+    "RECURSIVE; bounded depth<=2 output",
+    tags=("relational", "aggregate", "graph"),
+)
+def q262_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    pows = F.array(*[F.lit(10**i).cast("bigint") for i in range(13)])
+    anc = p.select(
+        "node",
+        "cents",
+        F.explode(pows).alias("pw"),
+    ).select(
+        "node", "cents", "pw", F.expr("node div pw").alias("a")
+    ).where(
+        # every node is its own ancestor (pw == 1), even partkey 0 whose
+        # quotient is not positive; deeper quotients only while > 0
+        (F.col("pw") == 1) | (F.col("a") > 0)
+    )
+    return (
+        anc.groupBy(F.col("a").alias("node"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_desc"),
+            F.sum("cents").cast("bigint").alias("subtree_cents"),
+        )
+        .where(F.col("node") < 100)
+    )
