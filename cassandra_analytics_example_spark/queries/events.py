@@ -5472,22 +5472,27 @@ def q253_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    # the per-user fold feeds three multi-pass quantile selections plus
-    # the scoring pass — persist it once instead of re-folding events
-    # (the dedup.py/windows.py persist discipline)
+    # the per-user fold feeds the quantile selection plus the scoring
+    # pass — persist it once instead of re-folding events (the dedup.py/
+    # windows.py persist discipline), and melt the three metrics into
+    # ONE group-quantile selection (group = metric) so all 12 thresholds
+    # come from a single multi-pass instead of three serial ones
     u = u.persist()
     qs = {"q20": 0.2, "q40": 0.4, "q60": 0.6, "q80": 0.8}
-    u1 = u.withColumn("one", F.lit(1))
-    thresholds = None
-    for metric in ("recency", "frequency", "monetary"):
-        th = group_quantiles_exact(u1, "one", metric, qs).select(
-            *[F.col(k).alias(f"{metric[0]}_{k}") for k in qs]
-        )
-        thresholds = (
-            th
-            if thresholds is None
-            else thresholds.crossJoin(F.broadcast(th))
-        )
+    melted = u.selectExpr(
+        "stack(3, 'r', recency, 'f', frequency, 'm', monetary) "
+        "as (metric, v)"
+    )
+    th = group_quantiles_exact(melted, "metric", "v", qs)
+    thresholds = th.agg(
+        *[
+            F.max(F.when(F.col("metric") == pfx, F.col(k))).alias(
+                f"{pfx}_{k}"
+            )
+            for pfx in ("r", "f", "m")
+            for k in qs
+        ]
+    )
     score = lambda v, pfx, op: sum(  # noqa: E731
         (
             F.when(op(F.col(v), F.col(f"{pfx}_{k}")), 1).otherwise(0)
