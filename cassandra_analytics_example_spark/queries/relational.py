@@ -4330,3 +4330,183 @@ def q262_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("node") < 100)
     )
+
+
+# --------------------------------------------------------------------------
+# q263 — record linkage (entity resolution) between the customer table
+# and a deterministically-corrupted copy: one digit of the name tail
+# (position ck%6+4, i.e. somewhere in the last six digits) is replaced
+# with 'X', so a corrupted name never collides exactly with a DIFFERENT
+# clean name (clean tails are all digits). Candidates come from 2-of-3
+# chunk blocking over the edit region with the high-order digits pinned
+# in every key — tail[1:3] plus two of the three 2-digit chunks at
+# positions 4-5 / 6-7 / 8-9 — so a single edit always leaves one key
+# intact (guaranteed recall) and every block shares 7 of 9 digits:
+# block size ≤ ~100 at ANY corpus size, candidates O(N), never
+# quadratic. Verification is levenshtein ≤ 1 PLUS agreement on the
+# carried account-balance attribute (block on name, verify on
+# attributes — name edits alone are ambiguous on a dense key space);
+# the 1:1 layer keeps
+# MUTUAL best matches under the deterministic (distance, key) order.
+# Ambiguity is real (a dirty name is edit-1 from up to 10 clean
+# neighbors differing only at the X'd digit) — the audit reports how
+# much of it the mutual-best rule resolves (n_true_matches / n_links).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q263_record_linkage",
+    oracle="""
+WITH clean AS (
+  SELECT c_custkey AS ck, c_name AS name, substr(c_name, 10, 9) AS tail,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+dirty AS (
+  SELECT ck AS dk, cents AS dcents,
+         'Customer#'
+           || substr(tail, 1, CAST(ck % 6 + 3 AS BIGINT)) || 'X'
+           || substr(tail, CAST(ck % 6 + 5 AS BIGINT)) AS dname
+  FROM clean
+),
+dnamed AS (SELECT dk, dcents, dname, substr(dname, 10, 9) AS dtail
+           FROM dirty),
+ckeys AS (
+  SELECT ck, name, cents,
+         substr(tail, 1, 3) || substr(tail, 4, 2) || substr(tail, 6, 2)
+           AS kab,
+         substr(tail, 1, 3) || substr(tail, 4, 2) || substr(tail, 8, 2)
+           AS kac,
+         substr(tail, 1, 3) || substr(tail, 6, 2) || substr(tail, 8, 2)
+           AS kbc
+  FROM clean
+),
+dkeys AS (
+  SELECT dk, dcents, dname,
+         substr(dtail, 1, 3) || substr(dtail, 4, 2) || substr(dtail, 6, 2)
+           AS kab,
+         substr(dtail, 1, 3) || substr(dtail, 4, 2) || substr(dtail, 8, 2)
+           AS kac,
+         substr(dtail, 1, 3) || substr(dtail, 6, 2) || substr(dtail, 8, 2)
+           AS kbc
+  FROM dnamed
+),
+cand AS (
+  SELECT DISTINCT ck, name, cents, dk, dname, dcents FROM (
+    SELECT c.ck, c.name, c.cents, d.dk, d.dname, d.dcents
+    FROM ckeys c JOIN dkeys d ON c.kab = d.kab
+    UNION ALL
+    SELECT c.ck, c.name, c.cents, d.dk, d.dname, d.dcents
+    FROM ckeys c JOIN dkeys d ON c.kac = d.kac
+    UNION ALL
+    SELECT c.ck, c.name, c.cents, d.dk, d.dname, d.dcents
+    FROM ckeys c JOIN dkeys d ON c.kbc = d.kbc
+  )
+),
+ver AS (
+  SELECT ck, dk, levenshtein(name, dname) AS lev
+  FROM cand
+  WHERE levenshtein(name, dname) <= 1 AND cents = dcents
+),
+lbest AS (
+  SELECT ck, min(lev * 10000000000 + dk) AS lb FROM ver GROUP BY ck
+),
+rbest AS (
+  SELECT dk, min(lev * 10000000000 + ck) AS rb FROM ver GROUP BY dk
+),
+mutual AS (
+  SELECT v.ck, v.dk
+  FROM ver v
+  JOIN lbest l ON l.ck = v.ck AND l.lb = v.lev * 10000000000 + v.dk
+  JOIN rbest r ON r.dk = v.dk AND r.rb = v.lev * 10000000000 + v.ck
+)
+SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified,
+       CAST((SELECT count(*) FROM mutual) AS BIGINT) AS n_matched,
+       CAST((SELECT count(*) FROM mutual WHERE ck = dk) AS BIGINT)
+         AS n_true_matches
+""",
+    doc="record linkage vs a one-char-corrupted customer copy ('X' at a "
+    "key-dependent digit, so no cross exact collisions): 2-of-3 chunk "
+    "blocking over the edit region with high digits pinned (single "
+    "edit always preserves a key; blocks <= ~100 at any scale), "
+    "levenshtein<=1 verify, mutual-best 1:1 assignment — audit counts "
+    "incl. true-match recovery",
+    tags=("relational", "dedup", "join", "audit"),
+)
+def q263_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 10, 9).alias("tail"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    dirty = cust.select(
+        F.col("ck").alias("dk"),
+        F.col("cents").alias("dcents"),
+        F.concat(
+            F.lit("Customer#"),
+            F.expr("substr(tail, 1, cast(ck % 6 + 3 as int))"),
+            F.lit("X"),
+            F.expr("substr(tail, cast(ck % 6 + 5 as int))"),
+        ).alias("dname"),
+    ).withColumn("dtail", F.substring("dname", 10, 9))
+
+    def keys(df, tail_col, pfx):
+        t = F.col(tail_col)
+        return df.select(
+            "*",
+            F.concat(
+                F.substring(t, 1, 3),
+                F.substring(t, 4, 2),
+                F.substring(t, 6, 2),
+            ).alias(f"{pfx}kab"),
+            F.concat(
+                F.substring(t, 1, 3),
+                F.substring(t, 4, 2),
+                F.substring(t, 8, 2),
+            ).alias(f"{pfx}kac"),
+            F.concat(
+                F.substring(t, 1, 3),
+                F.substring(t, 6, 2),
+                F.substring(t, 8, 2),
+            ).alias(f"{pfx}kbc"),
+        )
+
+    ck = keys(cust, "tail", "c")
+    dkf = keys(dirty, "dtail", "d")
+    cand = None
+    for kk in ("kab", "kac", "kbc"):
+        part = ck.join(
+            dkf, ck[f"c{kk}"] == dkf[f"d{kk}"]
+        ).select("ck", "name", "cents", "dk", "dname", "dcents")
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.distinct()
+    ver = (
+        cand.where(F.col("cents") == F.col("dcents"))
+        .select("ck", "dk", F.levenshtein("name", "dname").alias("lev"))
+        .where(F.col("lev") <= 1)
+    )
+    key_l = (F.col("lev") * F.lit(10_000_000_000) + F.col("dk")).alias("kl")
+    key_r = (F.col("lev") * F.lit(10_000_000_000) + F.col("ck")).alias("kr")
+    v = ver.select("ck", "dk", "lev", key_l, key_r)
+    lbest = v.groupBy("ck").agg(F.min("kl").alias("lb"))
+    rbest = v.groupBy("dk").agg(F.min("kr").alias("rb"))
+    mutual = (
+        v.join(lbest, "ck")
+        .where(F.col("kl") == F.col("lb"))
+        .join(rbest, "dk")
+        .where(F.col("kr") == F.col("rb"))
+        .select("ck", "dk")
+    )
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nv = ver.agg(F.count("*").cast("bigint").alias("n_verified"))
+    nm = mutual.agg(F.count("*").cast("bigint").alias("n_matched"))
+    nt = mutual.where(F.col("ck") == F.col("dk")).agg(
+        F.count("*").cast("bigint").alias("n_true_matches")
+    )
+    return (
+        nc.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nt))
+    )
