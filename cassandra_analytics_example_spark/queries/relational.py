@@ -4510,3 +4510,122 @@ def q263_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nm))
         .crossJoin(F.broadcast(nt))
     )
+
+
+# --------------------------------------------------------------------------
+# q264 — declarative data-quality suite over orders, dbt-test style, in
+# as few passes as the checks allow: one conditional-aggregate corpus
+# pass carries every row-local rule (non-null keys, accepted status
+# vocabulary, date-range sanity, non-negative totals), the key-
+# uniqueness check is one distinct-count against the row count, and
+# the orphan-FK check is one broadcast-probed anti-join count. Output
+# is the long-format invariant table (check_name, violations, ok) the
+# repo's audit queries standardize on — a failed rule names itself.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q264_dq_suite",
+    oracle="""
+WITH rowpass AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_key,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_cust,
+    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2030-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS bad_price,
+    CAST(count(*) AS BIGINT) AS n
+  FROM orders
+),
+uniq AS (
+  SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys
+  FROM orders
+),
+orphan AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+)
+SELECT check_name, violations, violations = 0 AS ok FROM (
+  SELECT 'orderkey_not_null' AS check_name, null_key AS violations
+  FROM rowpass
+  UNION ALL SELECT 'custkey_not_null', null_cust FROM rowpass
+  UNION ALL SELECT 'status_accepted_values', bad_status FROM rowpass
+  UNION ALL SELECT 'orderdate_in_range', bad_date FROM rowpass
+  UNION ALL SELECT 'totalprice_positive', bad_price FROM rowpass
+  UNION ALL SELECT 'orderkey_unique', dup_keys FROM uniq
+  UNION ALL SELECT 'custkey_fk_customer', orphans FROM orphan
+)
+""",
+    doc="declarative data-quality suite over orders (dbt-test style): "
+    "row-local rules in one conditional-aggregate pass, key uniqueness "
+    "as distinct-vs-count, FK orphans as one anti-join count — long-"
+    "format (check_name, violations, ok) invariant table",
+    tags=("relational", "audit", "aggregate"),
+)
+def q264_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    rowpass = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_key"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_cust"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2030-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_date"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_price"),
+    )
+    uniq = o.agg(
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys")
+    )
+    orphan = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count("*").cast("bigint").alias("orphans"))
+    checks = (
+        rowpass.crossJoin(F.broadcast(uniq))
+        .crossJoin(F.broadcast(orphan))
+        .selectExpr(
+            "stack(7, "
+            "'orderkey_not_null', null_key, "
+            "'custkey_not_null', null_cust, "
+            "'status_accepted_values', bad_status, "
+            "'orderdate_in_range', bad_date, "
+            "'totalprice_positive', bad_price, "
+            "'orderkey_unique', dup_keys, "
+            "'custkey_fk_customer', orphans"
+            ") as (check_name, violations)"
+        )
+    )
+    return checks.select(
+        "check_name",
+        "violations",
+        (F.col("violations") == 0).alias("ok"),
+    )
