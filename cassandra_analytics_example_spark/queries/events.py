@@ -5935,3 +5935,211 @@ def q259_mrr_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(*) as bigint)"
         ).alias("hit10_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q265 — cross-correlation between the hourly purchase-count and
+# error-count series at lags 0, ±1, ±3, ±6: the lead–lag detector
+# ("do errors precede purchase dips?"). Both series ride ONE corpus
+# fold to a (hour, purchases, errors) table densified over the shared
+# spine; each lag is an equi-self-join of that bounded table (purchase
+# at h vs error at h+lag), and each CCF value is Pearson from five
+# exact DECIMAL(38,0) moments (the q214/q248 discipline). Negative
+# lags mean errors lead.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q265_purchase_error_ccf",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+spine AS (
+  SELECT CAST(t.h AS BIGINT) AS h
+  FROM r, LATERAL unnest(generate_series(r.h0, r.h1)) t(h)
+),
+d AS (
+  SELECT spine.h, CAST(coalesce(e.p, 0) AS BIGINT) AS p,
+         CAST(coalesce(e.x, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN e ON e.h = spine.h
+),
+lags(lag) AS (VALUES (-6), (-3), (-1), (0), (1), (3), (6)),
+pr AS (
+  SELECT l.lag, a.p AS pv, b.x AS xv
+  FROM lags l
+  JOIN d a ON TRUE
+  JOIN d b ON b.h = a.h + l.lag
+),
+m AS (
+  SELECT lag,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(pv) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(xv) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(pv * xv) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(pv * pv) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(xv * xv) AS DECIMAL(38,0)) AS syy
+  FROM pr GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS ccf
+FROM m
+""",
+    doc="cross-correlation of hourly purchase vs error counts at lags "
+    "0/±1/±3/±6 (negative lag = errors lead): one fold to the densified "
+    "(hour, purchases, errors) table, per-lag bounded self-joins, "
+    "Pearson from exact DECIMAL(38,0) moments",
+    tags=("events", "timeseries", "aggregate"),
+)
+def q265_purchase_error_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    e = ev.groupBy(F.expr("ts_us div 3600000000").alias("h")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = r.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    d = spine.join(e, "h", "left").select(
+        "h",
+        F.coalesce(F.col("p"), F.lit(0)).cast("bigint").alias("p"),
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    lags = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(-6,), (-3,), (-1,), (0,), (1,), (3,), (6,)], "lag bigint"
+        )
+    )
+    a = d.select(F.col("h").alias("ha"), F.col("p").alias("pv"))
+    b = d.select(F.col("h").alias("hb"), F.col("x").alias("xv"))
+    pr = a.crossJoin(lags).join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+    dec38 = "decimal(38,0)"
+    m = pr.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("pv").cast(dec38).alias("sx"),
+        F.sum("xv").cast(dec38).alias("sy"),
+        F.sum(F.col("pv") * F.col("xv")).cast(dec38).alias("sxy"),
+        F.sum(F.col("pv") * F.col("pv")).cast(dec38).alias("sxx"),
+        F.sum(F.col("xv") * F.col("xv")).cast(dec38).alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / (
+                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
+                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+            )
+        ).alias("ccf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q266 — session entry/exit analysis with bounce rate: per event type,
+# how often it opens a session, how often it closes one, and the
+# corpus-level bounce share (single-event sessions) — the web-analytics
+# landing/exit readout over the standard 30-min sessionization. First/
+# last flags come from one row_number pair under the (user, session)
+# windows (bounded groups, one shuffle); the rollup is vocabulary-sized.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q266_session_entry_exit",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+x AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x
+),
+rr AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER ws AS rn,
+         count(*) OVER (PARTITION BY user_id, sess) AS slen
+  FROM s WINDOW ws AS (PARTITION BY user_id, sess ORDER BY us, event_id)
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_entries,
+         CAST(sum(CASE WHEN rn = slen THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exits,
+         CAST(sum(CASE WHEN rn = 1 AND slen = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bounces
+  FROM rr GROUP BY event_type
+)
+SELECT event_type, n_entries, n_exits, n_bounces,
+       CAST(CASE WHEN n_entries > 0
+                 THEN n_bounces * 1000 // n_entries ELSE 0 END AS BIGINT)
+         AS bounce_permille
+FROM agg
+""",
+    doc="session entry/exit/bounce analysis per event type over 30-min "
+    "sessions: first/last flags from one row_number + count pair under "
+    "bounded (user, session) windows, vocabulary-sized rollup with "
+    "bounce rate in integer permille",
+    tags=("events", "sessions", "analytics", "aggregate"),
+)
+def q266_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    sess = sessionize(ev, "user_id", "ts_us", 1_800_000_000, "event_id")
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    wc = Window.partitionBy("user_id", "session_id")
+    rr = sess.select(
+        "event_type",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(wc).alias("slen"),
+    )
+    agg = rr.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_entries"),
+        F.sum(F.when(F.col("rn") == F.col("slen"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exits"),
+        F.sum(
+            F.when((F.col("rn") == 1) & (F.col("slen") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bounces"),
+    )
+    return agg.select(
+        "event_type",
+        "n_entries",
+        "n_exits",
+        "n_bounces",
+        F.expr(
+            "cast(case when n_entries > 0 "
+            "then n_bounces * 1000 div n_entries else 0 end as bigint)"
+        ).alias("bounce_permille"),
+    )
