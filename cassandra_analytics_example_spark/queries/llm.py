@@ -6984,3 +6984,141 @@ def q261_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (cast(cn as decimal(38,0)) * pt) as bigint)"
         ).alias("cum_lift_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q267 — split-free conformal prediction interval for the q214 linear
+# fit (tokens ~ chars): the 90% conformal radius is the ⌈(n+1)·0.9⌉-th
+# smallest absolute residual — an EXACT order statistic, selected by
+# the distinct-value + prefix-layer rank machinery (never a global row
+# sort) over integer micro-unit residuals from the exact-moment OLS
+# line (slope_micro/intercept_milli are exact integers, so residuals
+# are too). The coverage audit closes the loop: the share of rows
+# inside ±q̂ in integer permille. The "calibrated error bars at scale"
+# primitive for any regression-backed budget estimate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q267_conformal_interval",
+    oracle="""
+WITH v AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+  FROM v
+),
+fit AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+              // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT) AS slope_u,
+         CAST(CAST((sy * (n * sxx - sx * sx)
+                    - sx * (n * sxy - sx * sy)) * 1000 AS HUGEINT)
+              // CAST(n * (n * sxx - sx * sx) AS HUGEINT) AS BIGINT)
+           AS icept_m
+  FROM m
+),
+res AS (
+  SELECT abs(v.y * 1000000 - (fit.slope_u * v.x + fit.icept_m * 1000))
+           AS r, fit.n
+  FROM v, fit
+),
+k AS (SELECT n, (n + 1) * 9 // 10 + CASE WHEN (n + 1) * 9 % 10 > 0
+                                         THEN 1 ELSE 0 END AS kk
+      FROM fit),
+g AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM res GROUP BY r),
+cum AS (
+  SELECT r, sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cw
+  FROM g
+),
+qhat AS (
+  SELECT CAST(min(r) AS BIGINT) AS qhat_micro
+  FROM cum, k WHERE cw >= least(k.kk, k.n)
+)
+SELECT k.n, qhat.qhat_micro,
+       CAST((SELECT count(*) FROM res, qhat
+             WHERE res.r <= qhat.qhat_micro) * 1000 // k.n AS BIGINT)
+         AS coverage_permille
+FROM k, qhat
+""",
+    doc="90% conformal prediction radius for the exact-moment OLS fit: "
+    "ceil((n+1)*0.9)-th smallest integer micro-residual by distinct-"
+    "value + prefix-layer rank selection (no global row sort), with "
+    "the coverage share in integer permille",
+    tags=("llm", "eval", "ranking", "aggregate"),
+)
+def q267_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
+    )
+    dec38 = "decimal(38,0)"
+    m = v.agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+    )
+    fit = m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+            "as bigint)"
+        ).alias("slope_u"),
+        F.expr(
+            "cast((sy * (n * sxx - sx * sx) - sx * (n * sxy - sx * sy)) "
+            "* 1000 div (n * (n * sxx - sx * sx)) as bigint)"
+        ).alias("icept_m"),
+    )
+    res = v.crossJoin(F.broadcast(fit)).select(
+        F.abs(
+            F.col("y") * 1_000_000
+            - (F.col("slope_u") * F.col("x") + F.col("icept_m") * 1000)
+        ).alias("r"),
+        "n",
+    )
+    k = fit.select(
+        "n",
+        F.expr(
+            "(n + 1) * 9 div 10 "
+            "+ case when (n + 1) * 9 % 10 > 0 then 1 else 0 end"
+        ).alias("kk"),
+    )
+    g = res.groupBy("r").agg(F.count("*").cast("bigint").alias("c"))
+    cum = exclusive_prefix_sums(g, ["r"], ["c"]).select(
+        "r", (F.col("c_before") + F.col("c")).alias("cw")
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(k))
+        .where(F.col("cw") >= F.least(F.col("kk"), F.col("n")))
+        .agg(F.min("r").cast("bigint").alias("qhat_micro"))
+    )
+    cov = (
+        res.crossJoin(F.broadcast(qhat))
+        .where(F.col("r") <= F.col("qhat_micro"))
+        .agg(F.count("*").alias("nc"))
+    )
+    return (
+        k.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n",
+            "qhat_micro",
+            F.expr("cast(nc * 1000 div n as bigint)").alias(
+                "coverage_permille"
+            ),
+        )
+    )
