@@ -6143,3 +6143,87 @@ def q266_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "then n_bounces * 1000 div n_entries else 0 end as bigint)"
         ).alias("bounce_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# q269 — ML lag-feature generation: per (user, event) row, the previous
+# two purchase values and the trailing 3-event mean — the standard
+# supervised-learning feature prep — all from ONE window partitioning
+# (user, ordered by time with the event-id tie-break), values in exact
+# integer cents so the features are engine-portable. Output is the
+# bounded per-user-tail sample: each user's LAST feature row (the row
+# that would feed a serving-time prediction), so the result stays
+# |users|-sized while every window computation still runs corpus-wide.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q269_lag_features",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (
+  SELECT user_id, us, event_id, cents,
+         lag(cents, 1) OVER w AS lag1,
+         lag(cents, 2) OVER w AS lag2,
+         CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sum3,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cnt3,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rdesc
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, cents,
+       CAST(coalesce(lag1, -1) AS BIGINT) AS lag1_cents,
+       CAST(coalesce(lag2, -1) AS BIGINT) AS lag2_cents,
+       CAST(sum3 * 100 // cnt3 AS BIGINT) AS mean3_centicents
+FROM f WHERE rdesc = 1
+""",
+    doc="ML lag-feature prep per purchase row (prev two purchase cents, "
+    "trailing 3-event mean in exact centi-cents) from one (user, time) "
+    "window partitioning; publishes each user's latest feature row "
+    "(serving-time shape, |users|-sized output)",
+    tags=("events", "windows", "analytics", "eval"),
+)
+def q269_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    f = ev.select(
+        "user_id",
+        "cents",
+        F.lag("cents", 1).over(w).alias("lag1"),
+        F.lag("cents", 2).over(w).alias("lag2"),
+        F.sum("cents").over(w3).cast("bigint").alias("sum3"),
+        F.count("*").over(w3).cast("bigint").alias("cnt3"),
+        F.row_number().over(wd).alias("rdesc"),
+    )
+    return f.where(F.col("rdesc") == 1).select(
+        "user_id",
+        "cents",
+        F.coalesce(F.col("lag1"), F.lit(-1))
+        .cast("bigint")
+        .alias("lag1_cents"),
+        F.coalesce(F.col("lag2"), F.lit(-1))
+        .cast("bigint")
+        .alias("lag2_cents"),
+        F.expr("cast(sum3 * 100 div cnt3 as bigint)").alias(
+            "mean3_centicents"
+        ),
+    )

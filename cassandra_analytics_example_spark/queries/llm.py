@@ -7122,3 +7122,99 @@ def q267_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q268 — exact covariance matrix of the leading 8 embedding dimensions:
+# the PCA/whitening precursor q257's per-dim variance doesn't give.
+# All 8 coordinates quantize to integer micro-units as COLUMNS of one
+# projection (no explode), and the 8 first moments + 36 upper-triangle
+# second moments fold in ONE corpus pass of exact DECIMAL(38,0) sums;
+# covariance comes out long-format (dim_i ≤ dim_j, cov_micro) by exact
+# integer algebra n·Σxy − Σx·Σy over n². Output is the fixed 36-row
+# triangle at any corpus size.
+# --------------------------------------------------------------------------
+
+_COV_DIMS = 8
+
+
+@register(
+    "q268_embedding_covariance",
+    oracle=f"""
+WITH v AS (
+  SELECT {', '.join(
+      f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1000000) AS BIGINT)"
+      f" AS q{i}" for i in range(1, _COV_DIMS + 1))}
+  FROM embeddings
+),
+m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         {', '.join(
+      f"CAST(sum(q{i}) AS DECIMAL(38,0)) AS s{i}"
+      for i in range(1, _COV_DIMS + 1))},
+         {', '.join(
+      f"CAST(sum(CAST(q{i} AS HUGEINT) * q{j}) AS DECIMAL(38,0))"
+      f" AS p{i}_{j}"
+      for i in range(1, _COV_DIMS + 1)
+      for j in range(i, _COV_DIMS + 1))}
+  FROM v
+)
+SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+       CAST(cov AS BIGINT) AS cov_micro
+FROM (
+  {' UNION ALL '.join(
+      f"SELECT {i} AS dim_i, {j} AS dim_j, "
+      f"CAST((n * p{i}_{j} - s{i} * s{j}) AS HUGEINT)"
+      f" // CAST(n * n AS HUGEINT) // 1000000 AS cov FROM m"
+      for i in range(1, _COV_DIMS + 1)
+      for j in range(i, _COV_DIMS + 1))}
+)
+""",
+    doc="exact covariance matrix (upper triangle, micro-units) of the "
+    "leading 8 embedding dims: one corpus pass of 8 first + 36 second "
+    "DECIMAL(38,0) moments over micro-quantized coordinates, integer "
+    "algebra (n*Sxy - Sx*Sy) div n^2 — the PCA/whitening precursor, "
+    "fixed 36-row output",
+    tags=("llm", "similarity", "aggregate"),
+)
+def q268_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        *[
+            F.round(
+                F.element_at("embedding", i).cast("double") * 1_000_000
+            )
+            .cast("bigint")
+            .alias(f"q{i}")
+            for i in range(1, _COV_DIMS + 1)
+        ]
+    )
+    dec38 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(dec38).alias("n")]
+    aggs += [
+        F.sum(f"q{i}").cast(dec38).alias(f"s{i}")
+        for i in range(1, _COV_DIMS + 1)
+    ]
+    aggs += [
+        F.sum(F.col(f"q{i}").cast(dec38) * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i in range(1, _COV_DIMS + 1)
+        for j in range(i, _COV_DIMS + 1)
+    ]
+    m = v.agg(*aggs)
+    # one stack() projection over the single moment row — the 36 cells
+    # share ONE aggregation pass (a 36-way union would recompute it)
+    pairs = [
+        (i, j)
+        for i in range(1, _COV_DIMS + 1)
+        for j in range(i, _COV_DIMS + 1)
+    ]
+    stack_args = ", ".join(
+        f"cast({i} as bigint), cast({j} as bigint), "
+        f"cast((n * p{i}_{j} - s{i} * s{j}) div (n * n) div 1000000 "
+        f"as bigint)"
+        for i, j in pairs
+    )
+    return m.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) "
+        "as (dim_i, dim_j, cov_micro)"
+    )
