@@ -506,3 +506,22 @@ def s28_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_cusum(spark, sf_dir)
+
+
+@register(
+    "s29_stream_lag_features",
+    oracle=None,
+    doc="Structured Streaming: serving-feature maintenance — per-user "
+    "top-3-by-recency purchase partials appended via foreachBatch "
+    "(top-k is the merge unit: the global top-3 is contained in the "
+    "union of batch top-3s), published feature rows (latest, two lags, "
+    "trailing-3 mean) BIT-IDENTICAL to the batch q269 (batch twin "
+    "gate: tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "analytics", "eval"),
+)
+def s29_stream_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_lag_features,
+    )
+
+    return run_stream_lag_features(spark, sf_dir)

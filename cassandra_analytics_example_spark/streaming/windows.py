@@ -1788,3 +1788,97 @@ def run_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("c")
     )
     return cusum_changepoint_from_counts(densify_counts(e))
+
+
+def run_stream_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming serving-feature maintenance: each user's q269 feature
+    row (latest purchase, two lags, trailing-3 mean) depends only on the
+    user's THREE most recent purchases — and per-user top-3-by-recency
+    is a MERGEABLE partial (the global top-3 is contained in the union
+    of per-microbatch top-3s). Each batch appends its per-user top-3
+    candidates via ``foreachBatch``; the publish step re-selects the
+    global top-3 per user from the merged-on-read candidate store and
+    assembles the exact feature row — BIT-IDENTICAL to the batch q269
+    at any microbatch split (tests/test_streaming_batch_twins.py)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    out = tempfile.mkdtemp(prefix="stream_lagf_")
+    live = os.path.join(out, "live")
+    ck = os.path.join(out, "ck")
+    base = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_us_col = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        if dict(base.dtypes)["ts"] not in ("bigint", "long")
+        else F.expr("ts div 1000")
+    )
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_us_col.alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        (
+            batch.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= 3)
+            .drop("__r")
+            .write.mode("append")
+            .parquet(live)
+        )
+
+    q = (
+        purchases.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    cand = spark.read.parquet(live)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    top3 = cand.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 3
+    )
+    return (
+        top3.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cents"))).alias("cents"),
+            F.max(F.when(F.col("rk") == 2, F.col("cents"))).alias("l1"),
+            F.max(F.when(F.col("rk") == 3, F.col("cents"))).alias("l2"),
+            F.sum("cents").cast("bigint").alias("sum3"),
+            F.count("*").cast("bigint").alias("cnt3"),
+        )
+        .select(
+            "user_id",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.coalesce(F.col("l1"), F.lit(-1))
+            .cast("bigint")
+            .alias("lag1_cents"),
+            F.coalesce(F.col("l2"), F.lit(-1))
+            .cast("bigint")
+            .alias("lag2_cents"),
+            F.expr("cast(sum3 * 100 div cnt3 as bigint)").alias(
+                "mean3_centicents"
+            ),
+        )
+    )

@@ -632,3 +632,16 @@ def test_s28_cusum_matches_q249(spark):
     got = run_stream_cusum(spark, SF01)
     want = q249_cusum_changepoint(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s29_lag_features_matches_q269(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q269_lag_features,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_lag_features,
+    )
+
+    got = run_stream_lag_features(spark, SF01)
+    want = q269_lag_features(spark, SF01)
+    _assert_same(got, want)
