@@ -5946,6 +5946,20 @@ def q216_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into unchanged.
 # --------------------------------------------------------------------------
 
+def _q223_score():
+    """Spark twin of _Q223_SCORE_SQL — the deterministic ordered fold of
+    the first 8 embedding dims used by every eval query (q223/q232-era
+    normalization, q244 AP, q260 Brier, q261 gains). One definition so
+    the Spark side can never de-synchronize from the SQL oracle."""
+    return F.round(
+        sum(
+            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
+            start=F.element_at("embedding", 1).cast("double"),
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+
+
 _Q223_SCORE_SQL = (
     "CAST(round(("
     + " + ".join(f"CAST(embedding[{i}] AS DOUBLE)" for i in range(1, 9))
@@ -5990,13 +6004,7 @@ def q223_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    score = F.round(
-        sum(
-            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
-            start=F.element_at("embedding", 1).cast("double"),
-        )
-        * F.lit(1000000.0)
-    ).cast("bigint")
+    score = _q223_score()
     scored = emb.select(
         score.alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("is_pos"),
@@ -6051,13 +6059,7 @@ FROM m
 )
 def q224_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    score = F.round(
-        sum(
-            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
-            start=F.element_at("embedding", 1).cast("double"),
-        )
-        * F.lit(1000000.0)
-    ).cast("bigint")
+    score = _q223_score()
     s = emb.select(
         score.alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
@@ -6382,13 +6384,7 @@ def q244_average_precision_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    score = F.round(
-        sum(
-            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
-            start=F.element_at("embedding", 1).cast("double"),
-        )
-        * F.lit(1000000.0)
-    ).cast("bigint")
+    score = _q223_score()
     scored = emb.select(
         score.alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("is_pos"),
@@ -6832,13 +6828,7 @@ def q260_brier_rank_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    score = F.round(
-        sum(
-            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
-            start=F.element_at("embedding", 1).cast("double"),
-        )
-        * F.lit(1000000.0)
-    ).cast("bigint")
+    score = _q223_score()
     s = emb.select(
         score.alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
@@ -6848,7 +6838,7 @@ def q260_brier_rank_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("np"),
     )
     pre = exclusive_prefix_sums(g, ["score"], ["n"])
-    t = pre.agg(F.sum("n").cast("bigint").alias("nt"))
+    t = g.agg(F.sum("n").cast("bigint").alias("nt"))
     p = pre.crossJoin(F.broadcast(t)).select(
         "np",
         (F.col("n") - F.col("np")).alias("nn"),
@@ -6931,13 +6921,7 @@ def q261_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    score = F.round(
-        sum(
-            (F.element_at("embedding", i).cast("double") for i in range(2, 9)),
-            start=F.element_at("embedding", 1).cast("double"),
-        )
-        * F.lit(1000000.0)
-    ).cast("bigint")
+    score = _q223_score()
     s = emb.select(
         score.alias("score"),
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("pos"),
@@ -6952,7 +6936,7 @@ def q261_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["negs"],
         ["n"],
     )
-    t = pre.agg(
+    t = g.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("np").cast("bigint").alias("pt"),
     )
@@ -7083,13 +7067,16 @@ def q267_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000 div (n * (n * sxx - sx * sx)) as bigint)"
         ).alias("icept_m"),
     )
+    # fit (one row, from a full corpus fold) feeds three branches and
+    # res feeds two — persist both so the corpus folds run once
+    fit = fit.persist()
     res = v.crossJoin(F.broadcast(fit)).select(
         F.abs(
             F.col("y") * 1_000_000
             - (F.col("slope_u") * F.col("x") + F.col("icept_m") * 1000)
         ).alias("r"),
         "n",
-    )
+    ).persist()
     k = fit.select(
         "n",
         F.expr(

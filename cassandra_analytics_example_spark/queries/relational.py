@@ -4269,10 +4269,10 @@ def q243_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q262 — hierarchical subtree rollup over the synthetic decimal-digit
 # part tree (parent(k) = k div 10): every ancestor chain materializes in
-# CLOSED FORM — anc = k div 10^i for a fixed 13-step power table
+# CLOSED FORM — anc = k div 10^i for a fixed 19-step power table
 # exploded per part (no iterative self-joins, no driver-side recursion;
-# chains are ≤ 13 long because bigint keys have ≤ 13 decimal digits at
-# any scale) — then one groupBy on the ancestor sums descendant count
+# chains are ≤ 19 long because bigint keys have ≤ 19 decimal digits) —
+# then one groupBy on the ancestor sums descendant count
 # and retail value. The oracle proves the closed form equals true
 # recursion: DuckDB computes the same chains with WITH RECURSIVE.
 # Output: the depth-≤-2 internal nodes (partkey < 100) — bounded.
@@ -4299,7 +4299,7 @@ SELECT node, n_desc, subtree_cents
 FROM roll WHERE node < 100
 """,
     doc="hierarchical subtree rollup over the parent(k)=k div 10 part "
-    "tree: ancestor chains in closed form (fixed 13-entry power-of-10 "
+    "tree: ancestor chains in closed form (fixed 19-entry power-of-10 "
     "explode, no iteration), one ancestor groupBy for descendant count "
     "+ subtree retail cents; oracle proves equivalence to WITH "
     "RECURSIVE; bounded depth<=2 output",
@@ -4310,7 +4310,7 @@ def q262_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("node"),
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
     )
-    pows = F.array(*[F.lit(10**i).cast("bigint") for i in range(13)])
+    pows = F.array(*[F.lit(10**i).cast("bigint") for i in range(19)])
     anc = p.select(
         "node",
         "cents",
@@ -4481,11 +4481,15 @@ def q263_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             dkf, ck[f"c{kk}"] == dkf[f"d{kk}"]
         ).select("ck", "name", "cents", "dk", "dname", "dcents")
         cand = part if cand is None else cand.unionByName(part)
-    cand = cand.distinct()
+    # four audit aggregates consume these lineages (the q253 persist
+    # discipline): without persist each branch re-runs the 3-way
+    # blocking join + distinct
+    cand = cand.distinct().persist()
     ver = (
         cand.where(F.col("cents") == F.col("dcents"))
         .select("ck", "dk", F.levenshtein("name", "dname").alias("lev"))
         .where(F.col("lev") <= 1)
+        .persist()
     )
     key_l = (F.col("lev") * F.lit(10_000_000_000) + F.col("dk")).alias("kl")
     key_r = (F.col("lev") * F.lit(10_000_000_000) + F.col("ck")).alias("kr")

@@ -1852,7 +1852,10 @@ def run_stream_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
 
-    cand = spark.read.parquet(live)
+    # foreachBatch is at-least-once: a retried batch may append its
+    # candidates twice, so dedupe on the event identity before ranking —
+    # otherwise two copies of the same purchase would occupy rk 1 and 2
+    cand = spark.read.parquet(live).dropDuplicates(["user_id", "event_id"])
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts_us").desc(), F.col("event_id").desc()
     )
