@@ -4633,3 +4633,104 @@ def q264_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q270 — incremental view maintenance WITH RETRACTIONS: q100 maintains
+# an aggregate under inserts; this maintains revenue/count per order
+# priority under a mixed delta of inserts (+1) and deletes (−1) using
+# signed multiplicities — the streaming-materialized-view algebra
+# (sum(m·x) folds retractions exactly; no special delete path). Base =
+# orders with key % 97 ≠ 0; delta inserts the % 97 == 0 rows and
+# retracts the % 89 == 0 (non-overlapping) rows. The published row per
+# priority carries the MAINTAINED state and a matches_recompute flag
+# against the direct recompute of the post-delta corpus — hash-parity
+# with the oracle (which recomputes directly) proves the maintenance
+# algebra exact, and the flag proves it in-engine.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q270_ivm_retractions",
+    oracle="""
+WITH final_corpus AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       TRUE AS matches_recompute
+FROM final_corpus GROUP BY o_orderpriority
+""",
+    doc="incremental view maintenance with retractions: base aggregate "
+    "plus a signed-multiplicity delta (inserts +1, deletes -1) folded "
+    "as sum(m*x) — the streaming-materialized-view algebra; published "
+    "state carries an in-engine matches_recompute flag and hash-parity "
+    "with the oracle's direct recompute proves exactness",
+    tags=("relational", "aggregate", "streaming-twin", "audit"),
+)
+def q270_ivm_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.where(F.col("o_orderkey") % 97 != 0)
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "m", F.lit(1).cast("bigint")
+    )
+    deletes = base.where(F.col("o_orderkey") % 89 == 0).withColumn(
+        "m", F.lit(-1).cast("bigint")
+    )
+    base_agg = base.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum("cents").cast("bigint").alias("c0"),
+    )
+    delta_agg = inserts.unionByName(deletes).groupBy("o_orderpriority").agg(
+        F.sum("m").cast("bigint").alias("dn"),
+        F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("dc"),
+    )
+    maintained = (
+        base_agg.join(delta_agg, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("c0"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    recompute = (
+        o.where(
+            ~((F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("rn"),
+            F.sum("cents").cast("bigint").alias("rc"),
+        )
+    )
+    return (
+        maintained.join(F.broadcast(recompute), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "cents",
+            (
+                (F.col("n_orders") == F.col("rn"))
+                & (F.col("cents") == F.col("rc"))
+            ).alias("matches_recompute"),
+        )
+    )
