@@ -6227,3 +6227,162 @@ def q269_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean3_centicents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q271 — exact per-day activity coverage (interval-union length): the
+# seconds of each UTC day covered by at least one active session,
+# counting overlaps once — the SLA/uptime primitive, and the classic
+# hard-SQL interval-union problem. Sessions (30-min gap) clip to day
+# boundaries (a bounded per-interval day explode), so every day's
+# boundary deltas sum to zero and ONE global range-partitioned prefix
+# sum gives the running concurrency with per-day resets for free; each
+# boundary's segment to the next same-day boundary (rank self-join on
+# the same prefix layer — no global window) contributes its length
+# exactly when concurrency stays positive.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q271_daily_uptime_union",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+x AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x
+),
+iv AS (
+  SELECT user_id, sess, min(us) AS a, max(us) + 1 AS b
+  FROM s GROUP BY user_id, sess
+),
+clipped AS (
+  SELECT greatest(iv.a, d.day * 86400000000) AS a,
+         least(iv.b, (d.day + 1) * 86400000000) AS b,
+         d.day, iv.user_id, iv.sess
+  FROM iv, LATERAL unnest(generate_series(iv.a // 86400000000,
+                                          (iv.b - 1) // 86400000000))
+           d(day)
+),
+p AS (
+  SELECT day, a AS ts, 1 AS delta, user_id, sess FROM clipped
+  UNION ALL
+  SELECT day, b AS ts, -1 AS delta, user_id, sess FROM clipped
+),
+c AS (
+  SELECT day, ts,
+         sum(delta) OVER (PARTITION BY day
+                          ORDER BY ts, delta, user_id, sess
+                          ROWS UNBOUNDED PRECEDING) AS conc,
+         lead(ts) OVER (PARTITION BY day
+                        ORDER BY ts, delta, user_id, sess) AS nxt
+  FROM p
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(coalesce(sum(CASE WHEN conc > 0 THEN nxt - ts END), 0)
+            // 1000000 AS BIGINT) AS covered_seconds
+FROM c GROUP BY day ORDER BY day
+""",
+    doc="exact per-day session-union coverage (seconds of each UTC day "
+    "with >=1 active session, overlaps counted once): day-clipped "
+    "sweep-line — one global range-partitioned prefix sum (per-day "
+    "deltas net to zero so days reset for free) + a rank self-join for "
+    "segment lengths, no single-task global window",
+    tags=("events", "sessions", "timeseries", "ranking"),
+)
+def q271_daily_uptime_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id"
+    )
+    sess = sessionize(ev, "user_id", "ts_us", 1_800_000_000, "event_id")
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("a"), (F.max("ts_us") + 1).alias("b")
+    )
+    day_us = 86_400_000_000
+    clipped = iv.select(
+        "user_id",
+        "session_id",
+        "a",
+        "b",
+        F.explode(
+            F.sequence(
+                F.expr(f"a div {day_us}"), F.expr(f"(b - 1) div {day_us}")
+            )
+        ).alias("day"),
+    ).select(
+        "user_id",
+        "session_id",
+        "day",
+        F.greatest(F.col("a"), F.col("day") * day_us).alias("ca"),
+        F.least(F.col("b"), (F.col("day") + 1) * day_us).alias("cb"),
+    )
+    pts = clipped.select(
+        "day",
+        F.col("ca").alias("ts"),
+        F.lit(1).cast("bigint").alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        clipped.select(
+            "day",
+            F.col("cb").alias("ts"),
+            F.lit(-1).cast("bigint").alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    pre = exclusive_prefix_sums(
+        pts,
+        ["day", "ts", "delta", "user_id", "session_id"],
+        ["delta", "one"],
+    ).select(
+        "day",
+        "ts",
+        (F.col("delta_before") + F.col("delta")).alias("conc"),
+        (F.col("one_before") + F.col("one")).alias("rk"),
+    )
+    nxt = pre.select(
+        F.col("day").alias("nday"),
+        F.col("ts").alias("nts"),
+        (F.col("rk") - 1).alias("prk"),
+    )
+    seg = pre.join(
+        nxt, (pre.rk == nxt.prk) & (pre.day == nxt.nday)
+    ).select(
+        "day",
+        F.when(F.col("conc") > 0, F.col("nts") - F.col("ts"))
+        .otherwise(F.lit(0))
+        .alias("len"),
+    )
+    days = pts.select("day").distinct()
+    return (
+        days.join(
+            seg.groupBy("day").agg(
+                F.expr("cast(sum(len) div 1000000 as bigint)").alias(
+                    "covered_seconds"
+                )
+            ),
+            "day",
+            "left",
+        )
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.coalesce(F.col("covered_seconds"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_seconds"),
+        )
+    )
