@@ -6386,3 +6386,176 @@ def q271_daily_uptime_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("covered_seconds"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q272 — metrics-layer materialization: the (event_type × UTC day)
+# metrics table a semantic layer would publish — count, exact money
+# sum, min/max, AND the exact p50 — in two bounded passes: one
+# conditional-aggregate fold for the additive metrics, one composite-
+# group rank-selection pass (operators/quantiles.py on the type⊗day
+# key) for the median, joined on the composite key. Medians per group
+# without any per-group buffer, additive metrics map-side combinable —
+# the dashboard-backing rollup shape at any scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q272_metrics_layer",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+add_m AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(min(cents) AS BIGINT) AS min_cents,
+         CAST(max(cents) AS BIGINT) AS max_cents
+  FROM e GROUP BY event_type, day
+),
+med AS (
+  SELECT event_type, day,
+         quantile_cont(cents, 0.5) AS p50_cents
+  FROM e GROUP BY event_type, day
+)
+SELECT a.event_type, CAST(a.day AS BIGINT) AS day,
+       a.n, a.total_cents, a.min_cents, a.max_cents,
+       m.p50_cents
+FROM add_m a JOIN med m USING (event_type, day)
+""",
+    doc="metrics-layer rollup per (event_type, UTC day): additive "
+    "metrics from one map-side-combinable fold, exact p50 from one "
+    "composite-group rank selection (no per-group buffer), joined on "
+    "the composite key — the dashboard-backing shape",
+    tags=("events", "aggregate", "ranking", "analytics"),
+)
+def q272_metrics_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.quantiles import (
+        group_quantiles_exact,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    e = ev.select(
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn(
+        "gkey", F.concat_ws("|", "event_type", F.col("day").cast("string"))
+    )
+    add_m = e.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+    med = group_quantiles_exact(e, "gkey", "cents", {"p50_cents": 0.5})
+    med = med.select(
+        F.split("gkey", "\\|").getItem(0).alias("event_type"),
+        F.split("gkey", "\\|").getItem(1).cast("bigint").alias("day"),
+        "p50_cents",
+    )
+    return add_m.join(med, ["event_type", "day"]).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "n",
+        "total_cents",
+        "min_cents",
+        "max_cents",
+        "p50_cents",
+    )
+
+
+# --------------------------------------------------------------------------
+# q273 — quantile treatment effect: the p25/p50/p75 of purchase value
+# per md5 A/B arm and the per-quantile differences — where an average
+# treatment effect hides heterogeneity, the QTE shows which part of
+# the distribution moved. Both arms' quantiles come from ONE composite-
+# group rank selection (arm is the group key, no per-group buffer);
+# the effect row is a self-join of the two-arm table. quantile_cont-
+# identical interpolation makes the float differences engine-portable.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q273_quantile_treatment_effect",
+    oracle="""
+WITH u AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+q AS (
+  SELECT arm,
+         quantile_cont(cents, 0.25) AS p25,
+         quantile_cont(cents, 0.5) AS p50,
+         quantile_cont(cents, 0.75) AS p75
+  FROM u GROUP BY arm
+)
+SELECT a.p25 AS a_p25, a.p50 AS a_p50, a.p75 AS a_p75,
+       b.p25 AS b_p25, b.p50 AS b_p50, b.p75 AS b_p75,
+       b.p25 - a.p25 AS qte_p25,
+       b.p50 - a.p50 AS qte_p50,
+       b.p75 - a.p75 AS qte_p75
+FROM q a JOIN q b ON a.arm = 'A' AND b.arm = 'B'
+""",
+    doc="quantile treatment effect across the md5 A/B split: p25/p50/p75 "
+    "of purchase cents per arm from one composite-group rank selection "
+    "(quantile_cont-identical interpolation), per-quantile differences "
+    "— distributional effect where the mean hides heterogeneity",
+    tags=("events", "eval", "ranking", "aggregate"),
+)
+def q273_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.quantiles import (
+        group_quantiles_exact,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = ev.select(
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    q = group_quantiles_exact(
+        u, "arm", "cents", {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+    )
+    a = q.where(F.col("arm") == "A").select(
+        F.col("p25").alias("a_p25"),
+        F.col("p50").alias("a_p50"),
+        F.col("p75").alias("a_p75"),
+    )
+    b = q.where(F.col("arm") == "B").select(
+        F.col("p25").alias("b_p25"),
+        F.col("p50").alias("b_p50"),
+        F.col("p75").alias("b_p75"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "a_p25",
+        "a_p50",
+        "a_p75",
+        "b_p25",
+        "b_p50",
+        "b_p75",
+        (F.col("b_p25") - F.col("a_p25")).alias("qte_p25"),
+        (F.col("b_p50") - F.col("a_p50")).alias("qte_p50"),
+        (F.col("b_p75") - F.col("a_p75")).alias("qte_p75"),
+    )
