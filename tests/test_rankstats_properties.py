@@ -277,3 +277,68 @@ def test_spatial_radius_join_matches_bruteforce(spark, tmp_path):
     want_pairs = int((d2[iu] <= _GEO_R2).sum())
     assert got["n_pairs"] == want_pairs, (got["n_pairs"], want_pairs)
     assert want_pairs > 0  # the fixture must actually exercise pairs
+
+
+def test_daily_uptime_union_matches_bruteforce(spark, tmp_path):
+    # random event times across several days -> per-day union length of
+    # the 30-min-gap session intervals, brute-forced in python
+    from cassandra_analytics_example_spark.queries.events import (
+        q271_daily_uptime_union,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 4000
+    base = 1_700_000_000_000_000  # µs epoch
+    users = rng.integers(0, 40, n)
+    ts = base + rng.integers(0, 5 * 86_400_000_000, n)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": users,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["day"]: r["covered_seconds"]
+        for r in q271_daily_uptime_union(spark, str(tmp_path)).collect()
+    }
+
+    # brute force: sessionize per user, union intervals per day
+    GAP = 1_800_000_000
+    DAY = 86_400_000_000
+    intervals = []
+    df = pd.DataFrame({"u": users, "t": ts}).sort_values(["u", "t"])
+    for u, sub in df.groupby("u"):
+        cur = None
+        for t in sub["t"].tolist():
+            if cur is None or t - cur[1] > GAP:
+                if cur is not None:
+                    intervals.append(cur)
+                cur = [t, t]
+            else:
+                cur[1] = t
+        intervals.append(cur)
+    per_day = {}
+    for a, b in intervals:
+        b1 = b + 1
+        for day in range(a // DAY, (b1 - 1) // DAY + 1):
+            ca, cb = max(a, day * DAY), min(b1, (day + 1) * DAY)
+            per_day.setdefault(day, []).append((ca, cb))
+    want = {}
+    for day, ivs in per_day.items():
+        ivs.sort()
+        tot, cur_a, cur_b = 0, None, None
+        for a, b in ivs:
+            if cur_b is None or a > cur_b:
+                if cur_b is not None:
+                    tot += cur_b - cur_a
+                cur_a, cur_b = a, b
+            else:
+                cur_b = max(cur_b, b)
+        tot += cur_b - cur_a
+        want[day] = tot // 1_000_000
+    assert got == want
