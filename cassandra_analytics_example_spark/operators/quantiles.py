@@ -223,3 +223,89 @@ def weighted_quantile_exact(
         F.min("__tw").cast("bigint").alias("total_weight"),
         F.min("__thr").cast("bigint").alias("threshold"),
     )
+
+
+def group_quantiles_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str,
+    quantiles: Mapping[str, float],
+) -> DataFrame:
+    """``group_quantiles_exact`` over a pre-aggregated per-(group, value)
+    COUNT table — the mergeable-partial entry point (the ks_from_counts
+    stance): per-value counts sum-merge exactly across shards or stream
+    microbatches, so a streaming metrics layer that appends count
+    partials and calls this on the merged-on-read table reproduces the
+    row-level selector bit-for-bit (same ``q·(n−1)`` rank arithmetic,
+    same ``lo·(1−frac) + hi·frac`` interpolation).
+
+    The cumulative layer is a window over the per-group DISTINCT-VALUE
+    table (bounded by the value domain, not the row count), so no group
+    ever buffers its rows.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must name at least one quantile")
+    for name, q in quantiles.items():
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside [0, 1]")
+
+    g = counts.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(count_col).cast("bigint").alias("__c"),
+    ).where(F.col("__v").isNotNull() & (F.col("__c") > 0))
+
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("__cw", F.sum("__c").over(w_cum))
+    n = g.groupBy("__g").agg(F.sum("__c").alias("__n"))
+
+    qlits = F.array(*[F.lit(float(q)) for q in quantiles.values()])
+    ranks = (
+        n.select("__g", F.explode(qlits).alias("__q"), "__n")
+        .withColumn("__r", F.col("__q") * (F.col("__n") - F.lit(1)))
+        .select(
+            "__g",
+            "__q",
+            (F.floor("__r") + 1).cast("bigint").alias("__k_lo"),
+            (F.col("__r") - F.floor("__r")).alias("__frac"),
+        )
+        .withColumn(
+            "__k_hi",
+            F.col("__k_lo")
+            + F.when(F.col("__frac") > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    j = cum.join(ranks, "__g")
+    picked = j.groupBy("__g", "__q").agg(
+        F.min(
+            F.when(F.col("__cw") >= F.col("__k_lo"), F.col("__v"))
+        ).alias("__v_lo"),
+        F.min(
+            F.when(F.col("__cw") >= F.col("__k_hi"), F.col("__v"))
+        ).alias("__v_hi"),
+        F.min("__frac").alias("__frac"),
+    )
+    interpolated = picked.select(
+        "__g",
+        "__q",
+        F.when(F.col("__frac") == 0, F.col("__v_lo"))
+        .otherwise(
+            F.col("__v_lo") * (F.lit(1.0) - F.col("__frac"))
+            + F.col("__v_hi") * F.col("__frac")
+        )
+        .alias("__val"),
+    )
+    named = interpolated.groupBy("__g").agg(
+        *[
+            F.min(
+                F.when(F.col("__q") == float(q), F.col("__val"))
+            ).alias(name)
+            for name, q in quantiles.items()
+        ]
+    )
+    return named.withColumnRenamed("__g", group_col)

@@ -525,3 +525,22 @@ def s29_stream_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_lag_features(spark, sf_dir)
+
+
+@register(
+    "s30_stream_metrics_layer",
+    oracle=None,
+    doc="Structured Streaming: semantic-layer maintenance with exact "
+    "medians — per-(type, day, cents) count partials appended via "
+    "foreachBatch (sum merge unit), published additive metrics AND "
+    "exact interpolated p50 derived from the merged-on-read count "
+    "table, BIT-IDENTICAL to the batch q272 (batch twin gate: "
+    "tests/test_streaming_batch_twins.py)",
+    tags=("streaming", "aggregate", "ranking", "analytics"),
+)
+def s30_stream_metrics_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_metrics_layer,
+    )
+
+    return run_stream_metrics_layer(spark, sf_dir)

@@ -1885,3 +1885,106 @@ def run_stream_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def run_stream_metrics_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic-layer maintenance with EXACT medians: each
+    microbatch folds its purchase/click events to per-(type, day, cents)
+    COUNT PARTIALS appended via ``foreachBatch`` (sum is the merge
+    unit); the publish step derives BOTH the additive metrics (count,
+    sum, min, max — all recoverable from the count table) AND the exact
+    interpolated p50 (``operators/quantiles.py:
+    group_quantiles_from_counts`` — same rank arithmetic and
+    interpolation as the row-level selector) from the merged-on-read
+    table, so the published metrics table is BIT-IDENTICAL to the batch
+    q272 at any microbatch split
+    (tests/test_streaming_batch_twins.py)."""
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.quantiles import (
+        group_quantiles_from_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_metrics_")
+    live = os.path.join(out, "live")
+    ck = os.path.join(out, "ck")
+    base = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_us_col = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        if dict(base.dtypes)["ts"] not in ("bigint", "long")
+        else F.expr("ts div 1000")
+    )
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    rows = stream.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_type",
+        F.floor(ts_us_col / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy("event_type", "day", "cents")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(live)
+        )
+
+    q = (
+        rows.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    merged = (
+        spark.read.parquet(live)
+        .groupBy("event_type", "day", "cents")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    add_m = merged.groupBy("event_type", "day").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).cast("bigint").alias(
+            "total_cents"
+        ),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+    med = group_quantiles_from_counts(
+        merged.withColumn(
+            "gkey",
+            F.concat_ws("|", "event_type", F.col("day").cast("string")),
+        ),
+        "gkey",
+        "cents",
+        "c",
+        {"p50_cents": 0.5},
+    ).select(
+        F.split("gkey", "\\|").getItem(0).alias("event_type"),
+        F.split("gkey", "\\|").getItem(1).cast("bigint").alias("day"),
+        "p50_cents",
+    )
+    return add_m.join(med, ["event_type", "day"]).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "n",
+        "total_cents",
+        "min_cents",
+        "max_cents",
+        "p50_cents",
+    )

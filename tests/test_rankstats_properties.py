@@ -342,3 +342,34 @@ def test_daily_uptime_union_matches_bruteforce(spark, tmp_path):
         tot += cur_b - cur_a
         want[day] = tot // 1_000_000
     assert got == want
+
+
+def test_group_quantiles_from_counts_matches_rowlevel(spark):
+    from cassandra_analytics_example_spark.operators.quantiles import (
+        group_quantiles_exact,
+        group_quantiles_from_counts,
+    )
+
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 60, 5000)  # heavy ties
+    grps = rng.choice(["a", "b", "c", "z"], 5000)
+    pdf = pd.DataFrame({"g": grps, "v": vals.astype(float)})
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    row_level = (
+        group_quantiles_exact(spark.createDataFrame(pdf), "g", "v", qs)
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+    counts = (
+        pdf.groupby(["g", "v"]).size().reset_index(name="c")
+    )
+    from_counts = (
+        group_quantiles_from_counts(
+            spark.createDataFrame(counts), "g", "v", "c", qs
+        )
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(row_level, from_counts)

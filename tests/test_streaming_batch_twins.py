@@ -645,3 +645,16 @@ def test_s29_lag_features_matches_q269(spark):
     got = run_stream_lag_features(spark, SF01)
     want = q269_lag_features(spark, SF01)
     _assert_same(got, want)
+
+
+def test_s30_metrics_layer_matches_q272(spark):
+    from cassandra_analytics_example_spark.queries.events import (
+        q272_metrics_layer,
+    )
+    from cassandra_analytics_example_spark.streaming.windows import (
+        run_stream_metrics_layer,
+    )
+
+    got = run_stream_metrics_layer(spark, SF01)
+    want = q272_metrics_layer(spark, SF01)
+    _assert_same(got, want)
