@@ -191,3 +191,65 @@ def average_precision_exact(
     ).crossJoin(
         F.broadcast(tot.select(F.col("__nt").alias("n_total")))
     ).select("n_pos", "n_total", "ap_ppm")
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Per-GROUP exclusive prefix sums: ``<c>_before`` is the sum of
+    ``c`` over rows of the SAME group strictly before this row in the
+    group's ``order_cols`` order — running totals for millions of
+    groups of any size without a per-group buffer.
+
+    Same two-layer trick as ``exclusive_prefix_sums``, with the group
+    key prepended to the range partitioning and to both window
+    partitionings: each (partition, group) cell takes a bounded local
+    window, and each group's per-cell offset table holds at most
+    ``num_partitions`` rows (its own window is per-group bounded).  The
+    caller must ensure (group_cols, order_cols) is a total order.
+    """
+    if not group_cols or not order_cols or not sum_cols:
+        raise ValueError("group/order/sum cols must be non-empty")
+
+    part = df.repartitionByRange(
+        num_partitions,
+        *[F.col(c) for c in (*group_cols, *order_cols)],
+    ).withColumn("__pid", F.spark_partition_id())
+
+    cells = part.groupBy("__pid", *group_cols).agg(
+        *[F.sum(F.col(c)).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    w_cells = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cells.select(
+        "__pid",
+        *group_cols,
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(w_cells), F.lit(0))
+            .alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    w_local = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = part.join(F.broadcast(offsets), ["__pid", *group_cols])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_before",
+            (
+                F.col(f"__off_{c}")
+                + F.coalesce(F.sum(F.col(c)).over(w_local), F.lit(0))
+            ).cast("bigint"),
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])

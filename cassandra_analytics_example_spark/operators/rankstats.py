@@ -397,3 +397,49 @@ def densify_counts(e: DataFrame, bucket_col: str = "h") -> DataFrame:
         bucket_col,
         F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
     )
+
+
+def gini_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """``gini_exact`` per group — one row ``(group, n, total, gini_ppm)``
+    per group with a non-zero total, using the grouped prefix operator
+    so millions of groups of any size never buffer: distinct
+    (group, value) counts, per-group exclusive prefix of the counts,
+    the same exact DECIMAL(38,0) rank-sum algebra per group."""
+    from cassandra_analytics_example_spark.operators.ranking import (
+        grouped_prefix_sums,
+    )
+
+    g = df.groupBy(
+        F.col(group_col).alias("__grp"), F.col(value_col).alias("__v")
+    ).agg(F.count("*").cast("bigint").alias("__n"))
+    pre = grouped_prefix_sums(
+        g, ["__grp"], ["__v"], ["__n"], num_partitions=num_partitions
+    )
+    m = pre.groupBy("__grp").agg(
+        F.sum("__n").cast(_DEC).alias("n"),
+        F.sum(F.col("__v").cast(_DEC) * F.col("__n")).alias("sx"),
+        F.sum(
+            F.col("__v").cast(_DEC)
+            * (
+                F.col("__n").cast(_DEC) * F.col("__n_before")
+                + (
+                    F.col("__n").cast(_DEC)
+                    * (F.col("__n") + F.lit(1))
+                    / F.lit(2)
+                ).cast(_DEC)
+            )
+        ).alias("srx"),
+    )
+    return m.where(F.col("sx") > 0).select(
+        F.col("__grp").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("total"),
+        F.expr(
+            "cast((2 * srx - (n + 1) * sx) * 1000000 div (n * sx) as bigint)"
+        ).alias("gini_ppm"),
+    )

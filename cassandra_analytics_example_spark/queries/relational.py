@@ -4734,3 +4734,77 @@ def q270_ivm_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matches_recompute"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q274 — revenue concentration per nation: the exact Gini coefficient of
+# per-customer order spend WITHIN each nation — "is this market a few
+# whales or a broad base", per market. Per-group Gini needs per-group
+# running rank sums; the grouped prefix operator (operators/ranking.py:
+# grouped_prefix_sums — group key prepended to the range partitioning
+# and both window layers) delivers them with bounded cells for millions
+# of groups of any size, and the rank-sum algebra runs per group in
+# exact DECIMAL(38,0) (operators/rankstats.py:gini_grouped).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q274_gini_by_nation",
+    oracle="""
+WITH spend AS (
+  SELECT n.n_name AS nation, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, o.o_custkey
+),
+g AS (
+  SELECT nation, cents AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM spend GROUP BY nation, cents
+),
+p AS (
+  SELECT nation, v, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY nation ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS b
+  FROM g
+),
+m AS (
+  SELECT nation,
+         CAST(sum(cnt) AS HUGEINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT) * cnt) AS HUGEINT) AS sx,
+         CAST(sum(CAST(v AS HUGEINT)
+                  * (cnt * b + (cnt * (cnt + 1)) // 2)) AS HUGEINT) AS srx
+  FROM p GROUP BY nation
+)
+SELECT nation, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+       CAST((2 * srx - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini_ppm
+FROM m WHERE sx > 0
+""",
+    doc="exact per-nation Gini of per-customer order spend: grouped "
+    "prefix sums (group key in the range partitioning and both window "
+    "layers - bounded cells for any group count/size) + the exact "
+    "DECIMAL(38,0) rank-sum algebra per group",
+    tags=("relational", "aggregate", "ranking", "analytics"),
+)
+def q274_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        gini_grouped,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("spend"))
+    )
+    return gini_grouped(spend, "nation", "spend")

@@ -373,3 +373,63 @@ def test_group_quantiles_from_counts_matches_rowlevel(spark):
         .sort_index()
     )
     pd.testing.assert_frame_equal(row_level, from_counts)
+
+
+def test_grouped_prefix_sums_match_pandas(spark):
+    from cassandra_analytics_example_spark.operators.ranking import (
+        grouped_prefix_sums,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d", "solo"], n,
+                            p=[0.4, 0.3, 0.2, 0.099, 0.001]),
+            "k": np.arange(n),  # unique order key
+            "x": rng.integers(-50, 50, n),
+        }
+    )
+    for parts in (3, 64):
+        got = (
+            grouped_prefix_sums(
+                spark.createDataFrame(pdf), ["g"], ["k"], ["x"],
+                num_partitions=parts,
+            )
+            .toPandas()
+            .sort_values(["g", "k"])
+            .reset_index(drop=True)
+        )
+        ref = pdf.sort_values(["g", "k"]).reset_index(drop=True)
+        ref["x_before"] = (
+            ref.groupby("g")["x"].cumsum() - ref["x"]
+        )
+        pd.testing.assert_series_equal(
+            got["x_before"].astype("int64"),
+            ref["x_before"].astype("int64"),
+            check_names=False,
+        )
+
+
+def test_gini_grouped_matches_global_per_group(spark):
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        gini_exact,
+        gini_grouped,
+    )
+
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 3000),
+            "v": rng.integers(0, 5000, 3000),
+        }
+    )
+    grouped = {
+        r["g"]: r["gini_ppm"]
+        for r in gini_grouped(spark.createDataFrame(pdf), "g", "v").collect()
+    }
+    for g, sub in pdf.groupby("g"):
+        solo = gini_exact(
+            spark.createDataFrame(sub[["v"]]), "v"
+        ).collect()[0]["gini_ppm"]
+        assert grouped[g] == solo, g
