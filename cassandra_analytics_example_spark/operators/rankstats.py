@@ -443,3 +443,68 @@ def gini_grouped(
             "cast((2 * srx - (n + 1) * sx) * 1000000 div (n * sx) as bigint)"
         ).alias("gini_ppm"),
     )
+
+
+def ks_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Per-group two-sample KS — one row ``(group, n_a, n_b, d_ppm)``
+    per group with both samples non-empty: the "which slice drifted"
+    monitoring table.  Same integer cross-multiplied ECDF-gap algebra as
+    ``ks_two_sample``, with the cumulative layer on the grouped prefix
+    operator so any number of groups of any size runs without a
+    per-group buffer."""
+    from cassandra_analytics_example_spark.operators.ranking import (
+        grouped_prefix_sums,
+    )
+
+    g = df.groupBy(
+        F.col(group_col).alias("__grp"), F.col(value_col).alias("__v")
+    ).agg(
+        F.sum(
+            F.when(F.col(split_col) == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__na"),
+        F.sum(
+            F.when(F.col(split_col) == 0, F.lit(0)).otherwise(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("__nb"),
+    )
+    pre = grouped_prefix_sums(
+        g, ["__grp"], ["__v"], ["__na", "__nb"],
+        num_partitions=num_partitions,
+    )
+    tot = pre.groupBy("__grp").agg(
+        F.sum("__na").cast("bigint").alias("n_a"),
+        F.sum("__nb").cast("bigint").alias("n_b"),
+    )
+    gap = pre.join(tot, "__grp").select(
+        "__grp",
+        "n_a",
+        "n_b",
+        F.abs(
+            (F.col("__na_before") + F.col("__na")).cast(_DEC) * F.col("n_b")
+            - (F.col("__nb_before") + F.col("__nb")).cast(_DEC)
+            * F.col("n_a")
+        ).alias("__gap"),
+    )
+    return (
+        gap.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy("__grp", "n_a", "n_b")
+        .agg(F.max("__gap").alias("__best"))
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(__best * 1000000 div "
+                "(cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("d_ppm"),
+        )
+    )

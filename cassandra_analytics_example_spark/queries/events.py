@@ -6559,3 +6559,79 @@ def q273_quantile_treatment_effect(
         (F.col("b_p50") - F.col("a_p50")).alias("qte_p50"),
         (F.col("b_p75") - F.col("a_p75")).alias("qte_p75"),
     )
+
+
+# --------------------------------------------------------------------------
+# q275 — per-slice distribution drift: the exact two-sample KS distance
+# between the first and second time-half value distributions, PER EVENT
+# TYPE — the "which slice drifted" monitoring table the global q246
+# can't give. Grouped KS rides the grouped prefix operator (group key
+# in the range partitioning and both window layers), so any number of
+# slices of any size runs without a per-slice buffer; the gap algebra
+# stays pure integer cross-multiplication.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q275_ks_drift_by_type",
+    oracle="""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+mp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+e AS (SELECT event_type, v,
+             CASE WHEN us >= mp.mid THEN 1 ELSE 0 END AS grp
+      FROM b, mp),
+g AS (
+  SELECT event_type, v,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(grp) AS BIGINT) AS nb
+  FROM e GROUP BY event_type, v
+),
+c AS (
+  SELECT event_type, v,
+         sum(na) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cb
+  FROM g
+),
+t AS (
+  SELECT event_type, CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b
+  FROM g GROUP BY event_type
+),
+gap AS (
+  SELECT c.event_type, t.n_a, t.n_b,
+         abs(CAST(c.ca AS HUGEINT) * t.n_b
+             - CAST(c.cb AS HUGEINT) * t.n_a) AS gp
+  FROM c JOIN t USING (event_type)
+)
+SELECT event_type, n_a, n_b,
+       CAST(max(gp) * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+         AS d_ppm
+FROM gap WHERE n_a > 0 AND n_b > 0
+GROUP BY event_type, n_a, n_b
+""",
+    doc="per-event-type two-sample KS drift (ppm) between time halves: "
+    "grouped prefix cumulative layer (no per-slice buffer), integer "
+    "cross-multiplied ECDF gaps — the which-slice-drifted monitor",
+    tags=("events", "aggregate", "ranking", "audit"),
+)
+def q275_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        ks_grouped,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    mp = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    sample = ev.crossJoin(F.broadcast(mp)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("ts_us") >= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("grp"),
+    )
+    return ks_grouped(sample, "event_type", "v", "grp")
