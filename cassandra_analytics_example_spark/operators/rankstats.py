@@ -508,3 +508,71 @@ def ks_grouped(
             ).alias("d_ppm"),
         )
     )
+
+
+def spearman_grouped(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Per-group exact tie-corrected Spearman — one row
+    ``(group, n, rho)`` per group with variance in both variables.
+    Doubled tie-averaged ranks per group come from per-(group, value)
+    counts plus the grouped prefix operator (no per-group buffer);
+    the per-group moments and the single closed-form float expression
+    follow the global ``spearman_rho`` exactly."""
+    from cassandra_analytics_example_spark.operators.ranking import (
+        grouped_prefix_sums,
+    )
+
+    def ranks(col, out):
+        g = df.groupBy(
+            F.col(group_col).alias("__grp"), F.col(col).alias("__v")
+        ).agg(F.count("*").cast("bigint").alias("__n"))
+        pre = grouped_prefix_sums(
+            g, ["__grp"], ["__v"], ["__n"], num_partitions=num_partitions
+        )
+        return pre.select(
+            "__grp",
+            F.col("__v").alias(col),
+            (F.lit(2) * F.col("__n_before") + F.col("__n") + F.lit(1))
+            .cast("bigint")
+            .alias(out),
+        )
+
+    rx = ranks(x_col, "__rx")
+    ry = ranks(y_col, "__ry")
+    ranked = (
+        df.select(F.col(group_col).alias("__grp"), x_col, y_col)
+        .join(rx, ["__grp", x_col])
+        .join(ry, ["__grp", y_col])
+        .select(
+            "__grp",
+            F.col("__rx").alias("x"),
+            F.col("__ry").alias("y"),
+        )
+    )
+    m = ranked.groupBy("__grp").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+    )
+    return m.where(
+        (F.expr("n * sxx - sx * sx") > 0)
+        & (F.expr("n * syy - sy * sy") > 0)
+    ).select(
+        F.col("__grp").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / (
+                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
+                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+            )
+        ).alias("rho"),
+    )

@@ -4808,3 +4808,105 @@ def q274_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("bigint").alias("spend"))
     )
     return gini_grouped(spend, "nation", "spend")
+
+
+# --------------------------------------------------------------------------
+# q276 — per-nation Spearman rank correlation between a customer's
+# stated account balance and their actual total order spend: "does
+# balance track behavior, per market" — a monotonicity answer the
+# per-nation Pearson would distort under skewed spend. Grouped doubled
+# ranks ride the grouped prefix operator (no per-group buffer); the
+# per-group moments and single closed-form float follow the q214/q233
+# determinism discipline (operators/rankstats.py:spearman_grouped).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q276_spearman_balance_spend",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sp
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+),
+named AS (
+  SELECT n.n_name AS nation, s.c_custkey, s.bal, s.sp
+  FROM spend s JOIN nation n ON n.n_nationkey = s.c_nationkey
+),
+gx AS (SELECT nation, bal, CAST(count(*) AS BIGINT) AS n
+       FROM named GROUP BY nation, bal),
+rx AS (
+  SELECT nation, bal,
+         2 * coalesce(sum(n) OVER (PARTITION BY nation ORDER BY bal
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) + n + 1 AS r2
+  FROM gx
+),
+gy AS (SELECT nation, sp, CAST(count(*) AS BIGINT) AS n
+       FROM named GROUP BY nation, sp),
+ry AS (
+  SELECT nation, sp,
+         2 * coalesce(sum(n) OVER (PARTITION BY nation ORDER BY sp
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) + n + 1 AS r2
+  FROM gy
+),
+r AS (
+  SELECT named.nation, CAST(rx.r2 AS BIGINT) AS a,
+         CAST(ry.r2 AS BIGINT) AS b
+  FROM named
+  JOIN rx ON rx.nation = named.nation AND rx.bal = named.bal
+  JOIN ry ON ry.nation = named.nation AND ry.sp = named.sp
+),
+m AS (
+  SELECT nation,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(a) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(b) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(a * b) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(a * a) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(b * b) AS DECIMAL(38,0)) AS syy
+  FROM r GROUP BY nation
+)
+SELECT nation, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+FROM m
+WHERE CAST(n * sxx - sx * sx AS HUGEINT) > 0
+  AND CAST(n * syy - sy * sy AS HUGEINT) > 0
+""",
+    doc="per-nation Spearman rank correlation between customer account "
+    "balance and total order spend: grouped doubled ranks on the "
+    "grouped prefix operator (no per-group buffer), per-group exact "
+    "DECIMAL(38,0) moments, one closed-form float per group",
+    tags=("relational", "aggregate", "ranking", "analytics"),
+)
+def q276_spearman_balance_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        spearman_grouped,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey", "bal")
+        .agg(F.sum("cents").cast("bigint").alias("sp"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "bal", "sp")
+    )
+    return spearman_grouped(spend, "nation", "bal", "sp")

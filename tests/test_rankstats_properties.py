@@ -433,3 +433,28 @@ def test_gini_grouped_matches_global_per_group(spark):
             spark.createDataFrame(sub[["v"]]), "v"
         ).collect()[0]["gini_ppm"]
         assert grouped[g] == solo, g
+
+
+def test_spearman_grouped_matches_pandas_per_group(spark):
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        spearman_grouped,
+    )
+
+    rng = np.random.default_rng(51)
+    n = 4000
+    g = rng.choice(["p", "q", "r"], n)
+    x = rng.integers(0, 120, n)
+    y = np.where(g == "p", x * 2, -x) + rng.integers(0, 30, n)
+    pdf = pd.DataFrame({"g": g, "x": x.astype(int), "y": y.astype(int)})
+    got = {
+        r["g"]: (r["n"], r["rho"])
+        for r in spearman_grouped(
+            spark.createDataFrame(pdf), "g", "x", "y"
+        ).collect()
+    }
+    for grp, sub in pdf.groupby("g"):
+        want = _spearman_reference(
+            sub["x"].to_numpy(), sub["y"].to_numpy()
+        )
+        assert got[grp][0] == len(sub)
+        assert abs(got[grp][1] - want) < 1e-12, grp
