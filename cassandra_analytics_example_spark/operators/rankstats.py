@@ -576,3 +576,83 @@ def spearman_grouped(
             )
         ).alias("rho"),
     )
+
+
+def kaplan_meier_grouped(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Per-cohort Kaplan–Meier — the survival-curve table per group
+    (signup cohorts, experiment arms): same estimator as
+    ``kaplan_meier`` with BOTH prefix layers (at-risk counts and the
+    cumulative quantized log-survival) on the grouped prefix operator,
+    so any number of cohorts of any size runs without a per-cohort
+    buffer.  NULL log-S at and after a cohort's extinction step."""
+    from cassandra_analytics_example_spark.operators.ranking import (
+        grouped_prefix_sums,
+    )
+
+    g = df.groupBy(
+        F.col(group_col).alias("__grp"), F.col(duration_col).alias("t")
+    ).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(F.col(event_col).cast("bigint")).alias("n_events"),
+    ).withColumn("n_censored", F.col("__n") - F.col("n_events"))
+    pre = grouped_prefix_sums(
+        g, ["__grp"], ["t"], ["__n"], num_partitions=num_partitions
+    )
+    tot = pre.groupBy("__grp").agg(
+        F.sum("__n").cast("bigint").alias("__grand")
+    )
+    risk = pre.join(tot, "__grp").select(
+        "__grp",
+        "t",
+        "n_events",
+        "n_censored",
+        (F.col("__grand") - F.col("__n_before"))
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    step = risk.withColumn(
+        "__step",
+        F.when(
+            (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+            F.floor(
+                F.lit(1_000_000_000.0)
+                * F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    ).withColumn(
+        "__died",
+        F.when(F.col("n_events") >= F.col("n_risk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    cum = grouped_prefix_sums(
+        step, ["__grp"], ["t"], ["__step", "__died"],
+        num_partitions=num_partitions,
+    )
+    return (
+        cum.filter(F.col("n_events") > 0)
+        .select(
+            F.col("__grp").alias(group_col),
+            F.col("t").cast("bigint").alias("t"),
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.when(
+                F.col("__died_before") + F.col("__died") > 0,
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(
+                (F.col("__step_before") + F.col("__step")).cast("bigint")
+            )
+            .alias("log_s_nano"),
+        )
+    )

@@ -6635,3 +6635,88 @@ def q275_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("grp"),
     )
     return ks_grouped(sample, "event_type", "v", "grp")
+
+
+# --------------------------------------------------------------------------
+# q277 — cohort survival curves: Kaplan–Meier lifetime tables per
+# signup-week cohort (first-event week), the retention analysis that
+# shows WHICH cohort's users churn faster. Same estimator and
+# quantize-then-integer-sum discipline as q236, with both prefix
+# layers on the grouped prefix operator so any number of cohorts of
+# any size runs without a per-cohort buffer (operators/rankstats.py:
+# kaplan_meier_grouped). Churn horizon 12 h (the fixture cadence).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q277_cohort_survival",
+    oracle="""
+WITH u AS (
+  SELECT user_id, epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT max(l) AS m FROM u),
+d AS (
+  SELECT f // 604800000000 AS cohort_week,
+         (l - f) // 86400000000 AS t,
+         CASE WHEN l <= mx.m - 43200000000 THEN 1 ELSE 0 END AS ev
+  FROM u, mx
+),
+g AS (
+  SELECT cohort_week, t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ev) AS BIGINT) AS n_events
+  FROM d GROUP BY cohort_week, t
+),
+p AS (
+  SELECT cohort_week, t, n, n_events, n - n_events AS n_censored,
+         sum(n) OVER (PARTITION BY cohort_week) -
+           coalesce(sum(n) OVER (PARTITION BY cohort_week ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS n_risk
+  FROM g
+),
+s AS (
+  SELECT cohort_week, t, n_risk, n_events, n_censored,
+         CASE WHEN n_events > 0 AND n_events < n_risk
+              THEN CAST(floor(1000000000.0
+                              * ln(CAST(n_risk - n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE))) AS BIGINT)
+              ELSE 0 END AS step,
+         CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM p
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(t AS BIGINT) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+       CAST(CASE WHEN max(dead) OVER (PARTITION BY cohort_week ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) = 1
+                 THEN NULL
+                 ELSE sum(step) OVER (PARTITION BY cohort_week ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING)
+            END AS BIGINT) AS log_s_nano
+FROM s WHERE n_events > 0
+""",
+    doc="Kaplan-Meier survival tables per signup-week cohort (12h churn "
+    "horizon): both at-risk and cumulative log-survival layers on the "
+    "grouped prefix operator - any number of cohorts without a "
+    "per-cohort buffer; NULL log-S after cohort extinction",
+    tags=("events", "aggregate", "ranking", "audit", "analytics"),
+)
+def q277_cohort_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        kaplan_meier_grouped,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("f"), F.max("ts_us").alias("l")
+    )
+    mx = u.agg(F.max("l").alias("m"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("f div 604800000000").cast("bigint").alias("cohort_week"),
+        F.expr("(l - f) div 86400000000").cast("bigint").alias("t"),
+        F.when(F.col("l") <= F.col("m") - F.lit(43_200_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    return kaplan_meier_grouped(d, "cohort_week", "t", "ev")

@@ -458,3 +458,47 @@ def test_spearman_grouped_matches_pandas_per_group(spark):
         )
         assert got[grp][0] == len(sub)
         assert abs(got[grp][1] - want) < 1e-12, grp
+
+
+def test_kaplan_meier_grouped_matches_single_group(spark):
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        kaplan_meier,
+        kaplan_meier_grouped,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 1200
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["c1", "c2", "c3"], n),
+            "t": rng.integers(0, 40, n).astype(int),
+            "e": rng.integers(0, 2, n),
+        }
+    )
+    # force one cohort to go extinct (all events) to exercise NULL tails
+    pdf.loc[pdf.g == "c3", "e"] = 1
+    grouped = (
+        kaplan_meier_grouped(spark.createDataFrame(pdf), "g", "t", "e")
+        .toPandas()
+        .sort_values(["g", "t"])
+        .reset_index(drop=True)
+    )
+    for g, sub in pdf.groupby("g"):
+        solo = (
+            kaplan_meier(
+                spark.createDataFrame(sub[["t", "e"]]), "t", "e"
+            )
+            .toPandas()
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        got = (
+            grouped[grouped.g == g]
+            .drop(columns="g")
+            .reset_index(drop=True)
+        )
+        # a cohort with NULL log-S tails surfaces as float64 in pandas;
+        # compare values NaN-tolerantly
+        pd.testing.assert_frame_equal(
+            got.astype("float64"), solo.astype("float64")
+        )
