@@ -656,3 +656,61 @@ def kaplan_meier_grouped(
             .alias("log_s_nano"),
         )
     )
+
+
+def cusum_grouped_from_counts(
+    d: DataFrame, group_col: str, num_partitions: int = 64
+) -> DataFrame:
+    """Per-group CUSUM changepoint scan over dense per-(group, bucket)
+    counts ``(group, h, c)`` — one row ``(group, n_hours, n_events,
+    change_at_hour, peak_micro_events)`` per group: the which-slice-
+    changed monitor. Same scaled-integer algebra as
+    ``cusum_changepoint_from_counts`` (Σ n·c − total per group, exact),
+    with the running sum on the grouped prefix operator so any number
+    of slices runs without a per-slice buffer."""
+    from cassandra_analytics_example_spark.operators.ranking import (
+        grouped_prefix_sums,
+    )
+
+    t = d.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    dev = d.select(
+        F.col(group_col).alias("__grp"), "h", "c"
+    ).join(t, "__grp").select(
+        "__grp",
+        "h",
+        "n",
+        "total",
+        (F.col("n") * F.col("c") - F.col("total")).alias("dev"),
+    )
+    cu = grouped_prefix_sums(
+        dev, ["__grp"], ["h"], ["dev"], num_partitions=num_partitions
+    ).select(
+        "__grp",
+        "h",
+        "n",
+        "total",
+        (F.col("dev_before") + F.col("dev")).alias("s"),
+    )
+    m = cu.groupBy("__grp").agg(F.max(F.abs(F.col("s"))).alias("peak"))
+    at = (
+        cu.join(m, "__grp")
+        .where(F.abs(F.col("s")) == F.col("peak"))
+        .groupBy("__grp")
+        .agg(F.min("h").cast("bigint").alias("change_at_hour"))
+    )
+    return (
+        t.join(m, "__grp")
+        .join(at, "__grp")
+        .select(
+            F.col("__grp").alias(group_col),
+            F.col("n").alias("n_hours"),
+            F.col("total").alias("n_events"),
+            "change_at_hour",
+            F.expr("cast(peak * 1000000 div n as bigint)").alias(
+                "peak_micro_events"
+            ),
+        )
+    )

@@ -6720,3 +6720,83 @@ def q277_cohort_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ev"),
     )
     return kaplan_meier_grouped(d, "cohort_week", "t", "ev")
+
+
+# --------------------------------------------------------------------------
+# q278 — per-slice CUSUM changepoints: the hour each EVENT TYPE's
+# volume regime shifted most, with the peak deviation — the which-
+# slice-changed companion to the global q249. Every type shares one
+# dense hour spine (from the global bounds, so slices are comparable),
+# and the per-type running sums ride the grouped prefix operator with
+# the same exact scaled-integer algebra — any number of slices without
+# a per-slice buffer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q278_cusum_by_type",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+types AS (SELECT DISTINCT event_type FROM e),
+spine AS (
+  SELECT types.event_type, CAST(t.h AS BIGINT) AS h
+  FROM types, r, LATERAL unnest(generate_series(r.h0, r.h1)) t(h)
+),
+d AS (
+  SELECT spine.event_type, spine.h,
+         CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM spine LEFT JOIN e
+    ON e.event_type = spine.event_type AND e.h = spine.h
+),
+t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS total
+  FROM d GROUP BY event_type
+),
+cu AS (
+  SELECT d.event_type, d.h, t.n, t.total,
+         sum(t.n * d.c - t.total)
+           OVER (PARTITION BY d.event_type ORDER BY d.h
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM d JOIN t USING (event_type)
+),
+m AS (SELECT event_type, max(abs(s)) AS peak FROM cu GROUP BY event_type)
+SELECT cu.event_type,
+       t.n AS n_hours, t.total AS n_events,
+       CAST(min(cu.h) AS BIGINT) AS change_at_hour,
+       CAST(m.peak * 1000000 // t.n AS BIGINT) AS peak_micro_events
+FROM cu JOIN m USING (event_type) JOIN t USING (event_type)
+WHERE abs(cu.s) = m.peak
+GROUP BY cu.event_type, t.n, t.total, m.peak
+""",
+    doc="per-event-type CUSUM changepoint over a shared dense hour "
+    "spine: grouped prefix running sums (no per-slice buffer), exact "
+    "scaled-integer deviations, earliest argmax hour and micro-event "
+    "peak per type",
+    tags=("events", "timeseries", "ranking", "audit"),
+)
+def q278_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        cusum_grouped_from_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    r = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(r)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    d = spine.join(e, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+    )
+    return cusum_grouped_from_counts(d, "event_type")
