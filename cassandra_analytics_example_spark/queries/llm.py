@@ -7205,3 +7205,158 @@ def q268_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(pairs)}, {stack_args}) "
         "as (dim_i, dim_j, cov_micro)"
     )
+
+
+# --------------------------------------------------------------------------
+# q279 — per-language conformal prediction radii: each language gets its
+# OWN exact-moment OLS fit (tokens ~ chars) and its own 90% conformal
+# radius — the calibrated-error-bars-per-slice readout (a single global
+# radius over-covers easy languages and under-covers hard ones). Group
+# moments fold in one pass; per-group residual rank selection rides the
+# grouped prefix operator (k = ⌈(n_g+1)·0.9⌉ per group, no per-group
+# buffer); per-group coverage closes the loop in integer permille.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q279_conformal_by_lang",
+    oracle="""
+WITH v AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT lang,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+  FROM v GROUP BY lang
+),
+fit AS (
+  SELECT lang, CAST(n AS BIGINT) AS n,
+         CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+              // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT) AS slope_u,
+         CAST(CAST((sy * (n * sxx - sx * sx)
+                    - sx * (n * sxy - sx * sy)) * 1000 AS HUGEINT)
+              // CAST(n * (n * sxx - sx * sx) AS HUGEINT) AS BIGINT)
+           AS icept_m
+  FROM m
+  WHERE CAST(n * sxx - sx * sx AS HUGEINT) > 0
+),
+res AS (
+  SELECT v.lang,
+         abs(v.y * 1000000 - (fit.slope_u * v.x + fit.icept_m * 1000))
+           AS r, fit.n
+  FROM v JOIN fit ON fit.lang = v.lang
+),
+k AS (
+  SELECT lang, n,
+         (n + 1) * 9 // 10
+           + CASE WHEN (n + 1) * 9 % 10 > 0 THEN 1 ELSE 0 END AS kk
+  FROM fit
+),
+g AS (SELECT lang, r, CAST(count(*) AS BIGINT) AS c
+      FROM res GROUP BY lang, r),
+cum AS (
+  SELECT lang, r,
+         sum(c) OVER (PARTITION BY lang ORDER BY r
+                      ROWS UNBOUNDED PRECEDING) AS cw
+  FROM g
+),
+qhat AS (
+  SELECT cum.lang, CAST(min(cum.r) AS BIGINT) AS qhat_micro
+  FROM cum JOIN k USING (lang)
+  WHERE cum.cw >= least(k.kk, k.n)
+  GROUP BY cum.lang
+)
+SELECT k.lang, k.n, qhat.qhat_micro,
+       CAST((SELECT count(*) FROM res
+             WHERE res.lang = k.lang AND res.r <= qhat.qhat_micro) * 1000
+            // k.n AS BIGINT) AS coverage_permille
+FROM k JOIN qhat USING (lang)
+""",
+    doc="per-language conformal prediction radii: per-group exact-moment "
+    "OLS fits, ceil((n_g+1)*0.9)-th smallest integer micro-residual per "
+    "group via the grouped prefix rank layer (no per-group buffer), "
+    "per-group coverage in integer permille",
+    tags=("llm", "eval", "ranking", "aggregate"),
+)
+def q279_conformal_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.ranking import (
+        grouped_prefix_sums,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    v = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
+    )
+    dec38 = "decimal(38,0)"
+    m = v.groupBy("lang").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+    )
+    fit = m.where(F.expr("n * sxx - sx * sx") > 0).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+            "as bigint)"
+        ).alias("slope_u"),
+        F.expr(
+            "cast((sy * (n * sxx - sx * sx) - sx * (n * sxy - sx * sy)) "
+            "* 1000 div (n * (n * sxx - sx * sx)) as bigint)"
+        ).alias("icept_m"),
+    ).persist()
+    res = v.join(F.broadcast(fit), "lang").select(
+        "lang",
+        F.abs(
+            F.col("y") * 1_000_000
+            - (F.col("slope_u") * F.col("x") + F.col("icept_m") * 1000)
+        ).alias("r"),
+    ).persist()
+    k = fit.select(
+        "lang",
+        "n",
+        F.expr(
+            "(n + 1) * 9 div 10 "
+            "+ case when (n + 1) * 9 % 10 > 0 then 1 else 0 end"
+        ).alias("kk"),
+    )
+    g = res.groupBy("lang", "r").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cum = grouped_prefix_sums(g, ["lang"], ["r"], ["c"]).select(
+        "lang", "r", (F.col("c_before") + F.col("c")).alias("cw")
+    )
+    qhat = (
+        cum.join(F.broadcast(k), "lang")
+        .where(F.col("cw") >= F.least(F.col("kk"), F.col("n")))
+        .groupBy("lang")
+        .agg(F.min("r").cast("bigint").alias("qhat_micro"))
+    )
+    cov = (
+        res.join(F.broadcast(qhat), "lang")
+        .where(F.col("r") <= F.col("qhat_micro"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("nc"))
+    )
+    return (
+        k.join(qhat, "lang")
+        .join(cov, "lang")
+        .select(
+            "lang",
+            "n",
+            "qhat_micro",
+            F.expr("cast(nc * 1000 div n as bigint)").alias(
+                "coverage_permille"
+            ),
+        )
+    )
