@@ -389,3 +389,73 @@ def bfs_hop_counts(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.unionByName(unreached)
+
+
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Exact-integer PERSONALIZED PageRank: random walks restart at the
+    SEED set instead of everywhere, so mass concentrates around the
+    seeds — the related-items / similar-entities primitive. Identical
+    iteration shape to ``pagerank_integer`` (one edge-keyed shuffle
+    join + one dst aggregation per round, node-sized quota join), with
+    the teleport term paid only to seed nodes and the initial mass
+    placed on the seeds (``PAGERANK_QUANTUM`` each; non-seeds start 0).
+    Flooring division stands in for float math throughout, so the
+    result is engine- and partitioning-independent.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        deg.select(F.col("src").alias("node"))
+        .join(sd.withColumn("__is_seed", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__is_seed"), F.lit(0)).alias("is_seed"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    teleport = PAGERANK_QUANTUM * (damping_den - damping_num) // damping_den
+    ranks = nodes.select(
+        "node",
+        (F.col("is_seed") * F.lit(PAGERANK_QUANTUM))
+        .cast("bigint")
+        .alias("r"),
+    )
+    for _ in range(iterations):
+        quota = ranks.join(deg, ranks.node == deg.src).select(
+            "node",
+            F.expr(f"(r * {damping_num}) div ({damping_den} * outdeg)")
+            .cast("bigint")
+            .alias("w"),
+        )
+        contrib = (
+            e.join(quota, e.src == quota.node)
+            .groupBy("dst")
+            .agg(F.sum("w").cast("bigint").alias("c"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.col("is_seed") * F.lit(teleport)
+                + F.coalesce("c", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    return ranks

@@ -4910,3 +4910,116 @@ def q276_spearman_balance_spend(
         .select(F.col("n_name").alias("nation"), "bal", "sp")
     )
     return spearman_grouped(spend, "nation", "bal", "sp")
+
+
+# --------------------------------------------------------------------------
+# q280 — related-items recommendation via personalized PageRank: random
+# walks over the co-purchase graph restart at a SEED basket (parts with
+# key % 50 == 0), so mass concentrates on items co-bought with the
+# seeds — top-50 non-seed recommendations by final integer mass.
+# Identical Pregel-on-DataFrames step shape to q143 (one edge shuffle
+# join + one dst aggregation per round) with seed-only teleport and
+# seed-only initial mass (operators/graph.py:
+# personalized_pagerank_integer); integer flooring keeps the oracle
+# hash exact through all 5 unrolled iterations.
+# --------------------------------------------------------------------------
+
+_PPR_ITERS = 5
+
+
+def _ppr_oracle(iterations: int) -> str:
+    step = """
+r{t} AS (
+  SELECT n.node, CAST(n.is_seed * {teleport} + coalesce(s.c, 0) AS BIGINT)
+           AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((p.r * 85) // (100 * d.outdeg)) AS BIGINT) AS c
+    FROM edges e
+    JOIN r{p} p ON p.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    chain = ",".join(
+        step.format(t=t, p=t - 1, teleport=_PR_TELEPORT)
+        for t in range(1, iterations + 1)
+    )
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT node,
+                 CASE WHEN node % 50 = 0 THEN 1 ELSE 0 END AS is_seed
+          FROM deg),
+r0 AS (SELECT node, CAST(is_seed * {_PR_QUANTUM} AS BIGINT) AS r
+       FROM nodes),
+{chain}
+SELECT r.node AS part_key, r.r AS score,
+       CAST(row_number() OVER (ORDER BY r.r DESC, r.node ASC) AS BIGINT)
+         AS rnk
+FROM r{iterations} r JOIN nodes n ON n.node = r.node
+WHERE n.is_seed = 0
+QUALIFY rnk <= 50
+"""
+
+
+@register(
+    "q280_related_items_ppr",
+    oracle=_ppr_oracle(_PPR_ITERS),
+    doc="related-items recommendation: exact-integer PERSONALIZED "
+    "PageRank (5 iterations, seed basket = parts with key % 50 == 0, "
+    "teleport and initial mass on seeds only) over the symmetric "
+    "co-purchase graph; top-50 non-seed items by final integer mass — "
+    "the q143 Pregel step shape with a seeded restart vector",
+    tags=("relational", "graph", "iterative", "analytics"),
+)
+def q280_related_items_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % 50 == 0)
+    )
+    ranks = personalized_pagerank_integer(
+        edges, seeds, iterations=_PPR_ITERS
+    )
+    non_seed = ranks.join(
+        seeds.withColumnRenamed("node", "s"),
+        ranks.node == F.col("s"),
+        "left_anti",
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("node").asc())
+    return (
+        non_seed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 50)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("r").alias("score"),
+            "rnk",
+        )
+    )
