@@ -5023,3 +5023,111 @@ def q280_related_items_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q281 — degree assortativity of the co-purchase graph: the Pearson
+# correlation of (source degree, destination degree) over all directed
+# edges — do popular items co-occur with popular items (assortative,
+# r > 0) or with niche ones (disassortative, r < 0)? The network-
+# topology diagnostic behind sampling and partitioning choices for the
+# q143/q280 walks. Degrees come from one groupBy; both endpoints'
+# degrees join onto the edge list (AQE broadcasts when the vocabulary
+# fits); the correlation is five
+# exact DECIMAL(38,0) moments and one closed-form float (the q214
+# discipline) — nothing iterative, exact at any scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q281_degree_assortativity",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+p AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+),
+m AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+FROM m
+""",
+    doc="degree assortativity of the symmetric co-purchase graph: "
+    "Pearson of (src degree, dst degree) over all edges from five "
+    "exact DECIMAL(38,0) moments and one closed-form float — the "
+    "network-topology diagnostic, non-iterative",
+    tags=("relational", "graph", "aggregate"),
+)
+def q281_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    # the degree table is vocabulary-sized; no forced broadcast — AQE
+    # picks broadcast when it fits and falls back to shuffle when the
+    # vocabulary outgrows the threshold
+    p = (
+        edges.join(
+            deg.withColumnRenamed("d", "x"), edges.src == F.col("node")
+        )
+        .drop("node")
+        .join(
+            deg.withColumnRenamed("d", "y"), edges.dst == F.col("node")
+        )
+        .select("x", "y")
+    )
+    dec38 = "decimal(38,0)"
+    m = p.agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec38).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        (
+            F.expr("cast(n * sxy - sx * sy as double)")
+            / (
+                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
+                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+            )
+        ).alias("assortativity"),
+    )
