@@ -333,11 +333,21 @@ def bfs_hop_counts(
     Frontier expansion is the Pregel step: per hop, one edge equi-join
     against the (persisted) frontier in each direction, a distinct, and
     a left-anti join against the reached set — no per-node state beyond
-    membership, no driver materialization.  Hop-bounded because an
-    unbounded BFS on a 100 TB graph is a different algorithm (iterate-
-    to-fixpoint with lineage checkpointing, as pagerank_integer does);
-    bounded level sets are what seed-expansion audits actually use.
+    membership.  Hop-bounded because an unbounded BFS on a 100 TB graph
+    is a different algorithm (iterate-to-fixpoint with lineage
+    checkpointing, as pagerank_integer does); bounded level sets are
+    what seed-expansion audits actually use.
+
+    Execution is EAGER per hop, mirroring ``k_core_rounds``: each hop's
+    frontier/reached frames persist, are pinned by the hop's own
+    ``count()`` (a bounded scalar action — the count IS the hop's
+    output row), and the superseded frames unpersist immediately, so
+    the cache footprint stays one frontier + one reached set regardless
+    of hop count.  All persisted inputs (edges, node universe) are
+    released before returning; the result is the (max_hops + 2)-row
+    level trajectory built from the already-computed scalars.
     """
+    spark = edges.sparkSession
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -353,11 +363,7 @@ def bfs_hop_counts(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     frontier = reached
-    levels = [
-        reached.agg(F.count("*").cast("bigint").alias("n_nodes")).select(
-            F.lit(0).cast("bigint").alias("dist"), "n_nodes"
-        )
-    ]
+    levels: list[tuple[int, int]] = [(0, reached.count())]
     for h in range(1, max_hops + 1):
         nbr = (
             e.join(frontier, e.a == frontier.node, "left_semi")
@@ -369,26 +375,27 @@ def bfs_hop_counts(
             )
             .distinct()
         )
+        prev_frontier, prev_reached = frontier, reached
         frontier = nbr.join(reached, "node", "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        reached = reached.unionByName(frontier).persist(
+        reached = prev_reached.unionByName(frontier).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        levels.append(
-            frontier.agg(
-                F.count("*").cast("bigint").alias("n_nodes")
-            ).select(F.lit(h).cast("bigint").alias("dist"), "n_nodes")
-        )
-    unreached = (
-        all_nodes.join(reached, "node", "left_anti")
-        .agg(F.count("*").cast("bigint").alias("n_nodes"))
-        .select(F.lit(-1).cast("bigint").alias("dist"), "n_nodes")
+        levels.append((h, frontier.count()))
+        reached.count()
+        if prev_frontier is not prev_reached:
+            prev_frontier.unpersist()
+        prev_reached.unpersist()
+    n_unreached = all_nodes.join(reached, "node", "left_anti").count()
+    levels.append((-1, n_unreached))
+    frontier.unpersist()
+    reached.unpersist()
+    all_nodes.unpersist()
+    e.unpersist()
+    return spark.createDataFrame(
+        [(int(d), int(n)) for d, n in levels], "dist bigint, n_nodes bigint"
     )
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.unionByName(unreached)
 
 
 def personalized_pagerank_integer(
@@ -410,6 +417,13 @@ def personalized_pagerank_integer(
     placed on the seeds (``PAGERANK_QUANTUM`` each; non-seeds start 0).
     Flooring division stands in for float math throughout, so the
     result is engine- and partitioning-independent.
+
+    The node universe is ``src ∪ dst ∪ seeds``, so on a directed graph
+    dst-only (sink) nodes and out-edge-less seeds still receive their
+    contributions / teleport mass and appear in the output.  Mass that
+    lands on a node with no out-edges is dropped at the next iteration
+    (the standard "dangling mass discarded" PPR variant — documented
+    rather than redistributed, so the oracle can unroll it exactly).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -421,7 +435,10 @@ def personalized_pagerank_integer(
     )
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
-        deg.select(F.col("src").alias("node"))
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(sd)
+        .distinct()
         .join(sd.withColumn("__is_seed", F.lit(1)), "node", "left")
         .select(
             "node",

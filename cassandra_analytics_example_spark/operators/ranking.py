@@ -104,9 +104,13 @@ def roc_auc_exact(
     Returns one row ``(n_pos, n_neg, u2, auc_ppm)`` with
     ``auc_ppm = ⌊2U · 500000 / (n_pos · n_neg)⌋`` (AUC in parts-per-
     million, exact floor division — engine-portable, no float division).
-    The per-score aggregate makes score ties exact (average-rank
-    semantics), and the prefix layer is the range-partitioned cell-offset
-    pattern, so no task ever holds a whole score ordering.
+    Single-class input (no positives or no negatives) is a defined
+    degenerate: the counts row is still emitted with ``auc_ppm`` NULL
+    (AUC is undefined there), guarded so ANSI mode cannot raise a
+    divide-by-zero.  The per-score aggregate makes score ties exact
+    (average-rank semantics), and the prefix layer is the
+    range-partitioned cell-offset pattern, so no task ever holds a
+    whole score ordering.
     """
     g = scored.groupBy(F.col(score_col).alias("__s")).agg(
         F.count("*").cast("bigint").alias("__n"),
@@ -129,7 +133,10 @@ def roc_auc_exact(
         "n_pos",
         "n_neg",
         "u2",
-        F.expr("u2 * 500000 div (n_pos * n_neg)")
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("u2 * 500000 div (n_pos * n_neg)"),
+        )
         .cast("bigint")
         .alias("auc_ppm"),
     )
@@ -157,7 +164,10 @@ def average_precision_exact(
     bigints; the final ``ap_ppm = Σ div (1000·P)``.  The ≥-cumulative
     counts come from ascending exclusive prefix sums plus broadcast
     totals, so no task ever holds a full score ordering.  Returns one
-    row ``(n_pos, n_total, ap_ppm)``.
+    row ``(n_pos, n_total, ap_ppm)`` — always exactly one row: with no
+    positive rows AP is undefined, so the row carries ``n_pos = 0`` and
+    ``ap_ppm`` NULL instead of coming back empty (and the division is
+    guarded so ANSI mode cannot raise on ``P = 0``).
     """
     g = scored.groupBy(F.col(score_col).alias("__s")).agg(
         F.count("*").cast("bigint").alias("__n"),
@@ -183,14 +193,18 @@ def average_precision_exact(
             "div __n_ge as bigint)"
         ).alias("__c"),
     )
-    return contrib.groupBy("__pt").agg(
-        F.sum("__c").alias("__sc")
-    ).select(
-        F.col("__pt").alias("n_pos"),
-        F.expr("cast(__sc div (1000 * __pt) as bigint)").alias("ap_ppm"),
-    ).crossJoin(
-        F.broadcast(tot.select(F.col("__nt").alias("n_total")))
-    ).select("n_pos", "n_total", "ap_ppm")
+    ap = contrib.groupBy("__pt").agg(F.sum("__c").alias("__sc"))
+    return (
+        tot.join(F.broadcast(ap), "__pt", "left")
+        .select(
+            F.col("__pt").alias("n_pos"),
+            F.col("__nt").alias("n_total"),
+            F.when(
+                F.col("__pt") > 0,
+                F.expr("cast(__sc div (1000 * __pt) as bigint)"),
+            ).alias("ap_ppm"),
+        )
+    )
 
 
 def grouped_prefix_sums(

@@ -6608,8 +6608,14 @@ uk AS (
   SELECT hv, nsrc, row_number() OVER (ORDER BY hv) AS rk FROM u
 ),
 j AS (
-  SELECT CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) * 1000
-              // {_KMV_K} AS BIGINT) AS jaccard_permille
+  -- denominator = |union sketch| = min(k, |A ∪ B sketch hashes|): a
+  -- small vocabulary fills fewer than k union slots and dividing by
+  -- the constant k would understate Jaccard (small-set degeneration,
+  -- same as est_distinct's)
+  SELECT CASE WHEN count(*) > 0
+              THEN CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) * 1000
+                        // count(*) AS BIGINT)
+         END AS jaccard_permille
   FROM uk WHERE rk <= {_KMV_K}
 )
 SELECT (SELECT min(source) FROM top2) AS source_a,
@@ -6666,10 +6672,14 @@ def q256_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     uk = u.withColumn(
         "rk", F.row_number().over(Window.orderBy("hv"))
     ).where(F.col("rk") <= _KMV_K)
+    # denominator = |union sketch| (min(k, distinct union hashes)), not
+    # the constant k: mirrors est_distinct's small-set degeneration so
+    # tiny vocabularies don't understate Jaccard
     j = uk.agg(
         F.expr(
-            f"cast(sum(case when nsrc = 2 then 1 else 0 end) * 1000 "
-            f"div {_KMV_K} as bigint)"
+            "case when count(*) > 0 then "
+            "cast(sum(case when nsrc = 2 then 1 else 0 end) * 1000 "
+            "div count(*) as bigint) end"
         ).alias("jaccard_permille")
     )
     names = top2.agg(

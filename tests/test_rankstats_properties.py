@@ -502,3 +502,60 @@ def test_kaplan_meier_grouped_matches_single_group(spark):
         pd.testing.assert_frame_equal(
             got.astype("float64"), solo.astype("float64")
         )
+
+
+def test_single_class_rank_metrics_degenerate_rows(spark):
+    # ADVICE r6: single-class input must yield a DEFINED degenerate row —
+    # NULL auc_ppm / ap_ppm with correct counts — not an ANSI
+    # divide-by-zero or an empty frame
+    from cassandra_analytics_example_spark.operators.ranking import (
+        average_precision_exact,
+        roc_auc_exact,
+    )
+
+    all_pos = pd.DataFrame({"score": [3, 1, 4, 1, 5], "is_pos": [1] * 5})
+    all_neg = pd.DataFrame({"score": [3, 1, 4, 1, 5], "is_pos": [0] * 5})
+
+    r = roc_auc_exact(spark.createDataFrame(all_pos)).collect()
+    assert len(r) == 1
+    assert (r[0]["n_pos"], r[0]["n_neg"]) == (5, 0)
+    assert r[0]["auc_ppm"] is None
+
+    r = roc_auc_exact(spark.createDataFrame(all_neg)).collect()
+    assert len(r) == 1
+    assert (r[0]["n_pos"], r[0]["n_neg"]) == (0, 5)
+    assert r[0]["auc_ppm"] is None
+
+    r = average_precision_exact(spark.createDataFrame(all_neg)).collect()
+    assert len(r) == 1
+    assert (r[0]["n_pos"], r[0]["n_total"]) == (0, 5)
+    assert r[0]["ap_ppm"] is None
+
+
+def test_personalized_pagerank_sink_and_isolated_seeds(spark):
+    # ADVICE r6: on a DIRECTED graph the node universe is src ∪ dst ∪
+    # seeds — sink (dst-only) nodes keep the mass sent to them, and a
+    # seed with no out-edges still gets teleport mass and an output row
+    from cassandra_analytics_example_spark.operators.graph import (
+        PAGERANK_QUANTUM,
+        personalized_pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint"
+    )  # 3 is a pure sink; 9 is an isolated seed
+    seeds = spark.createDataFrame([(1,), (9,)], "node bigint")
+    out = {
+        r["node"]: r["r"]
+        for r in personalized_pagerank_integer(
+            edges, seeds, iterations=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 9}
+    teleport = PAGERANK_QUANTUM * 15 // 100
+    # isolated seed: receives only its teleport share every iteration
+    assert out[9] == teleport
+    # the sink accumulated real mass (contributions reached it)
+    assert out[3] > 0
+    # non-seed non-sink node got walk mass but no teleport
+    assert out[2] > 0
