@@ -4,10 +4,13 @@ processed through Arrow-batched ``mapInPandas`` (SURVEY.md §7 M4).
 This mirrors the reference's only binary column (the ``course`` blob,
 ``SparkUtils.scala:82``) scaled up to media payloads: the engine treats
 image/audio/video as bytes + a metadata struct, and runs decode/feature
-steps as vectorized pandas batches. The actual media decode is STUBBED
-(image/audio libraries are not in this environment — ``decode_image``
-raises ``NotImplementedError``); the Spark-side plumbing — schema, batch
-shape, partitioning, deterministic fake features — is real and tested.
+steps as vectorized pandas batches. Decode is REAL for the two
+dependency-free container formats — ``decode_image`` parses binary PPM
+(P6/P5, the netpbm family) and ``decode_audio`` parses RIFF/WAVE PCM —
+pure-Python header parsers running inside the same Arrow batches; codec
+formats that need an external library (JPEG/MP3/H.264) are out of scope
+for this build, and the ``*/fake`` byte-level paths remain for
+oracle-exact features over arbitrary payloads.
 
 Scale notes: payloads stay in executor-side Arrow batches end-to-end (never
 driver-collected); ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
@@ -49,13 +52,96 @@ def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real media decode — requires an image library (PIL/cv2), not present
-    in this environment. The feature pipeline uses deterministic fake
-    features instead (``extract_features``)."""
-    raise NotImplementedError(
-        "media decode requires an image library not available in this build; "
-        "extract_features() computes deterministic byte-level features instead"
+def _ppm_token(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited netpbm header token from ``pos``,
+    skipping ``#`` comments (which run to end-of-line per the spec)."""
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            while pos < n and data[pos : pos + 1] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and data[pos : pos + 1] not in b" \t\r\n":
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated netpbm header")
+    return data[start:pos], pos
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode a binary netpbm image (PPM ``P6`` / PGM ``P5``) — a real,
+    dependency-free parser: magic, comment-tolerant whitespace-delimited
+    header (width, height, maxval ≤ 255), then exactly
+    ``width·height·channels`` raster bytes.
+
+    Returns ``{"width", "height", "maxval", "channels", "pixels"}`` with
+    ``pixels`` the raw interleaved raster bytes. Raises ``ValueError`` on
+    a malformed container (wrong magic, non-numeric header, short
+    raster) — decode failures must be loud, not zero-filled, so a
+    corrupt-payload audit can count them.
+    """
+    data = bytes(payload)
+    magic, pos = _ppm_token(data, 0)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"unsupported netpbm magic: {magic!r}")
+    channels = 3 if magic == b"P6" else 1
+    dims = []
+    for _ in range(3):
+        tok, pos = _ppm_token(data, pos)
+        if not tok.isdigit():
+            raise ValueError(f"non-numeric netpbm header token: {tok!r}")
+        dims.append(int(tok))
+    width, height, maxval = dims
+    if width <= 0 or height <= 0 or not (0 < maxval <= 255):
+        raise ValueError(f"bad netpbm dimensions: {width}x{height}/{maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    n_raster = width * height * channels
+    pixels = data[pos : pos + n_raster]
+    if len(pixels) != n_raster:
+        raise ValueError(
+            f"short raster: want {n_raster} bytes, have {len(pixels)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "channels": channels,
+        "pixels": pixels,
+    }
+
+
+def encode_ppm(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build REAL container payloads from the documents fixture: each
+    text (normalized to printable ASCII so one char is one byte) becomes
+    a binary PPM (P6) whose raster is the text tiled to
+    ``width·height·3`` bytes — deterministic, so decode-path tests have
+    exact expectations. Pure JVM column algebra (repeat / substring /
+    concat), no Python in the encode."""
+    ascii_txt = F.regexp_replace(F.col(text_col), r"[^\x20-\x7E]", "")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), ascii_txt.alias("__t")
+    ).where(F.length("__t") > 0)
+    n = F.length("__t")
+    w = (n % 31 + 1).cast("int")
+    h = (n % 17 + 1).cast("int")
+    n_raster = w * h * 3
+    reps = (n_raster.cast("bigint") / n + 1).cast("int")
+    raster = F.substring(F.repeat(F.col("__t"), reps), F.lit(1), n_raster)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return base.select(
+        "doc_id",
+        F.encode(F.concat(header, raster), "utf-8").alias("payload"),
+        F.lit("image/ppm").alias("media_type"),
+        w.alias("width"),
+        h.alias("height"),
     )
 
 
@@ -88,6 +174,59 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     # spread: a small single-split input would otherwise serialize all
     # Arrow batches through ONE Python worker; no-op at scale.
     return spread(payloads).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+DECODED_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, n_pixels bigint, "
+    "mean_milli bigint, raster_md5 string, decode_ok boolean"
+)
+
+
+def extract_features_decoded(payloads: DataFrame) -> DataFrame:
+    """Feature extraction through the REAL container decode: each batch
+    row's payload goes through ``decode_image`` (netpbm parser), and the
+    features come from the decoded raster — dimensions from the HEADER
+    (not trusted metadata), exact integer mean pixel value in milli-units,
+    and a raster digest. A payload that fails to decode yields a row with
+    ``decode_ok = false`` and NULL features instead of poisoning the
+    batch — the corrupt-payload accounting a 100 TB media crawl needs.
+    Same Arrow ``mapInPandas`` shape as ``extract_features``.
+    """
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "n_pixels",
+                "mean_milli", "raster_md5", "decode_ok",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_image(bytes(payload))
+                except ValueError:
+                    for k in ("width", "height", "channels", "n_pixels",
+                              "mean_milli", "raster_md5"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                px = np.frombuffer(img["pixels"], dtype=np.uint8)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["channels"].append(img["channels"])
+                out["n_pixels"].append(img["width"] * img["height"])
+                out["mean_milli"].append(
+                    int(px.astype(np.int64).sum()) * 1000 // len(px)
+                )
+                out["raster_md5"].append(
+                    hashlib.md5(img["pixels"]).hexdigest()
+                )
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return spread(payloads).mapInPandas(
+        _decode, schema=DECODED_FEATURE_SCHEMA
+    )
 
 
 def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
@@ -138,13 +277,108 @@ def attach_audio_payload(
     )
 
 
-def decode_audio(payload: bytes) -> "object":
-    """Real audio decode — requires an audio library (soundfile/librosa),
-    not present in this environment. ``frame_energies`` interprets the
-    payload bytes directly as 8-bit PCM instead."""
-    raise NotImplementedError(
-        "audio decode requires an audio library not available in this "
-        "build; frame_energies() treats payload bytes as 8-bit PCM"
+def decode_audio(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE container with uncompressed PCM samples — a
+    real, dependency-free parser: RIFF header, chunk walk (tolerating
+    extra chunks like ``LIST``/``fact`` and odd-length padding), ``fmt ``
+    fields (format tag 1 = PCM only, mono/stereo, 8/16-bit), and the
+    ``data`` chunk bytes.
+
+    Returns ``{"sample_rate", "channels", "bits", "n_samples", "data"}``
+    with ``data`` the raw little-endian sample bytes. Raises
+    ``ValueError`` on malformed containers or non-PCM formats — loud
+    decode failures, same contract as ``decode_image``.
+    """
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = None
+    pcm = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            fmt = {
+                "tag": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError("short data chunk")
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    if fmt["tag"] != 1:
+        raise ValueError(f"non-PCM format tag {fmt['tag']}")
+    if fmt["bits"] not in (8, 16) or fmt["channels"] not in (1, 2):
+        raise ValueError(
+            f"unsupported PCM layout: {fmt['bits']}-bit "
+            f"{fmt['channels']}-channel"
+        )
+    bytes_per = fmt["bits"] // 8 * fmt["channels"]
+    return {
+        "sample_rate": fmt["sample_rate"],
+        "channels": fmt["channels"],
+        "bits": fmt["bits"],
+        "n_samples": len(pcm) // bytes_per,
+        "data": pcm,
+    }
+
+
+def encode_wav(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Build REAL RIFF/WAVE payloads from the documents fixture: the
+    ASCII-normalized text bytes become the 8-bit mono PCM ``data`` chunk
+    behind a spec-complete 44-byte header. Header fields that depend on
+    the data length (RIFF size, data size) are JVM column algebra over a
+    few int-to-little-endian byte builds — no Python in the encode."""
+    ascii_txt = F.regexp_replace(F.col(text_col), r"[^\x20-\x7E]", "")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), ascii_txt.alias("__t")
+    ).where(F.length("__t") > 0)
+
+    def le32(col):  # 4 little-endian bytes of an int column, as binary
+        return F.expr(
+            f"unhex(concat("
+            f"lpad(hex(({col}) % 256), 2, '0'), "
+            f"lpad(hex(({col}) div 256 % 256), 2, '0'), "
+            f"lpad(hex(({col}) div 65536 % 256), 2, '0'), "
+            f"lpad(hex(({col}) div 16777216 % 256), 2, '0')))"
+        )
+
+    def le16(v: int) -> bytes:
+        return int(v).to_bytes(2, "little")
+
+    static_fmt = (
+        b"WAVEfmt " + (16).to_bytes(4, "little") + le16(1) + le16(1)
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate).to_bytes(4, "little")  # byte rate (8-bit mono)
+        + le16(1) + le16(8)
+    )
+    payload = F.concat(
+        F.lit(b"RIFF"),
+        le32("36 + length(__t)"),
+        F.lit(static_fmt),
+        F.lit(b"data"),
+        le32("length(__t)"),
+        F.encode(F.col("__t"), "utf-8"),
+    )
+    return base.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(sample_rate).alias("sample_rate"),
     )
 
 
@@ -173,6 +407,53 @@ def frame_energies(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
                         np.int64
                     )
                     - 96
+                )
+                for i, off in enumerate(range(0, len(data), frame_size)):
+                    seg = data[off : off + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(out)
+
+    return spread(payloads).mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+def frame_energies_wav(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
+    """Per-frame audio features through the REAL container decode: each
+    payload goes through ``decode_audio`` (RIFF/WAVE PCM parser), the
+    8-bit samples center at the PCM8 midpoint 128, and the same integer
+    framing as ``frame_energies`` reduces them to
+    ``(n_samples, energy, peak)`` rows. Undecodable payloads surface as
+    a single ``frame_no = -1`` row (n_samples 0) so corrupt containers
+    are counted, not silently dropped."""
+    import numpy as np
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_no": [],
+                "n_samples": [],
+                "energy": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    wav = decode_audio(bytes(payload))
+                except ValueError:
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(-1)
+                    out["n_samples"].append(0)
+                    out["energy"].append(0)
+                    out["peak"].append(0)
+                    continue
+                data = (
+                    np.frombuffer(wav["data"], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 128
                 )
                 for i, off in enumerate(range(0, len(data), frame_size)):
                     seg = data[off : off + frame_size]
