@@ -69,3 +69,56 @@ def test_no_banned_plan_shapes(spark, name):
         f"{name}: CartesianProduct in the executed plan — an all-pairs "
         "join; restore the equi/blocking key or broadcast the small side"
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-materialization axis (VERDICT r6 task 7): every row-materializing
+# driver read in the package must be on the pinned allowlist below, each
+# with a documented bound. ``.first()`` is auto-allowed — it reads at most
+# ONE row by definition (the scalar-class read the bar permits).
+# ``.count()`` / ``.isEmpty()`` are scalar actions, not row reads. A new
+# ``.collect()`` / ``.toPandas()`` / ``.take()`` / ``.head()`` /
+# ``.toLocalIterator()`` anywhere else fails this lint until it is either
+# redesigned distributed or added HERE with its bound written down.
+
+_DRIVER_READ = re.compile(
+    r"\.(collect|toPandas|take|head|toLocalIterator)\s*\("
+)
+
+#: (file relative to the package, exact stripped source line) → bound note.
+_DRIVER_READ_ALLOWLIST = {
+    (
+        "queries/events.py",
+        'ordered = means.orderBy("mean_microcents").collect()',
+    ): "bootstrap means table ≤ B=32 rows (one row per resample index)",
+    (
+        "operators/membership.py",
+        'keep = sorted(r["file"] for r in survivors.collect())',
+    ): "keep-list capped by max_pruned_files with full-scan fallback (r6)",
+}
+
+
+def test_driver_materializations_are_enumerated():
+    import pathlib
+
+    pkg = pathlib.Path("cassandra_analytics_example_spark")
+    found: dict[tuple[str, str], int] = {}
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        for lineno, line in enumerate(
+            path.read_text().splitlines(), start=1
+        ):
+            m = _DRIVER_READ.search(line)
+            if m is None:
+                continue
+            hash_pos = line.find("#")
+            if 0 <= hash_pos < m.start():  # comment, not code
+                continue
+            found[(rel, line.strip())] = lineno
+    extra = {k: v for k, v in found.items() if k not in _DRIVER_READ_ALLOWLIST}
+    assert not extra, (
+        "unreviewed driver materialization(s) — redesign distributed or "
+        f"add to the allowlist with a documented bound: {extra}"
+    )
+    stale = set(_DRIVER_READ_ALLOWLIST) - set(found)
+    assert not stale, f"allowlist entries no longer in the source: {stale}"

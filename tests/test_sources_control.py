@@ -89,6 +89,85 @@ class TestCassandraOptionTranslation:
         with pytest.raises(ValueError, match="side"):
             cassandra_options(REF_READ_OPTIONS, "sideways")
 
+    # ---- VERDICT r6 task 6: contract pins for BOTH transports against
+    # the documented connector option names (SparkUtils.scala:56-65,
+    # App.scala:107-115 read / :151-160, :211-231 write) — a future
+    # rename in the translation layer can't silently break the
+    # real-cluster path.
+
+    REF_S3_COMPAT_WRITE = {
+        "coordinated_write_config": (
+            '{"cluster_1": {"sidecarContactPoints": '
+            '["spark-master-1:9043"], "localDc": "dc1"}, '
+            '"cluster_2": {"sidecarContactPoints": '
+            '["spark-master-2:9043"], "localDc": "dc2"}}'
+        ),
+        "keyspace": "spark_test",
+        "table": "test",
+        "bulk_writer_cl": "LOCAL_QUORUM",
+        "data_transport": "S3_COMPAT",
+        "data_transport_extension_class": (
+            "org.apache.cassandra.spark.analytics.example."
+            "LocalCoordinatedStorageTransportExtension"
+        ),
+        "storage_client_endpoint_override": "http://s3-mock:9090",
+    }
+
+    def test_s3_compat_write_options_pin(self):
+        # the reference's coordinated S3_COMPAT map (App.scala:211-231)
+        # plus registry control keys → the connector sees EXACTLY the
+        # reference map (rows is a generator knob, never forwarded)
+        mixed = {
+            **self.REF_S3_COMPAT_WRITE,
+            "rows": "1000000",
+            "format": "cassandra",
+            "staging_dir": "/tmp/stage",
+            "partition_key": "id",
+        }
+        assert cassandra_options(mixed, "write") == self.REF_S3_COMPAT_WRITE
+
+    def test_translated_keys_stay_inside_documented_vocabulary(self):
+        from cassandra_analytics_example_spark.sources.options import (
+            CASSANDRA_READ_OPTIONS,
+            CASSANDRA_WRITE_OPTIONS,
+        )
+
+        read_out = cassandra_options(
+            {**REF_READ_OPTIONS, "format": "cassandra"}, "read"
+        )
+        assert set(read_out) <= CASSANDRA_READ_OPTIONS
+        for m in (REF_WRITE_OPTIONS, self.REF_S3_COMPAT_WRITE):
+            out = cassandra_options({**m, "format": "cassandra"}, "write")
+            assert set(out) <= CASSANDRA_WRITE_OPTIONS
+
+    def test_documented_vocabulary_matches_reference_surface(self):
+        # the names the reference actually uses, verbatim from App.scala
+        from cassandra_analytics_example_spark.sources.options import (
+            CASSANDRA_READ_OPTIONS,
+            CASSANDRA_WRITE_OPTIONS,
+        )
+
+        ref_read = {
+            "sidecar_contact_points", "keyspace", "table", "dc",
+            "consistencyLevel", "snapshotName", "createSnapshot", "sizing",
+        }
+        ref_write = {
+            "sidecar_contact_points", "keyspace", "table", "local_dc",
+            "bulk_writer_cl", "data_transport",
+            "data_transport_extension_class",
+            "storage_client_endpoint_override", "coordinated_write_config",
+        }
+        assert ref_read <= CASSANDRA_READ_OPTIONS
+        assert ref_write <= CASSANDRA_WRITE_OPTIONS
+        # control keys and connector keys must never collide — a key in
+        # both would be consumed by the registry and silently dropped
+        from cassandra_analytics_example_spark.sources.options import (
+            CONTROL_KEYS,
+        )
+
+        assert not (CONTROL_KEYS & CASSANDRA_READ_OPTIONS)
+        assert not (CONTROL_KEYS & CASSANDRA_WRITE_OPTIONS)
+
 
 def test_write_discipline_token_sort_plan(spark):
     """The bulk-writer discipline (reference library's token sort) must be
