@@ -36,24 +36,28 @@ from cassandra_analytics_example_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALE_PROBE_r06.json",
+    os.environ.get("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE_r07.json"),
 )
-# Round-6 default: the pre-r3 tail the probe has never seen (VERDICT r5
-# next-round #7) — the rank-selection rebuilds (q40/q99) plus the old
-# relational heavies (cube, window analytics, salted join, z-order,
-# denormalization, bloom keep-list).
-DEFAULT_OPS = [
-    "q35_cube_order_stats",
-    "q36_hash_sample",
-    "q40_percentiles",
-    "q50_window_analytics",
-    "q51_grouping_sets_sql",
-    "q62_salted_skew_join",
-    "q63_zorder_layout",
-    "q79_order_denormalization",
-    "q90_bloom_semi_join",
-    "q99_approx_quantile_bound",
-]
+# Round-7 default: every batch query never probed in r4-r6 — closes 10x
+# probe coverage to the full batch registry (281/281). Computed as
+# registry batch names minus the union of SCALE_PROBE_r0{4,5,6}.json ops.
+DEFAULT_OPS = "UNPROBED"
+
+
+def unprobed_ops(registry) -> list:
+    """Batch registry entries absent from every prior probe file."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set()
+    for fname in (
+        "SCALE_PROBE_r04.json",
+        "SCALE_PROBE_r05.json",
+        "SCALE_PROBE_r06.json",
+    ):
+        path = os.path.join(root, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                seen |= set(json.load(f).get("ops", {}))
+    return [n for n in registry if n.startswith("q") and n not in seen]
 COPIES = 10
 ID_STRIDE = 10_000_000
 
@@ -161,8 +165,9 @@ def time_op(spark, fn, sf_dir: str) -> float:
 
 
 def main() -> None:
-    ops = sys.argv[1:] or DEFAULT_OPS
     registry = load_all()
+    ops = sys.argv[1:] or unprobed_ops(registry)
+    print(f"probing {len(ops)} ops", flush=True)
     spark = get_spark(app_name="scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
