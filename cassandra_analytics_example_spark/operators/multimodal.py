@@ -422,12 +422,15 @@ def frame_energies(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
 
 def frame_energies_wav(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
     """Per-frame audio features through the REAL container decode: each
-    payload goes through ``decode_audio`` (RIFF/WAVE PCM parser), the
-    8-bit samples center at the PCM8 midpoint 128, and the same integer
+    payload goes through ``decode_audio`` (RIFF/WAVE PCM parser), samples
+    center per the format — PCM8 is unsigned with midpoint 128, PCM16 is
+    signed little-endian already centered at 0 — and the same integer
     framing as ``frame_energies`` reduces them to
-    ``(n_samples, energy, peak)`` rows. Undecodable payloads surface as
-    a single ``frame_no = -1`` row (n_samples 0) so corrupt containers
-    are counted, not silently dropped."""
+    ``(n_samples, energy, peak)`` rows; stereo interleaves through the
+    framing unchanged (frames are sample-count windows, not per-channel).
+    Undecodable payloads surface as a single ``frame_no = -1`` row
+    (n_samples 0) so corrupt containers are counted, not silently
+    dropped."""
     import numpy as np
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -449,12 +452,16 @@ def frame_energies_wav(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
                     out["energy"].append(0)
                     out["peak"].append(0)
                     continue
-                data = (
-                    np.frombuffer(wav["data"], dtype=np.uint8).astype(
-                        np.int64
+                if wav["bits"] == 16:
+                    raw = wav["data"][: len(wav["data"]) & ~1]
+                    data = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                else:
+                    data = (
+                        np.frombuffer(wav["data"], dtype=np.uint8).astype(
+                            np.int64
+                        )
+                        - 128
                     )
-                    - 128
-                )
                 for i, off in enumerate(range(0, len(data), frame_size)):
                     seg = data[off : off + frame_size]
                     out["doc_id"].append(doc_id)

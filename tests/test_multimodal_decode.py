@@ -196,6 +196,24 @@ def test_encode_wav_decode_roundtrip_matches_numpy(spark):
             )
 
 
+def test_frame_energies_wav_16bit_signed_samples(spark):
+    # PCM16 is SIGNED little-endian (already centered at 0) — the 8-bit
+    # midpoint-128 shift must not apply, and bytes must pair into int16
+    # samples, not be read as two uint8s each
+    samples = np.array([-3, 7, -32768, 32767, 0, 100], dtype="<i2")
+    wdf = spark.createDataFrame(
+        [(1, bytearray(_wav(samples.tobytes(), bits=16)))],
+        "doc_id bigint, payload binary",
+    )
+    rows = frame_energies_wav(wdf, frame_size=4).collect()
+    got = {r["frame_no"]: (r["n_samples"], r["energy"], r["peak"]) for r in rows}
+    s = samples.astype(np.int64)
+    assert got == {
+        0: (4, int((s[:4] ** 2).sum()), int(np.abs(s[:4]).max())),
+        1: (2, int((s[4:] ** 2).sum()), int(np.abs(s[4:]).max())),
+    }
+
+
 def test_decode_paths_count_corrupt_payloads(spark):
     rows = [
         (1, bytearray(b"P6\n2 2\n255\n" + b"x" * 12), "image/ppm"),
