@@ -539,6 +539,77 @@ def hamming64(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def _simhash_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int,
+    n_bands: int,
+    gram_n: int,
+) -> DataFrame:
+    """Collision buckets for SimHash band blocking: one row per
+    (band, band_bits) key with >1 member, ``ms`` the list of
+    (id, simhash) structs. Bucket-group instead of self-join: one
+    fingerprint lineage, one shuffle; the structs carried per bucket are
+    scalars. Shared by ``simhash_near_dup_pairs`` (pair expansion) and
+    ``simhash_bucket_stats`` (drop accounting)."""
+    band_width = n_bits // n_bands
+    mask = (1 << band_width) - 1
+    featureful = (
+        df.filter(F.size(tokens(text_col)) >= gram_n) if gram_n > 1 else df
+    )
+    fp = simhash(featureful, id_col, text_col, n_bits, gram_n)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", i * band_width).bitwiseAND(F.lit(mask)).alias("bb"),
+        )
+        for i in range(n_bands)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.bb")
+    return (
+        banded.groupBy("band", "bb")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias(
+                "ms"
+            )
+        )
+        .filter(F.size("ms") > 1)
+    )
+
+
+def simhash_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    gram_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Accounting twin of ``simhash_near_dup_pairs``: one row per band
+    collision bucket with its size, its candidate-pair count, and whether
+    the cap would drop it — the same drop audit ``lsh_bucket_stats``
+    gives the MinHash path. Distributed aggregate (no collect); at scale,
+    write it next to the dedup output so capped recall is auditable
+    instead of silent."""
+    buckets = _simhash_buckets(df, id_col, text_col, n_bits, n_bands, gram_n)
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.size("ms") > max_bucket_size
+    )
+    return buckets.select(
+        "band",
+        "bb",
+        F.size("ms").alias("n_ids"),
+        (F.size("ms") * (F.size("ms") - 1) / 2).cast("bigint").alias("n_pairs"),
+        dropped.alias("dropped"),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -547,6 +618,7 @@ def simhash_near_dup_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     gram_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole band blocking + exact hamming
     verification (Manku et al., WWW'07 style).
@@ -564,7 +636,18 @@ def simhash_near_dup_pairs(
     be pushed below the fingerprint projection by Catalyst, substituting
     the full shingle+hash+vote expression into the filter and computing
     the whole pipeline twice per row (measured ~1.8x on the fixture
-    corpus). Returns (id_a, id_b, hamming ≤ max_hamming)."""
+    corpus). Returns (id_a, id_b, hamming ≤ max_hamming).
+
+    Corpus sizing: band collisions include a RANDOM term — dissimilar
+    docs agree on a band with probability ~1/2^band_width, so the
+    in-bucket expansion carries an ~N²·n_bands/2^(band_width+1) floor
+    regardless of true near-dup structure (it is what the 30x control
+    probe measures on this operator). At corpus scale either (a) size
+    ``n_bits/n_bands`` so 2^band_width ≫ N — e.g. 60 bits / 4 bands =
+    32768 bucket values, vs 256 for the 32-bit fixture default — or
+    (b) set ``max_bucket_size`` to drop oversized buckets (losing only
+    pairs inside them, exactly the ``lsh_candidate_pairs`` cap
+    semantics) and audit the drops with ``simhash_bucket_stats``."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"pigeonhole recall requires max_hamming <= n_bands-1 "
@@ -572,33 +655,9 @@ def simhash_near_dup_pairs(
         )
     if n_bits % n_bands:
         raise ValueError("n_bits must divide evenly into n_bands")
-    band_width = n_bits // n_bands
-    mask = (1 << band_width) - 1
-    featureful = (
-        df.filter(F.size(tokens(text_col)) >= gram_n) if gram_n > 1 else df
-    )
-    fp = simhash(featureful, id_col, text_col, n_bits, gram_n)
-    bands = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright("simhash", i * band_width).bitwiseAND(F.lit(mask)).alias("bb"),
-        )
-        for i in range(n_bands)
-    ]
-    banded = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
-    ).select(id_col, "simhash", "b.band", "b.bb")
-    # bucket-group instead of self-join: one fingerprint lineage, one
-    # shuffle; the (id, simhash) structs carried per bucket are scalars.
-    buckets = (
-        banded.groupBy("band", "bb")
-        .agg(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias(
-                "ms"
-            )
-        )
-        .filter(F.size("ms") > 1)
-    )
+    buckets = _simhash_buckets(df, id_col, text_col, n_bits, n_bands, gram_n)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
     pairs = (
         buckets.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))

@@ -81,6 +81,45 @@ def test_simhash_empty_feature_docs_never_pair(spark):
     assert pairs == []  # the featureless docs must not pair with each other
 
 
+def test_simhash_bucket_cap_and_stats(spark):
+    """SimHash band blocking: an oversized bucket (e.g. templated
+    boilerplate all sharing a fingerprint) is dropped by the cap and the
+    audit twin reports exactly what was sacrificed — the same safety
+    valve the MinHash and sign-LSH paths already have."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        simhash_bucket_stats,
+        simhash_near_dup_pairs,
+    )
+
+    # 5 byte-identical docs (one fingerprint → colliding in all 4 bands)
+    # and 2 of a different identical text — distinct enough that the two
+    # fingerprints differ by > max_hamming.
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+        + [(5, "one two three four five six seven"),
+           (6, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+
+    uncapped = simhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} >= {(5, 6)}
+    assert len(uncapped) in (10 + 1, 10)  # C(5,2) + C(2,2) if (5,6) passes
+
+    capped = simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_bucket_size=4
+    ).collect()
+    assert all((r.id_a, r.id_b) not in
+               {(a, b) for a in range(5) for b in range(5)} for r in capped)
+
+    stats = simhash_bucket_stats(
+        docs, "doc_id", "text", max_bucket_size=4
+    ).collect()
+    big = [r for r in stats if r.n_ids == 5]
+    assert big and all(r.dropped and r.n_pairs == 10 for r in big)
+    small = [r for r in stats if r.n_ids == 2]
+    assert small and all(not r.dropped and r.n_pairs == 1 for r in small)
+
+
 def test_embedding_bucket_cap_and_stats(spark):
     """Sign-LSH near-dup: an oversized bucket is dropped by the cap and the
     audit twin reports exactly what was sacrificed."""
