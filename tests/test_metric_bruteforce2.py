@@ -341,3 +341,86 @@ def test_quantile_treatment_effect_matches_numpy(spark, tmp_path):
         got["b_p50"] - got["a_p50"], abs=1e-9
     )
     assert len(arms["A"]) > 50 and len(arms["B"]) > 50
+
+def test_revenue_attribution_matches_python(spark, tmp_path):
+    from cassandra_analytics_example_spark.queries.events import (
+        q254_revenue_attribution,
+    )
+
+    rng = np.random.default_rng(29)
+    pdf = _events_pdf(rng, 4000, 80, 5 * 86_400_000_000)
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = {
+        (r["model"], r["channel"]): (r["n_sessions"], r["rev_cents"])
+        for r in q254_revenue_attribution(spark, str(tmp_path)).collect()
+    }
+
+    us = pdf["ts"].astype("int64") // 1000
+    rows = sorted(
+        (int(pdf["user_id"][i]), int(us[i]), int(pdf["event_id"][i]),
+         pdf["event_type"][i], _round_half_up(float(pdf["value"][i]) * 100))
+        for i in range(len(pdf))
+    )
+    want: dict[tuple, list] = {}
+    sess, cur_u, cur_t = [], None, None
+    GAP = 1_800_000_000
+
+    def _flush(s):
+        rev = sum(c for _, k, c in s if k == "purchase")
+        if rev <= 0:
+            return
+        fp = next(i for i, (_, k, _) in enumerate(s) if k == "purchase")
+        first_type = s[0][1]
+        last_touch = s[fp - 1][1] if fp > 0 else "direct"
+        for key in (("first_touch", first_type), ("last_touch", last_touch)):
+            e = want.setdefault(key, [0, 0])
+            e[0] += 1
+            e[1] += rev
+
+    for u, t, e, k, c in rows:
+        if cur_u != u or t - cur_t > GAP:
+            if sess:
+                _flush(sess)
+            sess = []
+        sess.append((t, k, c))
+        cur_u, cur_t = u, t
+    _flush(sess)
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert ("last_touch", "direct") in got  # purchase-opened sessions exist
+
+
+def test_oof_target_encoding_matches_python(spark, tmp_path):
+    from cassandra_analytics_example_spark.queries.events import (
+        q255_oof_target_encoding,
+    )
+
+    rng = np.random.default_rng(30)
+    pdf = _events_pdf(rng, 3000, 90, 3 * 86_400_000_000)
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = {
+        (r["event_type"], r["fold"]): (r["n_rows"], r["encoding_micro_cents"])
+        for r in q255_oof_target_encoding(spark, str(tmp_path)).collect()
+    }
+
+    pf: dict[tuple, list] = {}
+    for i in range(len(pdf)):
+        fold = (
+            int(hashlib.md5(str(int(pdf["event_id"][i])).encode())
+                .hexdigest()[:8], 16) % 5
+        )
+        cents = _round_half_up(float(pdf["value"][i]) * 100)
+        e = pf.setdefault((pdf["event_type"][i], fold), [0, 0])
+        e[0] += cents
+        e[1] += 1
+    tot: dict[str, list] = {}
+    for (k, _), (s, c) in pf.items():
+        e = tot.setdefault(k, [0, 0])
+        e[0] += s
+        e[1] += c
+    want = {
+        (k, f): (c, (tot[k][0] - s) * 1_000_000 // (tot[k][1] - c))
+        for (k, f), (s, c) in pf.items()
+        if tot[k][1] > c
+    }
+    assert got == want
+    assert len({k for k, _ in want}) >= 3  # several types encoded
