@@ -213,9 +213,21 @@ def label_propagation(
     aggregate + one per-node argmax window partitioned by node (bounded
     by the node's distinct neighbour-label count, never the graph) —
     the same Pregel-on-DataFrames step shape as ``pagerank_integer``,
-    with labels instead of mass. The frontier table is persisted per
-    round so lineage stays one-round deep.
+    including its edge-table discipline: hash-partitioned by ``src``
+    once and cached (the upstream lineage is often a pair-generating
+    self-join; without the persist it re-executes every round, and the
+    cached ``HashPartitioning`` lets each round's join reuse the layout
+    so only the node-sized label side shuffles). The frontier table is
+    persisted per round so lineage stays one-round deep.
     """
+    nparts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    e = (
+        edges.select("src", "dst")
+        .repartition(nparts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = seeds.select(
         "node", "label", F.lit(True).alias("is_seed")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -223,7 +235,7 @@ def label_propagation(
     try:
         for _ in range(rounds):
             votes = (
-                edges.join(
+                e.join(
                     labels.select(F.col("node").alias("src"), "label"),
                     "src",
                 )
@@ -253,6 +265,10 @@ def label_propagation(
     except Exception:
         labels.unpersist()
         raise
+    finally:
+        # every round is materialized eagerly (nxt.count()), so the edge
+        # cache is no longer reachable from the returned frame
+        e.unpersist()
 
 
 def k_core_rounds(
