@@ -766,7 +766,16 @@ def connected_components(
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    edges = truncate_plan(edges, checkpoint_dir)  # scanned every round
+    # Scanned (and joined on "b") every round: hash-partition by the join
+    # key BEFORE materializing — the checkpointed blocks keep their
+    # HashPartitioning, so each round's neighbor-min join reuses the
+    # layout and only the node-sized label side shuffles (the pagerank
+    # co-partitioning discipline; one extra up-front shuffle buys back
+    # one edge-table shuffle per round × O(log diameter) rounds).
+    nparts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    edges = truncate_plan(edges.repartition(nparts, "b"), checkpoint_dir)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
