@@ -945,3 +945,35 @@ def test_value_concentration_no_global_user_window(spark, registry):
             assert "shard#" in s.split("], [")[1], (
                 "user rank window must partition by shard: " + s
             )
+
+
+def test_pagerank_edge_cache_partitioning_is_reused(spark):
+    """The Pregel co-partitioning contract: the edge table is cached
+    hash-partitioned by src, so per-iteration joins must consume the
+    cache WITHOUT an ENSURE_REQUIREMENTS re-shuffle above it (only the
+    explicit up-front REPARTITION_BY_NUM inside the cache build). A
+    regression here silently multiplies the iteration cost by the edge
+    table's shuffle — the q143 6.1s->3.2s win of round 7."""
+    from cassandra_analytics_example_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(400) if i % 50 != (i * 7) % 50],
+        "src bigint, dst bigint",
+    )
+    ranks = pagerank_integer(edges, iterations=3)
+    ranks.count()
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    edge_scans = 0
+    for i, line in enumerate(lines):
+        if "InMemoryTableScan" in line and "dst#" in line and "src#" in line:
+            edge_scans += 1
+            ctx = "\n".join(lines[max(0, i - 3): i])
+            assert "ENSURE_REQUIREMENTS" not in ctx, (
+                "edge cache re-shuffled above an InMemoryTableScan — "
+                "co-partitioning reuse regressed:\n" + ctx
+            )
+    # one scan per iteration consumed the cache directly
+    assert edge_scans >= 3
