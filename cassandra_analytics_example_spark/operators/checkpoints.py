@@ -18,6 +18,7 @@ place of a docstring caveat.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
@@ -41,3 +42,31 @@ def truncate_plan(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
             setattr(sc, _CKPT_BASE_ATTR, checkpoint_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def pin_partition_ids(part: DataFrame) -> DataFrame:
+    """Persist a ``repartitionByRange`` frame that carries a
+    ``spark_partition_id()`` column consumed by MORE THAN ONE plan branch
+    (the two-layer prefix/offset operators: local layer + per-cell offset
+    layer joined back on the partition id).
+
+    Without the persist this is a silent row-loss bug at scale: range
+    boundaries come from SAMPLING inside each ShuffleExchange instance,
+    Catalyst's exchange reuse is best-effort (q275's executed plan at
+    sf0.1 showed 8 separate rangepartitioning exchanges, 2 reused), and
+    AQE may coalesce each consumer's shuffle read differently — so the
+    branches can disagree about which row lives in which partition id,
+    and the (pid, ...)-keyed join between them drops whatever disagrees
+    (observed live: ks_grouped lost ~0.1% of rows at sf0.1,
+    nondeterministically, while sf0.001/sf0.01 single-partition inputs
+    sampled identically in every instance and hid it).
+
+    Persisting pins ONE cached RDD — therefore one sampled partitioner
+    and one coalesce decision — that every consumer reads; partitions
+    recomputed after cache eviction replay the same RDD graph with the
+    same partitioner, so the pid mapping stays frozen for the frame's
+    lifetime.  MEMORY_AND_DISK so corpus-sized quantile inputs spill
+    instead of OOM; the cache is reclaimed by the ContextCleaner when
+    the query's frame is garbage-collected.
+    """
+    return part.persist(StorageLevel.MEMORY_AND_DISK)

@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cassandra_analytics_example_spark.operators.checkpoints import (
+    pin_partition_ids,
+)
+
 
 def pareto_frontier_2d(
     df: DataFrame,
@@ -34,9 +38,13 @@ def pareto_frontier_2d(
     num_partitions: int = 64,
 ) -> DataFrame:
     """Rows of ``df`` not strictly dominated on (x, y); both numeric."""
-    part = df.repartitionByRange(
-        num_partitions, F.col(x_col).desc()
-    ).withColumn("__pid", F.spark_partition_id())
+    # pin_partition_ids: local layer + offsets layer join back on __pid —
+    # frozen mapping required (operators/checkpoints.py:pin_partition_ids).
+    part = pin_partition_ids(
+        df.repartitionByRange(
+            num_partitions, F.col(x_col).desc()
+        ).withColumn("__pid", F.spark_partition_id())
+    )
 
     # Local prefix max over STRICTLY greater x. A value-based range frame
     # (rangeBetween ..., -1 over x desc) would only exclude same-x rows

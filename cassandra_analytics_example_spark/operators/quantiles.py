@@ -34,6 +34,10 @@ from typing import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cassandra_analytics_example_spark.operators.checkpoints import (
+    pin_partition_ids,
+)
+
 
 def group_quantiles_exact(
     df: DataFrame,
@@ -90,7 +94,11 @@ def group_quantiles_exact(
     # equal ranks carry equal values).  monotonically_increasing_id is
     # stable for a deterministic source partitioning, which is all the
     # two branches below need to agree.
-    part = (
+    # pin_partition_ids: the cells layer and the ranked layer both consume
+    # this frame and join back on __pid — the pid mapping (and the
+    # partition-layout-dependent __tb) must be frozen once
+    # (operators/checkpoints.py:pin_partition_ids).
+    part = pin_partition_ids(
         base.withColumn("__tb", F.monotonically_increasing_id())
         .repartitionByRange(num_partitions, "__g", "__v", "__tb")
         .withColumn("__pid", F.spark_partition_id())
@@ -181,9 +189,13 @@ def weighted_quantile_exact(
         F.col(tiebreak_col).alias("__tb"),
     ).where(F.col("__v").isNotNull() & (F.col("__w") > 0))
 
-    part = base.repartitionByRange(
-        num_partitions, "__v", "__tb"
-    ).withColumn("__pid", F.spark_partition_id())
+    # pin_partition_ids: cells + candidate layers join back on __pid —
+    # frozen mapping required (operators/checkpoints.py:pin_partition_ids).
+    part = pin_partition_ids(
+        base.repartitionByRange(num_partitions, "__v", "__tb").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
     cells = part.groupBy("__pid").agg(F.sum("__w").alias("__cw"))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1

@@ -28,6 +28,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cassandra_analytics_example_spark.operators.checkpoints import (
+    pin_partition_ids,
+)
+
 
 def exclusive_prefix_sums(
     df: DataFrame,
@@ -46,9 +50,14 @@ def exclusive_prefix_sums(
     if not order_cols or not sum_cols:
         raise ValueError("order_cols and sum_cols must be non-empty")
 
-    part = df.repartitionByRange(
-        num_partitions, *[F.col(c) for c in order_cols]
-    ).withColumn("__pid", F.spark_partition_id())
+    # pin_partition_ids: the local layer and the offsets layer below both
+    # consume this frame and join back on __pid — the pid mapping must be
+    # frozen once (operators/checkpoints.py:pin_partition_ids).
+    part = pin_partition_ids(
+        df.repartitionByRange(
+            num_partitions, *[F.col(c) for c in order_cols]
+        ).withColumn("__pid", F.spark_partition_id())
+    )
 
     # Per-cell totals -> exclusive per-cell offsets.  The offsets table has
     # at most num_partitions rows; its own prefix window is driver-cheap
@@ -229,10 +238,14 @@ def grouped_prefix_sums(
     if not group_cols or not order_cols or not sum_cols:
         raise ValueError("group/order/sum cols must be non-empty")
 
-    part = df.repartitionByRange(
-        num_partitions,
-        *[F.col(c) for c in (*group_cols, *order_cols)],
-    ).withColumn("__pid", F.spark_partition_id())
+    # pin_partition_ids: both window layers join back on __pid — frozen
+    # pid mapping required (operators/checkpoints.py:pin_partition_ids).
+    part = pin_partition_ids(
+        df.repartitionByRange(
+            num_partitions,
+            *[F.col(c) for c in (*group_cols, *order_cols)],
+        ).withColumn("__pid", F.spark_partition_id())
+    )
 
     cells = part.groupBy("__pid", *group_cols).agg(
         *[F.sum(F.col(c)).alias(f"__tot_{c}") for c in sum_cols]

@@ -69,6 +69,19 @@ def test_no_banned_plan_shapes(spark, name):
         f"{name}: CartesianProduct in the executed plan — an all-pairs "
         "join; restore the equi/blocking key or broadcast the small side"
     )
+    # spark_partition_id columns feed (pid, ...)-keyed joins between plan
+    # branches in the two-layer prefix/offset operators. The pid mapping
+    # is only consistent across branches if the partitioned frame is
+    # PINNED (one cached RDD = one sampled range partitioner = one AQE
+    # coalesce decision) — an unpinned frame silently loses rows at
+    # scale (the q275 sf0.1 row-loss bug, round 7). Pinning surfaces as
+    # an InMemoryRelation in the optimized plan.
+    if "spark_partition_id" in optimized and "InMemoryRelation" not in optimized:
+        pytest.fail(
+            f"{name}: spark_partition_id without a pinning persist — "
+            "wrap the repartitionByRange frame in "
+            "operators/checkpoints.py:pin_partition_ids"
+        )
 
 
 # --------------------------------------------------------------------------
