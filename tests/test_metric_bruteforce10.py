@@ -1,0 +1,128 @@
+"""Brute-force twins for TF-IDF top-terms (q59) and hybrid RRF retrieval
+(q136) — end-to-end recomputation of two composite retrieval pipelines
+in plain Python on the sf0.001 fixture, sharing no code and no SQL with
+the engine.
+
+Float discipline mirrored exactly: tf-idf is ``(tf/len) * (n/df)`` in
+that operation order; cosine is the SEQUENTIAL left-to-right fold the
+engine's ``F.aggregate`` performs (``acc += x*y`` in element order, not
+numpy pairwise summation); RRF is ``1.0/(60+rd) + 1.0/(60+rs)``.  All
+inputs are small integers or float32-exact doubles, so equality is
+exact — any mismatch is a formula or tie-order defect, not noise.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q59_tfidf_matches_python_twin(spark):
+    from cassandra_analytics_example_spark.queries import load_all
+
+    got = sorted(
+        (r.doc_id, r.rank, r.term, r.tfidf)
+        for r in load_all()["q59_tfidf_top_terms"].fn(spark, SF_DIR).collect()
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    n = len(docs)
+    tf = {i: Counter(t.split(" ")) for i, t in docs}
+    dfreq: Counter = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    want = []
+    for i, c in tf.items():
+        ln = sum(c.values())
+        scored = sorted(
+            ((c[t] / ln) * (n / dfreq[t]), t) for t in c
+        )
+        # rank: tfidf desc, term asc
+        scored.sort(key=lambda st: (-st[0], st[1]))
+        for rank, (s, t) in enumerate(scored[:3], start=1):
+            want.append((i, rank, t, s))
+    assert got == sorted(want)
+
+
+def _seq_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _seq_norm(a):
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def test_q136_rrf_matches_python_twin(spark):
+    from cassandra_analytics_example_spark.queries import load_all
+
+    got = sorted(
+        (r.query_id, r.fused_rank, r.doc_id, r.rrf)
+        for r in load_all()["q136_hybrid_rrf_retrieval"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+
+    et = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = {
+        i: [float(x) for x in v]
+        for i, v in zip(et["vec_id"].to_pylist(), et["embedding"].to_pylist())
+    }
+    dt = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {
+        i: set(t.split(" "))
+        for i, t in zip(dt["doc_id"].to_pylist(), dt["text"].to_pylist())
+    }
+
+    dense: dict[tuple[int, int], int] = {}
+    for q in (0, 1, 2):
+        if q not in emb:
+            continue
+        qv, qn = emb[q], _seq_norm(emb[q])
+        cand = sorted(
+            (
+                (-_seq_dot(qv, cv) / (qn * _seq_norm(cv)), nid)
+                for nid, cv in emb.items()
+                if nid != q
+            )
+        )
+        for rnk, (_, nid) in enumerate(cand[:10], start=1):
+            dense[(q, nid)] = rnk
+
+    sparse: dict[tuple[int, int], int] = {}
+    for q in (0, 1, 2):
+        if q not in toks:
+            continue
+        cand = sorted(
+            ((-len(toks[q] & toks[d]), d) for d in toks if d != q)
+        )
+        for rnk, (_, d) in enumerate(cand[:10], start=1):
+            sparse[(q, d)] = rnk
+
+    fused = defaultdict(list)
+    for key in set(dense) | set(sparse):
+        rd, rs = dense.get(key), sparse.get(key)
+        rrf = (1.0 / (60 + rd) if rd else 0.0) + (
+            1.0 / (60 + rs) if rs else 0.0
+        )
+        fused[key[0]].append((rrf, key[1]))
+    want = []
+    for q, rows in fused.items():
+        rows.sort(key=lambda rv: (-rv[0], rv[1]))
+        for rank, (rrf, d) in enumerate(rows[:5], start=1):
+            want.append((q, rank, d, rrf))
+    assert got == sorted(want)
