@@ -49,6 +49,46 @@ def test_q59_tfidf_matches_python_twin(spark):
     assert got == sorted(want)
 
 
+def test_pq_assign_matches_python_twin(spark):
+    """Product-quantization assignment (q146's operator): slice, squared
+    L2 via the sequential fold, argmin with (distance, code-id) ties,
+    floor nano-quantization — recomputed in plain Python loops."""
+    from cassandra_analytics_example_spark.operators.similarity import (
+        pq_assign,
+    )
+
+    emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(
+        (r.vec_id, r.sub, r.code, r.d2_q)
+        for r in pq_assign(emb_df, n_sub=4, sub_dim=16, n_codes=16).collect()
+    )
+
+    et = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = {
+        i: [float(x) for x in v]
+        for i, v in zip(et["vec_id"].to_pylist(), et["embedding"].to_pylist())
+    }
+    books = {
+        s: {c: emb[c][s * 16 : (s + 1) * 16] for c in range(16) if c in emb}
+        for s in range(4)
+    }
+    want = []
+    for i, v in emb.items():
+        for s in range(4):
+            sv = v[s * 16 : (s + 1) * 16]
+            best = None
+            for c, cv in books[s].items():
+                acc = 0.0
+                for x, y in zip(sv, cv):
+                    acc = acc + (x - y) * (x - y)
+                if best is None or (acc, c) < best:
+                    best = (acc, c)
+            want.append((i, s, best[1], math.floor(best[0] * 1_000_000_000)))
+    assert got == sorted(want)
+
+
 def _seq_dot(a, b):
     acc = 0.0
     for x, y in zip(a, b):

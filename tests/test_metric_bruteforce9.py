@@ -81,6 +81,42 @@ def test_bm25_matches_python_twin(spark):
     assert all(h <= 3 for _, h in got.values())
 
 
+def test_unigram_logprob_matches_python_twin(spark):
+    from cassandra_analytics_example_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    quantum = 10_000
+    docs = _corpus(31337, 150)
+
+    got = {
+        r[0]: (r.score_qnats, r.n_tokens)
+        for r in unigram_logprob_scores(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id",
+        ).collect()
+    }
+
+    # independent recomputation: corpus-trained ln(count/total), floored
+    # once per term, integer-summed per doc
+    tf = {i: Counter(t.split(" ")) for i, t in docs}
+    cnt: Counter = Counter()
+    for c in tf.values():
+        cnt.update(c)
+    total = sum(cnt.values())
+    logp_q = {
+        t: math.floor(math.log(c / total) * quantum) for t, c in cnt.items()
+    }
+    want = {
+        i: (
+            sum(n * logp_q[t] for t, n in c.items()),
+            sum(c.values()),
+        )
+        for i, c in tf.items()
+    }
+    assert got == want
+
+
 def test_bigram_logprob_matches_python_twin(spark):
     from cassandra_analytics_example_spark.operators.text import (
         bigram_logprob_scores,
