@@ -103,6 +103,53 @@ def _seq_norm(a):
     return math.sqrt(acc)
 
 
+def test_q153_matryoshka_matches_python_twin(spark):
+    """Dimension-truncation audit recomputed in plain Python: exact
+    top-5 full-dim neighbors, truncated cosines at dims 16/32/64 via the
+    sequential fold, nano-quantized, re-ranked with mirrored ties."""
+    from cassandra_analytics_example_spark.queries import load_all
+
+    got = sorted(
+        (r.query_id, r.dim, r.rnk_trunc, r.neighbor_id, r.rnk_full, r.cos_q)
+        for r in load_all()["q153_matryoshka_truncation"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+
+    et = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = {
+        i: [float(x) for x in v]
+        for i, v in zip(et["vec_id"].to_pylist(), et["embedding"].to_pylist())
+    }
+
+    def cos(a, b):
+        return _seq_dot(a, b) / (_seq_norm(a) * _seq_norm(b))
+
+    want = []
+    for q in range(10):
+        if q not in emb:
+            continue
+        cand = sorted(
+            ((-cos(emb[q], emb[n]), n) for n in emb if n != q)
+        )[:5]
+        top = [(n, rnk) for rnk, (_, n) in enumerate(cand, start=1)]
+        for d in (16, 32, 64):
+            tr = sorted(
+                (
+                    (-cos(emb[q][:d], emb[n][:d]), n, rnk_full)
+                    for n, rnk_full in top
+                )
+            )
+            for rnk_t, (neg_tc, n, rnk_full) in enumerate(tr, start=1):
+                want.append(
+                    (q, d, rnk_t, n, rnk_full,
+                     math.floor(-neg_tc * 1_000_000_000))
+                )
+    assert got == sorted(want)
+
+
 def test_q136_rrf_matches_python_twin(spark):
     from cassandra_analytics_example_spark.queries import load_all
 
