@@ -49,6 +49,65 @@ def test_q59_tfidf_matches_python_twin(spark):
     assert got == sorted(want)
 
 
+def test_semdedup_matches_python_twin(spark):
+    """SemDeDup (q116's operator) recomputed in plain Python: corpus-
+    sized k, m-bit sign-bucket-filtered centroid argmax with the
+    (cosine, lowest-centroid-id) max-struct tie, full-centroid fallback
+    for empty buckets, and the within-cell lower-id prune at the 0.35
+    threshold — exact equality on (id, cell, kept)."""
+    from cassandra_analytics_example_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(
+        (r.vec_id, r.cell, r.kept) for r in semdedup_prune(emb_df).collect()
+    )
+
+    et = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = {
+        i: [float(x) for x in v]
+        for i, v in zip(et["vec_id"].to_pylist(), et["embedding"].to_pylist())
+    }
+    n = len(emb)
+    k = max(8, -(-n // 64))
+    m = max(0, k.bit_length() - 1 - 3)
+
+    def bucket(v):
+        return sum(2 ** i for i in range(m) if v[i] >= 0)
+
+    def cos(a, b):
+        return _seq_dot(a, b) / (_seq_norm(a) * _seq_norm(b))
+
+    cents = {c: emb[c] for c in emb if c < k}
+    by_bucket: dict[int, list[int]] = defaultdict(list)
+    for c in cents:
+        by_bucket[bucket(cents[c])].append(c)
+
+    cell = {}
+    for i, v in emb.items():
+        pool = by_bucket.get(bucket(v)) or list(cents)
+        best = max((cos(v, cents[c]), -c) for c in pool)
+        cell[i] = -best[1]
+    dropped = set()
+    by_cell: dict[int, list[int]] = defaultdict(list)
+    for i, c in cell.items():
+        by_cell[c].append(i)
+    for members in by_cell.values():
+        members.sort()
+        for ai, a in enumerate(members):
+            for b in members[:ai]:
+                if cos(emb[a], emb[b]) >= 0.35:
+                    dropped.add(a)
+                    break
+    want = sorted((i, cell[i], i not in dropped) for i in emb)
+    assert got == want
+    # the prune must actually fire on the fixture (clustered payloads)
+    assert any(not kept for _, _, kept in want)
+
+
 def test_pq_assign_matches_python_twin(spark):
     """Product-quantization assignment (q146's operator): slice, squared
     L2 via the sequential fold, argmin with (distance, code-id) ties,
