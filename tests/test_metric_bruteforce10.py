@@ -49,6 +49,53 @@ def test_q59_tfidf_matches_python_twin(spark):
     assert got == sorted(want)
 
 
+def test_ivf_topk_matches_python_twin(spark):
+    """IVF(1-probe) ANN recomputed in plain Python: Voronoi assignment
+    by cosine argmax with smallest-centroid-id ties, search restricted
+    to the query's own cell, per-query top-5 with neighbor-id ties —
+    exact equality including the nano-exact cosines."""
+    from cassandra_analytics_example_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            emb_df, emb_df.filter("vec_id < 10"), k=5, n_cells=8
+        ).collect()
+    )
+
+    et = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = {
+        i: [float(x) for x in v]
+        for i, v in zip(et["vec_id"].to_pylist(), et["embedding"].to_pylist())
+    }
+
+    def cos(a, b):
+        return _seq_dot(a, b) / (_seq_norm(a) * _seq_norm(b))
+
+    cents = {c: emb[c] for c in emb if c < 8}
+    cell = {
+        i: -max((cos(v, cents[c]), -c) for c in cents)[1]
+        for i, v in emb.items()
+    }
+    want = []
+    for q in range(10):
+        if q not in emb:
+            continue
+        cand = sorted(
+            (-cos(emb[q], emb[n]), n)
+            for n in emb
+            if n != q and cell[n] == cell[q]
+        )[:5]
+        for rnk, (neg, n) in enumerate(cand, start=1):
+            want.append((q, rnk, n, -neg))
+    assert got == sorted(want)
+
+
 def test_semdedup_matches_python_twin(spark):
     """SemDeDup (q116's operator) recomputed in plain Python: corpus-
     sized k, m-bit sign-bucket-filtered centroid argmax with the
