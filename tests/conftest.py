@@ -12,7 +12,14 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    # SPARK_GRAFT_SHUFFLE varies the shuffle parallelism for
+    # partitioning-invariance sweeps: every oracle hash compare must pass
+    # at ANY setting (the engine's determinism contract) — the default 8
+    # already differs from the driver/bench parallelism (cpu count).
+    spark = get_spark(
+        app_name="tests",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+    )
     yield spark
 
 
