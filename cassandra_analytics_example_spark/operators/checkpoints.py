@@ -66,7 +66,20 @@ def pin_partition_ids(part: DataFrame) -> DataFrame:
     recomputed after cache eviction replay the same RDD graph with the
     same partitioner, so the pid mapping stays frozen for the frame's
     lifetime.  MEMORY_AND_DISK so corpus-sized quantile inputs spill
-    instead of OOM; the cache is reclaimed by the ContextCleaner when
-    the query's frame is garbage-collected.
+    instead of OOM.
+
+    Cache lifetime is honest-session-scoped: ``DataFrame.persist``
+    registers in Spark SQL's CacheManager, which holds a strong
+    reference — entries are NOT garbage-collected with the frame; they
+    live until ``unpersist()``/``clearCache()`` or session end.  The
+    operators cannot unpersist themselves (they return lazy frames whose
+    action happens in the caller), so a long-lived session that runs
+    many pinned queries accumulates entries — blocks are LRU-evicted to
+    disk under memory pressure (never OOM), but a multi-thousand-query
+    session should ``spark.catalog.clearCache()`` between jobs or scope
+    sessions per job as ``plans/jobs.py`` does.  The alternative (eager
+    ``localCheckpoint``) would make blocks ContextCleaner-reclaimable
+    but costs one extra materialization job per operator call and makes
+    partition recompute impossible after executor loss on a cluster.
     """
     return part.persist(StorageLevel.MEMORY_AND_DISK)

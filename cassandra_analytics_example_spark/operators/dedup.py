@@ -227,7 +227,8 @@ def lsh_bucket_stats(
         "band",
         "bhash",
         F.size("ids").alias("n_ids"),
-        (F.size("ids") * (F.size("ids") - 1) / 2).cast("bigint").alias("n_pairs"),
+        F.expr("(cast(size(ids) as bigint) * (size(ids) - 1)) div 2")
+        .alias("n_pairs"),
         dropped.alias("dropped"),
     )
 
@@ -605,7 +606,8 @@ def simhash_bucket_stats(
         "band",
         "bb",
         F.size("ms").alias("n_ids"),
-        (F.size("ms") * (F.size("ms") - 1) / 2).cast("bigint").alias("n_pairs"),
+        F.expr("(cast(size(ms) as bigint) * (size(ms) - 1)) div 2")
+        .alias("n_pairs"),
         dropped.alias("dropped"),
     )
 
@@ -892,7 +894,8 @@ def embedding_bucket_stats(
     return buckets.select(
         "bucket",
         F.size("ids").alias("n_ids"),
-        (F.size("ids") * (F.size("ids") - 1) / 2).cast("bigint").alias("n_pairs"),
+        F.expr("(cast(size(ids) as bigint) * (size(ids) - 1)) div 2")
+        .alias("n_pairs"),
         dropped.alias("dropped"),
     )
 

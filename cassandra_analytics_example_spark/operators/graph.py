@@ -258,7 +258,14 @@ def label_propagation(
                     seeds_only.select("node"), "node", "left_anti"
                 ).select("node", "label", F.lit(False).alias("is_seed"))
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()
+            try:
+                nxt.count()
+            except Exception:
+                # the except below unpersists `labels`; this round's new
+                # frame must not leak its cache entry when its own
+                # materializing action is what failed
+                nxt.unpersist()
+                raise
             labels.unpersist()
             labels = nxt
         return labels

@@ -430,7 +430,9 @@ def frame_energies_wav(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
     framing unchanged (frames are sample-count windows, not per-channel).
     Undecodable payloads surface as a single ``frame_no = -1`` row
     (n_samples 0) so corrupt containers are counted, not silently
-    dropped."""
+    dropped; a VALID container with an empty data chunk surfaces as one
+    ``frame_no = 0`` row with zero samples — every input doc_id appears
+    in the output, so frame counts reconcile against input counts."""
     import numpy as np
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -462,6 +464,16 @@ def frame_energies_wav(payloads: DataFrame, frame_size: int = 64) -> DataFrame:
                         )
                         - 128
                     )
+                if len(data) == 0:
+                    # valid container, empty data chunk: emit an explicit
+                    # zero-sample frame so the doc is counted (frame_no
+                    # -1 stays reserved for decode FAILURES)
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(0)
+                    out["n_samples"].append(0)
+                    out["energy"].append(0)
+                    out["peak"].append(0)
+                    continue
                 for i, off in enumerate(range(0, len(data), frame_size)):
                     seg = data[off : off + frame_size]
                     out["doc_id"].append(doc_id)

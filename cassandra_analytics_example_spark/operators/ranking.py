@@ -129,12 +129,15 @@ def roc_auc_exact(
     pre = exclusive_prefix_sums(
         g, ["__s"], ["__nn"], num_partitions=num_partitions
     )
+    # coalesce: sums over an EMPTY input are NULL — the degenerate
+    # contract is a defined counts row (zeros), not NULL counts
     return pre.agg(
-        F.sum("__np").cast("bigint").alias("n_pos"),
-        F.sum("__nn").cast("bigint").alias("n_neg"),
-        (
+        F.coalesce(F.sum("__np"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.sum("__nn"), F.lit(0)).cast("bigint").alias("n_neg"),
+        F.coalesce(
             F.lit(2) * F.sum(F.col("__np") * F.col("__nn_before"))
-            + F.sum(F.col("__np") * F.col("__nn"))
+            + F.sum(F.col("__np") * F.col("__nn")),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("u2"),
@@ -185,9 +188,11 @@ def average_precision_exact(
     pre = exclusive_prefix_sums(
         g, ["__s"], ["__n", "__np"], num_partitions=num_partitions
     )
+    # coalesce: sum over an EMPTY input is NULL — the documented contract
+    # is one row with n_pos = 0 / n_total = 0, not a row of NULL counts
     tot = pre.agg(
-        F.sum("__n").cast("bigint").alias("__nt"),
-        F.sum("__np").cast("bigint").alias("__pt"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("__nt"),
+        F.coalesce(F.sum("__np"), F.lit(0)).cast("bigint").alias("__pt"),
     )
     cells = pre.crossJoin(F.broadcast(tot)).select(
         "__np",

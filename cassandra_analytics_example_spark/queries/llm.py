@@ -581,7 +581,9 @@ SELECT doc_id,
 FROM documents
 """,
     doc="multimodal plumbing: binary payload + metadata → mapInPandas "
-    "feature extraction (Arrow-batched; media decode stubbed)",
+    "feature extraction (Arrow-batched); container decode is REAL for "
+    "netpbm via decode_image — this query exercises the byte-level "
+    "fake-feature path whose oracle is SQL-expressible",
     tags=("llm", "multimodal"),
 )
 def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1975,9 +1977,9 @@ GROUP BY 1, 2
     doc="audio-shaped multimodal plumbing: deterministic 8-bit-PCM "
     "interpretation of the payload bytes, framed into 64-sample windows "
     "inside Arrow-batched mapInPandas (numpy per batch, never per-row "
-    "UDF) — integer energy/peak features, engine-exact; real codec "
-    "decode stubbed behind decode_audio "
-    "(operators/multimodal.py:frame_energies)",
+    "UDF) — integer energy/peak features, engine-exact; the REAL "
+    "RIFF/WAVE container path is frame_energies_wav via decode_audio "
+    "(operators/multimodal.py), twinned in test_multimodal_decode",
     tags=("llm", "multimodal"),
 )
 def q97_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5483,10 +5485,11 @@ def q194_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q195 — activity segmentation over decoded frames (VAD-shaped): maximal
 # runs of above-threshold-energy frames per document, extracted with the
 # gaps-and-islands pattern (frame_no - row_number is constant within a
-# run) over the q97 frame-energy features. The codec decode itself stays
-# stubbed (operators/multimodal.py decode_audio); the segmentation —
-# the part that is Spark's job — is real, integer-exact, and keyed per
-# document (windows never span documents).
+# run) over the q97 frame-energy features. Container decode is REAL
+# (operators/multimodal.py decode_audio parses RIFF/WAVE PCM); this
+# query rides the byte-level path so its oracle stays SQL-expressible.
+# The segmentation is integer-exact and keyed per document (windows
+# never span documents).
 # --------------------------------------------------------------------------
 
 _Q195_THRESHOLD = 10_000
@@ -5525,8 +5528,8 @@ FROM active GROUP BY doc_id, grp
     doc="VAD-shaped activity segmentation: maximal runs of frames with "
     "energy > 10000 per document via gaps-and-islands (frame_no minus "
     "doc-keyed row_number), over the deterministic q97 frame energies — "
-    "integer-exact segment spans/energies; decode remains an "
-    "environment-limited stub behind the same Arrow path",
+    "integer-exact segment spans/energies; the RIFF/WAVE container "
+    "decode path (decode_audio) is real and separately twinned",
     tags=("llm", "multimodal"),
 )
 def q195_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

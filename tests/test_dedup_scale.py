@@ -320,3 +320,30 @@ def test_degenerate_boilerplate_bucket_capped_and_accounted(spark, sf_dir):
     assert all(r.ok for r in audit.values()), {
         k: (v.ok, v.n) for k, v in audit.items()
     }
+
+
+def test_bucket_pair_accounting_is_bigint_safe(spark):
+    """The n_pairs arithmetic in the three bucket-stats accountings must
+    not overflow int32: a 100k-member bucket (the exact oversized bucket
+    the audits exist to flag) has ~5e9 pairs.  Pins the fixed expression
+    shape — size cast to bigint BEFORE the multiply — plus exact small
+    values through the real simhash accounting path."""
+    big = spark.sql(
+        "select (cast(size(ids) as bigint) * (size(ids) - 1)) div 2 as p "
+        "from (select sequence(1, 100000) as ids)"
+    ).first()
+    assert big.p == 100_000 * 99_999 // 2  # 4_999_950_000 > int32 max
+
+    from cassandra_analytics_example_spark.operators.dedup import (
+        simhash_bucket_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(40)],
+        "doc_id long, text string",
+    )
+    stats = simhash_bucket_stats(docs, "doc_id", "text").collect()
+    assert stats, "identical docs must collide in every band"
+    for r in stats:
+        assert r.n_pairs == r.n_ids * (r.n_ids - 1) // 2
+        assert r.n_ids == 40

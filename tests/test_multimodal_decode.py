@@ -236,3 +236,29 @@ def test_decode_paths_count_corrupt_payloads(spark):
     frames = frame_energies_wav(wdf, frame_size=64).collect()
     assert {r["frame_no"] for r in frames if r["doc_id"] == 2} == {-1}
     assert all(r["frame_no"] >= 0 for r in frames if r["doc_id"] == 1)
+
+
+def test_frame_energies_wav_empty_data_chunk_is_counted(spark):
+    """A VALID container with an empty data chunk must still appear in
+    the frame output (one zero-sample frame_no=0 row) — frame_no=-1 is
+    reserved for decode failures, and every input doc_id reconciles."""
+    from cassandra_analytics_example_spark.operators.multimodal import (
+        frame_energies_wav,
+    )
+
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + (0).to_bytes(4, "little")
+    empty_wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    rows = frame_energies_wav(
+        spark.createDataFrame(
+            [(1, bytearray(empty_wav)), (2, bytearray(b"not a wav"))],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    got = {(r.doc_id, r.frame_no, r.n_samples, r.energy, r.peak) for r in rows}
+    assert got == {(1, 0, 0, 0, 0), (2, -1, 0, 0, 0)}

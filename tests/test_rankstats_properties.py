@@ -559,3 +559,21 @@ def test_personalized_pagerank_sink_and_isolated_seeds(spark):
     assert out[3] > 0
     # non-seed non-sink node got walk mass but no teleport
     assert out[2] > 0
+
+
+def test_rank_metrics_empty_input_defined_rows(spark):
+    """Zero-row input: both rank metrics must return their documented
+    degenerate row (zero counts, NULL metric) — not a row of NULL counts
+    (sum over empty is NULL without the coalesce guards)."""
+    from cassandra_analytics_example_spark.operators.ranking import (
+        average_precision_exact,
+        roc_auc_exact,
+    )
+
+    empty = spark.createDataFrame([], "score bigint, is_pos int")
+    ap = average_precision_exact(empty).collect()
+    assert [(r.n_pos, r.n_total, r.ap_ppm) for r in ap] == [(0, 0, None)]
+    auc = roc_auc_exact(empty).collect()
+    assert [(r.n_pos, r.n_neg, r.u2, r.auc_ppm) for r in auc] == [
+        (0, 0, 0, None)
+    ]

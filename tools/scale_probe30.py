@@ -59,59 +59,31 @@ def _union(parts):
     return out
 
 
-def build_scaled(spark, out_dir: str, copies: int) -> None:
-    """Same copy methodology as tools/scale_probe.py rounds 4-6: distinct
-    per-copy text suffix / embedding jitter / offset keys, dims unscaled."""
-    dst = f"{out_dir}/x{copies}"
+def copy_relational(spark, dst: str, copies: int) -> None:
+    """Dims copied unscaled; keyed fact tables unioned with offset keys —
+    the copy methodology shared by the 30x probe and its control."""
     for dim in ("customer", "nation", "region", "supplier", "part"):
         spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{dst}/{dim}.parquet")
+    for tbl, key in (
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+    ):
+        t = spark.read.parquet(f"{BASE}/{tbl}.parquet")
+        _union(
+            [
+                t.withColumn(key, F.col(key) + F.lit(i * ID_STRIDE))
+                for i in range(copies)
+            ]
+        ).write.mode("overwrite").parquet(f"{dst}/{tbl}.parquet")
 
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
-    _union(
-        [
-            li.withColumn(
-                "l_orderkey", F.col("l_orderkey") + F.lit(i * ID_STRIDE)
-            )
-            for i in range(copies)
-        ]
-    ).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
 
-    ordr = spark.read.parquet(f"{BASE}/orders.parquet")
-    _union(
-        [
-            ordr.withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(i * ID_STRIDE)
-            )
-            for i in range(copies)
-        ]
-    ).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
-
-    ev = spark.read.parquet(f"{BASE}/events.parquet")
-    _union(
-        [
-            ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_STRIDE))
-            for i in range(copies)
-        ]
-    ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
-
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+def copy_embeddings_jittered(spark, dst: str, copies: int) -> None:
+    """Embeddings unioned with offset ids and a per-copy jitter so copies
+    are near- but not exact duplicates — shared by probe and control."""
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    _union(
-        [
-            docs.select(
-                (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" copy{i}")).alias("text"),
-                "lang",
-                "source",
-                (F.col("n_chars") + F.lit(len(f" copy{i}"))).alias(
-                    "n_chars"
-                ),
-            )
-            for i in range(copies)
-        ]
-    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
     e_parts = []
     for i in range(copies):
         jitter = F.lit(float(i) * 1e-4)
@@ -127,6 +99,45 @@ def build_scaled(spark, out_dir: str, copies: int) -> None:
     _union(e_parts).write.mode("overwrite").parquet(
         f"{dst}/embeddings.parquet"
     )
+
+
+def merge_section(out_path: str, section: str, results: dict) -> None:
+    """Merge a probe section into the (possibly existing) report file."""
+    report = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+    report.setdefault("metric", "scale_probe_30x")
+    report.setdefault(section, {}).update(results)
+    report["loadavg_1min_at_end"] = float(
+        open("/proc/loadavg").read().split()[0]
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print("merged into", out_path)
+
+
+def build_scaled(spark, out_dir: str, copies: int) -> None:
+    """Same copy methodology as tools/scale_probe.py rounds 4-6: distinct
+    per-copy text suffix / embedding jitter / offset keys, dims unscaled."""
+    dst = f"{out_dir}/x{copies}"
+    copy_relational(spark, dst, copies)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    _union(
+        [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copy{i}")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(len(f" copy{i}"))).alias(
+                    "n_chars"
+                ),
+            )
+            for i in range(copies)
+        ]
+    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    copy_embeddings_jittered(spark, dst, copies)
 
 
 def time_op(spark, fn, sf_dir: str, runs: int = 2) -> float:
@@ -171,18 +182,7 @@ def main() -> None:
         }
         print(name, results[name], flush=True)
 
-    report = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            report = json.load(f)
-    report.setdefault("metric", "scale_probe_30x")
-    report.setdefault("ops30", {}).update(results)
-    report["loadavg_1min_at_end"] = float(
-        open("/proc/loadavg").read().split()[0]
-    )
-    with open(OUT, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
-    print("merged into", OUT)
+    merge_section(OUT, "ops30", results)
     spark.stop()
 
 

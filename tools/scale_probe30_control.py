@@ -21,17 +21,19 @@ Together the two runs separate the hypotheses:
   main 30x  ~9-10  AND  control ~3   => linear in corpus + emitted pairs
   control >> 3                        => genuine super-linear corpus term
 
+The copy/timing/merge METHODOLOGY is imported from scale_probe30 (one
+source of truth — a fix there cannot desynchronize the control from the
+probe it exists to calibrate); only the documents mangling differs.
+
 Usage: python3 tools/scale_probe30_control.py [query ...]
 Merges a "ops30_control" section into SCALE_PROBE_r07.json.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,12 +41,17 @@ from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.queries import load_all
 from cassandra_analytics_example_spark.session import get_spark
-
-BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALE_PROBE_r07.json",
+from tools.scale_probe30 import (
+    BASE,
+    ID_STRIDE,
+    OUT,
+    _union,
+    copy_embeddings_jittered,
+    copy_relational,
+    merge_section,
+    time_op,
 )
+
 # The pair-emitting text ops whose main-probe ratios are dominated by
 # clone-multiplicity pair growth.
 DEFAULT_OPS = [
@@ -53,14 +60,6 @@ DEFAULT_OPS = [
     "q21_minhash_lsh_neardup",
     "q142_substring_dup_spans",
 ]
-ID_STRIDE = 10_000_000
-
-
-def _union(parts):
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def build_control(spark, out_dir: str, copies: int) -> None:
@@ -68,23 +67,7 @@ def build_control(spark, out_dir: str, copies: int) -> None:
     copy-specific inter-word token so copies are NOT near-dups of each
     other (cluster sizes stay at the base corpus's own dup structure)."""
     dst = f"{out_dir}/x{copies}"
-    for dim in ("customer", "nation", "region", "supplier", "part"):
-        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
-            "overwrite"
-        ).parquet(f"{dst}/{dim}.parquet")
-    for tbl, key in (
-        ("lineitem", "l_orderkey"),
-        ("orders", "o_orderkey"),
-        ("events", "event_id"),
-    ):
-        t = spark.read.parquet(f"{BASE}/{tbl}.parquet")
-        _union(
-            [
-                t.withColumn(key, F.col(key) + F.lit(i * ID_STRIDE))
-                for i in range(copies)
-            ]
-        ).write.mode("overwrite").parquet(f"{dst}/{tbl}.parquet")
-
+    copy_relational(spark, dst, copies)
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     d_parts = []
     for i in range(copies):
@@ -102,32 +85,7 @@ def build_control(spark, out_dir: str, copies: int) -> None:
     _union(d_parts).write.mode("overwrite").parquet(
         f"{dst}/documents.parquet"
     )
-
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    e_parts = []
-    for i in range(copies):
-        jitter = F.lit(float(i) * 1e-4)
-        e_parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
-                F.transform(
-                    F.col("embedding"), lambda x: (x + jitter).cast("float")
-                ).alias("embedding"),
-                "label",
-            )
-        )
-    _union(e_parts).write.mode("overwrite").parquet(
-        f"{dst}/embeddings.parquet"
-    )
-
-
-def time_op(spark, fn, sf_dir: str, runs: int = 2) -> float:
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+    copy_embeddings_jittered(spark, dst, copies)
 
 
 def main() -> None:
@@ -157,18 +115,7 @@ def main() -> None:
         }
         print(name, results[name], flush=True)
 
-    report = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            report = json.load(f)
-    report.setdefault("metric", "scale_probe_30x")
-    report.setdefault("ops30_control", {}).update(results)
-    report["loadavg_1min_at_end"] = float(
-        open("/proc/loadavg").read().split()[0]
-    )
-    with open(OUT, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
-    print("merged into", OUT)
+    merge_section(OUT, "ops30_control", results)
     spark.stop()
 
 
