@@ -118,6 +118,12 @@ def main() -> None:
             force(qd.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # pinned/persisted layers (pin_small, pin_partition_ids) register
+        # in the SQL CacheManager, which holds strong references for the
+        # session lifetime; clearing between queries keeps a 57-query
+        # session's cache residency bounded by ONE query's working set
+        # and keeps per-query timings isolated from each other's caches
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     report = {

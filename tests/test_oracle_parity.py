@@ -93,6 +93,9 @@ def test_oracle_parity(spark, duck, name):
     spark_rows = [
         tuple(row[c] for c in scols) for row in sdf.collect()
     ]
+    # pinned layers live in the SQL CacheManager until cleared; 317
+    # queries in one session would otherwise accumulate 300+ entries
+    spark.catalog.clearCache()
 
     atable = duck.execute(qd.oracle).fetch_arrow_table()
     dtypes = {f.name: str(f.type) for f in atable.schema}
