@@ -130,13 +130,22 @@ def roc_auc_exact(
         g, ["__s"], ["__nn"], num_partitions=num_partitions
     )
     # coalesce: sums over an EMPTY input are NULL — the degenerate
-    # contract is a defined counts row (zeros), not NULL counts
+    # contract is a defined counts row (zeros), not NULL counts.
+    # DECIMAL(38,0) intermediates: the per-cell product np*nn_before is
+    # O(n_pos*n_neg) and `u2 * 500000` another 6 decimal digits — plain
+    # bigint math ANSI-overflows near ~10M rows per class, far below the
+    # design scale. The reported u2 column stays bigint (exact while
+    # 2U < 2^63, i.e. n_pos*n_neg ≲ 4.6e18); auc_ppm (≤ 1e6) is computed
+    # entirely in decimal and never overflows.
     return pre.agg(
         F.coalesce(F.sum("__np"), F.lit(0)).cast("bigint").alias("n_pos"),
         F.coalesce(F.sum("__nn"), F.lit(0)).cast("bigint").alias("n_neg"),
         F.coalesce(
-            F.lit(2) * F.sum(F.col("__np") * F.col("__nn_before"))
-            + F.sum(F.col("__np") * F.col("__nn")),
+            F.lit(2)
+            * F.sum(
+                F.col("__np").cast("decimal(38,0)") * F.col("__nn_before")
+            )
+            + F.sum(F.col("__np").cast("decimal(38,0)") * F.col("__nn")),
             F.lit(0),
         )
         .cast("bigint")
@@ -147,7 +156,10 @@ def roc_auc_exact(
         "u2",
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.expr("u2 * 500000 div (n_pos * n_neg)"),
+            F.expr(
+                "cast(u2 as decimal(38,0)) * 500000 "
+                "div (cast(n_pos as decimal(38,0)) * n_neg)"
+            ),
         )
         .cast("bigint")
         .alias("auc_ppm"),
@@ -207,7 +219,12 @@ def average_precision_exact(
             "div __n_ge as bigint)"
         ).alias("__c"),
     )
-    ap = contrib.groupBy("__pt").agg(F.sum("__c").alias("__sc"))
+    # DECIMAL(38,0) accumulation: __sc sums per-cell 1e9-scaled floors —
+    # up to 1e9 * P total, which ANSI-overflows a bigint sum near 9e9
+    # positives; the divisor 1000 * P gets the same treatment.
+    ap = contrib.groupBy("__pt").agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__sc")
+    )
     return (
         tot.join(F.broadcast(ap), "__pt", "left")
         .select(
@@ -215,7 +232,10 @@ def average_precision_exact(
             F.col("__nt").alias("n_total"),
             F.when(
                 F.col("__pt") > 0,
-                F.expr("cast(__sc div (1000 * __pt) as bigint)"),
+                F.expr(
+                    "cast(__sc div (cast(1000 as decimal(38,0)) * __pt) "
+                    "as bigint)"
+                ),
             ).alias("ap_ppm"),
         )
     )

@@ -577,3 +577,25 @@ def test_rank_metrics_empty_input_defined_rows(spark):
     assert [(r.n_pos, r.n_neg, r.u2, r.auc_ppm) for r in auc] == [
         (0, 0, 0, None)
     ]
+
+
+def test_roc_auc_exact_survives_u2_overflow_scale(spark):
+    """10M balanced rows: u2 * 500000 ≈ 1.25e19 exceeds bigint — the
+    decimal-intermediate path must survive (the old int64 expression
+    ANSI-raised near ~10M rows per class, far below design scale). With
+    every score cell perfectly balanced the exact AUC is 1/2, so the
+    ppm is exactly 500000 — overflow safety and exactness in one check."""
+    from cassandra_analytics_example_spark.operators.ranking import (
+        roc_auc_exact,
+    )
+
+    # (id div 2) pairs one pos with one neg at every score, so each of
+    # the 1000 score cells is exactly balanced (np = nn = 5000) and the
+    # tie-corrected AUC is exactly 1/2
+    scored = spark.range(10_000_000).selectExpr(
+        "(id div 2) % 1000 as score", "cast(id % 2 as int) as is_pos"
+    )
+    row = roc_auc_exact(scored).first()
+    assert (row.n_pos, row.n_neg) == (5_000_000, 5_000_000)
+    assert row.u2 == row.n_pos * row.n_neg  # 2U = 2 * (1/2) * np * nn
+    assert row.auc_ppm == 500_000
