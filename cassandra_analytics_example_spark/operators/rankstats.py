@@ -103,9 +103,12 @@ def spearman_rho(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("x").cast(_DEC).alias("sx"),
         F.sum("y").cast(_DEC).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+        # operands cast BEFORE the multiply: doubled ranks are O(n), so
+        # a bigint sum of rank products is O(n^3) and overflows past ~2e6
+        # rows; decimal(38,0) accumulation is exact to n ~ 3e12
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
     )
     return m.select(
         F.col("n").cast("bigint").alias("n"),
@@ -558,9 +561,12 @@ def spearman_grouped(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("x").cast(_DEC).alias("sx"),
         F.sum("y").cast(_DEC).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(_DEC).alias("syy"),
+        # operands cast BEFORE the multiply: doubled ranks are O(n), so
+        # a bigint sum of rank products is O(n^3) and overflows past ~2e6
+        # rows; decimal(38,0) accumulation is exact to n ~ 3e12
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
     )
     return m.where(
         (F.expr("n * sxx - sx * sx") > 0)

@@ -4059,11 +4059,16 @@ def q217_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ev.crossJoin(F.broadcast(b)).select(
         "cents", "b", w.alias("w")
     )
+    # decimal accumulation/scaling: w*cents sums and the *10000 scaling
+    # outgrow bigint near ~1e9 purchase rows — same overflow class as the
+    # rank-metric fix; the reported micro-cent means stay small bigints
     means = (
         r.groupBy("b")
         .agg(
-            F.sum(F.col("w") * F.col("cents")).alias("swc"),
-            F.sum("w").alias("sw"),
+            F.sum(
+                F.col("w").cast("decimal(38,0)") * F.col("cents")
+            ).alias("swc"),
+            F.sum("w").cast("decimal(38,0)").alias("sw"),
         )
         .where(F.col("sw") > 0)
         .select(
@@ -4073,9 +4078,10 @@ def q217_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pt = ev.agg(
-        F.expr("sum(cents) * 10000 div count(*)")
-        .cast("bigint")
-        .alias("point")
+        F.expr(
+            "cast(sum(cast(cents as decimal(38,0))) * 10000 "
+            "div count(*) as bigint)"
+        ).alias("point")
     )
     # CI order statistics over the means table — a BOUNDED collect of at
     # most B=32 rows (scalar-class driver read, like .first()).

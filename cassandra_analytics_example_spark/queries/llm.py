@@ -4358,11 +4358,12 @@ def q171_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("padded") * F.col("m"))
         .cast("bigint")
         .alias("padded_slots"),
+        # decimal scaling: the *1000 on a corpus-sized token sum is the
+        # same bigint-overflow class as the rank-metric fix
         F.expr(
-            "(sum(padded * m) - sum(toks * m)) * 1000 div sum(padded * m)"
-        )
-        .cast("bigint")
-        .alias("waste_permille"),
+            "cast((cast(sum(padded * m) as decimal(38,0)) - sum(toks * m))"
+            " * 1000 div sum(padded * m) as bigint)"
+        ).alias("waste_permille"),
     )
 
 
@@ -5858,9 +5859,11 @@ def q214_ols_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(dec38).alias("n"),
         F.sum("x").cast(dec38).alias("sx"),
         F.sum("y").cast(dec38).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(dec38).alias("syy"),
+        # cast BEFORE multiply: value-product sums accumulate in
+        # decimal, not bigint (bigint overflows at corpus scale)
+        F.sum(F.col("x").cast(dec38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec38) * F.col("y")).alias("syy"),
     )
     return m.select(
         F.col("n").cast("bigint").alias("n"),

@@ -5117,9 +5117,11 @@ def q281_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(dec38).alias("n"),
         F.sum("x").cast(dec38).alias("sx"),
         F.sum("y").cast(dec38).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(dec38).alias("syy"),
+        # cast BEFORE multiply: degree products sum in decimal, not
+        # bigint (a bigint sum of O(deg^2) terms overflows at scale)
+        F.sum(F.col("x").cast(dec38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec38) * F.col("y")).alias("syy"),
     )
     return m.select(
         F.col("n").cast("bigint").alias("n_edges"),
