@@ -376,7 +376,10 @@ def cusum_changepoint_from_counts(
             F.col("n").alias("n_hours"),
             F.col("total").alias("n_events"),
             "change_at_hour",
-            F.expr("cast(peak * 1000000 div n as bigint)").alias(
+            F.expr(
+                "cast(cast(peak as decimal(38,0)) * 1000000 div n "
+                "as bigint)"
+            ).alias(
                 "peak_micro_events"
             ),
         )
@@ -715,7 +718,10 @@ def cusum_grouped_from_counts(
             F.col("n").alias("n_hours"),
             F.col("total").alias("n_events"),
             "change_at_hour",
-            F.expr("cast(peak * 1000000 div n as bigint)").alias(
+            F.expr(
+                "cast(cast(peak as decimal(38,0)) * 1000000 div n "
+                "as bigint)"
+            ).alias(
                 "peak_micro_events"
             ),
         )

@@ -4183,11 +4183,15 @@ def q166_contingency_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_obs").cast("bigint").alias("n_obs"),
             F.col("n_lang").cast("bigint").alias("n_lang"),
             F.col("n_source").cast("bigint").alias("n_source"),
-            F.expr("n_obs * n_total * 1000 div (n_lang * n_source)")
-            .cast("bigint")
-            .alias("lift_permille"),
+            # decimal: n_obs*n_total is O(corpus^2) — bigint raises at
+            # ~3e7 docs, far below scale (same class as the rank fix)
             F.expr(
-                "n_obs * n_total * 1000 div (n_lang * n_source) > 1500"
+                "cast(cast(n_obs as decimal(38,0)) * n_total * 1000 "
+                "div (cast(n_lang as decimal(38,0)) * n_source) as bigint)"
+            ).alias("lift_permille"),
+            F.expr(
+                "cast(n_obs as decimal(38,0)) * n_total * 1000 "
+                "div (cast(n_lang as decimal(38,0)) * n_source) > 1500"
             ).alias("over_represented"),
         )
     )

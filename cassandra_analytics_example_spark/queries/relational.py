@@ -2829,12 +2829,16 @@ def q199_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region",
             "nation",
             "cents",
-            F.expr("cents * 1000 div rcents")
-            .cast("bigint")
-            .alias("share_of_region"),
-            F.expr("rcents * 1000 div wcents")
-            .cast("bigint")
-            .alias("region_share_of_world"),
+            # decimal: cents sums are corpus-scale; *1000 in bigint
+            # binds 1000x below the column's own report range
+            F.expr(
+                "cast(cast(cents as decimal(38,0)) * 1000 div rcents "
+                "as bigint)"
+            ).alias("share_of_region"),
+            F.expr(
+                "cast(cast(rcents as decimal(38,0)) * 1000 div wcents "
+                "as bigint)"
+            ).alias("region_share_of_world"),
         )
     )
 
@@ -3390,12 +3394,16 @@ def q215_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "month",
             "cents",
-            F.expr("(cents - prev_cents) * 1000 div prev_cents")
-            .cast("bigint")
-            .alias("mom_permille"),
-            F.expr("(cents - yoy_cents) * 1000 div yoy_cents")
-            .cast("bigint")
-            .alias("yoy_permille"),
+            # decimal: monthly cents are corpus-scale sums (*1000
+            # would bind 1000x below the column's report range)
+            F.expr(
+                "cast(cast(cents - prev_cents as decimal(38,0)) * 1000 "
+                "div prev_cents as bigint)"
+            ).alias("mom_permille"),
+            F.expr(
+                "cast(cast(cents - yoy_cents as decimal(38,0)) * 1000 "
+                "div yoy_cents as bigint)"
+            ).alias("yoy_permille"),
         )
     )
 
