@@ -18,11 +18,15 @@ place of a docstring caveat.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 _CKPT_BASE_ATTR = "_cassandra_analytics_checkpoint_base"
+_PINS_ATTR = "_cassandra_analytics_pins"
 
 
 def truncate_plan(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
@@ -72,14 +76,67 @@ def pin_partition_ids(part: DataFrame) -> DataFrame:
     registers in Spark SQL's CacheManager, which holds a strong
     reference — entries are NOT garbage-collected with the frame; they
     live until ``unpersist()``/``clearCache()`` or session end.  The
-    operators cannot unpersist themselves (they return lazy frames whose
-    action happens in the caller), so a long-lived session that runs
-    many pinned queries accumulates entries — blocks are LRU-evicted to
-    disk under memory pressure (never OOM), but a multi-thousand-query
-    session should ``spark.catalog.clearCache()`` between jobs or scope
-    sessions per job as ``plans/jobs.py`` does.  The alternative (eager
-    ``localCheckpoint``) would make blocks ContextCleaner-reclaimable
-    but costs one extra materialization job per operator call and makes
-    partition recompute impossible after executor loss on a cluster.
+    row-level operators cannot unpersist themselves (they return lazy
+    frames whose action happens in the caller), so every pin ALSO
+    registers on the session; callers composing many pinned queries in
+    one session scope the cache with ``pin_scope`` (unpersist-on-exit)
+    or drain it with ``release_pins``.  Terminal operators whose result
+    is tiny (one-row metrics: ``roc_auc_exact``,
+    ``average_precision_exact``) go further and eager-materialize the
+    result + release their pins before returning, so naive loop
+    consumers of those cannot leak at all.  Blocks are LRU-evicted to
+    disk under memory pressure (never OOM) in the meantime, and
+    ``spark.catalog.clearCache()`` remains the blunt whole-session
+    drain.
     """
-    return part.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned = part.persist(StorageLevel.MEMORY_AND_DISK)
+    _session_pins(part.sparkSession).append(pinned)
+    return pinned
+
+
+def _session_pins(spark: SparkSession) -> list[DataFrame]:
+    pins = getattr(spark, _PINS_ATTR, None)
+    if pins is None:
+        pins = []
+        setattr(spark, _PINS_ATTR, pins)
+    return pins
+
+
+def release_pins(spark: SparkSession) -> int:
+    """Unpersist every frame ``pin_partition_ids`` registered on this
+    session and return how many were released.  Safe at any time:
+    in-flight jobs recompute evicted partitions from lineage (one RDD,
+    one partitioner — determinism holds), and re-running a returned
+    frame after release merely re-plans without the cache (correct but
+    re-exposed to the divergence the pin prevents, so release between
+    queries, not between actions on one query's frame)."""
+    pins = _session_pins(spark)
+    n = len(pins)
+    for df in pins:
+        df.unpersist()
+    pins.clear()
+    return n
+
+
+@contextmanager
+def pin_scope(spark: SparkSession) -> Iterator[None]:
+    """Scope pin residency to a block: pins created inside the ``with``
+    are unpersisted on exit (success or raise), pins that existed before
+    are left alone.  The owner-handle for library consumers composing
+    pinned operators in long loops::
+
+        with pin_scope(spark):
+            out = grouped_prefix_sums(df, ...).agg(...).collect()
+
+    Actions on the frames must happen INSIDE the scope — the exit
+    unpersists, after which re-execution loses the pinned layout
+    guarantee.  Watermark-based, so scopes nest; not safe against
+    concurrent builders on the same session from other threads."""
+    pins = _session_pins(spark)
+    mark = len(pins)
+    try:
+        yield
+    finally:
+        for df in pins[mark:]:
+            df.unpersist()
+        del pins[mark:]

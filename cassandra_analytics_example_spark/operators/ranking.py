@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.operators.checkpoints import (
     pin_partition_ids,
+    pin_scope,
 )
 
 
@@ -120,7 +121,24 @@ def roc_auc_exact(
     (average-rank semantics), and the prefix layer is the
     range-partitioned cell-offset pattern, so no task ever holds a
     whole score ordering.
+
+    EAGER: the one-row result is materialized (``localCheckpoint``) and
+    the internal partition pin released before returning, so looping
+    callers cannot accumulate CacheManager entries (the returned frame
+    reads the checkpointed row, lineage-free).
     """
+    with pin_scope(scored.sparkSession):
+        return _roc_auc_lazy(
+            scored, score_col, label_col, num_partitions
+        ).localCheckpoint(eager=True)
+
+
+def _roc_auc_lazy(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int,
+) -> DataFrame:
     g = scored.groupBy(F.col(score_col).alias("__s")).agg(
         F.count("*").cast("bigint").alias("__n"),
         F.sum(F.col(label_col).cast("bigint")).alias("__np"),
@@ -192,7 +210,22 @@ def average_precision_exact(
     positive rows AP is undefined, so the row carries ``n_pos = 0`` and
     ``ap_ppm`` NULL instead of coming back empty (and the division is
     guarded so ANSI mode cannot raise on ``P = 0``).
+
+    EAGER like ``roc_auc_exact``: one-row result localCheckpointed, the
+    internal pin released before returning.
     """
+    with pin_scope(scored.sparkSession):
+        return _average_precision_lazy(
+            scored, score_col, label_col, num_partitions
+        ).localCheckpoint(eager=True)
+
+
+def _average_precision_lazy(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int,
+) -> DataFrame:
     g = scored.groupBy(F.col(score_col).alias("__s")).agg(
         F.count("*").cast("bigint").alias("__n"),
         F.sum(F.col(label_col).cast("bigint")).alias("__np"),
@@ -212,11 +245,26 @@ def average_precision_exact(
         (F.col("__pt") - F.col("__np_before")).alias("__tp_ge"),
         "__pt",
     )
+    # Per-cell floor division stays in DECIMAL end-to-end.  `div`
+    # (IntegralDivide) always RETURNS bigint regardless of operand type, so
+    # `a div b` would reintroduce the very ceiling the decimal accumulation
+    # lifts (a cell's floor approaches 1e9·np, overflowing bigint near
+    # P ≈ 9.2e9 positives).  Instead the exact floor is computed by the
+    # remainder identity floor(a/b) = (a - a % b) / b: decimal `%` and `-`
+    # are exact, and the final `/` divides evenly by construction, so the
+    # decimal(38,6) quotient is an exact integer and the cast to
+    # decimal(38,0) is lossless.  Exact while 1e9·np·tp_ge < 10^38
+    # (np·tp_ge < 10^29) — past any corpus.
     contrib = cells.filter(F.col("__np") > 0).select(
         "__pt",
+        "__n_ge",
+        F.expr("cast(1000000000 as decimal(38,0)) * __np * __tp_ge").alias(
+            "__num"
+        ),
+    ).select(
+        "__pt",
         F.expr(
-            "cast(cast(1000000000 as decimal(38,0)) * __np * __tp_ge "
-            "div __n_ge as bigint)"
+            "cast((__num - __num % __n_ge) / __n_ge as decimal(38,0))"
         ).alias("__c"),
     )
     # DECIMAL(38,0) accumulation: __sc sums per-cell 1e9-scaled floors —

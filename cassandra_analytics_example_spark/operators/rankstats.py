@@ -105,7 +105,13 @@ def spearman_rho(
         F.sum("y").cast(_DEC).alias("sy"),
         # operands cast BEFORE the multiply: doubled ranks are O(n), so
         # a bigint sum of rank products is O(n^3) and overflows past ~2e6
-        # rows; decimal(38,0) accumulation is exact to n ~ 3e12
+        # rows.  The binding ceiling is NOT the decimal(38,0) sums
+        # (exact to n ~ 3e12) but the downstream rho numerators: each
+        # n*sxx / sx*sx product multiplies two decimal(38,0) values and
+        # n*sxx is O(n^4), so the 38-digit cap binds near n ~ 2e9 rows
+        # (4n^4 < 1e38).  Past that, restructure around centered doubled
+        # ranks x' = x - (n+1) (integer, zero-sum), whose moments stay
+        # O(n^3) and need no decimal-times-decimal products.
         F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
         F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
@@ -566,7 +572,13 @@ def spearman_grouped(
         F.sum("y").cast(_DEC).alias("sy"),
         # operands cast BEFORE the multiply: doubled ranks are O(n), so
         # a bigint sum of rank products is O(n^3) and overflows past ~2e6
-        # rows; decimal(38,0) accumulation is exact to n ~ 3e12
+        # rows.  The binding ceiling is NOT the decimal(38,0) sums
+        # (exact to n ~ 3e12) but the downstream rho numerators: each
+        # n*sxx / sx*sx product multiplies two decimal(38,0) values and
+        # n*sxx is O(n^4), so the 38-digit cap binds near n ~ 2e9 rows
+        # (4n^4 < 1e38).  Past that, restructure around centered doubled
+        # ranks x' = x - (n+1) (integer, zero-sum), whose moments stay
+        # O(n^3) and need no decimal-times-decimal products.
         F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
         F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),

@@ -1,0 +1,109 @@
+"""Cache-residency scoping for pin_partition_ids (round-8 advisor item).
+
+``DataFrame.persist`` registers in Spark SQL's CacheManager, which holds a
+strong reference until an explicit unpersist — so pinned operators composed
+in a long-lived user session would accumulate entries without bound.  Three
+contracts close that leak:
+
+* every pin registers on the session, and ``release_pins`` drains them;
+* ``pin_scope`` unpersists exactly the pins created inside the scope
+  (watermark semantics — pre-existing pins survive, scopes nest);
+* the one-row terminal metrics (``roc_auc_exact``,
+  ``average_precision_exact``) eager-materialize and self-release, so a
+  naive metrics loop holds ZERO CacheManager entries between calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.checkpoints import (
+    _session_pins,
+    pin_partition_ids,
+    pin_scope,
+    release_pins,
+)
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def _scored(spark, n=20_000):
+    return spark.range(n).select(
+        (
+            F.expr("conv(substr(md5(cast(id as string)), 1, 6), 16, 10)")
+            % 1000
+        )
+        .cast("bigint")
+        .alias("score"),
+        (F.col("id") % 4 == 0).cast("int").alias("is_pos"),
+    )
+
+
+def test_terminal_metrics_leave_no_cache_entries(spark):
+    from cassandra_analytics_example_spark.operators.ranking import (
+        average_precision_exact,
+        roc_auc_exact,
+    )
+
+    release_pins(spark)
+    spark.catalog.clearCache()
+    base = _scored(spark)
+    # the advisor's exact scenario: metrics composed in a loop
+    rows = []
+    for _ in range(3):
+        rows.append(roc_auc_exact(base).collect())
+        rows.append(average_precision_exact(base).collect())
+    assert _cache_manager_empty(spark), (
+        "terminal metric left CacheManager entries — the eager "
+        "localCheckpoint + pin_scope release in operators/ranking.py "
+        "regressed"
+    )
+    assert not _session_pins(spark)
+    # results stay deterministic and re-collectable after release
+    assert rows[0] == rows[2] == rows[4]
+    assert rows[1] == rows[3] == rows[5]
+
+
+def test_pin_scope_releases_only_inner_pins(spark):
+    release_pins(spark)
+    outer = pin_partition_ids(
+        spark.range(1000).repartitionByRange(4, "id").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    outer.count()
+    with pin_scope(spark):
+        inner = pin_partition_ids(
+            spark.range(500).repartitionByRange(4, "id").withColumn(
+                "__pid", F.spark_partition_id()
+            )
+        )
+        inner.count()
+        assert len(_session_pins(spark)) == 2
+    # inner released, outer survives
+    assert _session_pins(spark) == [outer]
+    assert outer.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory
+    assert release_pins(spark) == 1
+    assert not outer.storageLevel.useMemory
+
+
+def test_release_pins_drains_row_level_operators(spark):
+    from cassandra_analytics_example_spark.operators.ranking import (
+        exclusive_prefix_sums,
+    )
+
+    release_pins(spark)
+    g = _scored(spark).groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    pre = exclusive_prefix_sums(g, ["score"], ["n"])
+    total = pre.agg(F.sum("n")).first()[0]
+    assert len(_session_pins(spark)) == 1
+    assert release_pins(spark) == 1
+    assert _session_pins(spark) == []
+    # idempotent
+    assert release_pins(spark) == 0
+    assert pre.agg(F.sum("n")).first()[0] == total
