@@ -122,11 +122,37 @@ def write_bucketed(
     ZERO shuffle (tests/test_plans.py asserts the Exchange-free plan).
     The Spark-native analogue of the reference library's token-aligned
     SSTable layout (SparkUtils.scala:56-60: the bulk writer's token-sorted
-    write discipline)."""
+    write discipline).
+
+    Stale-warehouse safety: ``mode("overwrite")`` only replaces a table the
+    CATALOG knows about.  A killed prior job can leave the table's data
+    directory under the warehouse while a fresh session's catalog has no
+    entry — ``saveAsTable`` then raises ``LOCATION_ALREADY_EXISTS``.  So the
+    write is preceded by ``DROP TABLE IF EXISTS`` plus a Hadoop-FS delete of
+    the orphaned managed location (object-store safe, no ``os.*``) — a
+    kill + rerun is green without manual cleanup."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(_managed_location(spark, table_name))
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table_name)
+
+
+def _managed_location(spark, table_name: str) -> str:
+    """Managed-table data directory for ``table_name`` (identifiers are
+    stored lowercased): ``<warehouse>/<db>.db/<tbl>`` for a qualified name,
+    ``<warehouse>/<tbl>`` in the default database."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    parts = table_name.lower().split(".")
+    if len(parts) == 2:
+        return f"{wh}/{parts[0]}.db/{parts[1]}"
+    return f"{wh}/{parts[0]}"
 
 
 def compact_files(

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import tempfile
 
 import pytest
 
@@ -19,6 +20,15 @@ def spark():
     spark = get_spark(
         app_name="tests",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        # per-run warehouse: a killed prior suite can leave managed-table
+        # directories (spark-warehouse/t_bucket_*) that a fresh session's
+        # catalog doesn't know, failing saveAsTable with
+        # LOCATION_ALREADY_EXISTS — isolate instead of inheriting
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                prefix="spark-warehouse-"
+            )
+        },
     )
     yield spark
 

@@ -115,6 +115,39 @@ def test_bucketed_join_has_no_shuffle(spark, tmpdir):
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
 
 
+def test_write_bucketed_survives_stale_warehouse_dir(spark):
+    """Kill-rerun safety: a killed prior job leaves the managed table's
+    data directory under the warehouse with NO catalog entry — the exact
+    state that failed the round-7 suite run with LOCATION_ALREADY_EXISTS.
+    write_bucketed must clear the orphan and succeed."""
+    import os
+
+    from cassandra_analytics_example_spark.operators.layout import (
+        _managed_location,
+    )
+
+    name = "t_bucket_stale"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = _managed_location(spark, name).replace("file:", "")
+    # fabricate the orphan: data on disk, catalog ignorant
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-orphan.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    try:
+        df = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        write_bucketed(df, name, "k", 4, sort_by="k")
+        assert spark.table(name).count() == 1_000
+        # the orphan file must be gone, not merged into the table dir
+        assert not os.path.exists(os.path.join(loc, "part-orphan.parquet"))
+        # rerun over a now-known table also works (catalogued overwrite)
+        write_bucketed(df, name, "k", 4, sort_by="k")
+        assert spark.table(name).count() == 1_000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_compact_files_reduces_file_count(spark, tmpdir):
     # 64 tiny files in → ~1 file out (input is far below one target size).
     spark.range(0, 100_000).repartition(64).write.parquet(f"{tmpdir}/small")
