@@ -540,6 +540,37 @@ def hamming64(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def auto_band_width(
+    n_docs: int,
+    n_bands: int = 4,
+    n_bits: int = 60,
+    margin: int = 2,
+    min_width: int = 8,
+) -> int:
+    """Corpus-scaled SimHash band width: the smallest ``w`` in
+    ``[min_width, n_bits // n_bands]`` with ``2^w >= n_docs * 2^margin``
+    (clamped to the top of the range when the corpus outgrows it).
+
+    Why log₂(N): dissimilar docs agree on a band with probability
+    ~1/2^w, so the random-collision candidate floor is
+    ~N²·n_bands/2^(w+1).  A FIXED width makes that floor quadratic in
+    corpus size; ``w = ⌈log₂(N)⌉ + margin`` keeps expected random bucket
+    occupancy at ~1/2^margin docs and the floor LINEAR in N — the same
+    corpus-scaled-parameter discipline as SemDeDup's cell count
+    (operators/similarity.py).  The 60-bit fingerprint bounds ``w`` at
+    15 for 4 bands (~N = 8e3 at margin 2); past that the cap +
+    ``max_bucket_size`` + ``simhash_bucket_stats`` audit take over, or
+    widen the fingerprint family.  Deterministic integer loop so the
+    DuckDB oracle twin (pow-of-two comparisons) reproduces it exactly.
+    """
+    max_w = max(min_width, n_bits // n_bands)
+    target = max(1, n_docs) << margin
+    for w in range(min_width, max_w + 1):
+        if (1 << w) >= target:
+            return w
+    return max_w
+
+
 def _simhash_buckets(
     df: DataFrame,
     id_col: str,
@@ -547,14 +578,26 @@ def _simhash_buckets(
     n_bits: int,
     n_bands: int,
     gram_n: int,
+    band_width: int | None = None,
 ) -> DataFrame:
     """Collision buckets for SimHash band blocking: one row per
     (band, band_bits) key with >1 member, ``ms`` the list of
     (id, simhash) structs. Bucket-group instead of self-join: one
     fingerprint lineage, one shuffle; the structs carried per bucket are
     scalars. Shared by ``simhash_near_dup_pairs`` (pair expansion) and
-    ``simhash_bucket_stats`` (drop accounting)."""
-    band_width = n_bits // n_bands
+    ``simhash_bucket_stats`` (drop accounting).
+
+    ``band_width`` defaults to ``n_bits // n_bands`` (bands tile the whole
+    fingerprint); an explicit narrower width bands only the low
+    ``n_bands * band_width`` bits — recall is unaffected (pigeonhole: ≤
+    ``n_bands - 1`` differing bits anywhere leave ≥ 1 banded slice
+    identical), only the random-collision rate changes."""
+    band_width = band_width or n_bits // n_bands
+    if n_bands * band_width > n_bits:
+        raise ValueError(
+            f"bands overrun the fingerprint: {n_bands} x {band_width} "
+            f"> {n_bits} bits"
+        )
     mask = (1 << band_width) - 1
     featureful = (
         df.filter(F.size(tokens(text_col)) >= gram_n) if gram_n > 1 else df
@@ -589,6 +632,7 @@ def simhash_bucket_stats(
     n_bands: int = 4,
     gram_n: int = 3,
     max_bucket_size: int | None = None,
+    band_width: int | None = None,
 ) -> DataFrame:
     """Accounting twin of ``simhash_near_dup_pairs``: one row per band
     collision bucket with its size, its candidate-pair count, and whether
@@ -596,7 +640,9 @@ def simhash_bucket_stats(
     gives the MinHash path. Distributed aggregate (no collect); at scale,
     write it next to the dedup output so capped recall is auditable
     instead of silent."""
-    buckets = _simhash_buckets(df, id_col, text_col, n_bits, n_bands, gram_n)
+    buckets = _simhash_buckets(
+        df, id_col, text_col, n_bits, n_bands, gram_n, band_width
+    )
     dropped = (
         F.lit(False)
         if max_bucket_size is None
@@ -621,6 +667,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     gram_n: int = 3,
     max_bucket_size: int | None = None,
+    band_width: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole band blocking + exact hamming
     verification (Manku et al., WWW'07 style).
@@ -649,15 +696,21 @@ def simhash_near_dup_pairs(
     32768 bucket values, vs 256 for the 32-bit fixture default — or
     (b) set ``max_bucket_size`` to drop oversized buckets (losing only
     pairs inside them, exactly the ``lsh_candidate_pairs`` cap
-    semantics) and audit the drops with ``simhash_bucket_stats``."""
+    semantics) and audit the drops with ``simhash_bucket_stats``.
+    ``simhash_near_dup_pairs_auto`` applies (a) automatically — width
+    from ``auto_band_width(N)`` — and is the entry point to prefer;
+    hamming is always verified over the FULL fingerprint, so the result
+    set is identical for every legal ``band_width``."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"pigeonhole recall requires max_hamming <= n_bands-1 "
             f"({max_hamming} > {n_bands - 1})"
         )
-    if n_bits % n_bands:
+    if band_width is None and n_bits % n_bands:
         raise ValueError("n_bits must divide evenly into n_bands")
-    buckets = _simhash_buckets(df, id_col, text_col, n_bits, n_bands, gram_n)
+    buckets = _simhash_buckets(
+        df, id_col, text_col, n_bits, n_bands, gram_n, band_width
+    )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket_size)
     pairs = (
@@ -673,6 +726,43 @@ def simhash_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def simhash_near_dup_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    gram_n: int = 3,
+    max_bucket_size: int | None = None,
+    margin: int = 2,
+) -> DataFrame:
+    """``simhash_near_dup_pairs`` with the band width derived from the
+    corpus size (``auto_band_width``: w = ⌈log₂(N)⌉ + margin, clamped to
+    the fingerprint) — the corpus-proof entry point.
+
+    One extra ``count()`` action sizes the corpus (a parquet
+    metadata-level scan; the same pay-one-count-to-size-a-parameter
+    pattern as SemDeDup's cell count).  Because hamming is verified over
+    the full ``n_bits`` fingerprint, the RESULT is identical at every
+    width — the width only moves the random-collision candidate floor,
+    which this keeps linear in N instead of quadratic."""
+    width = auto_band_width(
+        df.count(), n_bands=n_bands, n_bits=n_bits, margin=margin
+    )
+    return simhash_near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        n_bits=n_bits,
+        n_bands=n_bands,
+        max_hamming=max_hamming,
+        gram_n=gram_n,
+        max_bucket_size=max_bucket_size,
+        band_width=width,
+    )
 
 
 def embedding_near_dup_pairs(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.operators.dedup import (
-    simhash_near_dup_pairs,
+    simhash_near_dup_pairs_auto,
     connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -241,7 +241,7 @@ def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, n_blocks=3)
 
 
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 60
 # votes over a precomputed per-feature hash list `hv` (md5 once per 3-gram)
 _simhash_votes = " + ".join(
     f"(CASE WHEN list_sum(list_transform(hv, "
@@ -254,6 +254,23 @@ _simhash_hv = (
     "i -> array_to_string(w[i:i+2], ' '))), g -> %s)"
     % _U60.format(expr="g")
 )
+# corpus-scaled band width: smallest w in [8, 15] with 2^w >= 4*N (else 15)
+# — the oracle twin of operators/dedup.py:auto_band_width (margin=2,
+# min_width=8, 60-bit fingerprint / 4 bands). pow(2, w) is float but exact
+# for w <= 15, and the comparison against integer 4*N is exact far past any
+# fixture. Hamming verifies over the FULL 60 bits, so the pair set is
+# band-width-invariant; the width only sets the random-collision floor.
+_SIMHASH_PARAMS_SQL = """params AS (
+  SELECT w FROM range(8, 16) t(w),
+              (SELECT count(*) AS n FROM documents) c
+  WHERE pow(2, w) >= 4 * c.n OR w = 15
+  ORDER BY w LIMIT 1
+)"""
+_SIMHASH_BANDED_SQL = """banded AS (
+  SELECT doc_id, simhash, band,
+         ((simhash >> (band * w)) & ((1::BIGINT << w) - 1)) AS bb
+  FROM fp, params, UNNEST([0, 1, 2, 3]) AS t(band)
+)"""
 
 
 @register(
@@ -271,23 +288,23 @@ fp AS (
   SELECT doc_id, CAST({_simhash_votes} AS BIGINT) AS simhash
   FROM hvals WHERE len(hv) > 0
 ),
-banded AS (
-  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bb
-  FROM fp, UNNEST([0, 1, 2, 3]) AS t(band)
-)
+{_SIMHASH_PARAMS_SQL},
+{_SIMHASH_BANDED_SQL}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-    doc="SimHash(32-bit) near-dup pairs, hamming <= 3, via pigeonhole "
-    "4-band blocking (full recall, no cross join) + exact hamming verify",
+    doc="SimHash(60-bit) near-dup pairs, hamming <= 3, via pigeonhole "
+    "4-band blocking with corpus-scaled band width (w ~ log2(4N), "
+    "auto_band_width — full recall at any width, random-collision floor "
+    "linear in N) + exact hamming verify",
     tags=("llm", "dedup"),
 )
 def q23_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(
+    return simhash_near_dup_pairs_auto(
         docs, "doc_id", "text", n_bits=_SIMHASH_BITS, n_bands=4, max_hamming=3
     )
 
@@ -5741,10 +5758,8 @@ fp AS (
   SELECT doc_id, CAST({_simhash_votes} AS BIGINT) AS simhash
   FROM hvals WHERE len(hv) > 0
 ),
-banded AS (
-  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bb
-  FROM fp, UNNEST([0, 1, 2, 3]) AS t(band)
-),
+{_SIMHASH_PARAMS_SQL},
+{_SIMHASH_BANDED_SQL},
 pred AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
@@ -5774,7 +5789,7 @@ def q205_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = token_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.3, n_blocks=3
     ).select("id_a", "id_b")
-    pred = simhash_near_dup_pairs(
+    pred = simhash_near_dup_pairs_auto(
         docs, "doc_id", "text", n_bits=_SIMHASH_BITS, n_bands=4,
         max_hamming=3,
     ).select("id_a", "id_b")

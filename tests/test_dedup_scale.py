@@ -347,3 +347,70 @@ def test_bucket_pair_accounting_is_bigint_safe(spark):
     for r in stats:
         assert r.n_pairs == r.n_ids * (r.n_ids - 1) // 2
         assert r.n_ids == 40
+
+
+def test_auto_band_width_formula():
+    """auto_band_width is the deterministic integer twin of the oracle's
+    `smallest w in [8,15] with 2^w >= 4N, else 15` — pin the exact values
+    the SQL params CTE must reproduce (margin=2, 60 bits, 4 bands)."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        auto_band_width,
+    )
+
+    assert auto_band_width(0) == 8
+    assert auto_band_width(1) == 8
+    assert auto_band_width(50) == 8        # sf0.001: 4*50=200 <= 256
+    assert auto_band_width(64) == 8        # 4*64 = 256 = 2^8 boundary
+    assert auto_band_width(65) == 9        # 4*65 = 260 > 256
+    assert auto_band_width(500) == 11      # sf0.01: 2048 >= 2000
+    assert auto_band_width(5000) == 15     # sf0.1: 2^15 >= 20000
+    assert auto_band_width(10**9) == 15    # clamped at 60 // 4
+    # margin scales the target; wider fingerprints raise the clamp
+    assert auto_band_width(500, margin=0) == 9
+    assert auto_band_width(10**6, n_bands=2, n_bits=60) == 22
+
+
+def test_simhash_pairs_invariant_to_band_width(spark, sf_dir):
+    """Hamming verifies over the FULL fingerprint, so the pair set is
+    identical at every legal band width (pigeonhole: <= n_bands-1
+    differing bits leave >= 1 banded slice identical for ANY slice
+    width) — band width is purely a collision-floor knob. This is what
+    makes the corpus-scaled width safe to apply without a semantic
+    migration."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_auto,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    by_width = {
+        w: {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_dup_pairs(
+                docs, "doc_id", "text", n_bits=60, band_width=w
+            ).collect()
+        }
+        for w in (8, 11, 15)
+    }
+    assert by_width[8] == by_width[11] == by_width[15]
+    auto = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs_auto(docs, "doc_id", "text").collect()
+    }
+    assert auto == by_width[8]
+
+
+def test_simhash_bands_overrunning_fingerprint_rejected(spark):
+    from cassandra_analytics_example_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="overrun"):
+        simhash_near_dup_pairs(
+            docs, "doc_id", "text", n_bits=32, band_width=16
+        )

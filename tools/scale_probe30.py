@@ -39,7 +39,7 @@ from cassandra_analytics_example_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALE_PROBE_r07.json",
+    os.environ.get("SPARK_GRAFT_SCALE_PROBE_OUT", "SCALE_PROBE_r08.json"),
 )
 DEFAULT_OPS = [
     "q191_canonical_selection",
