@@ -53,7 +53,12 @@ def run_scale(sf: str) -> dict:
 
 def main() -> None:
     out_path = os.path.join(
-        ROOT, sys.argv[1] if len(sys.argv) > 1 else "PARITY_SWEEP_r07.json"
+        ROOT,
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get(
+            "SPARK_GRAFT_PARITY_SWEEP_OUT", "PARITY_SWEEP_r08.json"
+        ),
     )
     report = {"metric": "oracle_parity_by_scale", "scales": {}}
     for sf in SCALES:
