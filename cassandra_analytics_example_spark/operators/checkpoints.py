@@ -126,7 +126,7 @@ def pin_scope(spark: SparkSession) -> Iterator[None]:
     pinned operators in long loops::
 
         with pin_scope(spark):
-            out = grouped_prefix_sums(df, ...).agg(...).collect()
+            out = grouped_prefix_sums(df, ...).agg(...).first()
 
     Actions on the frames must happen INSIDE the scope — the exit
     unpersists, after which re-execution loses the pinned layout

