@@ -18,6 +18,7 @@ place of a docstring caveat.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 from contextlib import contextmanager
 
@@ -90,49 +91,73 @@ def pin_partition_ids(part: DataFrame) -> DataFrame:
     drain.
     """
     pinned = part.persist(StorageLevel.MEMORY_AND_DISK)
-    _session_pins(part.sparkSession).append(pinned)
+    _thread_pins(part.sparkSession).append(pinned)
     return pinned
 
 
-def _session_pins(spark: SparkSession) -> list[DataFrame]:
+def _pins_by_thread(spark: SparkSession) -> dict[int, list[DataFrame]]:
     pins = getattr(spark, _PINS_ATTR, None)
     if pins is None:
-        pins = []
+        pins = {}
         setattr(spark, _PINS_ATTR, pins)
     return pins
 
 
+def _thread_pins(spark: SparkSession) -> list[DataFrame]:
+    """The CURRENT THREAD's pin registry on this session.
+
+    Per-thread so that concurrent builders (the standard Spark
+    multi-threaded-driver pattern) never see — and ``pin_scope`` never
+    unpersists — each other's in-flight pins.  Appends prune entries that
+    were already unpersisted externally (``spark.catalog.clearCache()``,
+    a direct ``unpersist()``), so sessions that clear between jobs don't
+    accumulate dead driver-side references and ``release_pins`` counts
+    stay honest."""
+    pins = _pins_by_thread(spark).setdefault(threading.get_ident(), [])
+    pins[:] = [
+        df
+        for df in pins
+        if df.storageLevel != StorageLevel.NONE
+    ]
+    return pins
+
+
 def release_pins(spark: SparkSession) -> int:
-    """Unpersist every frame ``pin_partition_ids`` registered on this
-    session and return how many were released.  Safe at any time:
-    in-flight jobs recompute evicted partitions from lineage (one RDD,
-    one partitioner — determinism holds), and re-running a returned
-    frame after release merely re-plans without the cache (correct but
-    re-exposed to the divergence the pin prevents, so release between
-    queries, not between actions on one query's frame)."""
-    pins = _session_pins(spark)
-    n = len(pins)
-    for df in pins:
-        df.unpersist()
-    pins.clear()
+    """Unpersist every still-persisted frame ``pin_partition_ids``
+    registered on this session — ALL threads' registries — and return
+    how many were released.  Safe at any time: in-flight jobs recompute
+    evicted partitions from lineage (one RDD, one partitioner —
+    determinism holds), and re-running a returned frame after release
+    merely re-plans without the cache (correct but re-exposed to the
+    divergence the pin prevents, so release between queries, not between
+    actions on one query's frame)."""
+    n = 0
+    by_thread = _pins_by_thread(spark)
+    for pins in by_thread.values():
+        for df in pins:
+            if df.storageLevel != StorageLevel.NONE:
+                df.unpersist()
+                n += 1
+    by_thread.clear()
     return n
 
 
 @contextmanager
 def pin_scope(spark: SparkSession) -> Iterator[None]:
     """Scope pin residency to a block: pins created inside the ``with``
-    are unpersisted on exit (success or raise), pins that existed before
-    are left alone.  The owner-handle for library consumers composing
-    pinned operators in long loops::
+    BY THIS THREAD are unpersisted on exit (success or raise); pins that
+    existed before, and other threads' pins, are left alone.  The
+    owner-handle for library consumers composing pinned operators in
+    long loops::
 
         with pin_scope(spark):
             out = grouped_prefix_sums(df, ...).agg(...).first()
 
     Actions on the frames must happen INSIDE the scope — the exit
     unpersists, after which re-execution loses the pinned layout
-    guarantee.  Watermark-based, so scopes nest; not safe against
-    concurrent builders on the same session from other threads."""
-    pins = _session_pins(spark)
+    guarantee.  Watermark-based on the per-thread registry, so scopes
+    nest and concurrent sessions-sharing threads don't interact."""
+    pins = _thread_pins(spark)
     mark = len(pins)
     try:
         yield

@@ -572,12 +572,16 @@ def auto_band_width(
     (operators/similarity.py).  The 60-bit fingerprint bounds ``w`` at
     15 for 4 bands (~N = 8e3 at margin 2); past that the cap +
     ``max_bucket_size`` + ``simhash_bucket_stats`` audit take over, or
-    widen the fingerprint family.  Deterministic integer loop so the
-    DuckDB oracle twin (pow-of-two comparisons) reproduces it exactly.
+    widen the fingerprint family.  When the fingerprint is too narrow to
+    honor ``min_width`` (``n_bits // n_bands < min_width``, e.g. 32 bits
+    over 8 bands), the geometry cap wins — the returned width always
+    fits the fingerprint.  Deterministic integer loop so the DuckDB
+    oracle twin (pow-of-two comparisons) reproduces it exactly.
     """
-    max_w = max(min_width, n_bits // n_bands)
+    max_w = max(1, n_bits // n_bands)
+    lo = min(min_width, max_w)
     target = max(1, n_docs) << margin
-    for w in range(min_width, max_w + 1):
+    for w in range(lo, max_w + 1):
         if (1 << w) >= target:
             return w
     return max_w
@@ -604,7 +608,10 @@ def _simhash_buckets(
     ``n_bands * band_width`` bits — recall is unaffected (pigeonhole: ≤
     ``n_bands - 1`` differing bits anywhere leave ≥ 1 banded slice
     identical), only the random-collision rate changes."""
-    band_width = band_width or n_bits // n_bands
+    if band_width is None:
+        band_width = n_bits // n_bands
+    if band_width < 1:
+        raise ValueError(f"band_width must be >= 1, got {band_width}")
     if n_bands * band_width > n_bits:
         raise ValueError(
             f"bands overrun the fingerprint: {n_bands} x {band_width} "

@@ -146,13 +146,19 @@ def write_bucketed(
 
 def _managed_location(spark, table_name: str) -> str:
     """Managed-table data directory for ``table_name`` (identifiers are
-    stored lowercased): ``<warehouse>/<db>.db/<tbl>`` for a qualified name,
-    ``<warehouse>/<tbl>`` in the default database."""
-    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    stored lowercased), resolved through the CATALOG, not rebuilt from the
+    warehouse conf: an unqualified name belongs to the session's CURRENT
+    database (not necessarily ``default``), and a database can sit at a
+    custom ``LOCATION`` — deriving ``<warehouse>/<tbl>`` by string math
+    would point the pre-write cleanup at the wrong directory (worst case:
+    deleting an unrelated same-named table's data in ``default``)."""
     parts = table_name.lower().split(".")
     if len(parts) == 2:
-        return f"{wh}/{parts[0]}.db/{parts[1]}"
-    return f"{wh}/{parts[0]}"
+        db, tbl = parts
+    else:
+        db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+    loc = spark.catalog.getDatabase(db).locationUri.rstrip("/")
+    return f"{loc}/{tbl}"
 
 
 def compact_files(

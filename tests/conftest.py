@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import pytest
@@ -17,20 +18,19 @@ def spark():
     # partitioning-invariance sweeps: every oracle hash compare must pass
     # at ANY setting (the engine's determinism contract) — the default 8
     # already differs from the driver/bench parallelism (cpu count).
+    # per-run warehouse: a killed prior suite can leave managed-table
+    # directories (spark-warehouse/t_bucket_*) that a fresh session's
+    # catalog doesn't know, failing saveAsTable with
+    # LOCATION_ALREADY_EXISTS — isolate instead of inheriting, and clean
+    # up on teardown so repeated runs don't litter the shared host
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
     spark = get_spark(
         app_name="tests",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
-        # per-run warehouse: a killed prior suite can leave managed-table
-        # directories (spark-warehouse/t_bucket_*) that a fresh session's
-        # catalog doesn't know, failing saveAsTable with
-        # LOCATION_ALREADY_EXISTS — isolate instead of inheriting
-        extra_conf={
-            "spark.sql.warehouse.dir": tempfile.mkdtemp(
-                prefix="spark-warehouse-"
-            )
-        },
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield spark
+    shutil.rmtree(warehouse, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

@@ -414,3 +414,43 @@ def test_simhash_bands_overrunning_fingerprint_rejected(spark):
         simhash_near_dup_pairs(
             docs, "doc_id", "text", n_bits=32, band_width=16
         )
+
+
+def test_auto_band_width_respects_narrow_fingerprints():
+    """Geometry cap: when n_bits // n_bands < min_width the returned
+    width must shrink to fit the fingerprint, not overrun it (review
+    round 8: the auto entry point crashed on n_bits=32, n_bands=8 where
+    the manual path worked)."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        auto_band_width,
+    )
+
+    assert auto_band_width(10**6, n_bands=8, n_bits=32) == 4
+    assert auto_band_width(1, n_bands=8, n_bits=32) == 4
+
+
+def test_simhash_auto_narrow_geometry_runs(spark):
+    from cassandra_analytics_example_spark.operators.dedup import (
+        simhash_near_dup_pairs_auto,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f"), (2, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dup_pairs_auto(
+        docs, "doc_id", "text", n_bits=32, n_bands=8, max_hamming=3
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_simhash_zero_band_width_rejected(spark):
+    import pytest
+
+    from cassandra_analytics_example_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="band_width"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", band_width=0)

@@ -366,3 +366,55 @@ def test_backfill_overwrites_only_present_partitions(spark, tmpdir):
         .count()
     )
     assert again == n_patch
+
+
+def test_managed_location_respects_current_database(spark):
+    """The pre-write cleanup must target the table's OWN database
+    directory (review round 8: deriving <warehouse>/<tbl> by string math
+    pointed the fs.delete at default.<tbl> while the session was in a
+    different database — a latent wrong-directory delete)."""
+    from cassandra_analytics_example_spark.operators.layout import (
+        _managed_location,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS altdb")
+    try:
+        default_loc = _managed_location(spark, "tname")
+        qualified = _managed_location(spark, "altdb.tname")
+        assert qualified.rstrip("/").endswith("altdb.db/tname")
+        assert default_loc != qualified
+        spark.catalog.setCurrentDatabase("altdb")
+        try:
+            assert _managed_location(spark, "tname") == qualified
+            assert _managed_location(spark, "default.tname") == default_loc
+        finally:
+            spark.catalog.setCurrentDatabase("default")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS altdb CASCADE")
+
+
+def test_write_bucketed_in_non_default_database(spark):
+    from cassandra_analytics_example_spark.operators.layout import (
+        _managed_location,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    try:
+        # seed BOTH a same-named default-db table and an orphan at the
+        # qualified location: the cleanup must remove only the orphan
+        write_bucketed(df, "t_scoped", "k", 2)
+        import os
+
+        loc = _managed_location(spark, "bdb.t_scoped").replace("file:", "")
+        os.makedirs(loc, exist_ok=True)
+        open(os.path.join(loc, "orphan"), "w").write("x")
+        write_bucketed(df, "bdb.t_scoped", "k", 2)
+        assert spark.table("bdb.t_scoped").count() == 200
+        # the default-db twin survived the qualified write untouched
+        assert spark.table("t_scoped").count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_scoped")
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")

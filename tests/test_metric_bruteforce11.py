@@ -112,6 +112,13 @@ def test_ab_chisq_matches_python(spark, tmp_path):
 
     rng = np.random.default_rng(82)
     pdf = _events_pdf(rng, 6000, 400, 5 * 86_400_000_000)
+    # _events_pdf values are uniform(1, 50) but conversion requires a
+    # purchase with value >= 90 — lift a random slice of purchases over
+    # the threshold so both converted and unconverted users exist in both
+    # arms and the chi-square verdict path is actually exercised
+    purchases = pdf.index[pdf["event_type"] == "purchase"]
+    lifted = rng.choice(purchases, size=len(purchases) // 3, replace=False)
+    pdf.loc[lifted, "value"] = rng.uniform(90, 120, len(lifted)).round(2)
     pdf.to_parquet(tmp_path / "events.parquet")
     got = q204_ab_test_chisq(spark, str(tmp_path)).collect()[0]
 
@@ -138,8 +145,10 @@ def test_ab_chisq_matches_python(spark, tmp_path):
         > 3841 * (a + b) * (c + d) * (a + c) * (b + d)
     )
     assert got.significant == want_sig
-    # the md5 split must produce two live arms or the verdict is vacuous
+    # both arms live AND conversions present — otherwise the verdict
+    # (and this twin) would be vacuously "not significant"
     assert a + b > 0 and c + d > 0
+    assert a > 0 and c > 0 and b > 0 and d > 0
 
 
 def test_seasonal_forecast_mae_matches_python(spark, tmp_path):
@@ -292,7 +301,6 @@ def test_hll_shard_merge_matches_hashlib(spark, tmp_path):
     merged: dict[int, int] = {}
     for (shard, bucket), r in regs.items():
         merged[bucket] = max(merged.get(bucket, 0), r)
-        shard_scope = f"shard_{shard}"
     for shard in range(4):
         mine = {b: r for (s, b), r in regs.items() if s == shard}
         assert got[f"shard_{shard}"] == pytest.approx(

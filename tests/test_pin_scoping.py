@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.operators.checkpoints import (
-    _session_pins,
+    _thread_pins,
     pin_partition_ids,
     pin_scope,
     release_pins,
@@ -60,7 +60,7 @@ def test_terminal_metrics_leave_no_cache_entries(spark):
         "localCheckpoint + pin_scope release in operators/ranking.py "
         "regressed"
     )
-    assert not _session_pins(spark)
+    assert not _thread_pins(spark)
     # results stay deterministic and re-collectable after release
     assert rows[0] == rows[2] == rows[4]
     assert rows[1] == rows[3] == rows[5]
@@ -81,9 +81,9 @@ def test_pin_scope_releases_only_inner_pins(spark):
             )
         )
         inner.count()
-        assert len(_session_pins(spark)) == 2
+        assert len(_thread_pins(spark)) == 2
     # inner released, outer survives
-    assert _session_pins(spark) == [outer]
+    assert _thread_pins(spark) == [outer]
     assert outer.storageLevel.useMemory
     assert not inner.storageLevel.useMemory
     assert release_pins(spark) == 1
@@ -101,9 +101,73 @@ def test_release_pins_drains_row_level_operators(spark):
     )
     pre = exclusive_prefix_sums(g, ["score"], ["n"])
     total = pre.agg(F.sum("n")).first()[0]
-    assert len(_session_pins(spark)) == 1
+    assert len(_thread_pins(spark)) == 1
     assert release_pins(spark) == 1
-    assert _session_pins(spark) == []
+    assert _thread_pins(spark) == []
     # idempotent
     assert release_pins(spark) == 0
     assert pre.agg(F.sum("n")).first()[0] == total
+
+
+def test_pin_registries_are_per_thread(spark):
+    """Concurrent builders (the standard multi-threaded Spark driver
+    pattern) must not see or release each other's pins — the eager
+    metrics wrap pin_scope internally, so this is imposed on callers who
+    never opted in; per-thread registries make it safe."""
+    import threading
+
+    release_pins(spark)
+    results = {}
+
+    def build(tag, n):
+        # DISTINCT plan per thread: identical plans share one CacheManager
+        # entry (dedup by canonicalized plan), so one thread's unpersist
+        # would clear them all — inherent Spark behavior, not a registry
+        # property, and not the concurrent-builder shape (real builders
+        # run different queries)
+        with pin_scope(spark):
+            p = pin_partition_ids(
+                spark.range(n).repartitionByRange(4, "id").withColumn(
+                    "__pid", F.spark_partition_id()
+                )
+            )
+            results[tag] = p.count()
+            # while inside MY scope, my thread sees exactly my pin
+            results[f"{tag}_pins"] = len(_thread_pins(spark))
+
+    threads = [
+        threading.Thread(target=build, args=(f"t{i}", 2000 + 111 * i))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(results[f"t{i}"] == 2000 + 111 * i for i in range(3))
+    assert all(results[f"t{i}_pins"] == 1 for i in range(3))
+    # every scope exit released its own pin; nothing left anywhere
+    assert release_pins(spark) == 0
+
+
+def test_thread_registry_prunes_externally_cleared_pins(spark):
+    """spark.catalog.clearCache() unpersists behind the registry's back
+    (bench.py does this per run); the next append must prune the dead
+    references so long sessions don't accumulate them and release counts
+    stay honest."""
+    release_pins(spark)
+    pin_partition_ids(
+        spark.range(500).repartitionByRange(2, "id").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    ).count()
+    assert len(_thread_pins(spark)) == 1
+    spark.catalog.clearCache()
+    p2 = pin_partition_ids(
+        spark.range(600).repartitionByRange(2, "id").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    p2.count()
+    pins = _thread_pins(spark)
+    assert pins == [p2]  # the cleared pin was pruned on append
+    assert release_pins(spark) == 1
