@@ -178,6 +178,13 @@ def main() -> None:
         "peak_storage_bytes": peak_storage,
         "storage_budget_bytes": STORAGE_BUDGET_BYTES,
         "storage_within_budget": peak_storage <= STORAGE_BUDGET_BYTES,
+        # the r1/r6 anchors were best-of-2 with clearCache only BETWEEN
+        # queries, so for queries that persist internal layers their min
+        # was a WARM run-2; ratios against them are cold-vs-warm and read
+        # high (verified round 8: q21 warm 2.2s == anchor 2.6s, cold 5.7s
+        # — no plan change). BENCH_ANCHOR_COLD.json is the cold-basis
+        # anchor; vs_anchor_cold is the like-for-like per-round ratio.
+        "methodology_note": "cache-cold per run since round 8",
     }
 
     # diff against the recorded anchor (BENCH_BASELINE.json, round-1 best-of-2
@@ -228,6 +235,28 @@ def main() -> None:
                 )
                 report["vs_anchor_queries"] = {
                     n: round(timings[n] / fa_q[n], 3) for n in common
+                }
+
+    # BENCH_ANCHOR_COLD.json: first cold-methodology anchor (round 8) —
+    # the like-for-like reference once every run is cache-cold.
+    cold_anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR_COLD.json"
+    )
+    if os.path.exists(cold_anchor_path):
+        with open(cold_anchor_path) as f:
+            ca = json.load(f)
+        if ca.get("sf") == report["sf"]:
+            ca_q = ca.get("queries", {})
+            common = [n for n in timings if ca_q.get(n)]
+            if common:
+                report["cold_anchor_round"] = ca.get("round")
+                report["vs_anchor_cold"] = round(
+                    sum(timings[n] for n in common)
+                    / sum(ca_q[n] for n in common),
+                    3,
+                )
+                report["vs_anchor_cold_queries"] = {
+                    n: round(timings[n] / ca_q[n], 3) for n in common
                 }
 
     print(json.dumps(report))
