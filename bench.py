@@ -156,7 +156,7 @@ def main() -> None:
             # pin_partition_ids) register in the SQL CacheManager and would
             # serve later runs warm, which the anchors never were; draining
             # the pin registries keeps the driver-side references bounded
-            release_pins(spark)
+            release_pins(spark, all_threads=True)  # single-threaded: quiescent
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             force(qd.fn(spark, sf_dir))

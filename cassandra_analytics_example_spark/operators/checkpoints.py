@@ -90,17 +90,37 @@ def pin_partition_ids(part: DataFrame) -> DataFrame:
     ``spark.catalog.clearCache()`` remains the blunt whole-session
     drain.
     """
-    pinned = part.persist(StorageLevel.MEMORY_AND_DISK)
-    _thread_pins(part.sparkSession).append(pinned)
+    return _register_pin(part.persist(StorageLevel.MEMORY_AND_DISK))
+
+
+_PINS_LOCK = threading.Lock()
+
+#: prune-on-append is skipped past this many live registrations per thread:
+#: each prune probes ``df.storageLevel`` (a py4j round trip + CacheManager
+#: plan lookup) per entry, so unbounded per-append pruning is O(K²) across
+#: K pins.  Sessions pinning more than this between releases should be
+#: using ``pin_scope``/``release_pins`` anyway — that is the discipline.
+_PRUNE_ON_APPEND_LIMIT = 64
+
+
+def _register_pin(pinned: DataFrame) -> DataFrame:
+    """Record a persisted frame in the CURRENT THREAD's registry so
+    ``pin_scope``/``release_pins`` can drain it.  Shared by
+    ``pin_partition_ids`` and ``session.pin_small`` — every library
+    persist goes through here, or the residency scoping would silently
+    not cover it."""
+    pins = _thread_pins(pinned.sparkSession)
+    pins.append(pinned)
     return pinned
 
 
 def _pins_by_thread(spark: SparkSession) -> dict[int, list[DataFrame]]:
-    pins = getattr(spark, _PINS_ATTR, None)
-    if pins is None:
-        pins = {}
-        setattr(spark, _PINS_ATTR, pins)
-    return pins
+    with _PINS_LOCK:
+        pins = getattr(spark, _PINS_ATTR, None)
+        if pins is None:
+            pins = {}
+            setattr(spark, _PINS_ATTR, pins)
+        return pins
 
 
 def _thread_pins(spark: SparkSession) -> list[DataFrame]:
@@ -108,37 +128,47 @@ def _thread_pins(spark: SparkSession) -> list[DataFrame]:
 
     Per-thread so that concurrent builders (the standard Spark
     multi-threaded-driver pattern) never see — and ``pin_scope`` never
-    unpersists — each other's in-flight pins.  Appends prune entries that
-    were already unpersisted externally (``spark.catalog.clearCache()``,
-    a direct ``unpersist()``), so sessions that clear between jobs don't
-    accumulate dead driver-side references and ``release_pins`` counts
-    stay honest."""
-    pins = _pins_by_thread(spark).setdefault(threading.get_ident(), [])
-    pins[:] = [
-        df
-        for df in pins
-        if df.storageLevel != StorageLevel.NONE
-    ]
+    unpersists — each other's in-flight pins; the dict itself is guarded
+    by a lock so first-touch from two threads cannot lose a registry.
+    Fetches prune entries that were already unpersisted externally
+    (``spark.catalog.clearCache()``, a direct ``unpersist()``) while the
+    registry is small (``_PRUNE_ON_APPEND_LIMIT``), so sessions that
+    clear between jobs don't accumulate dead driver-side references and
+    ``release_pins`` counts stay honest."""
+    by_thread = _pins_by_thread(spark)
+    with _PINS_LOCK:
+        pins = by_thread.setdefault(threading.get_ident(), [])
+    if len(pins) <= _PRUNE_ON_APPEND_LIMIT:
+        pins[:] = [df for df in pins if df.storageLevel != StorageLevel.NONE]
     return pins
 
 
-def release_pins(spark: SparkSession) -> int:
-    """Unpersist every still-persisted frame ``pin_partition_ids``
-    registered on this session — ALL threads' registries — and return
-    how many were released.  Safe at any time: in-flight jobs recompute
-    evicted partitions from lineage (one RDD, one partitioner —
-    determinism holds), and re-running a returned frame after release
-    merely re-plans without the cache (correct but re-exposed to the
-    divergence the pin prevents, so release between queries, not between
-    actions on one query's frame)."""
+def release_pins(spark: SparkSession, *, all_threads: bool = False) -> int:
+    """Unpersist every still-persisted registered pin of the CURRENT
+    thread (default) and return how many were released.
+
+    Current-thread-only by default because a pin another thread has
+    BUILT but not yet EXECUTED must not lose its cache entry: the plan
+    would then compile without the shared ``InMemoryRelation`` and the
+    pid-keyed join silently drops rows — the exact divergence
+    ``pin_partition_ids`` exists to prevent.  (For the current thread
+    this cannot happen: you are the one calling.)  ``all_threads=True``
+    drains every thread's registry — only for quiescent points where no
+    other thread is building or running pinned queries (bench between
+    runs, session teardown)."""
     n = 0
     by_thread = _pins_by_thread(spark)
-    for pins in by_thread.values():
+    with _PINS_LOCK:
+        if all_threads:
+            drain: list[list[DataFrame]] = list(by_thread.values())
+            by_thread.clear()
+        else:
+            drain = [by_thread.pop(threading.get_ident(), [])]
+    for pins in drain:
         for df in pins:
             if df.storageLevel != StorageLevel.NONE:
                 df.unpersist()
                 n += 1
-    by_thread.clear()
     return n
 
 
@@ -155,13 +185,16 @@ def pin_scope(spark: SparkSession) -> Iterator[None]:
 
     Actions on the frames must happen INSIDE the scope — the exit
     unpersists, after which re-execution loses the pinned layout
-    guarantee.  Watermark-based on the per-thread registry, so scopes
-    nest and concurrent sessions-sharing threads don't interact."""
-    pins = _thread_pins(spark)
-    mark = len(pins)
+    guarantee.  The entry watermark is the SET of frames present (not a
+    list index): mid-scope ``clearCache``/``release_pins`` prune or swap
+    the underlying list, and an index watermark would then let in-scope
+    pins escape the exit.  Scopes nest; threads don't interact."""
+    before = {id(df) for df in _thread_pins(spark)}
     try:
         yield
     finally:
-        for df in pins[mark:]:
-            df.unpersist()
-        del pins[mark:]
+        pins = _thread_pins(spark)  # re-fetch: list may have been swapped
+        for df in pins:
+            if id(df) not in before:
+                df.unpersist()
+        pins[:] = [df for df in pins if id(df) in before]

@@ -130,14 +130,34 @@ def write_bucketed(
     entry — ``saveAsTable`` then raises ``LOCATION_ALREADY_EXISTS``.  So the
     write is preceded by ``DROP TABLE IF EXISTS`` plus a Hadoop-FS delete of
     the orphaned managed location (object-store safe, no ``os.*``) — a
-    kill + rerun is green without manual cleanup."""
+    kill + rerun is green without manual cleanup.  Guard rails on the
+    destructive pre-step: the INPUT is validated first (its plan must
+    analyze and contain ``key``/``sort_by``), so a malformed new frame
+    fails BEFORE the previous table is touched; and the location delete
+    runs only when the prior table was absent (the orphan case) or
+    MANAGED (whose data ``DROP TABLE`` deletes anyway) — an EXTERNAL
+    table's data, which ``DROP TABLE`` deliberately preserves, is never
+    swept."""
     spark = df.sparkSession
+    cols = df.columns  # forces analysis — a broken plan fails here, pre-drop
+    for c in filter(None, (key, sort_by)):
+        if c not in cols:
+            raise ValueError(
+                f"column {c!r} not in DataFrame columns {cols} — refusing "
+                f"to drop {table_name}"
+            )
+    prior_type = None
+    if spark.catalog.tableExists(table_name):
+        prior_type = spark.catalog.getTable(table_name).tableType
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(_managed_location(spark, table_name))
-    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    if prior_type in (None, "MANAGED"):
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(
+            _managed_location(spark, table_name)
+        )
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort_by:
         writer = writer.sortBy(sort_by)

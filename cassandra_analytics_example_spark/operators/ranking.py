@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from cassandra_analytics_example_spark.operators.checkpoints import (
     pin_partition_ids,
     pin_scope,
+    truncate_plan,
 )
 
 
@@ -100,6 +101,7 @@ def roc_auc_exact(
     score_col: str = "score",
     label_col: str = "is_pos",
     num_partitions: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact ROC AUC by the Mann-Whitney U rank statistic, tie-corrected,
     in pure integer arithmetic.
@@ -122,15 +124,20 @@ def roc_auc_exact(
     range-partitioned cell-offset pattern, so no task ever holds a
     whole score ordering.
 
-    EAGER: the one-row result is materialized (``localCheckpoint``) and
-    the internal partition pin released before returning, so looping
-    callers cannot accumulate CacheManager entries (the returned frame
-    reads the checkpointed row, lineage-free).
+    EAGER: the one-row result is materialized and the internal partition
+    pin released before returning, so looping callers cannot accumulate
+    CacheManager entries (the returned frame reads the checkpointed row,
+    lineage-free).  Default materialization is ``localCheckpoint`` —
+    right on ``local[*]``, but its blocks die with a decommissioned
+    executor and the truncated lineage cannot recompute; on a cluster
+    with dynamic allocation pass ``checkpoint_dir`` for the reliable
+    path (``operators/checkpoints.py:truncate_plan``).
     """
     with pin_scope(scored.sparkSession):
-        return _roc_auc_lazy(
-            scored, score_col, label_col, num_partitions
-        ).localCheckpoint(eager=True)
+        return truncate_plan(
+            _roc_auc_lazy(scored, score_col, label_col, num_partitions),
+            checkpoint_dir,
+        )
 
 
 def _roc_auc_lazy(
@@ -189,6 +196,7 @@ def average_precision_exact(
     score_col: str = "score",
     label_col: str = "is_pos",
     num_partitions: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact average precision (area under the step PR curve) in pure
     integer arithmetic — the PR-side companion to ``roc_auc_exact``.
@@ -211,13 +219,17 @@ def average_precision_exact(
     ``ap_ppm`` NULL instead of coming back empty (and the division is
     guarded so ANSI mode cannot raise on ``P = 0``).
 
-    EAGER like ``roc_auc_exact``: one-row result localCheckpointed, the
-    internal pin released before returning.
+    EAGER like ``roc_auc_exact``: one-row result materialized, the
+    internal pin released before returning; ``checkpoint_dir`` selects
+    the executor-loss-safe reliable checkpoint on clusters.
     """
     with pin_scope(scored.sparkSession):
-        return _average_precision_lazy(
-            scored, score_col, label_col, num_partitions
-        ).localCheckpoint(eager=True)
+        return truncate_plan(
+            _average_precision_lazy(
+                scored, score_col, label_col, num_partitions
+            ),
+            checkpoint_dir,
+        )
 
 
 def _average_precision_lazy(

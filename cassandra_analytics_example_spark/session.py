@@ -187,7 +187,15 @@ def pin_small(df):
     in the unigram scorer before this). Caching the corpus-sized layer is
     not an option at 100 TB; caching the layer whose size tracks the
     VOCABULARY/stratum count is — memory-and-disk, LRU-evicted, identical
-    logical plans share one entry across repeated query invocations."""
+    logical plans share one entry across repeated query invocations.
+
+    Registers in the per-thread pin registry like ``pin_partition_ids``,
+    so ``pin_scope``/``release_pins`` cover BOTH pin families — a scoped
+    loop over vocabulary-pinned queries drains these too."""
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    from cassandra_analytics_example_spark.operators.checkpoints import (
+        _register_pin,
+    )
+
+    return _register_pin(df.persist(StorageLevel.MEMORY_AND_DISK))

@@ -171,3 +171,71 @@ def test_thread_registry_prunes_externally_cleared_pins(spark):
     pins = _thread_pins(spark)
     assert pins == [p2]  # the cleared pin was pruned on append
     assert release_pins(spark) == 1
+
+
+def test_pin_scope_survives_midscope_clearcache(spark):
+    """The scope watermark is the SET of frames at entry, not a list
+    index: a mid-scope clearCache prunes pre-existing entries from the
+    registry, and an index watermark would then let in-scope pins escape
+    the exit (round-8 second review)."""
+    release_pins(spark)
+    outer = pin_partition_ids(
+        spark.range(900).repartitionByRange(3, "id").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    outer.count()
+    with pin_scope(spark):
+        spark.catalog.clearCache()  # kills outer behind the registry's back
+        inner = pin_partition_ids(
+            spark.range(901).repartitionByRange(3, "id").withColumn(
+                "__pid", F.spark_partition_id()
+            )
+        )
+        inner.count()
+    assert not inner.storageLevel.useMemory, "in-scope pin escaped the exit"
+    assert release_pins(spark) == 0
+
+
+def test_pin_small_registers_in_the_scope(spark):
+    """pin_small persists must drain under pin_scope/release_pins too —
+    the vocabulary/stratum pins are the other half of the residency
+    class (round-8 second review)."""
+    from cassandra_analytics_example_spark.session import pin_small
+
+    release_pins(spark)
+    spark.catalog.clearCache()
+    with pin_scope(spark):
+        small = pin_small(
+            spark.range(100).groupBy((F.col("id") % 5).alias("g")).count()
+        )
+        small.count()
+        assert len(_thread_pins(spark)) == 1
+    assert not small.storageLevel.useMemory
+    assert _cache_manager_empty(spark)
+
+
+def test_release_pins_default_is_current_thread_only(spark):
+    """A pin built (not yet executed) by another thread must survive a
+    default release_pins from this thread — unpersisting it would compile
+    its consumers without the shared InMemoryRelation and reintroduce the
+    pid-divergence row loss."""
+    import threading
+
+    release_pins(spark, all_threads=True)
+    built = {}
+
+    def build():
+        built["p"] = pin_partition_ids(
+            spark.range(12345).repartitionByRange(4, "id").withColumn(
+                "__pid", F.spark_partition_id()
+            )
+        )
+        # built, NOT executed — the dangerous window
+
+    t = threading.Thread(target=build)
+    t.start(); t.join()
+    assert release_pins(spark) == 0  # current thread: nothing to drain
+    built["p"].count()  # executes with its cache entry intact
+    assert built["p"].storageLevel.useMemory
+    assert release_pins(spark, all_threads=True) == 1
