@@ -1,0 +1,108 @@
+"""hashlib twins for the md5-as-spec sampling/sharding family.
+
+These queries' oracles were classed as justified exceptions in the
+round-8 twin inventory: the md5 hash IS the declared semantics, and
+Spark's JVM md5 vs DuckDB's native md5 already cross two independent
+implementations.  These tests add the THIRD (`hashlib`) anyway and
+recompute the surrounding selection algebra from scratch in plain
+Python — so even the "trivial" routing algebra (mod compare, integer
+cross-product keep rule, shard/offset arithmetic) has an
+engine-independent recomputation, and the exception class is covered
+rather than argued.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+
+from cassandra_analytics_example_spark.queries import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _u60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hash_sample_matches_hashlib(spark):
+    got = {
+        r.o_orderkey
+        for r in load_all()["q36_hash_sample"].fn(spark, SF_DIR).collect()
+    }
+    keys = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]
+    ).column(0).to_pylist()
+    want = {k for k in keys if _u60(str(k)) % 100 < 5}
+    assert got == want
+    assert 0 < len(want) < len(keys)  # a real, non-degenerate sample
+
+
+def test_hash_split_matches_hashlib(spark):
+    got = {
+        r.doc_id: r.split
+        for r in load_all()["q42_hash_split"].fn(spark, SF_DIR).collect()
+    }
+    ids = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+    ).column(0).to_pylist()
+
+    def split(i):
+        b = _u60(str(i)) % 10000
+        return "train" if b < 9000 else ("val" if b < 9500 else "test")
+
+    assert got == {i: split(i) for i in ids}
+    assert set(got.values()) >= {"train"}  # 90% bucket must be occupied
+
+
+def test_stratified_sample_matches_hashlib(spark):
+    got = {
+        r.doc_id
+        for r in load_all()["q58_stratified_sample"].fn(spark, SF_DIR).collect()
+    }
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+    cnt: dict[str, int] = {}
+    for _, lang in rows:
+        cnt[lang] = cnt.get(lang, 0) + 1
+    mn = min(cnt.values())
+    want = {
+        i for i, lang in rows if (_u60(str(i)) % 10000) * cnt[lang] < mn * 10000
+    }
+    assert got == want
+    # the smallest stratum is kept ~whole; larger strata are downsampled
+    kept_by_lang: dict[str, int] = {}
+    for i, lang in rows:
+        if i in want:
+            kept_by_lang[lang] = kept_by_lang.get(lang, 0) + 1
+    assert max(cnt.values()) > mn  # fixture has unequal strata
+    assert all(v <= mn + 1 or v < cnt[k] for k, v in kept_by_lang.items())
+
+
+def test_deterministic_shuffle_matches_hashlib(spark):
+    got = {
+        r.doc_id: (r.shard, r.pos_in_shard, r.global_pos)
+        for r in load_all()["q126_deterministic_shuffle"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    ids = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+    ).column(0).to_pylist()
+    keyed = [(i, _u60(f"epoch0:{i}")) for i in ids]
+    by_shard: dict[int, list] = {}
+    for i, k in keyed:
+        by_shard.setdefault(k % 64, []).append((k, i))
+    want = {}
+    off = 0
+    for shard in sorted(by_shard):
+        members = sorted(by_shard[shard])
+        for pos, (_, i) in enumerate(members):
+            want[i] = (shard, pos, off + pos)
+        off += len(members)
+    assert got == want
+    # the permutation is a bijection onto 0..N-1
+    assert sorted(g for _, _, g in got.values()) == list(range(len(ids)))
