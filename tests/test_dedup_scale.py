@@ -454,3 +454,42 @@ def test_simhash_zero_band_width_rejected(spark):
     docs = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="band_width"):
         simhash_near_dup_pairs(docs, "doc_id", "text", band_width=0)
+
+
+def test_auto_band_width_sql_twin_agrees_for_any_corpus_size():
+    """The oracle's params CTE (smallest w in [8,15] with 2^w >= 4N, else
+    15) must reproduce auto_band_width for EVERY corpus size, not just
+    the fixture scales — hypothesis sweeps N across the whole range the
+    driver could ever present, including the pow-of-two boundaries where
+    a float-vs-int comparison discrepancy would bite."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_analytics_example_spark.operators.dedup import (
+        auto_band_width,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.one_of(
+            st.integers(min_value=0, max_value=200_000),
+            # exact power-of-two boundaries and off-by-ones
+            st.integers(min_value=6, max_value=16).flatmap(
+                lambda k: st.sampled_from(
+                    [(1 << k) // 4 - 1, (1 << k) // 4, (1 << k) // 4 + 1]
+                )
+            ),
+        )
+    )
+    def check(n):
+        (w_sql,) = con.execute(
+            "SELECT w FROM range(8, 16) t(w), (SELECT ? AS n) c "
+            "WHERE pow(2, w) >= 4 * c.n OR w = 15 ORDER BY w LIMIT 1",
+            [n],
+        ).fetchone()
+        assert w_sql == auto_band_width(n), (n, w_sql, auto_band_width(n))
+
+    check()
