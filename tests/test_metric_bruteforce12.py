@@ -106,3 +106,73 @@ def test_deterministic_shuffle_matches_hashlib(spark):
     assert got == want
     # the permutation is a bijection onto 0..N-1
     assert sorted(g for _, _, g in got.values()) == list(range(len(ids)))
+
+
+def test_sequence_packing_matches_hashlib(spark):
+    got = {
+        r.doc_id: (r.bucket, r.n_tokens, r.start_tok, r.first_seq, r.last_seq)
+        for r in load_all()["q60_sequence_packing"].fn(spark, SF_DIR).collect()
+    }
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+    by_bucket: dict[int, list] = {}
+    for i, text in rows:
+        h = _u60(str(i))
+        by_bucket.setdefault(h % 64, []).append((h, i, len(text.split(" "))))
+    want = {}
+    for bucket, members in by_bucket.items():
+        members.sort(key=lambda m: (m[0], m[1]))
+        start = 0
+        for _, i, n in members:
+            want[i] = (bucket, n, start, start // 256, (start + n - 1) // 256)
+            start += n
+    assert got == want
+    # packing is gap-free per bucket: offsets tile exactly
+    assert all(v[2] >= 0 for v in want.values())
+
+
+def test_token_budget_selection_matches_python(spark):
+    """q121 quality-greedy budget selection: the ranking key includes a
+    FLOAT quality score, recomputed here with IEEE-double arithmetic in
+    the same operation order (Python float == C double), plus the md5
+    subkey and the per-language cumulative budget cut."""
+    import re
+
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens, r.selected)
+        for r in load_all()["q121_token_budget_selection"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    rows = list(
+        zip(
+            tbl.column(0).to_pylist(),
+            tbl.column(1).to_pylist(),
+            tbl.column(2).to_pylist(),
+        )
+    )
+    stop = {"the", "and", "of", "to", "a"}
+    per_lang: dict[str, list] = {}
+    for i, text, lang in rows:
+        toks = text.split(" ")
+        n = len(toks)
+        non_alnum = len(text) - len(re.sub(r"[^a-zA-Z0-9 ]", "", text))
+        qs = (
+            min(n / 100.0, 1.0) * 0.4
+            + (1.0 - non_alnum / len(text)) * 0.3
+            + sum(1 for t in toks if t in stop) / n * 0.3
+        )
+        band = int(qs * 64 // 1)
+        sub = _u60(str(i)) % 4
+        per_lang.setdefault(lang, []).append((-band, sub, -qs, i, n))
+    want = {}
+    for lang, members in per_lang.items():
+        members.sort()
+        cum = 0
+        for _, _, _, i, n in members:
+            cum += n
+            want[i] = (n, cum, cum <= 2000)
+    assert got == want
