@@ -176,3 +176,50 @@ def test_token_budget_selection_matches_python(spark):
             cum += n
             want[i] = (n, cum, cum <= 2000)
     assert got == want
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    """Rabin-Karp base-31 prefix hash recomputed with plain Python ints
+    over the same leading 64 chars — pins the polynomial, the modulus,
+    and the duplicate-group reduction."""
+    got = {
+        r.rhash: (r.n_docs, r.first_doc)
+        for r in load_all()["q34_rolling_fingerprint"].fn(spark, SF_DIR).collect()
+    }
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    groups: dict[int, list] = {}
+    for i, text in zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()):
+        h = 0
+        for ch in text[:64]:
+            h = (h * 31 + ord(ch)) % 2147483647
+        groups.setdefault(h, []).append(i)
+    want = {
+        h: (len(ids), min(ids)) for h, ids in groups.items() if len(ids) > 1
+    }
+    assert got == want
+    assert want, "fixture must contain at least one shared-prefix group"
+
+
+def test_weighted_sample_matches_hashlib(spark):
+    """Probability-proportional-to-size keep rule recomputed with exact
+    Python integers (the engine uses DECIMAL(38,0) cross-multiplication;
+    Python ints are exact at any width, so agreement pins the no-overflow
+    claim too)."""
+    got = {
+        r.doc_id
+        for r in load_all()["q105_weighted_sample"].fn(spark, SF_DIR).collect()
+    }
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+    tw = sum(int(n) for _, n in rows)
+    want = {
+        i
+        for i, n in rows
+        if (_u60(str(i)) % 1073741824) * tw < int(n) * 100 * 1073741824
+    }
+    assert got == want
+    # expected-100 sampling on a 50-doc fixture keeps most-but-not-all or
+    # all docs depending on weights; the rule itself must be non-vacuous
+    assert 0 < len(want) <= len(rows)
