@@ -223,3 +223,48 @@ def test_weighted_sample_matches_hashlib(spark):
     # expected-100 sampling on a 50-doc fixture keeps most-but-not-all or
     # all docs depending on weights; the rule itself must be non-vacuous
     assert 0 < len(want) <= len(rows)
+
+
+def test_poisson_bootstrap_ci_matches_python(spark):
+    """q217: deterministic Poisson(1) resample weights via exact integer
+    inverse-CDF on the md5-uniform, per-resample truncated-integer means,
+    and the order-statistic CI — all recomputed with hashlib + plain
+    ints on the real events fixture."""
+    from cassandra_analytics_example_spark.queries.events import (
+        _Q217_B,
+        _Q217_T,
+        q217_poisson_bootstrap_ci,
+    )
+
+    got = q217_poisson_bootstrap_ci(spark, SF_DIR).collect()[0]
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    cols = {c: tbl.column(c).to_pylist() for c in ("event_id", "event_type", "value", "ts")}
+    d = [
+        (eid, round(float(v) * 100))
+        for eid, et, v in zip(cols["event_id"], cols["event_type"], cols["value"])
+        if et == "purchase"
+    ]
+
+    def weight(u):
+        for k, t in enumerate(_Q217_T):
+            if u < t:
+                return k
+        return 5
+
+    means = []
+    for b in range(_Q217_B):
+        sw = swc = 0
+        for eid, cents in d:
+            w = weight(_u60(f"{eid}#{b}"))
+            sw += w
+            swc += w * cents
+        if sw > 0:
+            means.append(swc * 10000 // sw)
+    means.sort()
+    point = sum(c for _, c in d) * 10000 // len(d)
+    assert got.mean_microcents == point
+    assert got.n_resamples == len(means)
+    assert got.ci_lo == means[1]        # 2nd smallest (OFFSET 1)
+    assert got.ci_hi == means[-2]       # 2nd largest
+    assert means[0] <= point <= means[-1]  # CI brackets the point estimate
