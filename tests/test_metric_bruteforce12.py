@@ -268,3 +268,56 @@ def test_poisson_bootstrap_ci_matches_python(spark):
     assert got.ci_lo == means[1]        # 2nd smallest (OFFSET 1)
     assert got.ci_hi == means[-2]       # 2nd largest
     assert means[0] <= point <= means[-1]  # CI brackets the point estimate
+
+
+def test_noisy_release_matches_hashlib(spark):
+    """q227 DP-style release: seeded bounded noise from md5('q227c'/'q227s'
+    || group) recomputed with hashlib — pins the noise derivation, width,
+    and that the released values are exactly true + noise."""
+    from cassandra_analytics_example_spark.queries.events import (
+        _Q227_NOISE_HALF_WIDTH as HW,
+        q227_noisy_release,
+    )
+
+    got = {
+        r.event_type: (r.n_released, r.sum_micro_released, r.noise_half_width)
+        for r in q227_noisy_release(spark, SF_DIR).collect()
+    }
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    agg: dict[str, list] = {}
+    for et, v in zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()):
+        a = agg.setdefault(et, [0, 0])
+        a[0] += 1
+        a[1] += round(float(v) * 1_000_000)
+    want = {}
+    for et, (n, s) in agg.items():
+        noise_n = _u60("q227c" + et) % (2 * HW + 1) - HW
+        noise_s = _u60("q227s" + et) % (2 * HW + 1) - HW
+        want[et] = (n + noise_n, s + noise_s, HW)
+    assert got == want
+    # noise must actually perturb at least one group (seeded, not zeroed)
+    assert any(want[et][0] != agg[et][0] for et in agg)
+
+
+def test_domain_caps_matches_hashlib(spark):
+    """q65 per-domain caps: synthetic URL derivation, host extraction, and
+    the hash-ordered top-20 per domain recomputed in Python."""
+    got = {
+        r.doc_id: (r.domain, r.rnk)
+        for r in load_all()["q65_domain_caps"].fn(spark, SF_DIR).collect()
+    }
+    ids = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+    ).column(0).to_pylist()
+    by_domain: dict[str, list] = {}
+    for i in ids:
+        if i % 2 != 0:
+            continue
+        domain = f"site{i % 7}.example.com"
+        by_domain.setdefault(domain, []).append((_u60(str(i)), i))
+    want = {}
+    for domain, members in by_domain.items():
+        members.sort()
+        for rnk, (_, i) in enumerate(members[:20], start=1):
+            want[i] = (domain, rnk)
+    assert got == want
