@@ -321,3 +321,48 @@ def test_domain_caps_matches_hashlib(spark):
         for rnk, (_, i) in enumerate(members[:20], start=1):
             want[i] = (domain, rnk)
     assert got == want
+
+
+def test_fingerprint_groups_match_hashlib(spark):
+    """q29 canonical-form fingerprint: lower → strip non-alnum → collapse
+    spaces → trim → md5, recomputed with Python re + hashlib (third md5
+    implementation and an independent regex engine)."""
+    import re
+
+    got = {
+        r.fingerprint: (r.n_docs, r.min_doc_id)
+        for r in load_all()["q29_fingerprint_groups"].fn(spark, SF_DIR).collect()
+    }
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    groups: dict[str, list] = {}
+    for i, text in zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()):
+        canon = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+        fp = hashlib.md5(canon.encode()).hexdigest()
+        groups.setdefault(fp, []).append(i)
+    want = {fp: (len(ids), min(ids)) for fp, ids in groups.items()}
+    assert got == want
+
+
+def test_normalization_gain_matches_hashlib(spark):
+    """q170 dedup-gain audit: raw vs normalized distinct-hash counts —
+    note the q170 canonicalization REPLACES non-alnum with a space
+    (unlike q29's deletion), so the twin pins that the two forms stay
+    deliberately distinct."""
+    import re
+
+    got = load_all()["q170_normalization_gain"].fn(spark, SF_DIR).collect()[0]
+    texts = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    ).column(0).to_pylist()
+    raw = {hashlib.md5(t.encode()).hexdigest() for t in texts}
+    norms = [
+        re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        for t in texts
+    ]
+    norm = {hashlib.md5(c.encode()).hexdigest() for c in norms}
+    changed = sum(1 for t, c in zip(texts, norms) if c != t)
+    assert got.n_docs == len(texts)
+    assert got.n_changed == changed
+    assert (got.groups_raw, got.groups_norm) == (len(raw), len(norm))
+    assert got.dups_raw == len(texts) - len(raw)
+    assert got.dups_norm == len(texts) - len(norm)
