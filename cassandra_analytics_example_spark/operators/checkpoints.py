@@ -108,9 +108,18 @@ def _register_pin(pinned: DataFrame) -> DataFrame:
     ``pin_scope``/``release_pins`` can drain it.  Shared by
     ``pin_partition_ids`` and ``session.pin_small`` — every library
     persist goes through here, or the residency scoping would silently
-    not cover it."""
-    pins = _thread_pins(pinned.sparkSession)
-    pins.append(pinned)
+    not cover it.
+
+    The fetch+append is atomic under the registry lock: a concurrent
+    ``release_pins(all_threads=True)`` pops lists under the same lock, so
+    it can never pop THIS thread's list between our fetch and our append
+    and strand the pin outside the registry (it either sees the pin and
+    drains it, or we append to a freshly re-registered list)."""
+    spark = pinned.sparkSession
+    _thread_pins(spark)  # first-touch + bounded prune, outside the append lock
+    by_thread = _pins_by_thread(spark)
+    with _PINS_LOCK:
+        by_thread.setdefault(threading.get_ident(), []).append(pinned)
     return pinned
 
 
@@ -188,13 +197,21 @@ def pin_scope(spark: SparkSession) -> Iterator[None]:
     guarantee.  The entry watermark is the SET of frames present (not a
     list index): mid-scope ``clearCache``/``release_pins`` prune or swap
     the underlying list, and an index watermark would then let in-scope
-    pins escape the exit.  Scopes nest; threads don't interact."""
-    before = {id(df) for df in _thread_pins(spark)}
+    pins escape the exit.  Scopes nest; threads don't interact.
+
+    ``before`` holds STRONG references (the list snapshot itself), not
+    bare ``id()`` values: if a pre-scope pin were pruned from the registry
+    and garbage-collected mid-scope, a new in-scope pin could be allocated
+    at the recycled id and escape the exit unpersist.  Keeping the
+    snapshot alive for the scope's duration makes the id-set sound."""
+    before = list(_thread_pins(spark))  # strong refs — see docstring
+    before_ids = {id(df) for df in before}
     try:
         yield
     finally:
         pins = _thread_pins(spark)  # re-fetch: list may have been swapped
         for df in pins:
-            if id(df) not in before:
+            if id(df) not in before_ids:
                 df.unpersist()
-        pins[:] = [df for df in pins if id(df) in before]
+        pins[:] = [df for df in pins if id(df) in before_ids]
+        del before  # the snapshot's strong refs release only now

@@ -757,19 +757,29 @@ def simhash_near_dup_pairs_auto(
     gram_n: int = 3,
     max_bucket_size: int | None = None,
     margin: int = 2,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """``simhash_near_dup_pairs`` with the band width derived from the
     corpus size (``auto_band_width``: w = ⌈log₂(N)⌉ + margin, clamped to
     the fingerprint) — the corpus-proof entry point.
 
-    One extra ``count()`` action sizes the corpus (a parquet
-    metadata-level scan; the same pay-one-count-to-size-a-parameter
-    pattern as SemDeDup's cell count).  Because hamming is verified over
-    the full ``n_bits`` fingerprint, the RESULT is identical at every
-    width — the width only moves the random-collision candidate floor,
-    which this keeps linear in N instead of quadratic."""
+    When ``n_docs`` is omitted, one extra ``count()`` action sizes the
+    corpus.  For a frame read straight from parquet that is a
+    metadata-level scan; for a DERIVED frame (filters, joins upstream) it
+    recomputes the upstream pipeline, so callers who already know the
+    corpus size — or hold a derived frame — should pass ``n_docs`` and
+    skip the action (the same pay-one-count-to-size-a-parameter pattern
+    as SemDeDup's cell count, with the same opt-out).  An approximate
+    ``n_docs`` is fine: the width only needs the magnitude.  Because
+    hamming is verified over the full ``n_bits`` fingerprint, the RESULT
+    is identical at every width — the width only moves the
+    random-collision candidate floor, which this keeps linear in N
+    instead of quadratic."""
     width = auto_band_width(
-        df.count(), n_bands=n_bands, n_bits=n_bits, margin=margin
+        df.count() if n_docs is None else n_docs,
+        n_bands=n_bands,
+        n_bits=n_bits,
+        margin=margin,
     )
     return simhash_near_dup_pairs(
         df,

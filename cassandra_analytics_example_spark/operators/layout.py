@@ -146,10 +146,18 @@ def write_bucketed(
                 f"column {c!r} not in DataFrame columns {cols} — refusing "
                 f"to drop {table_name}"
             )
+    name_parts = table_name.split(".")
+    if len(name_parts) > 2 or not all(name_parts):
+        # reject before the destructive steps — see _managed_location
+        raise ValueError(
+            f"catalog-qualified table name {table_name!r} is not supported "
+            "here: pass 'db.table' or 'table' (session catalog only)"
+        )
+    quoted = ".".join(f"`{p}`" for p in name_parts)
     prior_type = None
     if spark.catalog.tableExists(table_name):
         prior_type = spark.catalog.getTable(table_name).tableType
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     if prior_type in (None, "MANAGED"):
         jvm = spark._jvm
         loc = jvm.org.apache.hadoop.fs.Path(
@@ -175,8 +183,18 @@ def _managed_location(spark, table_name: str) -> str:
     parts = table_name.lower().split(".")
     if len(parts) == 2:
         db, tbl = parts
-    else:
+    elif len(parts) == 1:
         db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+    else:
+        # A 3-part name (catalog.db.tbl) must NOT fall through to the
+        # unqualified branch — that would treat the CATALOG name as a table
+        # in the current database and aim the destructive pre-write cleanup
+        # at <current_db_location>/<catalog_name>, the exact wrong-directory
+        # delete this resolution exists to prevent.
+        raise ValueError(
+            f"catalog-qualified table name {table_name!r} is not supported "
+            "here: pass 'db.table' or 'table' (session catalog only)"
+        )
     loc = spark.catalog.getDatabase(db).locationUri.rstrip("/")
     return f"{loc}/{tbl}"
 

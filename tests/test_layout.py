@@ -393,6 +393,27 @@ def test_managed_location_respects_current_database(spark):
         spark.sql("DROP DATABASE IF EXISTS altdb CASCADE")
 
 
+def test_write_bucketed_rejects_catalog_qualified_names(spark):
+    """A 3-part name (catalog.db.tbl) must be rejected BEFORE the
+    destructive steps (review round 9): the old fallthrough treated the
+    catalog name as a table in the current database, so the orphan
+    cleanup would fs.delete <current_db_location>/<catalog_name> — a
+    wrong-directory destructive delete."""
+    import pytest
+
+    from cassandra_analytics_example_spark.operators.layout import (
+        _managed_location,
+    )
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="catalog-qualified"):
+        write_bucketed(df, "spark_catalog.default.t3part", "k", 2)
+    with pytest.raises(ValueError, match="catalog-qualified"):
+        _managed_location(spark, "spark_catalog.default.t3part")
+    # and nothing was dropped/created along the way
+    assert not spark.catalog.tableExists("spark_catalog")
+
+
 def test_write_bucketed_in_non_default_database(spark):
     from cassandra_analytics_example_spark.operators.layout import (
         _managed_location,
