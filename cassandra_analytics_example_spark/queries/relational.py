@@ -5141,3 +5141,226 @@ def q281_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# q282 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL).
+# q08 pinned the DISTINCT-semantics forms; these are the multiset forms
+# (multiplicity = min(m_l, m_r) for INTERSECT ALL, max(0, m_l - m_r) for
+# EXCEPT ALL), exercised through the DataFrame API (intersectAll /
+# exceptAll). The output reports the surviving per-key multiplicity, so
+# the oracle check is sensitive to the bag arithmetic, not just counts.
+# Scale shape: Spark rewrites both ops as one union + one count
+# aggregate + a generate-replication — a single shuffle on the row
+# value, linear in input; no pairwise expansion. Reference: no set ops
+# at all (SURVEY §2.8 — its only aggregation is count(),
+# App.scala:239-249).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q282_bag_set_ops",
+    oracle="""
+SELECT 'intersect_all' AS op, custkey, CAST(count(*) AS BIGINT) AS multiplicity
+FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+GROUP BY custkey
+UNION ALL
+SELECT 'except_all' AS op, custkey, CAST(count(*) AS BIGINT) AS multiplicity
+FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+GROUP BY custkey
+""",
+    doc="INTERSECT ALL / EXCEPT ALL bag semantics via intersectAll/"
+    "exceptAll: per-key surviving multiplicity (min(m_l,m_r) / "
+    "max(0,m_l-m_r)) — the multiset complement of q08's distinct forms",
+    tags=("relational", "setops"),
+)
+def q282_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("custkey"))
+
+    def multiplicities(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("custkey").agg(
+            F.count("*").cast("bigint").alias("multiplicity")
+        ).select(F.lit(op).alias("op"), "custkey", "multiplicity")
+
+    return multiplicities(left.intersectAll(right), "intersect_all").unionByName(
+        multiplicities(left.exceptAll(right), "except_all")
+    )
+
+
+# --------------------------------------------------------------------------
+# q283 — native recursive CTE (WITH RECURSIVE, Spark 4 front end) walking
+# the synthetic parent(k) = k div 10 part digit-tree to the root and
+# rolling up descendant count + max depth per shallow ancestor. q262
+# proves the same chain semantics via a CLOSED-FORM power-of-10 explode;
+# this entry pins the native iterative front end itself against DuckDB's
+# recursive evaluator. Scale shape: each recursion step is a narrow
+# projection + filter on the previous step's output (no joins), and the
+# depth is bounded by the key's digit count — ⌈log10 N⌉ iterations
+# (≤ 19 for bigint keys), each linear; the final rollup is one groupBy.
+# Reference: no recursion of any kind (SURVEY §2.8).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q283_recursive_cte_sql",
+    oracle="""
+WITH RECURSIVE walk(node, anc, depth) AS (
+  SELECT p_partkey, p_partkey, CAST(0 AS INT) FROM part
+  UNION ALL
+  SELECT node, anc // 10, depth + 1 FROM walk WHERE anc // 10 > 0
+)
+SELECT anc AS node, CAST(count(*) AS BIGINT) AS n_desc,
+       CAST(max(depth) AS INT) AS max_depth
+FROM walk GROUP BY anc HAVING anc < 100
+""",
+    doc="native WITH RECURSIVE ancestor walk over the parent(k)=k div 10 "
+    "part tree (descendant count + max depth per ancestor < 100); the "
+    "iterative twin of q262's closed-form explode, pinning Spark 4's "
+    "recursive-CTE front end against DuckDB's recursive evaluator",
+    tags=("relational", "aggregate", "sql", "graph"),
+)
+def q283_recursive_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_rcte_v")
+    return spark.sql("""
+        WITH RECURSIVE walk(node, anc, depth) AS (
+          SELECT p_partkey, p_partkey, CAST(0 AS INT) FROM part_rcte_v
+          UNION ALL
+          SELECT node, anc div 10, depth + 1 FROM walk WHERE anc div 10 > 0
+        )
+        SELECT anc AS node, CAST(count(*) AS BIGINT) AS n_desc,
+               CAST(max(depth) AS INT) AS max_depth
+        FROM walk GROUP BY anc HAVING anc < 100
+    """)
+
+
+# --------------------------------------------------------------------------
+# q284 — grouping-sets edge forms beyond q51: an EMPTY grouping set and a
+# DUPLICATE set in the same clause (SQL bag semantics — the duplicate set
+# emits its rows twice), grouping by an EXPRESSION (NULLIF) that
+# manufactures data NULLs, and GROUPING_ID() (the composite bitmask,
+# vs q51's per-column GROUPING() flags) disambiguating those data NULLs
+# from subtotal NULLs: a data-NULL status row carries gid 0/1 while the
+# status-subtotal rows carry the grouping bit. Scale shape: grouping
+# sets expand each input row once per set (4× here) BEFORE the
+# aggregate; map-side partial aggregation collapses the expansion, so
+# the shuffle carries only group cells — linear, one pass.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q284_grouping_sets_edge",
+    oracle="""
+SELECT NULLIF(o_orderstatus, 'P') AS status,
+       o_orderpriority AS priority,
+       CAST(GROUPING_ID(NULLIF(o_orderstatus, 'P'), o_orderpriority) AS INT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((NULLIF(o_orderstatus,'P'), o_orderpriority),
+                        (NULLIF(o_orderstatus,'P')),
+                        (NULLIF(o_orderstatus,'P')),
+                        ())
+""",
+    doc="grouping-sets edge forms: empty set + duplicate set (bag "
+    "semantics: subtotal rows emitted twice) + expression grouping key "
+    "(NULLIF manufactures data NULLs) + GROUPING_ID bitmask "
+    "disambiguation of data NULLs from subtotal NULLs",
+    tags=("relational", "agg", "sql"),
+)
+def q284_grouping_sets_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gse_v")
+    return spark.sql("""
+        SELECT NULLIF(o_orderstatus, 'P') AS status,
+               o_orderpriority AS priority,
+               CAST(GROUPING_ID(NULLIF(o_orderstatus, 'P'), o_orderpriority)
+                    AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders_gse_v
+        GROUP BY GROUPING SETS ((NULLIF(o_orderstatus,'P'), o_orderpriority),
+                                (NULLIF(o_orderstatus,'P')),
+                                (NULLIF(o_orderstatus,'P')),
+                                ())
+    """)
+
+
+# --------------------------------------------------------------------------
+# q285 — the TABLESAMPLE clause, beside the md5-deterministic samplers
+# (q24 family). Seeded engine sampling is deterministic WITHIN an engine
+# (given seed + partition layout) but not reproducible ACROSS engines —
+# DuckDB cannot replay Spark's per-partition RNG — so the oracle pins
+# PROPERTIES of the sample instead of its rows, each reported as a
+# concrete value the driver hash-checks:
+#   rows_clause_n            TABLESAMPLE (50 ROWS) is a global limit →
+#                            exactly least(50, N) rows (exact value);
+#   repeat_diff              the same REPEATABLE(42) sample drawn twice
+#                            EXCEPT ALL's to empty (seeded determinism);
+#   non_subset               sample EXCEPT ALL table is empty (sampling
+#                            without replacement draws only real rows);
+#   bernoulli_within_bounds  |n − pN| ≤ 6·sqrt(p(1−p)N) + 8 — a ≥6σ
+#                            Chernoff envelope, robust to partition-
+#                            layout drift at any SF.
+# Scale shape: sampling is scan-local (a per-partition filter on the
+# seeded RNG stream — no shuffle); every check aggregates to one row.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q285_tablesample_clause",
+    oracle="""
+SELECT 'rows_clause_n' AS chk, CAST(least(50, count(*)) AS BIGINT) AS val
+FROM customer
+UNION ALL SELECT 'repeat_diff', 0
+UNION ALL SELECT 'non_subset', 0
+UNION ALL SELECT 'bernoulli_within_bounds', 1
+""",
+    doc="TABLESAMPLE clause (n ROWS + PERCENT REPEATABLE forms) checked "
+    "by sample properties: exact global-limit count, seeded-repeat "
+    "stability, subset containment, and a 6-sigma Chernoff envelope on "
+    "the Bernoulli fraction — cross-engine RNGs differ, so the oracle "
+    "pins the properties, not the sampled rows",
+    tags=("relational", "sampling", "sql"),
+)
+def q285_tablesample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_tsmp_v"
+    )
+    return spark.sql("""
+        SELECT 'rows_clause_n' AS chk, CAST(count(*) AS BIGINT) AS val
+        FROM (SELECT * FROM customer_tsmp_v TABLESAMPLE (50 ROWS))
+        UNION ALL
+        SELECT 'repeat_diff' AS chk, CAST(count(*) AS BIGINT) AS val FROM (
+          SELECT c_custkey FROM customer_tsmp_v
+            TABLESAMPLE (20 PERCENT) REPEATABLE (42)
+          EXCEPT ALL
+          SELECT c_custkey FROM customer_tsmp_v
+            TABLESAMPLE (20 PERCENT) REPEATABLE (42))
+        UNION ALL
+        SELECT 'non_subset' AS chk, CAST(count(*) AS BIGINT) AS val FROM (
+          SELECT c_custkey FROM customer_tsmp_v
+            TABLESAMPLE (20 PERCENT) REPEATABLE (42)
+          EXCEPT ALL
+          SELECT c_custkey FROM customer_tsmp_v)
+        UNION ALL
+        SELECT 'bernoulli_within_bounds' AS chk,
+          CAST(CASE WHEN abs(ns - 0.2 * nt) <= 6 * sqrt(0.16 * nt) + 8
+               THEN 1 ELSE 0 END AS BIGINT) AS val
+        FROM (SELECT
+          (SELECT count(*) FROM customer_tsmp_v
+             TABLESAMPLE (20 PERCENT) REPEATABLE (42)) AS ns,
+          (SELECT count(*) FROM customer_tsmp_v) AS nt)
+    """)
