@@ -18,7 +18,9 @@ Determinism contract (what makes the oracle hash-match possible):
 
 from __future__ import annotations
 
+import hashlib
 import importlib
+import inspect
 import json
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -61,6 +63,53 @@ def register(
     return deco
 
 
+def _fingerprint(qd: QueryDef) -> str:
+    """Content fingerprint of a query's checkable surface: the function's
+    source text (which, for ``@register``-decorated defs, includes the
+    decorator call and therefore the oracle SQL) plus the oracle string
+    explicitly.  Driver evidence is evidence FOR this fingerprint — a row
+    recorded against different source text proves nothing about the
+    current code, so the evidence ordering voids it (see
+    ``_effective_round``).  Conservative by design: a comment-only edit
+    also re-queues the query, which only costs one re-check."""
+    try:
+        src = inspect.getsource(qd.fn)
+    except (OSError, TypeError):  # source unavailable (REPL, C callable)
+        src = qd.fn.__qualname__
+    return hashlib.sha256(
+        (src + "\x00" + (qd.oracle or "")).encode()
+    ).hexdigest()
+
+
+def _effective_round(
+    qd: QueryDef,
+    latest: dict[str, tuple[int, dict]],
+    snap: dict | None,
+) -> int:
+    """Evidence rank for the ordering sort — lowest sorts first.
+
+    -2  never driver-green at all (new registrations: they MUST land in
+        the next driver window);
+    -1  driver-green, but the fn/oracle CHANGED since that row landed
+        (``EVIDENCE_FINGERPRINTS.json``, stamped per round by
+        ``tools/stamp_evidence.py``, records the as-checked fingerprint;
+        a mismatch voids the evidence — round 8's q23 rewrite shipped
+        with an r4 driver row, exactly the staleness this closes);
+     N  otherwise, the round of the latest green row (stalest first).
+
+    A query absent from the snapshot but with green evidence keeps its
+    round rank: the stamp tool covers every green query each time it
+    runs, so absence means the tool hasn't seen that round yet — treat
+    the evidence as current rather than re-queueing the whole registry.
+    """
+    r = _verification_round(qd.name, qd.oracle is not None, latest)
+    if r == -1:
+        return -2
+    if snap is not None and snap.get("fingerprint") != _fingerprint(qd):
+        return -1
+    return r
+
+
 def _verification_round(
     name: str, has_oracle: bool, records: dict[str, tuple[int, dict]]
 ) -> int:
@@ -92,13 +141,21 @@ def _evidence_order(names: list[str]) -> list[str]:
     the entries that need evidence most.
 
     The per-round driver checks roughly the first 50 entries of ``queries()``
-    in dict order.  We therefore sort by (latest driver-green round asc,
-    registration order) — never-verified queries first, then the stalest
-    evidence.  The ordering is computed from the ``CORRECTNESS_r*.json``
-    artifacts at the repo root, so it self-maintains: whatever a round leaves
-    unverified floats to the front of the next round's window.
+    in dict order.  We therefore sort by (evidence rank asc, registration
+    order): never-verified queries first, then queries whose fn/oracle
+    changed since their last driver row (the row is evidence for OLD code —
+    see ``_effective_round``), then the stalest evidence.  Computed from the
+    ``CORRECTNESS_r*.json`` artifacts plus the ``EVIDENCE_FINGERPRINTS.json``
+    snapshot at the repo root, so it self-maintains: whatever a round leaves
+    unverified or rewrites floats to the front of the next round's window.
     """
     root = Path(__file__).resolve().parents[2]
+    try:
+        snapshot = json.loads(
+            (root / "EVIDENCE_FINGERPRINTS.json").read_text()
+        )
+    except (OSError, json.JSONDecodeError):
+        snapshot = {}
     latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -119,7 +176,7 @@ def _evidence_order(names: list[str]) -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            _verification_round(n, REGISTRY[n].oracle is not None, latest),
+            _effective_round(REGISTRY[n], latest, snapshot.get(n)),
             pos[n],
         ),
     )

@@ -98,3 +98,94 @@ def test_evidence_order_is_stable_for_ties():
     once = _evidence_order(names)
     twice = _evidence_order(names)
     assert once == twice
+
+
+# ---------------------------------------------------------------------------
+# changed-since-checked rule (round 9): a driver row is evidence for the
+# fingerprint that was checked; if the fn/oracle changed since, the evidence
+# is void and the query re-queues ahead of everything round-ranked.
+# ---------------------------------------------------------------------------
+
+
+def _some_query():
+    return next(iter(REGISTRY.values()))
+
+
+def test_effective_round_never_checked_is_minus_two():
+    from cassandra_analytics_example_spark.queries import _effective_round
+
+    qd = _some_query()
+    assert _effective_round(qd, {}, None) == -2
+    # snapshot presence cannot resurrect a query with no green row
+    assert _effective_round(qd, {}, {"fingerprint": "x", "round": 3}) == -2
+
+
+def test_effective_round_changed_since_checked_is_minus_one():
+    from cassandra_analytics_example_spark.queries import (
+        _effective_round,
+        _fingerprint,
+    )
+
+    qd = _some_query()
+    has_oracle = qd.oracle is not None
+    rec = {qd.name: (5, {"hash_match": True} if has_oracle else
+                     {"err": "no_oracle", "spark_rows": 1})}
+    # matching fingerprint: evidence stands, round rank kept
+    snap_ok = {"fingerprint": _fingerprint(qd), "round": 5}
+    assert _effective_round(qd, rec, snap_ok) == 5
+    # stale fingerprint: evidence void — re-queue ahead of round-ranked
+    snap_stale = {"fingerprint": "0" * 64, "round": 5}
+    assert _effective_round(qd, rec, snap_stale) == -1
+    # absent from snapshot (stamp tool hasn't seen that round): round rank
+    assert _effective_round(qd, rec, None) == 5
+
+
+def test_fingerprint_covers_fn_source_and_oracle():
+    from dataclasses import replace
+
+    from cassandra_analytics_example_spark.queries import _fingerprint
+
+    qd = _some_query()
+    base = _fingerprint(qd)
+    assert base == _fingerprint(qd)  # deterministic
+    if qd.oracle is not None:
+        assert _fingerprint(replace(qd, oracle=qd.oracle + " -- x")) != base
+    assert _fingerprint(replace(qd, oracle=None)) != base
+
+
+def test_load_all_fronts_changed_queries_from_disk_snapshot():
+    """Integration over the COMMITTED artifacts: every query whose current
+    fingerprint mismatches its EVIDENCE_FINGERPRINTS.json entry must sort
+    before every round-ranked (green + unchanged) query — self-maintaining,
+    like _expected_unverified: re-stamping after the next round's driver
+    rows land empties the changed set and the assertion stays vacuous-true.
+    """
+    import json
+    from pathlib import Path
+
+    import cassandra_analytics_example_spark.queries as q
+    from cassandra_analytics_example_spark.queries import _fingerprint
+
+    root = Path(q.__file__).resolve().parents[2]
+    try:
+        snap = json.loads((root / "EVIDENCE_FINGERPRINTS.json").read_text())
+    except (OSError, json.JSONDecodeError):
+        snap = {}
+    unverified = _expected_unverified()
+    changed = {
+        n
+        for n in REGISTRY
+        if n not in unverified
+        and n in snap
+        and snap[n].get("fingerprint") != _fingerprint(REGISTRY[n])
+    }
+    ordered = list(load_all())
+    idx = {n: i for i, n in enumerate(ordered)}
+    ranked = [n for n in ordered if n not in unverified and n not in changed]
+    if changed and ranked:
+        assert max(idx[n] for n in changed) < min(idx[n] for n in ranked), (
+            "a changed-since-checked query sits behind a round-ranked one"
+        )
+    # and the changed block comes after the never-checked block
+    if changed and unverified:
+        assert max(idx[n] for n in unverified) < min(idx[n] for n in changed)
