@@ -79,9 +79,12 @@ def spearman_rho(
 
     Ranks are tie-averaged and carried DOUBLED (exact integers); rho is
     Pearson's r over the doubled ranks — scaling both variables by 2
-    leaves r unchanged — computed from five exact DECIMAL(38,0) moments
-    with a single closed-form float expression (the q214 discipline:
-    exact order-invariant sums, one deterministic division at the end).
+    leaves r unchanged — computed from four exact DECIMAL(38,0) moments
+    via the centered-moment identity (doubled ranks sum to exactly
+    n(n+1), so the mean is the integer n+1) with a single closed-form
+    float expression (the q214 discipline: exact order-invariant sums,
+    one deterministic division at the end).  Exact to ~2.9e12 rows
+    (4n^3 < 1e38).
 
     Three bounded passes: two distinct-value rank tables (each a groupBy
     + prefix layer over the value domain), one broadcast-join of the
@@ -101,28 +104,31 @@ def spearman_rho(
     )
     m = ranked.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
-        F.sum("x").cast(_DEC).alias("sx"),
-        F.sum("y").cast(_DEC).alias("sy"),
         # operands cast BEFORE the multiply: doubled ranks are O(n), so
         # a bigint sum of rank products is O(n^3) and overflows past ~2e6
-        # rows.  The binding ceiling is NOT the decimal(38,0) sums
-        # (exact to n ~ 3e12) but the downstream rho numerators: each
-        # n*sxx / sx*sx product multiplies two decimal(38,0) values and
-        # n*sxx is O(n^4), so the 38-digit cap binds near n ~ 2e9 rows
-        # (4n^4 < 1e38).  Past that, restructure around centered doubled
-        # ranks x' = x - (n+1) (integer, zero-sum), whose moments stay
-        # O(n^3) and need no decimal-times-decimal products.
+        # rows; the decimal(38,0) sums are exact to 4n^3 < 1e38.
         F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
         F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
     )
+    # Centered-moment identity: doubled tie-averaged ranks over n rows sum
+    # to EXACTLY n(n+1) (tie-averaging preserves the total), so both means
+    # are the integer (n+1) and Pearson's numerator/variances reduce to
+    #   sum(x'y') = sxy - n(n+1)^2,   sum(x'^2) = sxx - n(n+1)^2
+    # with x' = x - (n+1).  Every quantity stays O(n^3) — no n*sxx-style
+    # decimal-times-decimal product of two 38-digit values (the old form
+    # was O(n^4) and bound at ~2e9 rows).  Exact range: 4n^3 < 1e38,
+    # i.e. n ~ 2.9e12 rows per correlation (proved at the formula level
+    # by tests/test_rankstats_properties.py near-ceiling case).
     return m.select(
         F.col("n").cast("bigint").alias("n"),
         (
-            F.expr("cast(n * sxy - sx * sy as double)")
+            F.expr("cast(sxy - n * (n + 1) * (n + 1) as double)")
             / (
-                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
-                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+                F.sqrt(F.expr("cast(sxx - n * (n + 1) * (n + 1) as double)"))
+                * F.sqrt(
+                    F.expr("cast(syy - n * (n + 1) * (n + 1) as double)")
+                )
             )
         ).alias("rho"),
     )
@@ -568,32 +574,33 @@ def spearman_grouped(
     )
     m = ranked.groupBy("__grp").agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
-        F.sum("x").cast(_DEC).alias("sx"),
-        F.sum("y").cast(_DEC).alias("sy"),
         # operands cast BEFORE the multiply: doubled ranks are O(n), so
         # a bigint sum of rank products is O(n^3) and overflows past ~2e6
-        # rows.  The binding ceiling is NOT the decimal(38,0) sums
-        # (exact to n ~ 3e12) but the downstream rho numerators: each
-        # n*sxx / sx*sx product multiplies two decimal(38,0) values and
-        # n*sxx is O(n^4), so the 38-digit cap binds near n ~ 2e9 rows
-        # (4n^4 < 1e38).  Past that, restructure around centered doubled
-        # ranks x' = x - (n+1) (integer, zero-sum), whose moments stay
-        # O(n^3) and need no decimal-times-decimal products.
+        # rows; the decimal(38,0) sums are exact to 4n^3 < 1e38.
         F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
         F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
     )
+    # Centered-moment identity (see spearman_rho): per-group doubled ranks
+    # sum to exactly n_g(n_g+1), so the group mean is the integer (n_g+1)
+    # and the moments center by subtracting n(n+1)^2 — everything stays
+    # O(n^3), exact to ~2.9e12 rows PER GROUP (4n^3 < 1e38); the old
+    # n*sxx - sx*sx form was O(n^4) and bound at ~2e9.  The guard keeps
+    # only groups with variance in BOTH variables (same sign as the old
+    # n-scaled guard: new = old / n).
     return m.where(
-        (F.expr("n * sxx - sx * sx") > 0)
-        & (F.expr("n * syy - sy * sy") > 0)
+        (F.expr("sxx - n * (n + 1) * (n + 1)") > 0)
+        & (F.expr("syy - n * (n + 1) * (n + 1)") > 0)
     ).select(
         F.col("__grp").alias(group_col),
         F.col("n").cast("bigint").alias("n"),
         (
-            F.expr("cast(n * sxy - sx * sy as double)")
+            F.expr("cast(sxy - n * (n + 1) * (n + 1) as double)")
             / (
-                F.sqrt(F.expr("cast(n * sxx - sx * sx as double)"))
-                * F.sqrt(F.expr("cast(n * syy - sy * sy as double)"))
+                F.sqrt(F.expr("cast(sxx - n * (n + 1) * (n + 1) as double)"))
+                * F.sqrt(
+                    F.expr("cast(syy - n * (n + 1) * (n + 1) as double)")
+                )
             )
         ).alias("rho"),
     )

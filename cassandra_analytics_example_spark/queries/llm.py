@@ -6244,23 +6244,23 @@ r AS (
 ),
 m AS (
   SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
-         CAST(sum(a) AS DECIMAL(38,0)) AS sx,
-         CAST(sum(b) AS DECIMAL(38,0)) AS sy,
          CAST(sum(a * b) AS DECIMAL(38,0)) AS sxy,
          CAST(sum(a * a) AS DECIMAL(38,0)) AS sxx,
          CAST(sum(b * b) AS DECIMAL(38,0)) AS syy
   FROM r
 )
 SELECT CAST(n AS BIGINT) AS n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+       CAST(sxy - n * (n + 1) * (n + 1) AS DOUBLE)
+         / (sqrt(CAST(sxx - n * (n + 1) * (n + 1) AS DOUBLE))
+            * sqrt(CAST(syy - n * (n + 1) * (n + 1) AS DOUBLE))) AS rho
 FROM m
 """,
     doc="exact tie-corrected Spearman rank correlation of chars vs "
     "tokens: doubled tie-averaged ranks (exact integers) from distinct-"
-    "value groups + range-partitioned prefix layers, rho from five "
-    "exact DECIMAL(38,0) moments in one deterministic float expression",
+    "value groups + range-partitioned prefix layers, rho from four "
+    "exact DECIMAL(38,0) moments via the centered identity (doubled "
+    "ranks sum to exactly n(n+1)) in one deterministic float "
+    "expression, exact to ~2.9e12 rows",
     tags=("llm", "aggregate", "ranking"),
 )
 def q233_spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,6 +64,59 @@ def test_spearman_matches_pandas_reference(spark):
     assert abs(row2["rho"] + 1.0) < 1e-12
 
 
+def test_spearman_formula_exact_at_near_ceiling_n(spark):
+    """Formula-level proof of the documented exact range (~2.9e12 rows,
+    4n^3 < 1e38): feed the rho expression the EXACT decimal moments of a
+    synthetic untied ranking at n = 2.9e12 — identity permutation
+    (rho = 1), reversal (rho = -1), and a half-reversed permutation with
+    a Python-bigint reference — and require the decimal intermediates to
+    match Python integer arithmetic digit-for-digit.  The old
+    n*sxx - sx*sx form is O(n^4) and overflows decimal(38,0) ~1000x
+    below this n; the centered form sxy - n(n+1)^2 stays O(n^3)."""
+    n = 2_900_000_000_000
+    # doubled ranks of an untied ranking are 2, 4, ..., 2n
+    sq = 4 * n * (n + 1) * (2 * n + 1) // 6  # sum (2i)^2
+    center = n * (n + 1) * (n + 1)
+    assert 4 * n**3 < 10**38  # the documented bound itself
+
+    def rho_of(sxy: int, sxx: int = sq, syy: int = sq):
+        df = spark.sql(
+            f"SELECT CAST({n} AS DECIMAL(38,0)) AS n,"
+            f" CAST({sxy} AS DECIMAL(38,0)) AS sxy,"
+            f" CAST({sxx} AS DECIMAL(38,0)) AS sxx,"
+            f" CAST({syy} AS DECIMAL(38,0)) AS syy"
+        ).selectExpr(
+            "cast(sxy - n * (n + 1) * (n + 1) as decimal(38,0)) AS cxy",
+            "cast(sxx - n * (n + 1) * (n + 1) as decimal(38,0)) AS cxx",
+            "cast(sxy - n * (n + 1) * (n + 1) as double)"
+            " / (sqrt(cast(sxx - n * (n + 1) * (n + 1) as double))"
+            "    * sqrt(cast(syy - n * (n + 1) * (n + 1) as double)))"
+            " AS rho",
+        )
+        return df.collect()[0]
+
+    # identity permutation: x == y, rho exactly 1
+    row = rho_of(sxy=sq)
+    assert int(row["cxy"]) == sq - center  # decimal == Python bigint
+    assert int(row["cxx"]) == sq - center
+    assert row["rho"] == 1.0
+    # reversal y_i = 2(n+1-i): sxy = 4[(n+1)*si - sq2] with si, sq2 the
+    # plain integer first/second moments; rho exactly -1
+    si, sq2 = n * (n + 1) // 2, n * (n + 1) * (2 * n + 1) // 6
+    sxy_rev = 4 * ((n + 1) * si - sq2)
+    row = rho_of(sxy=sxy_rev)
+    assert int(row["cxy"]) == sxy_rev - center
+    assert row["rho"] == -1.0
+    # an intermediate correlation: Python-float reference from the same
+    # exact bigints the engine must reproduce
+    sxy_mid = (sq + sxy_rev) // 2
+    row = rho_of(sxy=sxy_mid)
+    want = float(sxy_mid - center) / (
+        math.sqrt(float(sq - center)) * math.sqrt(float(sq - center))
+    )
+    assert row["rho"] == want
+
+
 def test_gini_matches_bruteforce_sorted_formula(spark):
     rng = np.random.default_rng(99)
     for vals in (
