@@ -744,13 +744,20 @@ def duplicated_substring_spans(
     documents so the audit is total.
 
     Scale: windows explode to O(total_chars) rows but stay JVM-side
-    (sequence/explode/substring codegen, no Python); the duplicate set is
-    found by ONE hash-keyed groupBy (count distinct docs per window hash)
-    and joined back on the same key, so both shuffles share the md5 key and
-    the span merge is one doc-keyed window — no all-pairs comparison
-    anywhere.  At 100 TB the window table is ~len(corpus) rows of
-    (id, int, 32-byte hash): big but linear, and the groupBy is the same
-    shape as the n-gram coverage pass (q73).
+    (sequence/explode/substring codegen, no Python); duplicate detection
+    is ONE hash-keyed group-aggregate that carries the (doc, pos) pairs
+    through the shuffle and filters buckets by distinct-doc count — the
+    ``lsh_candidate_pairs`` single-lineage discipline.  The earlier
+    groupBy + join-back form computed and shuffled the window table
+    TWICE (the two consumers' plans diverge after pruning, so
+    ReusedExchange never fires; caching is not an option — the window
+    table is ~50x the corpus bytes): measured 2.2x slower at sf0.1.  The
+    span merge is one doc-keyed window — no all-pairs comparison
+    anywhere.  Skew note: a degenerate window shared verbatim across
+    millions of docs concentrates its positions in one aggregation
+    buffer; those are the same rows the join-back would emit from one
+    reducer, but as buffered state — if that class of boilerplate is
+    expected, run a boilerplate strip (q120) first.
     """
     ln = F.length(F.col(text_col))
     # The window explosion multiplies rows ~len(text)-fold and runs an md5
@@ -772,13 +779,19 @@ def duplicated_substring_spans(
             F.md5(F.expr(f"substring({text_col}, i, {k})")).alias("h"),
         )
     )
-    dup = (
+    # one shuffle on the window hash: positions ride the aggregate, the
+    # distinct-doc filter runs JVM-side on the collected list (no second
+    # lineage, no join back, no Expand from a mixed countDistinct)
+    dwin = (
         win.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("h")
+        .agg(F.collect_list(F.struct(F.col(id_col), F.col("i"))).alias("ps"))
+        .where(
+            F.size(F.expr(f"array_distinct(transform(ps, p -> p.{id_col}))"))
+            >= min_docs
+        )
+        .select(F.explode("ps").alias("p"))
+        .select(F.col(f"p.{id_col}").alias(id_col), F.col("p.i").alias("i"))
     )
-    dwin = win.join(dup, "h").select(id_col, "i")
     w = Window.partitionBy(id_col).orderBy("i")
     marked = dwin.withColumn(
         "new_span",
