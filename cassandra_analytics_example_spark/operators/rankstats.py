@@ -20,6 +20,16 @@ a single deterministic closed-form expression over exact moments
 summed as integers (Kaplan–Meier's log-survival) — never a float
 accumulation whose partition order could differ between engines.
 
+Every PUBLIC metric here is EAGER and self-releasing
+(``_eager_terminal``): the prefix layer pins its range partitioning
+(``pin_partition_ids``), and a lazy return would park that pin in the
+CacheManager until an explicit release — so a monitoring loop calling
+metrics per-slice would accumulate entries without bound (the round-8
+advisor scenario, fixed first for ``roc_auc_exact``).  The building
+blocks (``doubled_average_ranks``, ``ks_from_counts``,
+``densify_counts``) stay lazy for composition; wrap loops over THEM in
+``pin_scope``.
+
 Reference scope note: the reference engine
 (smiklosovic/cassandra-analytics-example, ``App.scala`` /
 ``SparkUtils.scala``) ships no statistics at all — this module belongs
@@ -29,14 +39,40 @@ the reference's ETL job shapes.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_analytics_example_spark.operators.checkpoints import (
+    pin_scope,
+    truncate_plan,
+)
 from cassandra_analytics_example_spark.operators.ranking import (
     exclusive_prefix_sums,
 )
 
 _DEC = "decimal(38,0)"
+
+
+def _eager_terminal(fn):
+    """Terminal-metric EAGER contract (operators/ranking.py:roc_auc_exact):
+    build the lazy plan inside a ``pin_scope``, materialize it
+    lineage-free (``truncate_plan``), release the internal partition pins
+    before returning — looping callers hold ZERO CacheManager entries
+    between calls.  Adds a ``checkpoint_dir`` keyword: default
+    materialization is ``localCheckpoint`` (right on ``local[*]``; its
+    blocks die with a decommissioned executor), pass a reliable directory
+    on clusters with dynamic allocation."""
+
+    @functools.wraps(fn)
+    def wrapper(df: DataFrame, *args, checkpoint_dir: str | None = None,
+                **kwargs) -> DataFrame:
+        with pin_scope(df.sparkSession):
+            return truncate_plan(fn(df, *args, **kwargs), checkpoint_dir)
+
+    wrapper.__wrapped_lazy__ = fn
+    return wrapper
 
 
 def doubled_average_ranks(
@@ -68,6 +104,7 @@ def doubled_average_ranks(
     )
 
 
+@_eager_terminal
 def spearman_rho(
     df: DataFrame,
     x_col: str,
@@ -134,6 +171,7 @@ def spearman_rho(
     )
 
 
+@_eager_terminal
 def gini_exact(
     df: DataFrame, value_col: str, num_partitions: int = 64
 ) -> DataFrame:
@@ -184,6 +222,7 @@ def gini_exact(
     )
 
 
+@_eager_terminal
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
@@ -262,6 +301,7 @@ def ks_from_counts(
     )
 
 
+@_eager_terminal
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
@@ -346,6 +386,7 @@ def kaplan_meier(
     )
 
 
+@_eager_terminal
 def cusum_changepoint_from_counts(
     d: DataFrame, num_partitions: int = 64
 ) -> DataFrame:
@@ -417,6 +458,7 @@ def densify_counts(e: DataFrame, bucket_col: str = "h") -> DataFrame:
     )
 
 
+@_eager_terminal
 def gini_grouped(
     df: DataFrame,
     group_col: str,
@@ -463,6 +505,7 @@ def gini_grouped(
     )
 
 
+@_eager_terminal
 def ks_grouped(
     df: DataFrame,
     group_col: str,
@@ -528,6 +571,7 @@ def ks_grouped(
     )
 
 
+@_eager_terminal
 def spearman_grouped(
     df: DataFrame,
     group_col: str,
@@ -606,6 +650,7 @@ def spearman_grouped(
     )
 
 
+@_eager_terminal
 def kaplan_meier_grouped(
     df: DataFrame,
     group_col: str,
@@ -686,6 +731,7 @@ def kaplan_meier_grouped(
     )
 
 
+@_eager_terminal
 def cusum_grouped_from_counts(
     d: DataFrame, group_col: str, num_partitions: int = 64
 ) -> DataFrame:

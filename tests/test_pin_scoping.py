@@ -239,3 +239,68 @@ def test_release_pins_default_is_current_thread_only(spark):
     built["p"].count()  # executes with its cache entry intact
     assert built["p"].storageLevel.useMemory
     assert release_pins(spark, all_threads=True) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-9 sweep (VERDICT r8 task 7): EVERY registered metric query — any
+# query whose fn uses a terminal rank/drift metric — must self-release, so
+# a naive loop over the whole metric family holds zero CacheManager entries.
+# The list is derived from the live registry by source scan, so a new metric
+# query joins the sweep automatically.
+# ---------------------------------------------------------------------------
+
+_EAGER_METRICS = (
+    "roc_auc_exact",
+    "average_precision_exact",
+    "spearman_rho",
+    "spearman_grouped",
+    "gini_exact",
+    "gini_grouped",
+    "ks_two_sample",
+    "ks_grouped",
+    "kaplan_meier",
+    "kaplan_meier_grouped",
+    "cusum_changepoint_from_counts",
+    "cusum_grouped_from_counts",
+)
+
+
+def _metric_query_names():
+    import inspect
+
+    from cassandra_analytics_example_spark.queries import load_all
+
+    names = []
+    for name, qd in load_all().items():
+        try:
+            src = inspect.getsource(qd.fn)
+        except (OSError, TypeError):
+            continue
+        if any(m in src for m in _EAGER_METRICS):
+            names.append(name)
+    return names
+
+
+def test_every_registered_metric_query_leaves_no_cache_entries(spark):
+    """Loop over every registered rank/drift metric query twice at
+    sf0.001 (the advisor's monitoring-loop scenario, registry-wide):
+    after each call + collect the CacheManager must be EMPTY — the
+    operators are eager and self-releasing, so nothing survives the call.
+    A lazily-returned pin anywhere in the family fails this by name."""
+    from cassandra_analytics_example_spark.queries import load_all
+
+    names = _metric_query_names()
+    assert len(names) >= 13, f"metric sweep lost coverage: {names}"
+    reg = load_all()
+    release_pins(spark)
+    spark.catalog.clearCache()
+    sf = "/root/testdata/sf0.001"
+    for _ in range(2):
+        for name in names:
+            rows = reg[name].fn(spark, sf).collect()
+            assert rows, f"{name} returned no rows"
+            assert _cache_manager_empty(spark), (
+                f"{name} left CacheManager entries — its terminal metric "
+                "is not eager/self-releasing"
+            )
+    assert not _thread_pins(spark)
