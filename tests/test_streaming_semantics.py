@@ -301,3 +301,103 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     got = spark.read.parquet(target)
     assert got.count() == total, "restart lost or replayed files"
     assert got.select("event_id").distinct().count() == total
+
+
+def _write_typed_batch(path, rows, mtime):
+    """One parquet file = one microbatch: rows are
+    (event_id, ts_ns, user_id, event_type)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_dedup_watermark_drops_late_and_evicts_state(spark, tmp_path):
+    """The s03 dedup stream's watermark semantics, which its batch twin
+    cannot see (VERDICT r8 task 8): out-of-order microbatches must show
+    (a) an in-watermark duplicate key deduped, (b) a LATE row dropped
+    BECAUSE of the watermark — its key was never seen, so dedup state
+    cannot be the dropper — and (c) state EVICTION: once the watermark
+    passes a key's expiry, a new row with the SAME key re-emits.
+
+    Timeline (watermark delay 1h; W = watermark after each batch; Spark
+    applies the late filter with the PREVIOUS batch's watermark,
+    SPARK-40925, hence the buffer batch):
+      b1: id1 (u1,click, t0)          emits; state[(u1,click)] to t0+1h
+      b2: id2 (u1,click, t0+10m)      DEDUPED (within watermark)
+          id3 (u2,view,  t0+4h)       emits; W -> t0+3h (> t0+1h: evict)
+      b3: id4 (u3,buy,   t0+4h+1m)    emits (buffer: W takes effect)
+      b4: id5 (u1,click, t0+4h+2m)    emits AGAIN - state was evicted
+          id6 (u9,late,  t0+1m)       DROPPED by the watermark (t0+1m <
+                                      W=t0+3h; key never seen)
+    Expected survivor ids: {1, 3, 4, 5}.
+    """
+    from cassandra_analytics_example_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t0 = 1_700_000_000 * 1_000_000_000
+    m = 60 * 1_000_000_000  # one minute in ns
+    now = time.time()
+    _write_typed_batch(
+        str(src / "b1.parquet"), [(1, t0, 1, "click")], now - 120
+    )
+    _write_typed_batch(
+        str(src / "b2.parquet"),
+        [(2, t0 + 10 * m, 1, "click"), (3, t0 + 4 * H, 2, "view")],
+        now - 90,
+    )
+    _write_typed_batch(
+        str(src / "b3.parquet"), [(4, t0 + 4 * H + m, 3, "buy")], now - 60
+    )
+    _write_typed_batch(
+        str(src / "b4.parquet"),
+        [(5, t0 + 4 * H + 2 * m, 1, "click"), (6, t0 + m, 9, "late")],
+        now - 30,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    events = raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+    )
+    deduped = dedup_within_watermark(events, watermark="1 hour")
+
+    name = "dedup_watermark_check"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert 2 not in got, f"in-watermark duplicate not deduped: {got}"
+    assert 6 not in got, f"late row survived the watermark: {got}"
+    assert 5 in got, f"state not evicted — re-keyed row missing: {got}"
+    assert got == [1, 3, 4, 5], f"unexpected survivor set: {got}"
