@@ -22,6 +22,7 @@ import hashlib
 import importlib
 import inspect
 import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -63,22 +64,62 @@ def register(
     return deco
 
 
+# package imports inside a query fn body (the house style imports its
+# operators locally): "from cassandra_analytics_example_spark.X import a, b"
+# or the parenthesized multi-line form.
+_PKG_IMPORT_RE = re.compile(
+    r"from\s+(cassandra_analytics_example_spark[.\w]*)\s+import\s+"
+    r"(\([^)]*\)|[^\n(]+)"
+)
+
+
+def _one_hop_sources(src: str) -> list[str]:
+    """Source text of every package symbol ``src`` imports directly — the
+    one-hop dependency layer of a query fn.  A query whose own text is
+    unchanged can still change BEHAVIOR when the operator it calls is
+    rewritten (round 9's live case: q142's span operator); hashing the
+    directly-imported operator sources makes the evidence fingerprint
+    sensitive to that layer too.  One hop only, by design: deeper layers
+    are covered by the suite + parity sweep, and a transitive closure
+    would re-queue half the registry on any core-module edit and starve
+    the ~50-slot driver window.  Resolution failures are skipped (the
+    fingerprint simply omits that symbol) so load_all never breaks on a
+    moved import.  ``inspect.getsource`` follows ``__wrapped__``, so a
+    decorated operator (e.g. the eager rankstats metrics) contributes its
+    own def site, decorator line included."""
+    out: list[str] = []
+    for mod_name, names in _PKG_IMPORT_RE.findall(src):
+        for sym in names.strip("()").replace("\n", " ").split(","):
+            sym = sym.strip()
+            if not sym or sym == "register":
+                continue
+            sym = sym.split(" as ")[0].strip()
+            try:
+                obj = getattr(importlib.import_module(mod_name), sym)
+                out.append(inspect.getsource(obj))
+            except Exception:  # moved/renamed/C-level — omit, don't break
+                continue
+    return out
+
+
 def _fingerprint(qd: QueryDef) -> str:
     """Content fingerprint of a query's checkable surface: the function's
     source text (which, for ``@register``-decorated defs, includes the
-    decorator call and therefore the oracle SQL) plus the oracle string
-    explicitly.  Driver evidence is evidence FOR this fingerprint — a row
-    recorded against different source text proves nothing about the
-    current code, so the evidence ordering voids it (see
-    ``_effective_round``).  Conservative by design: a comment-only edit
-    also re-queues the query, which only costs one re-check."""
+    decorator call and therefore the oracle SQL), the oracle string
+    explicitly, and the one-hop operator layer (``_one_hop_sources``).
+    Driver evidence is evidence FOR this fingerprint — a row recorded
+    against different source text proves nothing about the current code,
+    so the evidence ordering voids it (see ``_effective_round``).
+    Conservative by design: a comment-only edit also re-queues the query,
+    which only costs one re-check.  MUST stay in lockstep with the
+    inlined extractor in ``tools/stamp_evidence.py``, which replays this
+    formula inside historical trees."""
     try:
         src = inspect.getsource(qd.fn)
     except (OSError, TypeError):  # source unavailable (REPL, C callable)
         src = qd.fn.__qualname__
-    return hashlib.sha256(
-        (src + "\x00" + (qd.oracle or "")).encode()
-    ).hexdigest()
+    parts = [src, qd.oracle or ""] + _one_hop_sources(src)
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
 def _effective_round(

@@ -140,6 +140,44 @@ def test_effective_round_changed_since_checked_is_minus_one():
     assert _effective_round(qd, rec, None) == 5
 
 
+def test_fingerprint_covers_one_hop_operator_imports():
+    """A query's behavior can change through the operator it calls while
+    its own text stays identical (round 9's live case: q142's span
+    operator rewrite) — the fingerprint must cover the one-hop import
+    layer so that evidence goes stale with it."""
+    import inspect
+
+    from cassandra_analytics_example_spark.queries import _one_hop_sources
+
+    src = (
+        "def fake(spark, sf_dir):\n"
+        "    from cassandra_analytics_example_spark.operators.text import (\n"
+        "        duplicated_substring_spans,\n"
+        "    )\n"
+        "    return duplicated_substring_spans(None)\n"
+    )
+    hops = _one_hop_sources(src)
+    from cassandra_analytics_example_spark.operators.text import (
+        duplicated_substring_spans,
+    )
+
+    assert hops == [inspect.getsource(duplicated_substring_spans)]
+    # decorated operators resolve to their own def site, not the shared
+    # wrapper body (inspect follows __wrapped__)
+    src2 = (
+        "def fake2(spark, sf_dir):\n"
+        "    from cassandra_analytics_example_spark.operators.rankstats"
+        " import spearman_rho\n"
+        "    return spearman_rho(None, 'x', 'y')\n"
+    )
+    (hop2,) = _one_hop_sources(src2)
+    assert "def spearman_rho(" in hop2
+    # unresolvable imports are omitted, never fatal
+    assert _one_hop_sources(
+        "from cassandra_analytics_example_spark.nope import gone\n"
+    ) == []
+
+
 def test_fingerprint_covers_fn_source_and_oracle():
     from dataclasses import replace
 

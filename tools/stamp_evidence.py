@@ -31,23 +31,42 @@ ROOT = Path(__file__).resolve().parents[1]
 
 # Runs inside each historical worktree: prints {name: fingerprint} for every
 # registered query.  The fingerprint formula MUST stay in lockstep with
-# queries._fingerprint (sha256 of fn source + "\x00" + oracle-or-empty) —
-# historical trees predate that helper, so it is inlined here.
+# queries._fingerprint (sha256 over fn source, oracle, and the one-hop
+# package-import sources, "\x00"-joined) — historical trees predate that
+# helper, so it is inlined here and resolves imports against the
+# HISTORICAL tree's modules.
 _EXTRACT = r"""
-import hashlib, importlib, inspect, json, sys
+import hashlib, importlib, inspect, json, re, sys
 sys.path.insert(0, sys.argv[1])
 q = importlib.import_module("cassandra_analytics_example_spark.queries")
 for mod in q._MODULES:
     importlib.import_module(mod)
+PKG_IMPORT_RE = re.compile(
+    r"from\s+(cassandra_analytics_example_spark[.\w]*)\s+import\s+"
+    r"(\([^)]*\)|[^\n(]+)"
+)
+def one_hop(src):
+    out = []
+    for mod_name, names in PKG_IMPORT_RE.findall(src):
+        for sym in names.strip("()").replace("\n", " ").split(","):
+            sym = sym.strip()
+            if not sym or sym == "register":
+                continue
+            sym = sym.split(" as ")[0].strip()
+            try:
+                obj = getattr(importlib.import_module(mod_name), sym)
+                out.append(inspect.getsource(obj))
+            except Exception:
+                continue
+    return out
 out = {}
 for name, qd in q.REGISTRY.items():
     try:
         src = inspect.getsource(qd.fn)
     except (OSError, TypeError):
         src = qd.fn.__qualname__
-    out[name] = hashlib.sha256(
-        (src + "\x00" + (qd.oracle or "")).encode()
-    ).hexdigest()
+    parts = [src, qd.oracle or ""] + one_hop(src)
+    out[name] = hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 print(json.dumps(out))
 """
 
