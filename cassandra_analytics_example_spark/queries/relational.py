@@ -5363,3 +5363,38 @@ def q285_tablesample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
              TABLESAMPLE (20 PERCENT) REPEATABLE (42)) AS ns,
           (SELECT count(*) FROM customer_tsmp_v) AS nt)
     """)
+
+
+# --------------------------------------------------------------------------
+# q286 — unpivot (wide → long reshape), the inverse of the pivot entry
+# (q50): the two measure columns melt into (key, measure, val) rows via
+# the DataFrame ``unpivot`` API (SQL ``UNPIVOT``'s engine form). Scale
+# shape: unpivot is a narrow per-row Expand (one output row per measure,
+# no shuffle at all — the plan is scan → generate); measures must share
+# one type, so both are cast to bigint (retail price as exact cents).
+# Reference: no reshape ops (SURVEY §2.8).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q286_unpivot_measures",
+    oracle="""
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS BIGINT) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'cents' AS measure,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS val
+FROM part
+""",
+    doc="unpivot/melt wide measures into (key, measure, val) long form — "
+    "the inverse of q50's pivot; a shuffle-free per-row Expand, measures "
+    "unified to bigint (price as exact cents)",
+    tags=("relational", "reshape"),
+)
+def q286_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    return p.unpivot(["p_partkey"], ["p_size", "cents"], "measure", "val")
