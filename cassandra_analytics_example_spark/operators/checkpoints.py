@@ -174,7 +174,11 @@ def release_pins(spark: SparkSession, *, all_threads: bool = False) -> int:
         else:
             drain = [by_thread.pop(threading.get_ident(), [])]
     for pins in drain:
-        for df in pins:
+        # iterate a snapshot: another thread's _thread_pins fetch may still
+        # hold a popped list and slice-assign its prune mid-iteration; a
+        # skipped entry would never be unpersisted (round-9 review).  A
+        # double unpersist the other way is harmless (idempotent).
+        for df in list(pins):
             if df.storageLevel != StorageLevel.NONE:
                 df.unpersist()
                 n += 1

@@ -153,6 +153,14 @@ def write_bucketed(
             f"catalog-qualified table name {table_name!r} is not supported "
             "here: pass 'db.table' or 'table' (session catalog only)"
         )
+    if "`" in table_name:
+        # the unquoted catalog calls (tableExists/getTable) parse the raw
+        # name and a quoted DROP would parse the escaped one — two paths,
+        # two identifiers; refuse up front instead (round-9 review)
+        raise ValueError(
+            f"table name {table_name!r} contains a backtick — quoted and "
+            "unquoted identifier paths would disagree; rename the table"
+        )
     quoted = ".".join(f"`{p}`" for p in name_parts)
     prior_type = None
     if spark.catalog.tableExists(table_name):

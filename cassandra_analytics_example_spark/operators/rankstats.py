@@ -126,7 +126,15 @@ def spearman_rho(
     Three bounded passes: two distinct-value rank tables (each a groupBy
     + prefix layer over the value domain), one broadcast-join of the
     rank tables back onto the rows, one moment aggregation.
+
+    NULL rows are excluded UP FRONT (pairwise-complete semantics): the
+    centered identity requires the ranks to be computed over exactly the
+    rows that reach the moment aggregation — ranks built over a corpus
+    that includes NULL rows the join then drops would break
+    sum(2r) = n(n+1) and could push |rho| past 1 or under a sqrt of a
+    negative (round-9 review finding).
     """
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     rx = doubled_average_ranks(df, x_col, num_partitions).withColumnRenamed(
         "__r2", "__rx"
     ).drop("__n")
@@ -584,10 +592,13 @@ def spearman_grouped(
     Doubled tie-averaged ranks per group come from per-(group, value)
     counts plus the grouped prefix operator (no per-group buffer);
     the per-group moments and the single closed-form float expression
-    follow the global ``spearman_rho`` exactly."""
+    follow the global ``spearman_rho`` exactly — including the up-front
+    NULL exclusion the centered identity requires (see spearman_rho)."""
     from cassandra_analytics_example_spark.operators.ranking import (
         grouped_prefix_sums,
     )
+
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
     def ranks(col, out):
         g = df.groupBy(

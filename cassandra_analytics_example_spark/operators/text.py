@@ -729,6 +729,7 @@ def duplicated_substring_spans(
     text_col: str = "text",
     k: int = 32,
     min_docs: int = 2,
+    dup_detection: str = "aggregate",
 ) -> DataFrame:
     """Exact duplicated-substring audit (the substring-dedup pass of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -753,12 +754,22 @@ def duplicated_substring_spans(
     ReusedExchange never fires; caching is not an option — the window
     table is ~50x the corpus bytes): measured 2.2x slower at sf0.1.  The
     span merge is one doc-keyed window — no all-pairs comparison
-    anywhere.  Skew note: a degenerate window shared verbatim across
-    millions of docs concentrates its positions in one aggregation
-    buffer; those are the same rows the join-back would emit from one
-    reducer, but as buffered state — if that class of boilerplate is
-    expected, run a boilerplate strip (q120) first.
+    anywhere.
+
+    ``dup_detection`` picks the memory/throughput trade (round-9
+    review): the default ``"aggregate"`` buffers one window hash's
+    (doc, pos) pairs in its aggregation buffer — fastest, but a
+    DEGENERATE window shared verbatim across millions of docs (license
+    headers, HTML scaffold) makes that one buffer corpus-sized and can
+    OOM a reducer.  ``"join"`` is the streamed form: countDistinct +
+    join-back on the hash key never buffers a bucket (the hot key's rows
+    stream through one reducer instead), at the cost of computing and
+    shuffling the window table twice.  Results are identical.  If
+    boilerplate at that multiplicity is expected, strip it first (q120)
+    or pass ``dup_detection="join"``.
     """
+    if dup_detection not in ("aggregate", "join"):
+        raise ValueError(f"unknown dup_detection: {dup_detection!r}")
     ln = F.length(F.col(text_col))
     # The window explosion multiplies rows ~len(text)-fold and runs an md5
     # per window: spread the (small) doc table first so that map work is
@@ -779,19 +790,39 @@ def duplicated_substring_spans(
             F.md5(F.expr(f"substring({text_col}, i, {k})")).alias("h"),
         )
     )
-    # one shuffle on the window hash: positions ride the aggregate, the
-    # distinct-doc filter runs JVM-side on the collected list (no second
-    # lineage, no join back, no Expand from a mixed countDistinct)
-    dwin = (
-        win.groupBy("h")
-        .agg(F.collect_list(F.struct(F.col(id_col), F.col("i"))).alias("ps"))
-        .where(
-            F.size(F.expr(f"array_distinct(transform(ps, p -> p.{id_col}))"))
-            >= min_docs
+    if dup_detection == "aggregate":
+        # one shuffle on the window hash: positions ride the aggregate,
+        # the distinct-doc filter runs JVM-side on the collected list (no
+        # second lineage, no join back, no Expand from a mixed
+        # countDistinct)
+        dwin = (
+            win.groupBy("h")
+            .agg(
+                F.collect_list(F.struct(F.col(id_col), F.col("i"))).alias(
+                    "ps"
+                )
+            )
+            .where(
+                F.size(
+                    F.expr(f"array_distinct(transform(ps, p -> p.{id_col}))")
+                )
+                >= min_docs
+            )
+            .select(F.explode("ps").alias("p"))
+            .select(
+                F.col(f"p.{id_col}").alias(id_col), F.col("p.i").alias("i")
+            )
         )
-        .select(F.explode("ps").alias("p"))
-        .select(F.col(f"p.{id_col}").alias(id_col), F.col("p.i").alias("i"))
-    )
+    else:
+        # streamed form: no per-bucket buffering (degenerate-boilerplate
+        # safe), at the cost of a second window-table lineage
+        dup = (
+            win.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("h")
+        )
+        dwin = win.join(dup, "h").select(id_col, "i")
     w = Window.partitionBy(id_col).orderBy("i")
     marked = dwin.withColumn(
         "new_span",

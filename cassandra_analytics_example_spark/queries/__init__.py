@@ -73,22 +73,35 @@ _PKG_IMPORT_RE = re.compile(
 )
 
 
-def _one_hop_sources(src: str) -> list[str]:
-    """Source text of every package symbol ``src`` imports directly — the
-    one-hop dependency layer of a query fn.  A query whose own text is
-    unchanged can still change BEHAVIOR when the operator it calls is
-    rewritten (round 9's live case: q142's span operator); hashing the
-    directly-imported operator sources makes the evidence fingerprint
-    sensitive to that layer too.  One hop only, by design: deeper layers
-    are covered by the suite + parity sweep, and a transitive closure
-    would re-queue half the registry on any core-module edit and starve
-    the ~50-slot driver window.  Resolution failures are skipped (the
-    fingerprint simply omits that symbol) so load_all never breaks on a
-    moved import.  ``inspect.getsource`` follows ``__wrapped__``, so a
-    decorated operator (e.g. the eager rankstats metrics) contributes its
-    own def site, decorator line included."""
-    out: list[str] = []
+def _one_hop_sources(src: str, fn: Callable | None = None) -> list[str]:
+    """Source text of every package symbol the query fn uses directly —
+    the one-hop dependency layer.  A query whose own text is unchanged
+    can still change BEHAVIOR when the operator it calls is rewritten
+    (round 9's live case: q142's span operator); hashing the used
+    operator sources makes the evidence fingerprint sensitive to that
+    layer too.  Two resolution paths, both needed (round-9 review):
+
+    * imports written INSIDE the fn body (the common house style) —
+      parsed from ``src`` with inline comments stripped first, so a
+      ``# noqa`` on an import line cannot silently drop a symbol;
+    * package symbols imported at MODULE level and referenced by name in
+      ``src`` (e.g. llm.py's top-level ``minhash_lsh_dedup``) — resolved
+      through ``fn``'s module namespace, so a module-level-imported
+      operator rewrite voids its queries' evidence exactly like a
+      fn-local one.
+
+    One hop only, by design: deeper layers are covered by the suite +
+    parity sweep, and a transitive closure would re-queue half the
+    registry on any core-module edit and starve the ~50-slot driver
+    window.  Resolution failures are skipped (the fingerprint simply
+    omits that symbol) so load_all never breaks on a moved import.
+    ``inspect.getsource`` follows ``__wrapped__``, so a decorated
+    operator (e.g. the eager rankstats metrics) contributes its own def
+    site, decorator line included.  Output is de-duplicated and sorted
+    for determinism."""
+    found: dict[str, str] = {}
     for mod_name, names in _PKG_IMPORT_RE.findall(src):
+        names = re.sub(r"#[^\n]*", "", names)  # strip inline comments
         for sym in names.strip("()").replace("\n", " ").split(","):
             sym = sym.strip()
             if not sym or sym == "register":
@@ -96,10 +109,26 @@ def _one_hop_sources(src: str) -> list[str]:
             sym = sym.split(" as ")[0].strip()
             try:
                 obj = getattr(importlib.import_module(mod_name), sym)
-                out.append(inspect.getsource(obj))
+                found[f"{mod_name}.{sym}"] = inspect.getsource(obj)
             except Exception:  # moved/renamed/C-level — omit, don't break
                 continue
-    return out
+    if fn is not None:
+        mod = inspect.getmodule(fn)
+        for name, obj in list(vars(mod).items() if mod else []):
+            if name == "register" or obj is fn:
+                continue
+            obj_mod = getattr(obj, "__module__", "") or ""
+            if not obj_mod.startswith("cassandra_analytics_example_spark"):
+                continue
+            if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+                continue
+            if not re.search(rf"\b{re.escape(name)}\b", src):
+                continue
+            try:
+                found[f"{obj_mod}.{name}"] = inspect.getsource(obj)
+            except Exception:
+                continue
+    return [found[k] for k in sorted(found)]
 
 
 def _fingerprint(qd: QueryDef) -> str:
@@ -118,7 +147,7 @@ def _fingerprint(qd: QueryDef) -> str:
         src = inspect.getsource(qd.fn)
     except (OSError, TypeError):  # source unavailable (REPL, C callable)
         src = qd.fn.__qualname__
-    parts = [src, qd.oracle or ""] + _one_hop_sources(src)
+    parts = [src, qd.oracle or ""] + _one_hop_sources(src, qd.fn)
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 

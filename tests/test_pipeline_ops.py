@@ -1500,6 +1500,19 @@ def test_substring_spans_locates_planted_duplicate(spark):
     for i in range(2, 6):
         assert out[i].n_dup_windows == 0
         assert out[i].dup_permille == 0
+    # the streamed (degenerate-boilerplate-safe) detection path must
+    # produce the identical audit row for row (round-9 review: the
+    # aggregate path buffers a hot window hash; "join" is the escape
+    # hatch and may not drift semantically)
+    joined = {
+        r.doc_id: r
+        for r in duplicated_substring_spans(
+            df, k=32, dup_detection="join"
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in joined.items()
+    }
 
 
 def test_incremental_clusters_merge_two_base_clusters(spark):

@@ -64,6 +64,43 @@ def test_spearman_matches_pandas_reference(spark):
     assert abs(row2["rho"] + 1.0) < 1e-12
 
 
+def test_spearman_excludes_null_rows_pairwise_complete(spark):
+    """Round-9 review finding: the centered identity needs ranks computed
+    over exactly the surviving rows.  With a NULL in one column, the old
+    behavior ranked over ALL rows and then dropped the NULL row at the
+    join, breaking sum(2r) = n(n+1) — the rewritten formula would report
+    |rho| > 1 (or sqrt of a negative).  Pairwise-complete exclusion must
+    restore the exact statistic of the complete rows."""
+    pdf = pd.DataFrame(
+        {"x": [1, 2, 3, None], "y": [2, 3, 4, 1]}, dtype="Int64"
+    )
+    row = spearman_rho(spark.createDataFrame(pdf), "x", "y").collect()[0]
+    assert row["n"] == 3
+    # complete rows are perfectly monotone (1.0 up to sqrt rounding;
+    # the broken pre-fix formula returned ~1.372 here)
+    assert abs(row["rho"] - 1.0) < 1e-12
+    # grouped: one group carries a NULL row, the other is clean
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        spearman_grouped,
+    )
+
+    pdf2 = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "a", "b", "b", "b"],
+            "x": pd.array([1, 2, 3, None, 5, 6, 7], dtype="Int64"),
+            "y": pd.array([2, 3, 4, 1, 9, 8, 7], dtype="Int64"),
+        }
+    )
+    got = {
+        r["g"]: (r["n"], r["rho"])
+        for r in spearman_grouped(
+            spark.createDataFrame(pdf2), "g", "x", "y"
+        ).collect()
+    }
+    assert got["a"][0] == 3 and abs(got["a"][1] - 1.0) < 1e-12
+    assert got["b"][0] == 3 and abs(got["b"][1] + 1.0) < 1e-12
+
+
 def test_spearman_formula_exact_at_near_ceiling_n(spark):
     """Formula-level proof of the documented exact range (~2.9e12 rows,
     4n^3 < 1e38): feed the rho expression the EXACT decimal moments of a

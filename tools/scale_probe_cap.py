@@ -46,8 +46,16 @@ from cassandra_analytics_example_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from cassandra_analytics_example_spark.session import get_spark
-from tools.scale_probe30 import OUT, merge_section
+from tools.scale_probe30 import merge_section
 from tools.scale_probe30_control import build_control
+
+# Explicit artifact path: deriving it by OUT.replace("r08", "r09") would
+# silently mis-route when SPARK_GRAFT_SCALE_PROBE_OUT overrides OUT
+# (round-9 review).
+OUT9 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    os.environ.get("SPARK_GRAFT_CAP_PROBE_OUT", "SCALE_PROBE_r09.json"),
+)
 
 N_BITS, N_BANDS, CAP = 32, 4, 128
 
@@ -124,7 +132,11 @@ def main() -> None:
     assert leg10["n_dropped_buckets"] > 0, "x10 drop audit empty"
     assert leg30["n_dropped_buckets"] > 0, "x30 drop audit empty"
     assert ratio < 6.0, f"capped run not corpus-linear: {ratio}"
-    merge_section(OUT.replace("r08", "r09"), "simhash_capped_regime", results)
+    # the refused work must carry the quadratic term (occupancy ~N/2^w →
+    # dropped pairs ~N², i.e. ~9x between 10x and 30x): if it grew only
+    # linearly the audit would be mis-attributing the saved work
+    assert refused > 5.0, f"refused work not quadratic: {refused}"
+    merge_section(OUT9, "simhash_capped_regime", results)
     import json
 
     print(json.dumps(results, indent=1))

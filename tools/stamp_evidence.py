@@ -45,9 +45,10 @@ PKG_IMPORT_RE = re.compile(
     r"from\s+(cassandra_analytics_example_spark[.\w]*)\s+import\s+"
     r"(\([^)]*\)|[^\n(]+)"
 )
-def one_hop(src):
-    out = []
+def one_hop(src, fn):
+    found = {}
     for mod_name, names in PKG_IMPORT_RE.findall(src):
+        names = re.sub(r"#[^\n]*", "", names)
         for sym in names.strip("()").replace("\n", " ").split(","):
             sym = sym.strip()
             if not sym or sym == "register":
@@ -55,17 +56,32 @@ def one_hop(src):
             sym = sym.split(" as ")[0].strip()
             try:
                 obj = getattr(importlib.import_module(mod_name), sym)
-                out.append(inspect.getsource(obj))
+                found[mod_name + "." + sym] = inspect.getsource(obj)
             except Exception:
                 continue
-    return out
+    mod = inspect.getmodule(fn)
+    for name, obj in list(vars(mod).items() if mod else []):
+        if name == "register" or obj is fn:
+            continue
+        obj_mod = getattr(obj, "__module__", "") or ""
+        if not obj_mod.startswith("cassandra_analytics_example_spark"):
+            continue
+        if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+            continue
+        if not re.search(r"\b" + re.escape(name) + r"\b", src):
+            continue
+        try:
+            found[obj_mod + "." + name] = inspect.getsource(obj)
+        except Exception:
+            continue
+    return [found[k] for k in sorted(found)]
 out = {}
 for name, qd in q.REGISTRY.items():
     try:
         src = inspect.getsource(qd.fn)
     except (OSError, TypeError):
         src = qd.fn.__qualname__
-    parts = [src, qd.oracle or ""] + one_hop(src)
+    parts = [src, qd.oracle or ""] + one_hop(src, qd.fn)
     out[name] = hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 print(json.dumps(out))
 """
@@ -110,14 +126,23 @@ def _round_tree_sha(rnd: int) -> str | None:
     parent of the ``round {rnd}: verdict/...`` artifact commit.  (The
     driver may ALSO make a ``round {rnd}: end-of-round snapshot`` commit
     for uncommitted work BEFORE running the checks — that snapshot is part
-    of the checked tree, so only the verdict commit marks the boundary.)"""
+    of the checked tree, so only the verdict commit marks the boundary.)
+
+    Matching is hardened (round-9 review): the pattern anchors at line
+    start so a ``Revert "round N: verdict..."`` subject cannot match, the
+    search walks only the current first-parent mainline (not ``--all``,
+    where an abandoned branch could carry a same-named commit), and a
+    rootless boundary returns None instead of crashing on ``sha^``."""
     sha = _git(
-        "log", "--format=%H", "--fixed-strings",
-        f"--grep=round {rnd}: verdict", "--all",
+        "log", "--format=%H", "--first-parent",
+        f"--grep=^round {rnd}: verdict", "HEAD",
     ).splitlines()
     if not sha:
         return None
-    return _git("rev-parse", f"{sha[-1]}^")  # oldest match, its parent
+    try:
+        return _git("rev-parse", f"{sha[-1]}^")  # oldest match, its parent
+    except subprocess.CalledProcessError:
+        return None  # boundary commit is the root — no checked tree before it
 
 
 def _fingerprints_at(sha: str, tag: str) -> dict[str, str]:
