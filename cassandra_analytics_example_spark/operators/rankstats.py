@@ -200,6 +200,10 @@ def gini_exact(
     sort of the rows.  All products run in DECIMAL(38,0); the output is
     the exact floor of ``10⁶·G``.
     """
+    # NULL measures are excluded up front (same rationale as spearman_rho:
+    # a NULL row would ride the prefix layer while the moment sums skip
+    # its products, so n and the moments would disagree)
+    df = df.where(F.col(value_col).isNotNull())
     g = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.count("*").cast("bigint").alias("__n")
     )
@@ -248,6 +252,9 @@ def ks_two_sample(
     one prefix layer over the merged value order, and exact integer
     cross-multiplication (no per-sample division, no float ECDFs).
     """
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )  # incomplete rows excluded up front — see spearman_rho/gini_exact
     g = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(
             F.when(F.col(group_col) == 0, F.lit(1)).otherwise(F.lit(0))
@@ -332,6 +339,9 @@ def kaplan_meier(
     ``log_s_nano`` is NULL at and after any step where every subject at
     risk dies (S hits exactly 0; its logarithm is undefined).
     """
+    df = df.where(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )  # incomplete rows excluded up front — see spearman_rho/gini_exact
     g = df.groupBy(F.col(duration_col).alias("t")).agg(
         F.count("*").cast("bigint").alias("__n"),
         F.sum(F.col(event_col).cast("bigint")).alias("n_events"),
@@ -478,6 +488,7 @@ def gini_grouped(
     so millions of groups of any size never buffer: distinct
     (group, value) counts, per-group exclusive prefix of the counts,
     the same exact DECIMAL(38,0) rank-sum algebra per group."""
+    df = df.where(F.col(value_col).isNotNull())  # see gini_exact
     from cassandra_analytics_example_spark.operators.ranking import (
         grouped_prefix_sums,
     )
@@ -527,6 +538,9 @@ def ks_grouped(
     ``ks_two_sample``, with the cumulative layer on the grouped prefix
     operator so any number of groups of any size runs without a
     per-group buffer."""
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(split_col).isNotNull()
+    )  # incomplete rows excluded up front — see ks_two_sample
     from cassandra_analytics_example_spark.operators.ranking import (
         grouped_prefix_sums,
     )
@@ -675,6 +689,9 @@ def kaplan_meier_grouped(
     cumulative quantized log-survival) on the grouped prefix operator,
     so any number of cohorts of any size runs without a per-cohort
     buffer.  NULL log-S at and after a cohort's extinction step."""
+    df = df.where(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )  # incomplete rows excluded up front — see kaplan_meier
     from cassandra_analytics_example_spark.operators.ranking import (
         grouped_prefix_sums,
     )

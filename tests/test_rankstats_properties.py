@@ -101,6 +101,48 @@ def test_spearman_excludes_null_rows_pairwise_complete(spark):
     assert got["b"][0] == 3 and abs(got["b"][1] + 1.0) < 1e-12
 
 
+def test_rank_metrics_exclude_null_measure_rows(spark):
+    """Same exclusion contract across the family (round-9 review
+    follow-through): a NULL measure row must change NOTHING — without the
+    up-front filter it rode the prefix layer (engine-dependent NULL
+    ordering) while the moment sums skipped its products, so n and the
+    moments disagreed."""
+    from cassandra_analytics_example_spark.operators.rankstats import (
+        gini_exact,
+        kaplan_meier,
+        ks_two_sample,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    base = spark.createDataFrame([(v,) for v in vals], ["v"])
+    withnull = base.unionByName(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS v")
+    )
+    assert (
+        gini_exact(base, "v").collect()
+        == gini_exact(withnull, "v").collect()
+    )
+    ks_base = spark.createDataFrame(
+        [(v, i % 2) for i, v in enumerate(vals)], ["v", "g"]
+    )
+    ks_null = ks_base.unionByName(
+        spark.sql("SELECT CAST(NULL AS BIGINT) v, CAST(NULL AS BIGINT) g")
+    )
+    assert (
+        ks_two_sample(ks_base, "v", "g").collect()
+        == ks_two_sample(ks_null, "v", "g").collect()
+    )
+    km_base = spark.createDataFrame(
+        [(v, 1 if v % 2 else 0) for v in vals], ["t", "e"]
+    )
+    km_null = km_base.unionByName(
+        spark.sql("SELECT CAST(NULL AS BIGINT) t, CAST(1 AS BIGINT) e")
+    )
+    assert sorted(map(tuple, kaplan_meier(km_base, "t", "e").collect())) == (
+        sorted(map(tuple, kaplan_meier(km_null, "t", "e").collect()))
+    )
+
+
 def test_spearman_formula_exact_at_near_ceiling_n(spark):
     """Formula-level proof of the documented exact range (~2.9e12 rows,
     4n^3 < 1e38): feed the rho expression the EXACT decimal moments of a
