@@ -98,17 +98,30 @@ def _one_hop_sources(src: str, fn: Callable | None = None) -> list[str]:
     ``inspect.getsource`` follows ``__wrapped__``, so a decorated
     operator (e.g. the eager rankstats metrics) contributes its own def
     site, decorator line included.  Output is de-duplicated and sorted
-    for determinism."""
+    for determinism.
+
+    The fingerprint MUST be a pure function of the tree, independent of
+    the process's import state (round-9 second review: ``getattr`` on a
+    package resolves a SUBMODULE import like ``from ...sources import
+    versioned`` only after something imported it, flipping the
+    fingerprint mid-process and breaking the memoized ordering) — so
+    unresolved attributes fall back to ``importlib.import_module`` of
+    the dotted child, which succeeds deterministically; a submodule hop
+    hashes the submodule's whole source.  Comments are stripped from the
+    scanned text BEFORE the import regex runs, so a ``)`` inside an
+    inline comment cannot truncate a parenthesized symbol list."""
     found: dict[str, str] = {}
-    for mod_name, names in _PKG_IMPORT_RE.findall(src):
-        names = re.sub(r"#[^\n]*", "", names)  # strip inline comments
+    scan = re.sub(r"#[^\n]*", "", src)  # strip comments before matching
+    for mod_name, names in _PKG_IMPORT_RE.findall(scan):
         for sym in names.strip("()").replace("\n", " ").split(","):
             sym = sym.strip()
             if not sym or sym == "register":
                 continue
             sym = sym.split(" as ")[0].strip()
             try:
-                obj = getattr(importlib.import_module(mod_name), sym)
+                obj = getattr(importlib.import_module(mod_name), sym, None)
+                if obj is None:  # submodule not yet imported — resolve it
+                    obj = importlib.import_module(f"{mod_name}.{sym}")
                 found[f"{mod_name}.{sym}"] = inspect.getsource(obj)
             except Exception:  # moved/renamed/C-level — omit, don't break
                 continue

@@ -227,3 +227,39 @@ def test_load_all_fronts_changed_queries_from_disk_snapshot():
     # and the changed block comes after the never-checked block
     if changed and unverified:
         assert max(idx[n] for n in unverified) < min(idx[n] for n in changed)
+
+
+def test_fingerprint_is_import_state_independent():
+    """Round-9 second review: resolving a SUBMODULE import (``from
+    ...sources import versioned``) via getattr made the fingerprint
+    depend on whether the process had imported that submodule yet —
+    flipping mid-process and breaking the memoized ordering.  The
+    fingerprint must be identical before and after the import, and the
+    submodule hop must actually resolve in the clean state."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from cassandra_analytics_example_spark.queries import ("
+        "load_all, REGISTRY, _fingerprint, _one_hop_sources)\n"
+        "import inspect\n"
+        "load_all()\n"
+        "qd = REGISTRY['q103_time_travel']\n"
+        "before = _fingerprint(qd)\n"
+        "hops_before = len(_one_hop_sources(inspect.getsource(qd.fn), qd.fn))\n"
+        "import cassandra_analytics_example_spark.sources.versioned  # noqa\n"
+        "after = _fingerprint(qd)\n"
+        "assert hops_before > 0, 'submodule hop did not resolve clean'\n"
+        "assert before == after, 'fingerprint flipped on import'\n"
+        "print('ok', hops_before)\n"
+    )
+    from pathlib import Path
+
+    root = str(Path(__file__).resolve().parents[1])
+    out = subprocess.run(
+        [sys.executable, "-I", "-c", code, root],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert out.stdout.startswith("ok")

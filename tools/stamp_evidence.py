@@ -2,10 +2,11 @@
 
 The driver's CORRECTNESS_r{N}.json rows are evidence for the code that was
 CHECKED, not for whatever the tree holds now.  This tool reconstructs, for
-each query, the fingerprint (``queries._fingerprint``: sha256 of fn source +
-oracle text) of the query AS OF the tree its latest green driver row ran
-against, and writes the map to ``EVIDENCE_FINGERPRINTS.json`` at the repo
-root.  ``queries._evidence_order`` then voids evidence whose fingerprint no
+each query, the fingerprint (``queries._fingerprint``: sha256 over fn
+source, oracle text, and the one-hop package-import sources — fn-local AND
+module-level-referenced symbols — "\x00"-joined) of the query AS OF the
+tree its latest green driver row ran against, and writes the map to
+``EVIDENCE_FINGERPRINTS.json`` at the repo root.  ``queries._evidence_order`` then voids evidence whose fingerprint no
 longer matches the live code, re-queueing the query at the front of the next
 driver window (rank -1, behind never-checked at -2).
 
@@ -47,15 +48,17 @@ PKG_IMPORT_RE = re.compile(
 )
 def one_hop(src, fn):
     found = {}
-    for mod_name, names in PKG_IMPORT_RE.findall(src):
-        names = re.sub(r"#[^\n]*", "", names)
+    scan = re.sub(r"#[^\n]*", "", src)
+    for mod_name, names in PKG_IMPORT_RE.findall(scan):
         for sym in names.strip("()").replace("\n", " ").split(","):
             sym = sym.strip()
             if not sym or sym == "register":
                 continue
             sym = sym.split(" as ")[0].strip()
             try:
-                obj = getattr(importlib.import_module(mod_name), sym)
+                obj = getattr(importlib.import_module(mod_name), sym, None)
+                if obj is None:
+                    obj = importlib.import_module(mod_name + "." + sym)
                 found[mod_name + "." + sym] = inspect.getsource(obj)
             except Exception:
                 continue
