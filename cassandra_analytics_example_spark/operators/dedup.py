@@ -11,6 +11,8 @@ so signatures are engine-portable and reproducible across runs/clusters
 
 from __future__ import annotations
 
+import itertools
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -552,6 +554,19 @@ def hamming64(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+class SimHashSaturationError(RuntimeError):
+    """The ``max_bucket_size`` valve would drop (or did drop) EVERY band
+    collision bucket, so the capped pair expansion is guaranteed to emit
+    zero near-dup pairs — the operator would silently deduplicate nothing.
+    Raised loudly instead (round-9 probe: at 30x corpus on a saturated
+    32-bit/4-band blocking, all 1024 buckets dropped and
+    ``emitted_pairs`` was 0 with the only signal in the drop audit).
+    Remedies, in order: use ``simhash_near_dup_pairs_auto`` (escalates the
+    blocking automatically), widen the blocking yourself
+    (``simhash_near_dup_pairs_combi`` with more pieces), or raise
+    ``max_bucket_size``."""
+
+
 def auto_band_width(
     n_docs: int,
     n_bands: int = 4,
@@ -643,6 +658,255 @@ def _simhash_buckets(
     )
 
 
+def _bucket_pairs(
+    buckets: DataFrame,
+    max_hamming: int,
+    max_bucket_size: int | None,
+    on_saturation: str,
+) -> DataFrame:
+    """Shared capped bucket→pair expansion for both SimHash blocking
+    schemes (contiguous single bands and piece combinations): apply the
+    ``max_bucket_size`` valve, expand surviving buckets to ordered pairs,
+    verify exact hamming over the FULL fingerprint, distinct.
+
+    When the valve is active and ``on_saturation == "error"`` the plan
+    carries a runtime guard: a one-row drop audit (total vs dropped
+    collision buckets, aggregated from the SAME bucket frame — Catalyst's
+    ReuseExchange dedupes the shuffle, so the audit costs one extra
+    final-aggregate pass, not a second fingerprint pipeline) is
+    broadcast-crossed onto the result with ``assert_true`` that at least
+    one bucket survived. All-buckets-dropped is the zero-recall cliff:
+    partial drops are legitimate valve operation (audited via
+    ``simhash_bucket_stats``), but a capped run that drops EVERYTHING can
+    only ever return an empty frame, and silence here means a 100 TB job
+    that "deduplicated" nothing. ``on_saturation="ignore"`` restores the
+    old silent-empty behavior for callers that handle the audit
+    themselves."""
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
+    capped = buckets
+    if max_bucket_size is not None:
+        capped = buckets.filter(F.size("ms") <= max_bucket_size)
+    pairs = (
+        capped.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    out = pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    if max_bucket_size is None or on_saturation == "ignore":
+        return out
+    # The guard must execute even when zero pairs survive — that IS the
+    # failure case — so it cannot ride the result rows (a crossJoin guard
+    # dies with AQE's empty-relation propagation: no result rows, no
+    # broadcast build, no assert). Instead it is a UNION branch that
+    # always runs its one-row audit aggregate and contributes zero rows:
+    # the explode count is 0 when healthy and raise_error when saturated.
+    # (when(ok, 0).otherwise(raise_error(...)): the branches must DIFFER —
+    # an assert_true folded into both branches gets simplified away by
+    # SimplifyConditionals, observed in the physical plan.)
+    guard_ok = (F.col("__nb") == 0) | (F.col("__nd") < F.col("__nb"))
+    msg = F.concat(
+        F.lit(
+            "SimHashSaturationError: max_bucket_size="
+            f"{max_bucket_size} dropped all "
+        ),
+        F.col("__nb").cast("string"),
+        F.lit(
+            " collision buckets - zero recall. Use "
+            "simhash_near_dup_pairs_auto (escalates the blocking), "
+            "widen the blocking (simhash_near_dup_pairs_combi), or "
+            "raise max_bucket_size; audit via simhash_bucket_stats."
+        ),
+    )
+    guard_branch = (
+        buckets.agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.coalesce(
+                F.sum((F.size("ms") > max_bucket_size).cast("int")), F.lit(0)
+            ).alias("__nd"),
+        )
+        .select(
+            F.explode(
+                F.array_repeat(
+                    F.lit(0),
+                    F.when(guard_ok, F.lit(0)).otherwise(
+                        F.raise_error(msg).cast("int")
+                    ),
+                )
+            ).alias("__g")
+        )
+        .select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out.schema.fields
+            ]
+        )
+    )
+    return out.unionAll(guard_branch)
+
+
+def _piece_slices(n_bits: int, n_pieces: int) -> list[tuple[int, int]]:
+    """Near-equal contiguous (start_bit, width) slices tiling ``n_bits``;
+    the wider slices come first, deterministically."""
+    if not 0 < n_pieces <= n_bits:
+        raise ValueError(f"n_pieces must be in (0, {n_bits}], got {n_pieces}")
+    base, extra = divmod(n_bits, n_pieces)
+    widths = [base + 1] * extra + [base] * (n_pieces - extra)
+    slices, start = [], 0
+    for w in widths:
+        slices.append((start, w))
+        start += w
+    return slices
+
+
+def combi_key_bits(n_bits: int, n_pieces: int, max_hamming: int) -> int:
+    """Guaranteed (minimum) block-key width of the combination blocking:
+    the sum of the ``n_pieces - max_hamming`` NARROWEST piece widths —
+    every combo key is at least this wide, so ``2^combi_key_bits`` lower-
+    bounds the per-table bucket space. Pure integers so the escalation
+    ladder (and its tests) can reason about it without Spark."""
+    agree = n_pieces - max_hamming
+    if agree < 1:
+        raise ValueError(
+            f"need n_pieces > max_hamming ({n_pieces} <= {max_hamming})"
+        )
+    widths = sorted(w for _, w in _piece_slices(n_bits, n_pieces))
+    return sum(widths[:agree])
+
+
+def combi_blocking_plan(
+    n_docs: int,
+    n_bits: int = 60,
+    max_hamming: int = 3,
+    margin: int = 2,
+    max_tables: int = 70,
+) -> tuple[int, int]:
+    """Escalation ladder for the saturated regime: the smallest piece count
+    ``p > max_hamming`` whose combination blocking gives
+    ``2^combi_key_bits >= n_docs << margin`` without exceeding
+    ``max_tables`` C(p, p-max_hamming) block tables. Returns
+    ``(n_pieces, key_bits)`` — if even the widest affordable plan can't
+    reach the target it returns that widest plan (full recall still holds;
+    only the random-collision floor is higher than ``margin`` asks).
+
+    Why this ladder: with the fingerprint capped at 60 portable bits, a
+    single-piece banding tops out at ``2^(60//(max_hamming+1))`` bucket
+    values (32768 for hamming 3). Blocking on UNIONS of pieces (Manku,
+    Jain & Das Sarma, WWW'07 §3: split the fingerprint into p pieces; any
+    pair within hamming ``p-k`` agrees exactly on some k-piece combo)
+    widens the key to ~``k*60/p`` bits at a cost of C(p, k) tables —
+    p=5 → 24-bit keys / 10 tables, p=7 → 33 bits / 35 tables, p=8 →
+    36 bits / 56 tables: enough bucket space for ~10^10 docs at margin 2
+    while candidate generation stays an equi-join."""
+    target = max(1, n_docs) << margin
+    best: tuple[int, int] | None = None
+    for p in range(max_hamming + 1, n_bits + 1):
+        if math.comb(p, p - max_hamming) > max_tables:
+            break
+        bits = combi_key_bits(n_bits, p, max_hamming)
+        if best is None or bits > best[1]:
+            best = (p, bits)
+        if (1 << bits) >= target:
+            return p, bits
+    if best is None:  # max_tables below the p = max_hamming+1 floor
+        raise ValueError(
+            f"no combination blocking fits max_tables={max_tables} "
+            f"(C({max_hamming + 1}, 1) = {max_hamming + 1} tables minimum)"
+        )
+    return best
+
+
+def _simhash_combi_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int,
+    n_pieces: int,
+    max_hamming: int,
+    gram_n: int,
+) -> DataFrame:
+    """Collision buckets for combination blocking: the fingerprint is
+    tiled into ``n_pieces`` near-equal slices and each document is keyed
+    once per C(n_pieces, n_pieces - max_hamming) piece combination with
+    the concatenated bits of that combo. Pigeonhole: ≤ ``max_hamming``
+    differing bits leave ≥ ``n_pieces - max_hamming`` pieces untouched,
+    so at least one combo key matches exactly — full recall, and the key
+    carries ~``(p-h)/p`` of the fingerprint instead of ``1/p``. Same
+    single-lineage shape as ``_simhash_buckets``: one fingerprint pass,
+    one explode, one shuffle on (table, key)."""
+    agree = n_pieces - max_hamming
+    if agree < 1:
+        raise ValueError(
+            f"need n_pieces > max_hamming ({n_pieces} <= {max_hamming})"
+        )
+    slices = _piece_slices(n_bits, n_pieces)
+    featureful = (
+        df.filter(F.size(tokens(text_col)) >= gram_n) if gram_n > 1 else df
+    )
+    fp = simhash(featureful, id_col, text_col, n_bits, gram_n)
+    structs = []
+    for ti, combo in enumerate(itertools.combinations(range(n_pieces), agree)):
+        key = F.lit(0).cast("bigint")
+        shift = 0
+        for pi in combo:
+            start, w = slices[pi]
+            piece = (
+                F.shiftright("simhash", start)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .cast("bigint")
+            )
+            key = key.bitwiseOR(F.shiftleft(piece, shift))
+            shift += w
+        structs.append(F.struct(F.lit(ti).alias("band"), key.alias("bb")))
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*structs)).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.bb")
+    return (
+        banded.groupBy("band", "bb")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias(
+                "ms"
+            )
+        )
+        .filter(F.size("ms") > 1)
+    )
+
+
+def simhash_near_dup_pairs_combi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 60,
+    n_pieces: int = 6,
+    max_hamming: int = 3,
+    gram_n: int = 3,
+    max_bucket_size: int | None = None,
+    on_saturation: str = "error",
+) -> DataFrame:
+    """SimHash near-dup pairs via piece-COMBINATION blocking (Manku et al.
+    WWW'07 §3) — the saturated-regime escalation of
+    ``simhash_near_dup_pairs``. Identical result set (same fingerprint,
+    same exact-hamming verification over all ``n_bits``); only candidate
+    generation differs: block keys are C(n_pieces, n_pieces-max_hamming)
+    concatenations of fingerprint pieces, so the per-table bucket space is
+    ~``2^((1 - max_hamming/n_pieces) * n_bits)`` instead of
+    ``2^(n_bits/(max_hamming+1))`` — e.g. 2^33 vs 2^15 for 60 bits /
+    hamming 3 at n_pieces=7. Use when the corpus outgrows single-band
+    space; ``simhash_near_dup_pairs_auto`` picks ``n_pieces`` for you via
+    ``combi_blocking_plan``."""
+    buckets = _simhash_combi_buckets(
+        df, id_col, text_col, n_bits, n_pieces, max_hamming, gram_n
+    )
+    return _bucket_pairs(buckets, max_hamming, max_bucket_size, on_saturation)
+
+
 def simhash_bucket_stats(
     df: DataFrame,
     id_col: str,
@@ -662,6 +926,14 @@ def simhash_bucket_stats(
     buckets = _simhash_buckets(
         df, id_col, text_col, n_bits, n_bands, gram_n, band_width
     )
+    return _bucket_stats_select(buckets, max_bucket_size)
+
+
+def _bucket_stats_select(
+    buckets: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Shared (band, bb, n_ids, n_pairs, dropped) audit projection over a
+    collision-bucket frame — used by both blocking schemes' stats twins."""
     dropped = (
         F.lit(False)
         if max_bucket_size is None
@@ -677,6 +949,27 @@ def simhash_bucket_stats(
     )
 
 
+def simhash_combi_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 60,
+    n_pieces: int = 6,
+    max_hamming: int = 3,
+    gram_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Accounting twin of ``simhash_near_dup_pairs_combi`` — the same
+    drop audit ``simhash_bucket_stats`` gives single-band blocking, over
+    the combination-blocked buckets (``band`` is the combo-table index).
+    At scale, write it next to the dedup output so capped recall in the
+    escalated regime is auditable instead of silent."""
+    buckets = _simhash_combi_buckets(
+        df, id_col, text_col, n_bits, n_pieces, max_hamming, gram_n
+    )
+    return _bucket_stats_select(buckets, max_bucket_size)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -687,6 +980,7 @@ def simhash_near_dup_pairs(
     gram_n: int = 3,
     max_bucket_size: int | None = None,
     band_width: int | None = None,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole band blocking + exact hamming
     verification (Manku et al., WWW'07 style).
@@ -717,9 +1011,13 @@ def simhash_near_dup_pairs(
     pairs inside them, exactly the ``lsh_candidate_pairs`` cap
     semantics) and audit the drops with ``simhash_bucket_stats``.
     ``simhash_near_dup_pairs_auto`` applies (a) automatically — width
-    from ``auto_band_width(N)`` — and is the entry point to prefer;
-    hamming is always verified over the FULL fingerprint, so the result
-    set is identical for every legal ``band_width``."""
+    from ``auto_band_width(N)``, escalating past the 60-bit cap to
+    combination blocking — and is the entry point to prefer; hamming is
+    always verified over the FULL fingerprint, so the result set is
+    identical for every legal ``band_width``. A capped run whose valve
+    drops EVERY collision bucket raises ``SimHashSaturationError`` at
+    action time instead of silently returning nothing
+    (``on_saturation="ignore"`` opts out — see ``_bucket_pairs``)."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"pigeonhole recall requires max_hamming <= n_bands-1 "
@@ -730,21 +1028,7 @@ def simhash_near_dup_pairs(
     buckets = _simhash_buckets(
         df, id_col, text_col, n_bits, n_bands, gram_n, band_width
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
-    pairs = (
-        buckets.select(F.explode("ms").alias("a"), "ms")
-        .select("a", F.explode("ms").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            .cast("int")
-            .alias("hamming"),
-        )
-    )
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    return _bucket_pairs(buckets, max_hamming, max_bucket_size, on_saturation)
 
 
 def simhash_near_dup_pairs_auto(
@@ -758,10 +1042,32 @@ def simhash_near_dup_pairs_auto(
     max_bucket_size: int | None = None,
     margin: int = 2,
     n_docs: int | None = None,
+    max_tables: int = 70,
+    on_saturation: str = "error",
 ) -> DataFrame:
-    """``simhash_near_dup_pairs`` with the band width derived from the
-    corpus size (``auto_band_width``: w = ⌈log₂(N)⌉ + margin, clamped to
-    the fingerprint) — the corpus-proof entry point.
+    """``simhash_near_dup_pairs`` with the BLOCKING derived from the
+    corpus size — the corpus-proof entry point. Two regimes:
+
+    * band space sufficient (``2^auto_band_width(N) >= N << margin``):
+      single-band blocking at that width, exactly as before;
+    * SATURATED (the corpus outgrows the widest single band the ``n_bits``
+      fingerprint affords — the round-9 probe regime where the
+      ``max_bucket_size`` valve dropped all 1024 buckets and emitted zero
+      pairs): escalate to piece-combination blocking
+      (``simhash_near_dup_pairs_combi``), with ``n_pieces`` from
+      ``combi_blocking_plan`` — the smallest plan whose guaranteed key
+      width restores ``2^key_bits >= N << margin`` within ``max_tables``
+      block tables. The RESULT SET is identical in both regimes (same
+      fingerprint, same exact-hamming verification); escalation only
+      widens the candidate key space, keeping the random-collision floor
+      linear in N. If even the widest affordable plan cannot reach the
+      target AND the ``max_bucket_size`` valve would then drop the MEAN
+      bucket (predicted occupancy ``N / 2^key_bits >= max_bucket_size``
+      — i.e. the typical bucket is dropped and recall collapses), this
+      raises ``SimHashSaturationError`` BEFORE any Spark work, with the
+      numbers in the message (``on_saturation="ignore"`` proceeds and
+      relies on the audit). The in-plan all-buckets-dropped guard from
+      ``_bucket_pairs`` backstops both regimes at action time.
 
     When ``n_docs`` is omitted, one extra ``count()`` action sizes the
     corpus.  For a frame read straight from parquet that is a
@@ -770,27 +1076,55 @@ def simhash_near_dup_pairs_auto(
     corpus size — or hold a derived frame — should pass ``n_docs`` and
     skip the action (the same pay-one-count-to-size-a-parameter pattern
     as SemDeDup's cell count, with the same opt-out).  An approximate
-    ``n_docs`` is fine: the width only needs the magnitude.  Because
-    hamming is verified over the full ``n_bits`` fingerprint, the RESULT
-    is identical at every width — the width only moves the
-    random-collision candidate floor, which this keeps linear in N
-    instead of quadratic."""
-    width = auto_band_width(
-        df.count() if n_docs is None else n_docs,
-        n_bands=n_bands,
+    ``n_docs`` is fine: the blocking only needs the magnitude."""
+    n = max(1, df.count() if n_docs is None else n_docs)
+    width = auto_band_width(n, n_bands=n_bands, n_bits=n_bits, margin=margin)
+    target = n << margin
+    if (1 << width) >= target:
+        return simhash_near_dup_pairs(
+            df,
+            id_col,
+            text_col,
+            n_bits=n_bits,
+            n_bands=n_bands,
+            max_hamming=max_hamming,
+            gram_n=gram_n,
+            max_bucket_size=max_bucket_size,
+            band_width=width,
+            on_saturation=on_saturation,
+        )
+    n_pieces, key_bits = combi_blocking_plan(
+        n,
         n_bits=n_bits,
+        max_hamming=max_hamming,
         margin=margin,
+        max_tables=max_tables,
     )
-    return simhash_near_dup_pairs(
+    if (
+        (1 << key_bits) < target
+        and max_bucket_size is not None
+        and n >= max_bucket_size << key_bits
+        and on_saturation == "error"
+    ):
+        raise SimHashSaturationError(
+            f"corpus of ~{n} docs saturates even the widest affordable "
+            f"combination blocking ({n_pieces} pieces, {key_bits}-bit keys, "
+            f"max_tables={max_tables}): predicted mean bucket occupancy "
+            f"{n / (1 << key_bits):.1f} >= max_bucket_size={max_bucket_size}, "
+            f"so the valve would drop the typical bucket and recall "
+            f"collapses. Raise max_tables/max_bucket_size, widen n_bits, or "
+            f"pass on_saturation='ignore' to proceed with the drop audit."
+        )
+    return simhash_near_dup_pairs_combi(
         df,
         id_col,
         text_col,
         n_bits=n_bits,
-        n_bands=n_bands,
+        n_pieces=n_pieces,
         max_hamming=max_hamming,
         gram_n=gram_n,
         max_bucket_size=max_bucket_size,
-        band_width=width,
+        on_saturation=on_saturation,
     )
 
 

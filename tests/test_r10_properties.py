@@ -1,0 +1,271 @@
+"""Round-10 property tests.
+
+1. The SimHash saturated-regime recall cliff (VERDICT r9 task 1):
+   * combination blocking (``simhash_near_dup_pairs_combi``) returns the
+     SAME pair set as single-band blocking — escalation never changes
+     results, only the candidate key space;
+   * the escalation ladder (``combi_blocking_plan`` / ``combi_key_bits``)
+     is a pure-integer function pinned at its boundaries;
+   * ``simhash_near_dup_pairs_auto`` escalates to combination blocking
+     when the corpus outgrows the single-band space, still with exact
+     results;
+   * a capped run whose valve drops EVERY collision bucket raises
+     ``SimHashSaturationError`` at action time instead of silently
+     returning zero pairs (the r9 probe's x30 regime), and
+     ``on_saturation="ignore"`` restores the audited silent-empty path;
+   * ``_auto`` refuses PREDICTIVELY (before any Spark work) when even the
+     widest affordable plan leaves the mean bucket above the cap.
+
+2. TABLESAMPLE self-standing property test (VERDICT r9 task 5): the q285
+   oracle pins constants (cross-engine RNGs make value comparison
+   impossible), so the Spark-side properties — exact ROWS count,
+   seeded-repeat stability, subset containment, Bernoulli envelope across
+   seeds — are asserted here directly, not only via the constant oracle.
+"""
+
+import pytest
+
+from cassandra_analytics_example_spark.operators.dedup import (
+    SimHashSaturationError,
+    auto_band_width,
+    combi_blocking_plan,
+    combi_key_bits,
+    simhash_combi_bucket_stats,
+    simhash_near_dup_pairs,
+    simhash_near_dup_pairs_auto,
+    simhash_near_dup_pairs_combi,
+)
+
+
+def _corpus(spark, n=60):
+    """Small corpus with known near-dup structure: 3 clone families whose
+    members differ by a one-token mutation (hamming ~6-14 on the 60-bit
+    fingerprint at this doc length) plus distinct filler docs. Ground
+    truth comes from brute-forcing the fingerprints, so the tests assert
+    RECALL, not a guessed pair list."""
+    rows = []
+    for fam in range(3):
+        base = " ".join(f"w{fam}x{i}" for i in range(30))
+        rows.append((fam * 2, base))
+        rows.append((fam * 2 + 1, base.replace(f"w{fam}x7", "mut")))
+    for i in range(6, n):
+        rows.append((i, " ".join(f"u{i}y{j}" for j in range(30))))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b, r.hamming) for r in df.collect()}
+
+
+def _brute_pairs(spark, docs, max_hamming):
+    """All-pairs ground truth straight from the fingerprints."""
+    from cassandra_analytics_example_spark.operators.dedup import simhash
+
+    fp = {
+        r.doc_id: r.simhash
+        for r in simhash(docs, "doc_id", "text", n_bits=60).collect()
+        if r.simhash is not None
+    }
+    ids = sorted(fp)
+    return {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fp[a] ^ fp[b]).count("1") <= max_hamming
+    }
+
+
+def test_combi_blocking_matches_single_band(spark):
+    """Escalation is result-invariant: combination blocking at several
+    piece counts returns exactly the single-band pair set AND the
+    brute-force ground truth (same fingerprint, same exact-hamming
+    verification, full pigeonhole recall). max_hamming=9 so the one-token
+    mutant pairs are in range and pigeonhole is exercised across bands."""
+    docs = _corpus(spark)
+    truth = _brute_pairs(spark, docs, max_hamming=9)
+    assert len(truth) >= 2  # at least some mutant families qualify
+    base = _pairset(
+        simhash_near_dup_pairs(
+            docs, "doc_id", "text", n_bits=60, n_bands=10, max_hamming=9
+        )
+    )
+    assert base == truth
+    # combi: k = n_pieces - 9 pieces must agree; 11 pieces -> C(11,2)=55
+    # tables of ~10-bit keys
+    for n_pieces in (10, 11):
+        combi = _pairset(
+            simhash_near_dup_pairs_combi(
+                docs, "doc_id", "text", n_bits=60, n_pieces=n_pieces,
+                max_hamming=9,
+            )
+        )
+        assert combi == truth, n_pieces
+
+
+def test_combi_key_bits_and_plan_ladder():
+    """Pure-integer escalation ladder pinned: key widths grow with piece
+    count, the plan picks the smallest sufficient p, and the table budget
+    is honored."""
+    # 60 bits, hamming 3: p=4 -> 15-bit keys (the single-band cap),
+    # p=5 -> 24, p=6 -> 30, p=7 -> 32 (4 narrowest of [9,9,9,9,8,8,8]
+    # = 8+8+8+9 = 33)... exact values pinned below.
+    assert combi_key_bits(60, 4, 3) == 15
+    assert combi_key_bits(60, 5, 3) == 24
+    assert combi_key_bits(60, 6, 3) == 30
+    assert combi_key_bits(60, 7, 3) == 33
+    assert combi_key_bits(60, 8, 3) == 36
+    # plan: smallest p whose 2^bits >= N << margin
+    assert combi_blocking_plan(5_000) == (4, 15)        # 2^15 >= 20k
+    assert combi_blocking_plan(10_000) == (5, 24)       # needs escalation
+    assert combi_blocking_plan(4_000_000) == (5, 24)    # 2^24 = 16.7M >= 16M
+    assert combi_blocking_plan(5_000_000) == (6, 30)    # 2^24 < 20M <= 2^30
+    assert combi_blocking_plan(2_000_000_000) == (7, 33)  # 2^33 = 8.6e9 >= 8e9
+    assert combi_blocking_plan(3_000_000_000) == (8, 36)  # 2^36 >= 1.2e10
+    # table budget honored: C(7,4)=35 > 30 stops the ladder at p=6
+    p, bits = combi_blocking_plan(10**12, max_tables=30)
+    assert (p, bits) == (6, 30)
+    # widest-affordable fallback still returns a plan past the target
+    p, bits = combi_blocking_plan(10**15)
+    assert bits == combi_key_bits(60, p, 3)
+    with pytest.raises(ValueError, match="max_tables"):
+        combi_blocking_plan(100, max_hamming=3, max_tables=3)
+
+
+def test_auto_escalates_past_single_band_cap(spark):
+    """_auto with a corpus size that saturates the single-band space (the
+    r9 probe regime: narrow fingerprint, N >> 2^max_width) escalates to
+    combination blocking and still returns the exact pair set."""
+    docs = _corpus(spark)
+    truth = _brute_pairs(spark, docs, max_hamming=3)
+    # n_docs=10**6 saturates 60//4=15-bit single bands (2^15 < 4e6):
+    # plan -> combination blocking; results must match ground truth.
+    escalated = _pairset(
+        simhash_near_dup_pairs_auto(
+            docs, "doc_id", "text", n_bits=60, n_docs=10**6
+        )
+    )
+    assert escalated == truth
+
+
+def test_all_buckets_dropped_raises_saturation_error(spark):
+    """The zero-recall cliff is LOUD: when max_bucket_size drops every
+    collision bucket, the action raises with the audit numbers instead of
+    returning an empty frame (r9 probe: x30 emitted 0 pairs, all 1024
+    buckets dropped, only the audit knew)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    capped = simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_bucket_size=4
+    )
+    with pytest.raises(Exception, match="SimHashSaturationError"):
+        capped.collect()
+    # opt-out restores the audited silent-empty behavior
+    assert (
+        simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_bucket_size=4, on_saturation="ignore"
+        ).collect()
+        == []
+    )
+    # same guard on the combination-blocked path
+    with pytest.raises(Exception, match="SimHashSaturationError"):
+        simhash_near_dup_pairs_combi(
+            docs, "doc_id", "text", n_pieces=5, max_bucket_size=4
+        ).collect()
+
+
+def test_partial_drop_does_not_raise(spark):
+    """Partial drops are legitimate valve operation: with one oversized
+    bucket dropped and another surviving, the capped run succeeds and
+    emits the surviving pairs (no false alarm from the guard)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+        + [(5, "one two three four five six seven"),
+           (6, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    got = simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_bucket_size=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(5, 6)}
+
+
+def test_auto_predictive_refusal():
+    """_auto refuses BEFORE any Spark work when even the widest affordable
+    combination blocking leaves the mean bucket at/above the cap —
+    n_docs >= max_bucket_size << key_bits. No SparkSession needed: the
+    raise must happen during planning."""
+    with pytest.raises(SimHashSaturationError, match="mean bucket occupancy"):
+        simhash_near_dup_pairs_auto(
+            None,  # df untouched on the refusal path
+            "doc_id",
+            "text",
+            n_docs=2**40,
+            max_bucket_size=8,
+            max_tables=30,  # caps the ladder at 30-bit keys
+        )
+    # same corpus without a cap plans fine (full recall, audited floor)
+    p, bits = combi_blocking_plan(2**40, max_tables=30)
+    assert bits == 30
+
+
+def test_combi_bucket_stats_audit(spark):
+    """The combi audit twin reports the drop exactly like the single-band
+    twin: every bucket of the 5-clone family is oversized and flagged."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    stats = simhash_combi_bucket_stats(
+        docs, "doc_id", "text", n_pieces=5, max_bucket_size=4
+    ).collect()
+    assert stats and all(r.n_ids == 5 and r.dropped and r.n_pairs == 10
+                         for r in stats)
+    # C(5, 2) = 10 combo tables, one bucket each for identical docs
+    assert len(stats) == 10
+
+
+def test_auto_band_width_unchanged_regression():
+    """The r10 escalation must not move the sub-cap auto widths the
+    registered queries (and their DuckDB oracle twins) pin."""
+    assert auto_band_width(50) == 8
+    assert auto_band_width(500) == 11
+    assert auto_band_width(5000) == 15
+    assert auto_band_width(10**9) == 15
+
+
+def test_q285_tablesample_properties_self_standing(spark, sf_dir):
+    """VERDICT r9 task 5: the q285 oracle pins constants (cross-engine
+    RNGs), so the TABLESAMPLE properties are asserted Spark-side here —
+    exact ROWS-clause count, and for THREE seeds: seeded-repeat
+    stability, subset containment, and the 6-sigma Chernoff envelope on
+    the Bernoulli fraction. A regression of the Spark SQL to a
+    trivially-true form can no longer hide behind the constant oracle."""
+    import math
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust.createOrReplaceTempView("cust_tsmp_prop_v")
+    n_total = cust.count()
+
+    n_rows = spark.sql(
+        "SELECT count(*) AS n FROM (SELECT * FROM cust_tsmp_prop_v "
+        "TABLESAMPLE (50 ROWS))"
+    ).collect()[0].n
+    assert n_rows == min(50, n_total)
+
+    for seed in (7, 42, 20260816):
+        q = (
+            "SELECT c_custkey FROM cust_tsmp_prop_v "
+            f"TABLESAMPLE (20 PERCENT) REPEATABLE ({seed})"
+        )
+        s1 = sorted(r.c_custkey for r in spark.sql(q).collect())
+        s2 = sorted(r.c_custkey for r in spark.sql(q).collect())
+        assert s1 == s2, f"seed {seed}: not repeat-stable"
+        all_keys = {r.c_custkey for r in cust.select("c_custkey").collect()}
+        assert set(s1) <= all_keys, f"seed {seed}: not a subset"
+        envelope = 6 * math.sqrt(0.16 * n_total) + 8
+        assert abs(len(s1) - 0.2 * n_total) <= envelope, (
+            f"seed {seed}: sample fraction outside 6-sigma envelope "
+            f"({len(s1)} of {n_total})"
+        )
