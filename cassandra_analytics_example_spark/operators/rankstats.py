@@ -40,6 +40,7 @@ the reference's ETL job shapes.
 from __future__ import annotations
 
 import functools
+import inspect
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,13 +64,28 @@ def _eager_terminal(fn):
     between calls.  Adds a ``checkpoint_dir`` keyword: default
     materialization is ``localCheckpoint`` (right on ``local[*]``; its
     blocks die with a decommissioned executor), pass a reliable directory
-    on clusters with dynamic allocation."""
+    on clusters with dynamic allocation.
+
+    The wrapper forwards ``*args``/``**kwargs`` against the wrapped fn's
+    OWN signature (round-9 ADVICE: a named first parameter here silently
+    renamed every metric's first argument to ``df`` and broke keyword
+    calls like ``cusum_changepoint_from_counts(d=...)``); the session for
+    ``pin_scope`` is taken from the bound first argument, which is the
+    input DataFrame for every metric in this module.  ``checkpoint_dir``
+    stays a wrapper-level keyword, asserted free at decoration time."""
+    sig = inspect.signature(fn)
+    assert "checkpoint_dir" not in sig.parameters, (
+        f"{fn.__name__} has its own checkpoint_dir parameter - the "
+        f"_eager_terminal wrapper would shadow it"
+    )
 
     @functools.wraps(fn)
-    def wrapper(df: DataFrame, *args, checkpoint_dir: str | None = None,
-                **kwargs) -> DataFrame:
+    def wrapper(*args, checkpoint_dir: str | None = None, **kwargs
+                ) -> DataFrame:
+        bound = sig.bind(*args, **kwargs)
+        df = next(iter(bound.arguments.values()))
         with pin_scope(df.sparkSession):
-            return truncate_plan(fn(df, *args, **kwargs), checkpoint_dir)
+            return truncate_plan(fn(*args, **kwargs), checkpoint_dir)
 
     wrapper.__wrapped_lazy__ = fn
     return wrapper

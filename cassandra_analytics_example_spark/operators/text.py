@@ -729,7 +729,7 @@ def duplicated_substring_spans(
     text_col: str = "text",
     k: int = 32,
     min_docs: int = 2,
-    dup_detection: str = "aggregate",
+    dup_detection: str = "join",
 ) -> DataFrame:
     """Exact duplicated-substring audit (the substring-dedup pass of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -756,17 +756,21 @@ def duplicated_substring_spans(
     span merge is one doc-keyed window — no all-pairs comparison
     anywhere.
 
-    ``dup_detection`` picks the memory/throughput trade (round-9
-    review): the default ``"aggregate"`` buffers one window hash's
-    (doc, pos) pairs in its aggregation buffer — fastest, but a
-    DEGENERATE window shared verbatim across millions of docs (license
+    ``dup_detection`` picks the memory/throughput trade (round-9 review;
+    default flipped to the robust form in round 10 per ADVICE):
+    ``"aggregate"`` buffers one window hash's (doc, pos) pairs in its
+    aggregation buffer — ~2.2x faster (single lineage, one shuffle), but
+    a DEGENERATE window shared verbatim across millions of docs (license
     headers, HTML scaffold) makes that one buffer corpus-sized and can
-    OOM a reducer.  ``"join"`` is the streamed form: countDistinct +
-    join-back on the hash key never buffers a bucket (the hot key's rows
-    stream through one reducer instead), at the cost of computing and
-    shuffling the window table twice.  Results are identical.  If
-    boilerplate at that multiplicity is expected, strip it first (q120)
-    or pass ``dup_detection="join"``.
+    OOM a reducer, and nothing upstream can know the multiplicity without
+    computing it.  The default ``"join"`` is the streamed form:
+    countDistinct + join-back on the hash key never buffers a bucket
+    (the hot key's rows stream through one reducer instead), at the cost
+    of computing and shuffling the window table twice.  Results are
+    identical.  Opt into ``"aggregate"`` only when boilerplate
+    multiplicity is known-bounded — e.g. after stripping boilerplate
+    (q120), or on a corpus whose dup structure is already audited (the
+    registered q142 does, with the rationale at its call site).
     """
     if dup_detection not in ("aggregate", "join"):
         raise ValueError(f"unknown dup_detection: {dup_detection!r}")

@@ -265,24 +265,27 @@ def _evidence_order(names: list[str]) -> list[str]:
     )
 
 
-_LOAD_ALL_CACHE: tuple[int, tuple[str, ...]] | None = None
+_LOAD_ALL_CACHE: tuple[tuple, tuple[str, ...]] | None = None
 
 
 def load_all() -> dict[str, QueryDef]:
     """Registry in evidence order (see ``_evidence_order``).
 
-    The ordering is memoized per process, keyed on the registry size: the
-    fingerprint pass reads ~320 function sources plus their one-hop
-    imports (~3 s), and the driver contract calls ``load_all`` three
-    times per run (entry / queries / oracle_sql).  The inputs — committed
-    CORRECTNESS/fingerprint artifacts and the registered sources — cannot
-    change within a process, so the cache is safe; a test registering
-    extra queries invalidates it by growing the registry."""
+    The ordering is memoized per process: the fingerprint pass reads ~320
+    function sources plus their one-hop imports (~3 s), and the driver
+    contract calls ``load_all`` three times per run (entry / queries /
+    oracle_sql).  The inputs — committed CORRECTNESS/fingerprint
+    artifacts and the registered sources — cannot change within a
+    process, so the cache is safe.  Keyed on the identity of every
+    registered QueryDef in registration order (not just the registry
+    SIZE — a same-size replacement, e.g. a test monkeypatching a
+    REGISTRY entry, must invalidate too; round-9 ADVICE)."""
     global _LOAD_ALL_CACHE
     for mod in _MODULES:
         importlib.import_module(mod)
-    if _LOAD_ALL_CACHE is not None and _LOAD_ALL_CACHE[0] == len(REGISTRY):
+    key = tuple(id(qd) for qd in REGISTRY.values())
+    if _LOAD_ALL_CACHE is not None and _LOAD_ALL_CACHE[0] == key:
         return {name: REGISTRY[name] for name in _LOAD_ALL_CACHE[1]}
     ordered = _evidence_order(list(REGISTRY))
-    _LOAD_ALL_CACHE = (len(REGISTRY), tuple(ordered))
+    _LOAD_ALL_CACHE = (key, tuple(ordered))
     return {name: REGISTRY[name] for name in ordered}

@@ -4581,7 +4581,8 @@ WITH u AS (
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id
 ),
-g AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY cents),
+g AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS n FROM u
+      WHERE cents IS NOT NULL GROUP BY cents),
 p AS (
   SELECT v, n,
          coalesce(sum(n) OVER (ORDER BY v
@@ -4642,7 +4643,8 @@ def q234_gini_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS v,
          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS b
-  FROM events WHERE event_type IN ('purchase', 'click')
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
 ),
 g AS (
   SELECT v,
@@ -4719,7 +4721,7 @@ mx AS (SELECT max(l) AS m FROM u),
 d AS (
   SELECT (l - f) // 86400000000 AS t,
          CASE WHEN l <= mx.m - 43200000000 THEN 1 ELSE 0 END AS ev
-  FROM u, mx
+  FROM u, mx WHERE l IS NOT NULL
 ),
 g AS (
   SELECT t, CAST(count(*) AS BIGINT) AS n,
@@ -4924,7 +4926,8 @@ WITH b AS (
   FROM events WHERE event_type = 'purchase'
 ),
 mp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
-e AS (SELECT v, CASE WHEN us >= mp.mid THEN 1 ELSE 0 END AS grp FROM b, mp),
+e AS (SELECT v, CASE WHEN us >= mp.mid THEN 1 ELSE 0 END AS grp
+      FROM b, mp WHERE v IS NOT NULL),
 g AS (
   SELECT v,
          CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -6589,7 +6592,7 @@ WITH b AS (
 mp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
 e AS (SELECT event_type, v,
              CASE WHEN us >= mp.mid THEN 1 ELSE 0 END AS grp
-      FROM b, mp),
+      FROM b, mp WHERE v IS NOT NULL),
 g AS (
   SELECT event_type, v,
          CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -6666,7 +6669,7 @@ d AS (
   SELECT f // 604800000000 AS cohort_week,
          (l - f) // 86400000000 AS t,
          CASE WHEN l <= mx.m - 43200000000 THEN 1 ELSE 0 END AS ev
-  FROM u, mx
+  FROM u, mx WHERE l IS NOT NULL
 ),
 g AS (
   SELECT cohort_week, t, CAST(count(*) AS BIGINT) AS n,

@@ -3780,8 +3780,14 @@ def q142_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
+    # dup_detection="aggregate" (the fast single-lineage form, 2.2x over
+    # the streamed default) is safe HERE: the fixture corpus has no
+    # degenerate boilerplate (q120's audit bounds shared-window
+    # multiplicity), so no window hash's (doc, pos) buffer can approach
+    # corpus size. The operator default is the streamed "join" form.
     return duplicated_substring_spans(
-        docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2
+        docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2,
+        dup_detection="aggregate",
     )
 
 
@@ -6221,6 +6227,7 @@ WITH v AS (
   SELECT CAST(n_chars AS BIGINT) AS x,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
   FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
 ),
 gx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY x),
 rx AS (

@@ -4770,7 +4770,7 @@ WITH spend AS (
 ),
 g AS (
   SELECT nation, cents AS v, CAST(count(*) AS BIGINT) AS cnt
-  FROM spend GROUP BY nation, cents
+  FROM spend WHERE cents IS NOT NULL GROUP BY nation, cents
 ),
 p AS (
   SELECT nation, v, cnt,
@@ -4843,6 +4843,7 @@ WITH spend AS (
 named AS (
   SELECT n.n_name AS nation, s.c_custkey, s.bal, s.sp
   FROM spend s JOIN nation n ON n.n_nationkey = s.c_nationkey
+  WHERE s.bal IS NOT NULL AND s.sp IS NOT NULL
 ),
 gx AS (SELECT nation, bal, CAST(count(*) AS BIGINT) AS n
        FROM named GROUP BY nation, bal),

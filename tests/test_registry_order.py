@@ -263,3 +263,42 @@ def test_fingerprint_is_import_state_independent():
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert out.stdout.startswith("ok")
+
+
+def test_stamp_extract_script_matches_live_fingerprint():
+    """Round-9 ADVICE: ``tools/stamp_evidence._EXTRACT`` inlines the
+    fingerprint formula (it must run inside historical trees that predate
+    ``queries._fingerprint``) with a 'MUST stay in lockstep' comment but
+    no enforcement.  Run the extractor against the CURRENT tree and assert
+    its hash equals ``_fingerprint(qd)`` for EVERY registered query —
+    silent drift would wrongly void evidence (cheap) or wrongly keep
+    stale evidence current (defeats the staleness gate)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from cassandra_analytics_example_spark.queries import (
+        REGISTRY,
+        _fingerprint,
+        load_all,
+    )
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        from stamp_evidence import _EXTRACT
+    finally:
+        sys.path.pop(0)
+
+    out = subprocess.run(
+        [sys.executable, "-I", "-c", _EXTRACT, str(root)],
+        cwd=root, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    extracted = json.loads(out.stdout)
+    load_all()
+    live = {name: _fingerprint(qd) for name, qd in REGISTRY.items()}
+    assert extracted.keys() == live.keys()
+    drifted = [n for n in live if extracted[n] != live[n]]
+    assert not drifted, f"formula drift on {len(drifted)}: {drifted[:5]}"
