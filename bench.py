@@ -258,6 +258,30 @@ def main() -> None:
                 report["vs_anchor_cold_queries"] = {
                     n: round(timings[n] / ca_q[n], 3) for n in common
                 }
+                # Control-normalized ratios (round-9 verdict task 3): the
+                # host demonstrably drifts (the q01 control — code and plan
+                # untouched since round 1 — read 0.99x..1.70x of its anchor
+                # across one day), which makes single-run raw ratios
+                # unreadable. q01's own ratio IS the host factor for this
+                # run: dividing every per-query ratio by it cancels the
+                # drift, so _ctrl values near 1.0 mean "no plan-level
+                # change" even on a loaded host. The control query itself
+                # reads exactly 1.0 by construction.
+                ctrl = report["vs_anchor_cold_queries"].get(
+                    "q01_pricing_summary"
+                )
+                if ctrl and ctrl > 0:
+                    report["host_control"] = {
+                        "query": "q01_pricing_summary",
+                        "ratio": ctrl,
+                    }
+                    report["vs_anchor_cold_ctrl"] = round(
+                        report["vs_anchor_cold"] / ctrl, 3
+                    )
+                    report["vs_anchor_cold_ctrl_queries"] = {
+                        n: round(r / ctrl, 3)
+                        for n, r in report["vs_anchor_cold_queries"].items()
+                    }
 
     print(json.dumps(report))
     spark.stop()
