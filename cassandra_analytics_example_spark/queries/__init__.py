@@ -90,15 +90,26 @@ def _one_hop_sources(src: str, fn: Callable | None = None) -> list[str]:
       operator rewrite voids its queries' evidence exactly like a
       fn-local one.
 
-    One hop only, by design: deeper layers are covered by the suite +
-    parity sweep, and a transitive closure would re-queue half the
-    registry on any core-module edit and starve the ~50-slot driver
-    window.  Resolution failures are skipped (the fingerprint simply
-    omits that symbol) so load_all never breaks on a moved import.
-    ``inspect.getsource`` follows ``__wrapped__``, so a decorated
-    operator (e.g. the eager rankstats metrics) contributes its own def
-    site, decorator line included.  Output is de-duplicated and sorted
-    for determinism.
+    Plus ONE helper hop (round-10, closing the r9 verdict's two-hop
+    blind spot): each resolved operator's own source is scanned for
+    package functions/classes bound in the OPERATOR's module namespace
+    (same-module privates like ``_bucket_pairs``, or module-level
+    imports like ``md5_u60``) and their sources are hashed too — a
+    helper rewrite two hops from the query now voids its evidence.  No
+    deeper closure, by measurement: hashing whole operator MODULES was
+    evaluated for round 10 and rejected — the defining-module blast
+    radius on the live registry is 285/322 queries for
+    ``queries._tables``, 36 for ``functions.numeric``, 30 for
+    ``streaming.windows`` (median 5, mean 15.3 across 37 modules), so a
+    one-line edit to a hub module would starve the ~50-slot driver
+    window for rounds.  The helper hop voids only queries whose used
+    operators actually REFERENCE the edited helper.  Deeper layers
+    remain covered by the suite + parity sweep.  Resolution failures are
+    skipped (the fingerprint simply omits that symbol) so load_all never
+    breaks on a moved import.  ``inspect.getsource`` follows
+    ``__wrapped__``, so a decorated operator (e.g. the eager rankstats
+    metrics) contributes its own def site, decorator line included.
+    Output is de-duplicated and sorted for determinism.
 
     The fingerprint MUST be a pure function of the tree, independent of
     the process's import state (round-9 second review: ``getattr`` on a
@@ -111,6 +122,7 @@ def _one_hop_sources(src: str, fn: Callable | None = None) -> list[str]:
     scanned text BEFORE the import regex runs, so a ``)`` inside an
     inline comment cannot truncate a parenthesized symbol list."""
     found: dict[str, str] = {}
+    objs: dict[str, object] = {}
     scan = re.sub(r"#[^\n]*", "", src)  # strip comments before matching
     for mod_name, names in _PKG_IMPORT_RE.findall(scan):
         for sym in names.strip("()").replace("\n", " ").split(","):
@@ -123,6 +135,7 @@ def _one_hop_sources(src: str, fn: Callable | None = None) -> list[str]:
                 if obj is None:  # submodule not yet imported — resolve it
                     obj = importlib.import_module(f"{mod_name}.{sym}")
                 found[f"{mod_name}.{sym}"] = inspect.getsource(obj)
+                objs[f"{mod_name}.{sym}"] = obj
             except Exception:  # moved/renamed/C-level — omit, don't break
                 continue
     if fn is not None:
@@ -139,6 +152,33 @@ def _one_hop_sources(src: str, fn: Callable | None = None) -> list[str]:
                 continue
             try:
                 found[f"{obj_mod}.{name}"] = inspect.getsource(obj)
+                objs[f"{obj_mod}.{name}"] = obj
+            except Exception:
+                continue
+    # helper hop: package helpers referenced by the used operators' own
+    # source (see docstring — closes the two-hop rewrite blind spot
+    # without module-level blast radius)
+    for obj in list(objs.values()):
+        if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+            continue
+        try:
+            osrc = inspect.getsource(obj)
+            omod = inspect.getmodule(obj)
+        except Exception:
+            continue
+        oscan = re.sub(r"#[^\n]*", "", osrc)
+        for name, hobj in list(vars(omod).items() if omod else []):
+            hmod = getattr(hobj, "__module__", "") or ""
+            if not hmod.startswith("cassandra_analytics_example_spark"):
+                continue
+            if not (inspect.isfunction(hobj) or inspect.isclass(hobj)):
+                continue
+            if hobj is obj or f"{hmod}.{name}" in found:
+                continue
+            if not re.search(rf"\b{re.escape(name)}\b", oscan):
+                continue
+            try:
+                found[f"{hmod}.{name}"] = inspect.getsource(hobj)
             except Exception:
                 continue
     return [found[k] for k in sorted(found)]

@@ -160,8 +160,13 @@ def test_fingerprint_covers_one_hop_operator_imports():
     from cassandra_analytics_example_spark.operators.text import (
         duplicated_substring_spans,
     )
+    from cassandra_analytics_example_spark.session import spread
 
-    assert hops == [inspect.getsource(duplicated_substring_spans)]
+    assert inspect.getsource(duplicated_substring_spans) in hops
+    # the round-10 helper hop: package helpers the OPERATOR's own source
+    # references (here session.spread) are hashed too, so a two-hop
+    # helper rewrite voids the query's evidence
+    assert inspect.getsource(spread) in hops
     # decorated operators resolve to their own def site, not the shared
     # wrapper body (inspect follows __wrapped__)
     src2 = (
@@ -170,8 +175,11 @@ def test_fingerprint_covers_one_hop_operator_imports():
         " import spearman_rho\n"
         "    return spearman_rho(None, 'x', 'y')\n"
     )
-    (hop2,) = _one_hop_sources(src2)
-    assert "def spearman_rho(" in hop2
+    hop2 = _one_hop_sources(src2)
+    assert any("def spearman_rho(" in h for h in hop2)
+    # spearman_rho's own helpers ride along (doubled_average_ranks is
+    # called two hops from the query)
+    assert any("def doubled_average_ranks(" in h for h in hop2)
     # unresolvable imports are omitted, never fatal
     assert _one_hop_sources(
         "from cassandra_analytics_example_spark.nope import gone\n"

@@ -48,6 +48,7 @@ PKG_IMPORT_RE = re.compile(
 )
 def one_hop(src, fn):
     found = {}
+    objs = {}
     scan = re.sub(r"#[^\n]*", "", src)
     for mod_name, names in PKG_IMPORT_RE.findall(scan):
         for sym in names.strip("()").replace("\n", " ").split(","):
@@ -60,6 +61,7 @@ def one_hop(src, fn):
                 if obj is None:
                     obj = importlib.import_module(mod_name + "." + sym)
                 found[mod_name + "." + sym] = inspect.getsource(obj)
+                objs[mod_name + "." + sym] = obj
             except Exception:
                 continue
     mod = inspect.getmodule(fn)
@@ -75,8 +77,32 @@ def one_hop(src, fn):
             continue
         try:
             found[obj_mod + "." + name] = inspect.getsource(obj)
+            objs[obj_mod + "." + name] = obj
         except Exception:
             continue
+    for obj in list(objs.values()):
+        if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+            continue
+        try:
+            osrc = inspect.getsource(obj)
+            omod = inspect.getmodule(obj)
+        except Exception:
+            continue
+        oscan = re.sub(r"#[^\n]*", "", osrc)
+        for name, hobj in list(vars(omod).items() if omod else []):
+            hmod = getattr(hobj, "__module__", "") or ""
+            if not hmod.startswith("cassandra_analytics_example_spark"):
+                continue
+            if not (inspect.isfunction(hobj) or inspect.isclass(hobj)):
+                continue
+            if hobj is obj or (hmod + "." + name) in found:
+                continue
+            if not re.search(r"\b" + re.escape(name) + r"\b", oscan):
+                continue
+            try:
+                found[hmod + "." + name] = inspect.getsource(hobj)
+            except Exception:
+                continue
     return [found[k] for k in sorted(found)]
 out = {}
 for name, qd in q.REGISTRY.items():
