@@ -1,0 +1,1231 @@
+"""LLM-pipeline queries, `governance` block — mechanically split from the
+former queries/llm.py in round 10 (zero behavior change; see llm/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_analytics_example_spark.operators.dedup import (
+    simhash_near_dup_pairs_auto,
+    connected_components,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash,
+    token_jaccard_pairs,
+)
+from cassandra_analytics_example_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    frame_sample,
+)
+from cassandra_analytics_example_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from cassandra_analytics_example_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    quality_features,
+    rolling_fingerprint,
+    token_stats,
+)
+from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.queries._tables import table
+
+from cassandra_analytics_example_spark.queries.llm.corpus import (  # noqa: E402
+    _MINHASH_BANDS,
+    _MINHASH_SEEDS,
+    _Q21_ORACLE,
+    _SHINGLE_K,
+    _band_structs,
+    _hv_expr,
+    _sig_cols,
+)
+
+# --------------------------------------------------- governance / gating ---
+
+
+@register(
+    "q119_source_leakage_matrix",
+    oracle=f"""
+WITH pairs AS (
+{_Q21_ORACLE}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+""",
+    doc="cross-source near-dup leakage matrix: q21's MinHash-LSH pairs "
+    "rolled up by unordered source pair — the train/eval leakage "
+    "governance view (a nonzero off-diagonal cell means content crosses "
+    "source boundaries); pair generation reuses the bucketed LSH "
+    "discipline, the source lookup is two equi-joins on doc_id",
+    tags=("llm", "dedup", "governance"),
+)
+def q119_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_SEEDS,
+        shingle_k=_SHINGLE_K,
+        num_bands=_MINHASH_BANDS,
+        jaccard_threshold=0.5,
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
+    "q120_boilerplate_coverage",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS toks
+  FROM w
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+),
+dfreq AS (
+  SELECT tok, count(*) AS dfc FROM tok GROUP BY tok
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+boiler AS (
+  SELECT tok FROM dfreq, nd
+  WHERE dfc >= greatest(2, (n_docs * 1 + 99) // 100)
+),
+counts AS (
+  SELECT t.doc_id, count(*) AS n_boiler
+  FROM tok t JOIN boiler USING (tok) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN len(t.toks) > 0
+            THEN CAST(coalesce(c.n_boiler, 0) AS DOUBLE) / len(t.toks)
+            ELSE 0.0 END AS boiler_frac
+FROM toks t LEFT JOIN counts c USING (doc_id)
+""",
+    doc="boilerplate gram coverage: word 3-grams hitting >= 1%-of-corpus "
+    "document frequency are template chrome; per-doc fraction of grams "
+    "that are boilerplate — the qualifying set is bounded by "
+    "grams-per-doc / df-fraction regardless of corpus size, so the "
+    "membership probe broadcasts (operators/text.py:"
+    "boilerplate_gram_coverage)",
+    tags=("llm", "text", "governance"),
+)
+def q120_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        boilerplate_gram_coverage,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return boilerplate_gram_coverage(docs, "doc_id", "text", ngram_n=3)
+
+
+@register(
+    "q121_token_budget_selection",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+           + (1.0 - (CAST(length(text) AS DOUBLE)
+                - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                / length(text)) * 0.3
+           + CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                / len(string_split(text, ' ')) * 0.3 AS quality_score
+  FROM documents
+),
+b AS (
+  SELECT *,
+         CAST(floor(quality_score * 64) AS BIGINT) AS band,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 4 AS sub
+  FROM q
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       (sum(n_tokens) OVER w) <= 2000 AS selected
+FROM b
+WINDOW w AS (PARTITION BY lang
+             ORDER BY band DESC, sub ASC, quality_score DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING)
+""",
+    doc="quality-greedy selection under a 2000-token-per-language budget: "
+    "banded scale-safe rank (quality band desc, md5 subkey, quality desc, "
+    "id) — windows partition by (lang, band, subkey), never by the "
+    "low-cardinality lang alone; cumulative tokens globalized via a "
+    "broadcast offset layer (operators/sampling.py:token_budget_selection)",
+    tags=("llm", "sampling", "governance"),
+)
+def q121_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return token_budget_selection(docs, "doc_id", "lang", "text",
+                                  budget_tokens=2000)
+
+
+@register(
+    "q122_cluster_weights",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_Q21_ORACLE}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+mapping AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents
+),
+dc AS (
+  SELECT m.doc_id, coalesce(c.cluster_id, m.rep_id) AS cluster_id
+  FROM mapping m LEFT JOIN cc c ON m.rep_id = c.id
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM dc GROUP BY 1)
+SELECT dc.doc_id, dc.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(1.0 AS DOUBLE) / s.cluster_size AS weight
+FROM dc JOIN sizes s USING (cluster_id)
+""",
+    doc="soft dedup: inverse-duplicate-cluster-size sampling weights for "
+    "EVERY document — exact copies map to their content-hash rep, reps "
+    "cluster via MinHash-LSH + connected components, singletons weigh "
+    "1.0; the downweight-instead-of-drop form of deduplication "
+    "(operators/dedup.py:cluster_weights)",
+    tags=("llm", "dedup", "sampling"),
+)
+def q122_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        cluster_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return cluster_weights(docs, "doc_id", "text")
+
+
+@register(
+    "q123_jsonl_ingest_digest",
+    oracle="""
+SELECT count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       count(DISTINCT md5(text)) AS n_distinct_text,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+""",
+    doc="JSONL ingestion round trip: documents exported to JSON-lines and "
+    "re-read through the explicit-schema PERMISSIVE reader (corrupt-record "
+    "quarantine column), digest proving zero loss vs the parquet source "
+    "(sources/files.py:read_jsonl/write_jsonl)",
+    tags=("llm", "sources"),
+)
+def q123_jsonl_ingest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.sources.files import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    )
+    clean, _quarantine = split_corrupt(back)
+    return clean.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "q124_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+stats AS (
+  SELECT term, count(*) AS dfreq, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY 1
+),
+post AS (
+  SELECT term,
+         array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY rn), ',')
+           AS postings
+  FROM ranked WHERE rn <= 16 GROUP BY 1
+)
+SELECT s.term, CAST(s.dfreq AS BIGINT) AS df, s.cf, p.postings,
+       s.dfreq > 16 AS truncated
+FROM stats s JOIN post p USING (term)
+""",
+    doc="capped inverted index: term -> df/cf + top-16 postings (tf desc, "
+    "doc_id asc) with truncation accounting; the window-rank-then-filter "
+    "runs BEFORE collect_list so a stopword's posting list never sits in "
+    "one aggregation buffer (operators/indexing.py:inverted_index)",
+    tags=("llm", "text", "retrieval"),
+)
+def q124_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.indexing import (
+        inverted_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", max_postings=16)
+
+
+@register(
+    "q126_deterministic_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS skey
+  FROM documents
+),
+sharded AS (SELECT doc_id, skey, skey % 64 AS shard FROM keyed),
+local AS (
+  SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+                                 ORDER BY skey, doc_id) - 1 AS BIGINT)
+           AS pos_in_shard
+  FROM sharded
+),
+sizes AS (SELECT shard, count(*) AS n FROM sharded GROUP BY 1),
+offsets AS (
+  SELECT shard,
+         CAST(sum(n) OVER (ORDER BY shard
+                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+           AS off
+  FROM sizes
+)
+SELECT l.doc_id, l.shard, l.pos_in_shard,
+       o.off + l.pos_in_shard AS global_pos
+FROM local l JOIN offsets o USING (shard)
+""",
+    doc="seeded reproducible global permutation for training order: "
+    "(shard, pos, global_pos) as a pure function of (seed, id); per-shard "
+    "local window + broadcast shard-offset layer, no single-partition "
+    "global sort (operators/indexing.py:deterministic_shuffle)",
+    tags=("llm", "layout", "sampling"),
+)
+def q126_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.indexing import (
+        deterministic_shuffle,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", n_shards=64, seed="epoch0")
+
+
+@register(
+    "q127_compression_quality",
+    oracle="""
+SELECT 'all_scored' AS check_name, true AS ok,
+       CAST(count(*) AS BIGINT) AS n FROM documents
+UNION ALL SELECT 'compressed_bounds', true, 0
+UNION ALL SELECT 'median_ratio_sane', true, 0
+UNION ALL SELECT 'partition_invariant', true, 0
+""",
+    doc="zlib compression-ratio quality signal (noise vs boilerplate "
+    "filter) via Arrow-batched mapInPandas — no ANSI engine has zlib, so "
+    "the gate is q52-style invariants: full coverage, compressed-size "
+    "bounds, sane median, and partition-invariance (pure-function proof) "
+    "(operators/compression.py:compression_scores)",
+    tags=("llm", "text", "quality", "python"),
+)
+def q127_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.compression import (
+        compression_quality_checks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return compression_quality_checks(docs, "doc_id", "text")
+
+
+@register(
+    "q128_orc_ingest_digest",
+    oracle="""
+SELECT count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       count(DISTINCT md5(text)) AS n_distinct_text,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+""",
+    doc="ORC ingestion round trip: documents exported to ORC and re-read "
+    "through the footer-described scan (pushdown/pruning parity with "
+    "parquet), digest proving zero loss vs the parquet source "
+    "(sources/files.py:read_orc/write_orc)",
+    tags=("llm", "sources"),
+)
+def q128_orc_ingest_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="orc_ingest_")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    return back.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "q130_bigram_logprob",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS bg
+  FROM w WHERE len(w) >= 2
+),
+per_doc AS (SELECT doc_id, bg, count(*) AS bf FROM bg GROUP BY 1, 2),
+train AS (SELECT * FROM per_doc WHERE doc_id % 2 = 0),
+bgv AS (SELECT bg, CAST(sum(bf) AS BIGINT) AS cbg FROM train GROUP BY 1),
+uni AS (
+  SELECT string_split(bg, ' ')[1] AS w, CAST(sum(bf) AS BIGINT) AS cu
+  FROM train GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+scored AS (
+  SELECT p.doc_id, p.bf,
+         CAST(floor(CASE WHEN v.cbg IS NOT NULL
+           THEN ln(CAST(v.cbg AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+           ELSE ln((2.0 * greatest(coalesce(u2.cu, 0), 1))
+                   / (5.0 * CAST(t.n_total AS DOUBLE))) END
+           * 10000) AS BIGINT) AS logp_q
+  FROM per_doc p
+  LEFT JOIN bgv v USING (bg)
+  LEFT JOIN uni u1 ON u1.w = string_split(p.bg, ' ')[1]
+  LEFT JOIN uni u2 ON u2.w = string_split(p.bg, ' ')[2]
+  CROSS JOIN tot t
+),
+sums AS (
+  SELECT doc_id, CAST(sum(bf * logp_q) AS BIGINT) AS score_qnats,
+         CAST(sum(bf) AS BIGINT) AS n_bigrams
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.score_qnats, 0) AS score_qnats,
+       coalesce(s.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN sums s USING (doc_id)
+""",
+    doc="bigram LM quality score with stupid backoff (CCNet-style middle "
+    "tier): trains on the even-doc_id half, scores every document — "
+    "held-out docs exercise the unseen-bigram backoff to the unigram "
+    "distribution (alpha=2/5, OOV continuation counts as 1); integer-"
+    "quantized log-probs, vocab-sized broadcast layers only "
+    "(operators/text.py:bigram_logprob_scores)",
+    tags=("llm", "quality", "text"),
+)
+def q130_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs, "doc_id")
+
+
+@register(
+    "q131_source_wilson_ranking",
+    oracle="""
+WITH f AS (
+  SELECT source,
+         CASE WHEN len(string_split(text, ' ')) < 15 THEN 0
+              WHEN (CAST(length(text) AS DOUBLE)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                   / length(text) > 0.2 THEN 0
+              WHEN len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','and','of','to','a'], t)))
+                   = 0 THEN 0
+              ELSE 1 END AS keep
+  FROM documents),
+g AS (
+  SELECT source, count(*) AS n, CAST(sum(keep) AS BIGINT) AS k
+  FROM f GROUP BY 1),
+wil AS (
+  SELECT source, n, k,
+         CAST(k AS DOUBLE) / n AS phat,
+         1.96 * 1.96 AS z2
+  FROM g)
+SELECT source, CAST(n AS BIGINT) AS n_docs, k AS n_keep,
+       CAST(floor(
+         ((phat + z2 / (2.0 * n))
+          - 1.96 * sqrt((phat * (1.0 - phat) + z2 / (4.0 * n)) / n))
+         / (1.0 + z2 / n) * 1000000000) AS BIGINT) AS wilson_lb_q
+FROM wil
+""",
+    doc="source-level curation ranking by Wilson lower confidence bound on "
+    "the quality-keep rate (q44's verdict rules): small sources with "
+    "perfect rates rank below large sources with near-perfect rates — the "
+    "statistically honest ordering for keep/drop-by-source decisions; "
+    "one source-keyed aggregate, Wilson arithmetic on the source-count "
+    "layer only, quantized to integer 1e-9 for engine-exact comparison",
+    tags=("llm", "governance", "quality"),
+)
+def q131_source_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    punct_ratio = (
+        F.length(c).cast("double")
+        - F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    ) / F.length(c)
+    stop = F.array(*[F.lit(m) for m in ("the", "and", "of", "to", "a")])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    keep = (
+        F.when(n_tok < 15, F.lit(0))
+        .when(punct_ratio > 0.2, F.lit(0))
+        .when(n_stop == 0, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    g = docs.select(F.col("source"), keep.alias("keep")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("keep").cast("bigint").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    phat = F.col("k").cast("double") / n
+    z = F.lit(1.96)
+    z2 = z * z
+    lb = (
+        (phat + z2 / (F.lit(2.0) * n))
+        - z
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat) + z2 / (F.lit(4.0) * n)) / n
+        )
+    ) / (F.lit(1.0) + z2 / n)
+    return g.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").alias("n_keep"),
+        F.floor(lb * F.lit(1_000_000_000)).cast("bigint").alias(
+            "wilson_lb_q"
+        ),
+    )
+
+
+@register(
+    "q132_source_lang_drift",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, count(*) AS nsl FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(nsl) AS BIGINT) AS ns FROM sl GROUP BY 1),
+l AS (SELECT lang, CAST(sum(nsl) AS BIGINT) AS nl FROM sl GROUP BY 1),
+t AS (SELECT CAST(sum(nl) AS BIGINT) AS n FROM l),
+terms AS (
+  SELECT sl.source,
+         CAST(floor(
+           (CAST(sl.nsl AS DOUBLE) / s.ns)
+           * ln((CAST(sl.nsl AS DOUBLE) / s.ns)
+                / (CAST(l.nl AS DOUBLE) / t.n)) * 1000000000) AS BIGINT)
+           AS term_q
+  FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t)
+SELECT source, CAST(sum(term_q) AS BIGINT) AS kl_q
+FROM terms GROUP BY 1
+""",
+    doc="per-source language-mixture drift: KL(source lang distribution || "
+    "corpus lang distribution) — the mixture-monitoring signal that flags "
+    "a source whose language composition diverges from the corpus plan; "
+    "every layer is (source x lang)-sized, KL terms quantized to integer "
+    "1e-9 nats BEFORE summing so the fold is order-independent and "
+    "engine-exact",
+    tags=("llm", "governance", "sampling"),
+)
+def q132_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nsl"))
+    from cassandra_analytics_example_spark.session import pin_small
+
+    sl = pin_small(sl)
+    s = sl.groupBy("source").agg(F.sum("nsl").cast("bigint").alias("ns"))
+    lcounts = sl.groupBy("lang").agg(
+        F.sum("nsl").cast("bigint").alias("nl")
+    )
+    t = lcounts.agg(F.sum("nl").cast("bigint").alias("n"))
+    ps = F.col("nsl").cast("double") / F.col("ns")
+    pl = F.col("nl").cast("double") / F.col("n")
+    term = ps * F.log(ps / pl)
+    return (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(lcounts), "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.floor(term * F.lit(1_000_000_000))
+            .cast("bigint")
+            .alias("term_q"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term_q").cast("bigint").alias("kl_q"))
+    )
+
+
+@register(
+    "q133_temporal_embargo_split",
+    oracle="""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+cut AS (
+  SELECT lo + (hi - lo) * 3 // 5 AS t_cut,
+         lo + (hi - lo) * 3 // 5
+           + CAST(43200000000 AS BIGINT) AS t_test
+  FROM b)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       CASE WHEN epoch_us(e.ts) < c.t_cut THEN 'train'
+            WHEN epoch_us(e.ts) >= c.t_test THEN 'test'
+            ELSE 'embargo' END AS split
+FROM events e CROSS JOIN cut c
+""",
+    doc="temporal train/test split with a 12h embargo gap at the cut "
+    "(time-series leakage control: rows inside the gap are excluded so "
+    "train-adjacent information cannot bleed into test); the cut is "
+    "integer arithmetic on the min/max bounds — a two-value broadcast, "
+    "rows never shuffle",
+    tags=("llm", "sampling", "governance"),
+)
+def q133_temporal_embargo_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).select(
+        # exact integer floor-division on both engines (Spark `div`,
+        # DuckDB `//`) — float division + cast would round differently
+        F.expr("lo + (hi - lo) * 3 div 5").cast("bigint").alias("t_cut")
+    ).select(
+        "t_cut",
+        (F.col("t_cut") + F.lit(12 * 3600 * 1_000_000)).alias("t_test"),
+    )
+    return ev.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").cast("bigint").alias("ts_us"),
+        F.when(F.col("ts_us") < F.col("t_cut"), F.lit("train"))
+        .when(F.col("ts_us") >= F.col("t_test"), F.lit("test"))
+        .otherwise(F.lit("embargo"))
+        .alias("split"),
+    )
+
+
+@register(
+    "q134_grouped_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 10000 < 9000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, count(*) AS n_docs,
+       count(DISTINCT split) OVER (PARTITION BY source) AS n_splits_for_source
+FROM assigned GROUP BY source, split
+""",
+    doc="group-aware train/val/test split: the md5 bucket hashes the GROUP "
+    "key (source), so every document of a source lands in the same split — "
+    "the standard defense against near-duplicate leakage across splits "
+    "(within-source near-dups can never straddle train/test); "
+    "n_splits_for_source == 1 for every row is the auditable invariant",
+    tags=("llm", "sampling", "governance"),
+)
+def q134_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    assigned = hash_split(docs.select("doc_id", "source"), "source")
+    g = assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "split",
+        "n_docs",
+        F.size(F.collect_set("split").over(w))
+        .cast("bigint")
+        .alias("n_splits_for_source"),
+    )
+
+
+from cassandra_analytics_example_spark.operators.sketches import (  # noqa: E402
+    HLL_EST_NUM as _HLL_NUM,
+)
+
+
+@register(
+    "q135_hll_shard_merge",
+    oracle=f"""
+WITH h AS (
+  SELECT (doc_id % 4) AS shard,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+rho AS (
+  SELECT shard, h >> 52 AS bucket, h % 4503599627370496 AS rem FROM h),
+rr AS (
+  SELECT shard, bucket,
+         CASE WHEN rem = 0 THEN 53
+              ELSE 53 - length(bin(rem)) END AS rho
+  FROM rho),
+shard_regs AS (
+  SELECT shard, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+merged_regs AS (
+  SELECT bucket, max(r) AS r FROM shard_regs GROUP BY 1),
+est_shard AS (
+  SELECT 'shard_' || CAST(shard AS VARCHAR) AS scope,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS sp,
+         count(*) AS np
+  FROM shard_regs GROUP BY shard),
+est_merged AS (
+  SELECT 'merged' AS scope,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS sp,
+         count(*) AS np
+  FROM merged_regs),
+scopes AS (SELECT * FROM est_shard UNION ALL SELECT * FROM est_merged),
+est AS (
+  SELECT scope,
+         CASE WHEN (256 - np) > 0
+                   AND {_HLL_NUM!r} / (CAST(sp AS DOUBLE)
+                       + (256 - np) * 9007199254740992.0) < 640.0
+              THEN 256.0 * ln(256.0 / CAST(256 - np AS DOUBLE))
+              ELSE {_HLL_NUM!r} / (CAST(sp AS DOUBLE)
+                       + (256 - np) * 9007199254740992.0) END AS est
+  FROM scopes)
+SELECT scope, est FROM est
+UNION ALL
+SELECT 'exact' AS scope, CAST(count(DISTINCT text) AS DOUBLE) AS est
+FROM documents
+""",
+    doc="portable mergeable HyperLogLog (p=8, md5-deterministic): per-shard "
+    "register tables max-merge into the global registers — the associative/"
+    "idempotent merge identity that lets 1000 executors sketch "
+    "independently and combine in 256 rows; harmonic mean in EXACT scaled-"
+    "integer arithmetic so the estimate is bit-identical in any engine at "
+    "any parallelism; per-shard + merged + exact rows "
+    "(operators/sketches.py:hll_registers/hll_estimate)",
+    tags=("llm", "sketch"),
+)
+def q135_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).alias("shard"), "text"
+    )
+    shard_regs = hll_registers(docs, "text", ("shard",))
+    merged_regs = shard_regs.groupBy("bucket").agg(
+        F.max("r").alias("r")
+    )
+    per_shard = hll_estimate(shard_regs, ("shard",)).select(
+        F.concat(F.lit("shard_"), F.col("shard").cast("string")).alias(
+            "scope"
+        ),
+        "est",
+    )
+    merged = hll_estimate(merged_regs).select(
+        F.lit("merged").alias("scope"), "est"
+    )
+    exact = table(spark, sf_dir, "documents").agg(
+        F.lit("exact").alias("scope"),
+        F.countDistinct("text").cast("double").alias("est"),
+    )
+    return per_shard.unionByName(merged).unionByName(exact)
+
+
+@register(
+    "q136_hybrid_rrf_retrieval",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+dense AS (
+  SELECT query_id, nid, rnk FROM (
+    SELECT q.query_id, c.nid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.cv)
+                                       DESC, c.nid ASC) AS rnk
+    FROM q JOIN c ON q.query_id <> c.nid
+  ) WHERE rnk <= 10
+),
+qd AS (SELECT doc_id AS query_id, list_distinct(string_split(text, ' '))
+              AS qtok FROM documents WHERE doc_id < 3),
+sparse AS (
+  SELECT query_id, nid, rnk FROM (
+    SELECT qd.query_id, d.doc_id AS nid,
+           row_number() OVER (PARTITION BY qd.query_id
+             ORDER BY len(list_filter(list_distinct(string_split(d.text, ' ')),
+                          t -> list_contains(qd.qtok, t))) DESC,
+                      d.doc_id ASC) AS rnk
+    FROM qd JOIN documents d ON qd.query_id <> d.doc_id
+  ) WHERE rnk <= 10
+),
+fused AS (
+  SELECT coalesce(dn.query_id, sp.query_id) AS query_id,
+         coalesce(dn.nid, sp.nid) AS doc_id,
+         coalesce(1.0 / (60 + dn.rnk), 0.0)
+           + coalesce(1.0 / (60 + sp.rnk), 0.0) AS rrf
+  FROM dense dn FULL OUTER JOIN sparse sp
+    ON dn.query_id = sp.query_id AND dn.nid = sp.nid
+)
+SELECT query_id, doc_id, rrf, fused_rank FROM (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 5
+""",
+    doc="hybrid retrieval via reciprocal-rank fusion (k=60): dense "
+    "cosine top-10 (query side broadcast, corpus never reshuffled) fused "
+    "with sparse distinct-token-overlap top-10 by full-outer rank join; "
+    "RRF score is two single divisions in a fixed expression order — "
+    "deterministic without quantization; final top-5 per query",
+    tags=("llm", "similarity", "retrieval"),
+)
+def q136_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import (
+        distinct_tokens,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    dense = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                F.col("rnk").alias("rd"))
+    )
+    docs = table(spark, sf_dir, "documents")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        distinct_tokens("text").alias("qtok"),
+    )
+    scored = docs.join(
+        F.broadcast(qd), F.col("query_id") != F.col("doc_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.size(
+            F.filter(
+                distinct_tokens("text"),
+                lambda t: F.array_contains(F.col("qtok"), t),
+            )
+        ).alias("ovl"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("ovl"), F.asc("doc_id")
+    )
+    sparse = (
+        scored.withColumn("rs", F.row_number().over(ws))
+        .where(F.col("rs") <= 10)
+        .select("query_id", "doc_id", "rs")
+    )
+    fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rs")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= 5)
+        .select("query_id", "doc_id", "rrf", "fused_rank")
+    )
+
+
+_SIG_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+    for i in range(_MINHASH_SEEDS)
+)
+
+
+@register(
+    "q137_minhash_calibration",
+    oracle=f"""
+WITH reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+hvals AS (
+  SELECT doc_id, {{hv}} AS hv FROM reps
+),
+sig AS (
+  SELECT doc_id,
+         {{sig}}
+  FROM hvals
+),
+bands AS (
+  SELECT doc_id, b.band AS band, b.bhash AS bhash
+  FROM sig, UNNEST([{{bandstructs}}]) AS t(b)
+),
+bsize AS (
+  SELECT band, bhash, count(*) AS n FROM bands GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.bhash = a.bhash AND s.n <= 1000
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+                                      i -> substr(text, i, {_SHINGLE_K}))) AS sh
+  FROM reps
+)
+SELECT c.id_a, c.id_b,
+       CAST({_SIG_MATCHES} AS BIGINT) AS sig_matches,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+            AS BIGINT) AS uni
+FROM cands c
+JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+""".format(hv=_hv_expr, sig=_sig_cols, bandstructs=_band_structs),
+    doc="MinHash estimator calibration audit over the LSH candidate pairs: "
+    "per pair the signature agreement count (the 16-trial estimate of "
+    "Jaccard) next to the EXACT shingle intersection/union — the audit "
+    "that turns 'we trust MinHash' into measured estimator error, exactly "
+    "as q96 audits the ANN ladder; all columns exact integers, shingle "
+    "sets materialized ONCE and shared by signatures and verification "
+    "(operators/dedup.py:signatures_from_shingles)",
+    tags=("llm", "dedup", "audit"),
+)
+def q137_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.functions.text import shingles
+    from cassandra_analytics_example_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        signatures_from_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    reps = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    sh_df = reps.select(
+        "doc_id", F.array_distinct(shingles("text", 5)).alias("__sh")
+    )
+    from cassandra_analytics_example_spark.session import pin_small
+
+    sh_df = pin_small(sh_df)
+    sigs = pin_small(signatures_from_shingles(sh_df, "doc_id"))
+    pairs = lsh_candidate_pairs(sigs, "doc_id", 4, 4, max_bucket_size=1000)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ha = sh_df.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    hb = sh_df.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b").join(ha, "id_a").join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b",
+                    lambda x, y: (x == y).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("sig_matches"),
+            inter.cast("bigint").alias("inter"),
+            (F.size("sh_a") + F.size("sh_b") - inter)
+            .cast("bigint")
+            .alias("uni"),
+        )
+    )
+
+
+# IVF cell-partitioned vector index, written ONCE per (session, sf_dir) —
+# the query must not pay the layout write per invocation (the q101 layout
+# cache discipline).
+_IVF_ROOTS: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _IVF_ROOTS.get(key)
+    if root is not None and os.path.isdir(root):
+        return root
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    cells = assign_cells(emb, cents)
+    root = tempfile.mkdtemp(prefix="ivf_index-")
+    cells.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(root)
+    _IVF_ROOTS[key] = root
+    return root
+
+
+def ivf_partitioned_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY cell-routed search over the PERSISTED index; caller owns the
+    DPP conf scope (q101 discipline)."""
+    from cassandra_analytics_example_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    root = _ivf_index_root(spark, sf_dir)
+    corpus = spark.read.parquet(root)  # cell = hive partition column
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    q = assign_cells(emb.filter(F.col("vec_id") < 10), cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cell",
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qv", "embedding").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+
+
+@register(
+    "q138_ivf_partitioned_index",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT v.vec_id, v.v, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM v, cents c) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rnk
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rnk <= 5
+""",
+    doc="IVF index PERSISTED as a cell-partitioned parquet layout (the "
+    "vector-store shape: one directory per Voronoi cell), searched by "
+    "joining the broadcast query-cell assignment against the partition "
+    "column so dynamic partition pruning skips every unprobed cell's "
+    "directory at scan time; write paid once per session, results "
+    "identical to the in-flight IVF (q32 oracle verbatim) "
+    "(queries/llm.py:ivf_partitioned_plan; layout cache: _ivf_index_root)",
+    tags=("llm", "similarity", "layout"),
+)
+def q138_ivf_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        return ivf_partitioned_plan(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@register(
+    "q141_ivf_incremental_maintenance",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS centv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT v.vec_id, v.v, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.v, c.centv) DESC,
+                                       c.cent_id ASC) AS rn
+    FROM v, cents c) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                     c.vec_id ASC) AS rnk
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rnk <= 5
+""",
+    doc="incremental IVF index maintenance: the base corpus (all but the "
+    "last 50 vectors) is written as the cell-partitioned layout, the "
+    "delta assigns against the SAME frozen centroids and APPENDS into "
+    "only its own cell directories (dynamic partitionBy append — "
+    "untouched cells' files are never rewritten), and the post-append "
+    "search over the persisted index is IDENTICAL to an index built from "
+    "the full corpus at once (q32 oracle verbatim); the maintenance cost "
+    "tracks the delta, not the corpus",
+    tags=("llm", "similarity", "layout", "incremental"),
+)
+def q141_ivf_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_example_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from cassandra_analytics_example_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    cut = n_total - 50
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+    )
+    root = tempfile.mkdtemp(prefix="ivf_incr-")
+    base = assign_cells(emb.filter(F.col("vec_id") < cut), cents)
+    base.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(root)
+    # the delta assigns against the SAME frozen centroids and appends —
+    # only the delta's cells gain files, the rest of the layout is
+    # untouched (no read-modify-write of existing directories)
+    delta = assign_cells(emb.filter(F.col("vec_id") >= cut), cents)
+    delta.select("vec_id", "embedding", "cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(root)
+
+    corpus = spark.read.parquet(root)
+    q = assign_cells(emb.filter(F.col("vec_id") < 10), cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cell",
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qv", "embedding").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+
+

@@ -101,7 +101,7 @@ _DRIVER_READ = re.compile(
 #: (file relative to the package, exact stripped source line) → bound note.
 _DRIVER_READ_ALLOWLIST = {
     (
-        "queries/events.py",
+        "queries/events/cohorts.py",
         'ordered = means.orderBy("mean_microcents").collect()',
     ): "bootstrap means table ≤ B=32 rows (one row per resample index)",
     (

@@ -77,9 +77,12 @@ def run_leg(spark, sf_dir: str) -> dict:
         F.max("n_ids").alias("max_occupancy"),
     ).collect()[0]
     t0 = time.time()
+    # on_saturation="ignore": this r9 probe MEASURES the silent-zero
+    # regime the round-10 guard now turns into SimHashSaturationError
+    # (see tools/scale_probe_cap_r10.py for the loud/escalated paths).
     n_pairs = simhash_near_dup_pairs(
         docs, "doc_id", "text", n_bits=N_BITS, n_bands=N_BANDS,
-        max_bucket_size=CAP,
+        max_bucket_size=CAP, on_saturation="ignore",
     ).count()
     elapsed = round(time.time() - t0, 3)
     return {
