@@ -64,6 +64,7 @@ HEADLINE = [
     "q21_minhash_lsh_neardup",  # MinHash+LSH near-dup
     "q22_token_jaccard_neardup",# 3-gram Jaccard, rarest-gram blocking
     "q23_simhash_hamming",      # SimHash pigeonhole-band near-dup
+    "q287_simhash_combi_blocking",  # SimHash combination-blocking escalation
     "q25_knn_bruteforce",       # similarity search (exact baseline)
     "q26_knn_lsh",              # similarity search (LSH scale path)
     "q32_knn_ivf",              # similarity search (IVF scale path)

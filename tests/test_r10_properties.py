@@ -269,3 +269,81 @@ def test_q285_tablesample_properties_self_standing(spark, sf_dir):
             f"seed {seed}: sample fraction outside 6-sigma envelope "
             f"({len(s1)} of {n_total})"
         )
+
+
+def test_combi_pigeonhole_recall_pure():
+    """Hypothesis pin of the combination-blocking recall guarantee, pure
+    integers (no Spark): for ANY piece count p and ANY pair of 60-bit
+    fingerprints within hamming h <= p-1, at least one of the
+    C(p, p-h)-piece combination keys matches exactly — the geometry
+    invariant ``simhash_near_dup_pairs_combi`` builds its equi-join on.
+    Mirrors the Column construction bit-for-bit (shiftright + mask +
+    shifted OR over ``_piece_slices``)."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_analytics_example_spark.operators.dedup import (
+        _piece_slices,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(0, 2**60 - 1),
+        st.integers(4, 9),
+        st.data(),
+    )
+    def check(fp_a, p, data):
+        h = data.draw(st.integers(0, p - 1))
+        n_flip = data.draw(st.integers(0, h))
+        positions = data.draw(
+            st.lists(
+                st.integers(0, 59), min_size=n_flip, max_size=n_flip,
+                unique=True,
+            )
+        )
+        fp_b = fp_a
+        for pos in positions:
+            fp_b ^= 1 << pos
+        slices = _piece_slices(60, p)
+        agree = p - h
+
+        def keys(fp):
+            out = []
+            for combo in itertools.combinations(range(p), agree):
+                key, shift = 0, 0
+                for pi in combo:
+                    s, w = slices[pi]
+                    key |= ((fp >> s) & ((1 << w) - 1)) << shift
+                    shift += w
+                out.append(key)
+            return out
+
+        assert any(a == b for a, b in zip(keys(fp_a), keys(fp_b))), (
+            p, h, positions,
+        )
+
+    check()
+
+
+def test_piece_slices_tile_exactly():
+    """The slices tile the fingerprint with no gap/overlap at every piece
+    count, widest-first deterministically."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        _piece_slices,
+    )
+
+    for n_bits in (32, 60):
+        for p in range(1, n_bits + 1):
+            sl = _piece_slices(n_bits, p)
+            assert len(sl) == p
+            pos = 0
+            widths = []
+            for start, w in sl:
+                assert start == pos and w >= 1
+                pos += w
+                widths.append(w)
+            assert pos == n_bits
+            assert widths == sorted(widths, reverse=True)
+            assert max(widths) - min(widths) <= 1
