@@ -1,9 +1,16 @@
 from cassandra_analytics_example_spark.operators.dedup import (
+    SimHashSaturationError,
+    combi_blocking_plan,
+    combi_key_bits,
     dedup_keep_list,
     edit_distance_neardup,
     exact_dedup,
     minhash_lsh_dedup,
     overlap_join,
+    simhash_combi_bucket_stats,
+    simhash_near_dup_pairs,
+    simhash_near_dup_pairs_auto,
+    simhash_near_dup_pairs_combi,
 )
 from cassandra_analytics_example_spark.operators.membership import (
     bloom_build,
@@ -53,6 +60,9 @@ __all__ = [
     "ann_recall",
     "bloom_pruned_read",
     "bm25_scores",
+    "SimHashSaturationError",
+    "combi_blocking_plan",
+    "combi_key_bits",
     "dedup_keep_list",
     "edit_distance_neardup",
     "exact_dedup",
@@ -60,6 +70,10 @@ __all__ = [
     "minhash_lsh_dedup",
     "observed_write",
     "overlap_join",
+    "simhash_combi_bucket_stats",
+    "simhash_near_dup_pairs",
+    "simhash_near_dup_pairs_auto",
+    "simhash_near_dup_pairs_combi",
     "vocab_coverage",
     "banded_self_join",
     "bloom_build",
