@@ -1,4 +1,5 @@
 from cassandra_analytics_example_spark.operators.dedup import (
+    BlockingSaturationError,
     SimHashSaturationError,
     combi_blocking_plan,
     combi_key_bits,
@@ -60,6 +61,7 @@ __all__ = [
     "ann_recall",
     "bloom_pruned_read",
     "bm25_scores",
+    "BlockingSaturationError",
     "SimHashSaturationError",
     "combi_blocking_plan",
     "combi_key_bits",

@@ -152,6 +152,7 @@ def lsh_candidate_pairs(
     num_bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band, group
     ids by (band_index, band_hash) bucket, and emit all in-bucket pairs.
@@ -166,17 +167,37 @@ def lsh_candidate_pairs(
     the bound — recall on *those* pairs is sacrificed explicitly, and
     ``lsh_bucket_stats`` reports exactly which buckets were dropped (run
     ``exact_dedup`` first so byte-identical documents don't inflate buckets
-    to begin with; ``minhash_lsh_dedup`` does). Returns distinct
-    (id_a, id_b).
+    to begin with; ``minhash_lsh_dedup`` does). A capped run whose valve
+    drops EVERY collision bucket raises ``BlockingSaturationError`` at
+    action time instead of silently emitting nothing — the same
+    zero-recall cliff the r9 SimHash probe exposed applies here
+    (``on_saturation="ignore"`` restores the audited silent-empty path;
+    see ``_guarded_union``). Returns distinct (id_a, id_b).
     """
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
     buckets = _lsh_buckets(signatures, id_col, num_bands, rows_per_band)
+    capped = buckets
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    return (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        capped = buckets.filter(F.size("ids") <= max_bucket_size)
+    out = (
+        capped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
+    )
+    if max_bucket_size is None or on_saturation == "ignore":
+        return out
+    return _guarded_union(
+        out,
+        buckets,
+        "ids",
+        max_bucket_size,
+        "BlockingSaturationError",
+        "MinHash band ",
+        "Raise max_bucket_size, run exact_dedup first (byte-identical "
+        "docs inflate band buckets), or widen num_bands*rows_per_band; "
+        "audit via lsh_bucket_stats.",
     )
 
 
@@ -244,6 +265,7 @@ def minhash_lsh_dedup(
     num_bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: exact-dedup pre-pass → signatures
     → banded candidates (bucket-capped) → exact Jaccard verification on
@@ -276,7 +298,8 @@ def minhash_lsh_dedup(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = signatures_from_shingles(sh, id_col, "sh", num_hashes)
     cands = lsh_candidate_pairs(
-        sigs, id_col, num_bands, rows_per_band, max_bucket_size
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size,
+        on_saturation=on_saturation,
     )
     # Size-ratio prefilter — RESULT-IDENTICAL, not a recall trade:
     # |A∩B| <= min(|A|,|B|) bounds jaccard <= min/max, so j >= t forces
@@ -554,7 +577,18 @@ def hamming64(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
-class SimHashSaturationError(RuntimeError):
+class BlockingSaturationError(RuntimeError):
+    """A ``max_bucket_size`` valve would drop (or did drop) EVERY
+    collision bucket of a blocked candidate generator, so the capped pair
+    expansion is guaranteed to emit zero pairs — the operator would
+    silently deduplicate nothing. Raised loudly instead (round 10; the
+    hazard class the r9 SimHash probe exposed applies identically to the
+    MinHash band and embedding sign-LSH paths). Every capped generator
+    takes ``on_saturation="ignore"`` to restore the audited silent-empty
+    behavior for callers that handle the drop audit themselves."""
+
+
+class SimHashSaturationError(BlockingSaturationError):
     """The ``max_bucket_size`` valve would drop (or did drop) EVERY band
     collision bucket, so the capped pair expansion is guaranteed to emit
     zero near-dup pairs — the operator would silently deduplicate nothing.
@@ -565,6 +599,65 @@ class SimHashSaturationError(RuntimeError):
     blocking automatically), widen the blocking yourself
     (``simhash_near_dup_pairs_combi`` with more pieces), or raise
     ``max_bucket_size``."""
+
+
+def _guarded_union(
+    out: DataFrame,
+    buckets: DataFrame,
+    list_col: str,
+    max_bucket_size: int,
+    error_name: str,
+    bucket_kind: str,
+    remedy: str,
+) -> DataFrame:
+    """Union a ZERO-ROW guard branch onto ``out`` that raises at action
+    time when the ``max_bucket_size`` valve dropped every collision
+    bucket (``len(list_col) > cap`` for all buckets, and >= 1 bucket
+    existed). The guard must execute even when zero pairs survive — that
+    IS the failure case — so it cannot ride the result rows (a crossJoin
+    guard dies with AQE's empty-relation propagation: no result rows, no
+    broadcast build, no assert). Instead the branch always runs a one-row
+    audit aggregate over the SAME bucket frame (Catalyst's ReuseExchange
+    dedupes the shuffle; the audit costs one extra final-aggregate pass,
+    not a second candidate pipeline) and contributes zero rows: the
+    explode count is 0 when healthy and raise_error when saturated.
+    (when(ok, 0).otherwise(raise_error(...)): the branches must DIFFER —
+    an assert_true folded into both branches gets simplified away by
+    SimplifyConditionals, observed in the physical plan.)"""
+    guard_ok = (F.col("__nb") == 0) | (F.col("__nd") < F.col("__nb"))
+    msg = F.concat(
+        F.lit(
+            f"{error_name}: max_bucket_size={max_bucket_size} dropped all "
+        ),
+        F.col("__nb").cast("string"),
+        F.lit(f" {bucket_kind}collision buckets - zero recall. {remedy}"),
+    )
+    guard_branch = (
+        buckets.agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.coalesce(
+                F.sum((F.size(list_col) > max_bucket_size).cast("int")),
+                F.lit(0),
+            ).alias("__nd"),
+        )
+        .select(
+            F.explode(
+                F.array_repeat(
+                    F.lit(0),
+                    F.when(guard_ok, F.lit(0)).otherwise(
+                        F.raise_error(msg).cast("int")
+                    ),
+                )
+            ).alias("__g")
+        )
+        .select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out.schema.fields
+            ]
+        )
+    )
+    return out.unionAll(guard_branch)
 
 
 def auto_band_width(
@@ -702,54 +795,17 @@ def _bucket_pairs(
     out = pairs.filter(F.col("hamming") <= max_hamming).distinct()
     if max_bucket_size is None or on_saturation == "ignore":
         return out
-    # The guard must execute even when zero pairs survive — that IS the
-    # failure case — so it cannot ride the result rows (a crossJoin guard
-    # dies with AQE's empty-relation propagation: no result rows, no
-    # broadcast build, no assert). Instead it is a UNION branch that
-    # always runs its one-row audit aggregate and contributes zero rows:
-    # the explode count is 0 when healthy and raise_error when saturated.
-    # (when(ok, 0).otherwise(raise_error(...)): the branches must DIFFER —
-    # an assert_true folded into both branches gets simplified away by
-    # SimplifyConditionals, observed in the physical plan.)
-    guard_ok = (F.col("__nb") == 0) | (F.col("__nd") < F.col("__nb"))
-    msg = F.concat(
-        F.lit(
-            "SimHashSaturationError: max_bucket_size="
-            f"{max_bucket_size} dropped all "
-        ),
-        F.col("__nb").cast("string"),
-        F.lit(
-            " collision buckets - zero recall. Use "
-            "simhash_near_dup_pairs_auto (escalates the blocking), "
-            "widen the blocking (simhash_near_dup_pairs_combi), or "
-            "raise max_bucket_size; audit via simhash_bucket_stats."
-        ),
+    return _guarded_union(
+        out,
+        buckets,
+        "ms",
+        max_bucket_size,
+        "SimHashSaturationError",
+        "",
+        "Use simhash_near_dup_pairs_auto (escalates the blocking), "
+        "widen the blocking (simhash_near_dup_pairs_combi), or "
+        "raise max_bucket_size; audit via simhash_bucket_stats.",
     )
-    guard_branch = (
-        buckets.agg(
-            F.count(F.lit(1)).alias("__nb"),
-            F.coalesce(
-                F.sum((F.size("ms") > max_bucket_size).cast("int")), F.lit(0)
-            ).alias("__nd"),
-        )
-        .select(
-            F.explode(
-                F.array_repeat(
-                    F.lit(0),
-                    F.when(guard_ok, F.lit(0)).otherwise(
-                        F.raise_error(msg).cast("int")
-                    ),
-                )
-            ).alias("__g")
-        )
-        .select(
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in out.schema.fields
-            ]
-        )
-    )
-    return out.unionAll(guard_branch)
 
 
 def _piece_slices(n_bits: int, n_pieces: int) -> list[tuple[int, int]]:
@@ -1135,6 +1191,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_bits: int = 8,
     max_bucket_size: int | None = 1000,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """Embedding-cosine near-dup: sign-bucket LSH blocking + exact cosine
     verification within buckets. Returns (id_a, id_b, cosine ≥ threshold).
@@ -1147,25 +1204,31 @@ def embedding_near_dup_pairs(
     one degenerate bucket (e.g. a near-duplicate embedding cluster) cannot
     go quadratic. Size ``n_bits`` to the corpus: expected bucket size is
     N/2^n_bits, so 100TB-scale corpora want 24-32 bits where this fixture
-    uses 8. Audit capped drops with ``embedding_bucket_stats``."""
+    uses 8. Audit capped drops with ``embedding_bucket_stats``; a capped
+    run whose valve drops EVERY bucket raises ``BlockingSaturationError``
+    at action time instead of silently emitting nothing
+    (``on_saturation="ignore"`` opts out — see ``_guarded_union``)."""
     from cassandra_analytics_example_spark.functions.vector import (
         cosine_similarity,
         sign_bucket,
     )
 
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
     buckets = _sign_buckets(emb, id_col, vec_col, n_bits)
+    capped = buckets
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+        capped = buckets.filter(F.size("ids") <= max_bucket_size)
     # each doc has exactly ONE bucket key, so a pair can collide in at most
     # one bucket — no distinct needed (unlike multi-band LSH).
     pairs = (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        capped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
     )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
+    out = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -1177,6 +1240,18 @@ def embedding_near_dup_pairs(
                 "cosine",
             ),
         )
+    )
+    if max_bucket_size is None or on_saturation == "ignore":
+        return out
+    return _guarded_union(
+        out,
+        buckets,
+        "ids",
+        max_bucket_size,
+        "BlockingSaturationError",
+        "sign-LSH ",
+        "Raise max_bucket_size or widen n_bits (expected occupancy is "
+        "N/2^n_bits); audit via embedding_bucket_stats.",
     )
 
 
@@ -1425,7 +1500,8 @@ def dedup_drop_audit(
 
     ls, es = _summary(lstats), _summary(estats)
     emitted = lsh_candidate_pairs(
-        sigs, "doc_id", num_bands, rows_per_band, max_bucket_size
+        sigs, "doc_id", num_bands, rows_per_band, max_bucket_size,
+        on_saturation="ignore",  # this audit IS the drop handler
     ).count()
     sigs.unpersist()
 

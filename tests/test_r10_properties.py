@@ -347,3 +347,48 @@ def test_piece_slices_tile_exactly():
             assert pos == n_bits
             assert widths == sorted(widths, reverse=True)
             assert max(widths) - min(widths) <= 1
+
+
+def test_lsh_and_embedding_all_dropped_raise(spark):
+    """The zero-recall guard generalizes to the MinHash band and
+    embedding sign-LSH paths (same cliff class as the SimHash probe): a
+    capped run whose valve drops EVERY collision bucket raises
+    BlockingSaturationError at action time; on_saturation='ignore'
+    restores the audited silent-empty behavior."""
+    import pytest as _pytest
+
+    from cassandra_analytics_example_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        lsh_candidate_pairs,
+    )
+
+    # 5 identical signatures: every band bucket has 5 members > cap 4
+    sigs = spark.createDataFrame(
+        [(i, [7] * 16) for i in range(5)],
+        "doc_id bigint, sig array<bigint>",
+    )
+    with _pytest.raises(Exception, match="BlockingSaturationError"):
+        lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=4).collect()
+    assert (
+        lsh_candidate_pairs(
+            sigs, "doc_id", max_bucket_size=4, on_saturation="ignore"
+        ).collect()
+        == []
+    )
+
+    # 5 same-direction vectors: one sign bucket of 5 members > cap 4
+    emb = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(5)],
+        "vec_id int, embedding array<float>",
+    )
+    with _pytest.raises(Exception, match="BlockingSaturationError"):
+        embedding_near_dup_pairs(
+            emb, threshold=0.9, n_bits=4, max_bucket_size=4
+        ).collect()
+    assert (
+        embedding_near_dup_pairs(
+            emb, threshold=0.9, n_bits=4, max_bucket_size=4,
+            on_saturation="ignore",
+        ).collect()
+        == []
+    )

@@ -586,3 +586,89 @@ def test_stream_stream_join_matches_and_drops_late_input(spark, tmp_path):
     assert (5, 6) not in got, f"late view entered join state: {got}"
     assert (8, 7) not in got, f"out-of-range pair matched: {got}"
     assert got == [(1, 2)], f"unexpected join output: {got}"
+
+
+def test_sliding_window_multi_assignment_and_late_drop(spark, tmp_path):
+    """Sliding-window semantics: one event lands in width/slide
+    overlapping windows (both emitted once their ends pass the
+    watermark), and a late row below the watermark is excluded from BOTH
+    of its closed windows.
+
+    Timeline (width 1h, slide 30m, watermark 1h; buffer batch per
+    SPARK-40925):
+      b1: id1 (t0+31m, click)   -> windows W[t0, t0+1h) and
+                                   W[t0+30m, t0+90m)
+      b2: id2 (t0+6h, click)    advances W -> t0+5h (both closed)
+      b3: id3 (t0+6h+1m, click) buffer: watermark takes effect, both of
+                                id1's windows emit with n=1
+      b4: id4 (t0+32m, click)   LATE - must not re-emit or bump either
+                                closed window
+    Expected: the two id1 windows emit exactly once each with n=1.
+    """
+    from cassandra_analytics_example_spark.streaming.windows import (
+        sliding_aggregate,
+    )
+
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    t0 = 1_700_000_000 * 1_000_000_000
+    m = 60 * 1_000_000_000
+    now = time.time()
+    _write_typed_batch(
+        str(src / "b1.parquet"), [(1, t0 + 31 * m, 1, "click")], now - 120
+    )
+    _write_typed_batch(
+        str(src / "b2.parquet"), [(2, t0 + 6 * H, 2, "click")], now - 90
+    )
+    _write_typed_batch(
+        str(src / "b3.parquet"), [(3, t0 + 6 * H + m, 3, "click")], now - 60
+    )
+    _write_typed_batch(
+        str(src / "b4.parquet"), [(4, t0 + 32 * m, 4, "click")], now - 30
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    events = raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+    )
+    slid = sliding_aggregate(
+        events, width="1 hour", slide="30 minutes", watermark="1 hour"
+    )
+
+    name = "sliding_semantics_check"
+    q = (
+        slid.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    rows = spark.table(name).collect()
+    # both overlapping windows of id1 emitted, exactly once, with n=1
+    # (the late id4 at t0+32m targets the same two windows and must not
+    # have been counted)
+    early = sorted(
+        (r["window_start"], r["n"]) for r in rows
+        if r["window_start"].startswith("2023-11-14 2")
+    )
+    assert len(early) == 2, f"expected exactly the two id1 windows: {rows}"
+    assert all(n == 1 for _, n in early), (
+        f"late row leaked into a closed sliding window: {early}"
+    )
+    assert early[0][0] != early[1][0], early
