@@ -672,3 +672,117 @@ def test_sliding_window_multi_assignment_and_late_drop(spark, tmp_path):
         f"late row leaked into a closed sliding window: {early}"
     )
     assert early[0][0] != early[1][0], early
+
+
+def test_first_seen_ttl_lease_evicts_and_readmits(spark, tmp_path):
+    """The bounded-state story of the custom stateful operator
+    (applyInPandasWithState + ProcessingTimeTimeout): a key's first-seen
+    record is suppressed while its TTL lease is live, the lease expiry
+    REMOVES the state, and the same key then re-emits — the eviction
+    cycle that keeps first-touch state bounded on an unbounded key
+    domain. Uses a continuous processingTime trigger (availableNow never
+    terminates with pending leases — documented on the operator).
+
+    Timing discipline: the lease starts when batch0 RUNS, slightly
+    before its output becomes visible, so the 20s TTL leaves ~15s of
+    certain-lease margin for the suppression check, and expiry is waited
+    out relative to first-visibility plus a generous margin. Event times
+    are offset in SECONDS — sub-microsecond offsets vanish at the
+    operator's unix_micros resolution (the first version of this test
+    learned that the hard way).
+      b1: (u1 click @t0), (u2 view)    both emit; u1 lease = 20s
+      b2 (immediately): (u1 click @t0+1s)  SUPPRESSED for >= 5s observed
+      b3 (after expiry): (u1 click @t0+2s) EMITS with its own ts
+    """
+    from cassandra_analytics_example_spark.streaming.windows import (
+        EVENTS_STREAM_SCHEMA,
+        first_seen_per_type,
+    )
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    t0 = 1_700_000_000 * 1_000_000_000
+    sec = 1_000_000_000
+    ttl_s = 20.0
+    now = time.time()
+    _write_typed_batch(
+        str(src / "b1.parquet"),
+        [(1, t0, 1, "click"), (2, t0 + 1 * sec, 2, "view")],
+        now,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    events = raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+    )
+    out = first_seen_per_type(events, ttl_ms=int(ttl_s * 1000))
+
+    name = "ttl_eviction_check"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def ts_for(user):
+        return sorted(
+            r["first_ts_us"]
+            for r in spark.table(name).collect()
+            if r["user_id"] == user
+        )
+
+    def wait_until(pred, timeout_s, what):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"timed out waiting for {what}: "
+                             f"{spark.table(name).collect()}")
+
+    t0_us = t0 // 1000
+    try:
+        wait_until(
+            lambda: ts_for(1) == [t0_us] and len(ts_for(2)) == 1,
+            60, "initial first-seen emissions",
+        )
+        visible_at = time.time()
+        # mid-lease duplicate, written immediately: the lease began at
+        # most a poll-interval before visible_at, so >= ~15s of it
+        # remain — observe suppression for 5s
+        _write_typed_batch(
+            str(src / "b2.parquet"), [(3, t0 + 1 * sec, 1, "click")],
+            time.time(),
+        )
+        while time.time() - visible_at < 5.0:
+            assert ts_for(1) == [t0_us], (
+                f"key re-emitted mid-lease: {ts_for(1)}"
+            )
+            time.sleep(0.25)
+        # wait out the rest of the lease + margin; pending leases keep
+        # empty microbatches firing, which is what delivers the timeout
+        time.sleep(max(0.0, ttl_s - (time.time() - visible_at)) + 6.0)
+        _write_typed_batch(
+            str(src / "b3.parquet"), [(4, t0 + 2 * sec, 1, "click")],
+            time.time(),
+        )
+        wait_until(
+            lambda: ts_for(1) == [t0_us, t0_us + 2_000_000],
+            60, "post-eviction re-emit with b3's own ts",
+        )
+        assert len(ts_for(2)) == 1  # u2 untouched throughout
+    finally:
+        q.stop()
+        q.awaitTermination(30)
