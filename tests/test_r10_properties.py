@@ -392,3 +392,25 @@ def test_lsh_and_embedding_all_dropped_raise(spark):
         ).collect()
         == []
     )
+
+
+def test_saturation_guard_reuses_bucket_shuffle(spark):
+    """_guarded_union's cost claim, pinned in the executed plan: the
+    guard's audit aggregate rides the SAME bucket shuffle as the pair
+    lineage (AQE exchange reuse), so the guard costs one extra
+    final-aggregate pass — not a second candidate pipeline. Asserted on
+    the adaptive plan AFTER execution (pre-AQE plans show the exchange
+    twice; reuse is a runtime stage decision)."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(i, [7] * 16) for i in range(5)]
+        + [(9, [8] * 16), (10, [8] * 16)],
+        "doc_id bigint, sig array<bigint>",
+    )
+    df = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=4)
+    df.collect()  # partial drop: guard passes, plan finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
