@@ -20,6 +20,7 @@ from cassandra_analytics_example_spark.operators.membership import (
     file_bloom_stats,
 )
 from cassandra_analytics_example_spark.operators.profiling import (
+    k_anonymity_audit,
     observed_write,
 )
 from cassandra_analytics_example_spark.operators.similarity import (
@@ -69,6 +70,7 @@ __all__ = [
     "edit_distance_neardup",
     "exact_dedup",
     "file_bloom_stats",
+    "k_anonymity_audit",
     "minhash_lsh_dedup",
     "observed_write",
     "overlap_join",

@@ -216,3 +216,59 @@ def functional_dependency_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    the re-identification-risk half of the privacy family (q56 redacts
+    direct PII, q227 releases noisy aggregates; this measures what the
+    RAW quasi-identifiers already leak).
+
+    Every row falls into the equivalence class of its quasi-identifier
+    tuple; a class smaller than ``k`` re-identifies its members by
+    linkage (Sweeney's k-anonymity), and a class whose ``sensitive_col``
+    carries few DISTINCT values leaks the attribute even at size >= k
+    (l-diversity). Output is one row per OBSERVED CLASS SIZE —
+    ``(class_size, n_classes, n_rows, risky, min_l)`` where ``risky`` is
+    the k-test on that size and ``min_l`` the worst sensitive diversity
+    among classes of that size — a distribution report, deliberately NOT
+    one row per class.
+
+    Scale shape: one shuffle on the quasi tuple (class table, bounded by
+    the quasi-identifier cardinality — the whole point of quasi
+    identifiers is that this is small relative to the corpus), then a
+    size-keyed aggregation whose output is bounded by the number of
+    DISTINCT class sizes. No per-class rows ever leave the executors, so
+    a 100 TB table with a billion tiny classes still reports in
+    O(distinct sizes) rows. NULL quasi values form their own class (SQL
+    GROUP BY semantics on both engines); rows with a NULL sensitive
+    value count toward class size but not toward ``min_l``
+    (count(DISTINCT) skips NULLs in both engines).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.countDistinct(F.col(sensitive_col)).cast("bigint").alias("__l"),
+    )
+    return (
+        classes.groupBy(F.col("__n").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.min("__l").cast("bigint").alias("min_l"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < F.lit(k)).alias("risky"),
+            "min_l",
+        )
+        .orderBy("class_size")
+    )

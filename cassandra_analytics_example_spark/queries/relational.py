@@ -5399,3 +5399,54 @@ def q286_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
     )
     return p.unpivot(["p_partkey"], ["p_size", "cents"], "measure", "val")
+
+
+# --------------------------------------------------------------------------
+# q288 — k-anonymity / l-diversity audit (operators/profiling.py:
+# k_anonymity_audit): the re-identification-risk report over the customer
+# quasi-identifier tuple (nation, market segment), sensitive attribute =
+# account balance in exact cents. One row per observed equivalence-class
+# SIZE — never per class — so the report stays O(distinct sizes) at any
+# corpus scale. Completes the privacy family: q56 redacts direct PII,
+# q227 noises released aggregates, q288 measures what raw quasi
+# identifiers already leak. Reference: no governance ops (SURVEY §2.8).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q288_k_anonymity_audit",
+    oracle="""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))
+              AS BIGINT) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT n AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       n < 10 AS risky,
+       CAST(min(l) AS BIGINT) AS min_l
+FROM cls GROUP BY n ORDER BY n
+""",
+    doc="k-anonymity/l-diversity audit: equivalence classes of the "
+    "(nation, mktsegment) quasi-identifier tuple, reported as a "
+    "class-size distribution with the k=10 risk flag and the worst "
+    "sensitive-attribute diversity per size — one shuffle on the quasi "
+    "tuple, output bounded by distinct class sizes",
+    tags=("relational", "privacy", "profiling"),
+)
+def q288_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.profiling import (
+        k_anonymity_audit,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "bal_cents", k=10
+    )

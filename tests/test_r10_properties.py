@@ -414,3 +414,39 @@ def test_saturation_guard_reuses_bucket_shuffle(spark):
     df.collect()  # partial drop: guard passes, plan finalizes
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_k_anonymity_audit_semantics(spark):
+    """k-anonymity audit unit semantics: classes group by the quasi
+    tuple (NULLs form their own class), the report is one row per
+    observed class SIZE, risky = size < k, and min_l counts DISTINCT
+    non-NULL sensitive values of the worst class of that size."""
+    from cassandra_analytics_example_spark.operators.profiling import (
+        k_anonymity_audit,
+    )
+
+    rows = [
+        # class (a,1): size 3, sensitive {10, 10, 20} -> l=2
+        ("a", 1, 10), ("a", 1, 10), ("a", 1, 20),
+        # class (a,2): size 3, sensitive {10, NULL, NULL} -> l=1
+        ("a", 2, 10), ("a", 2, None), ("a", 2, None),
+        # class (b,1): size 1 -> risky at k=2
+        ("b", 1, 30),
+        # class (NULL,1): its own class, size 2, l=2
+        (None, 1, 40), (None, 1, 50),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s int")
+    got = {
+        r["class_size"]: r
+        for r in k_anonymity_audit(df, ["q1", "q2"], "s", k=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_classes"] == 1 and got[1]["risky"] is True
+    assert got[1]["n_rows"] == 1 and got[1]["min_l"] == 1
+    assert got[2]["n_classes"] == 1 and got[2]["risky"] is False
+    assert got[2]["min_l"] == 2  # the NULL-quasi class, two balances
+    assert got[3]["n_classes"] == 2 and got[3]["n_rows"] == 6
+    assert got[3]["min_l"] == 1  # (a,2): NULL sensitive not counted
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_audit(df, [], "s")
