@@ -116,6 +116,18 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def short_key(name: str, taken: set[str]) -> str:
+    """Driver-parseable compact key: the leading token of the query name
+    (``q143_pagerank_items`` -> ``q143``), falling back to the full name
+    on collision. Why: the round driver records only the LAST ~2000 chars
+    of stdout (BENCH_r10.json: ``parsed: null`` with the real payload cut
+    off mid-``tail``), so the machine-readable line must carry the
+    per-query ratio maps in under that budget — short keys get three
+    57-entry maps into ~1.6k chars where full names need ~6k."""
+    k = name.split("_")[0]
+    return name if k in taken else k
+
+
 def cached_storage_bytes(spark) -> int:
     """Bytes currently held by cached RDD/DataFrame blocks (all executors)."""
     return sum(
@@ -145,10 +157,20 @@ def main() -> None:
     )
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=q143_pagerank_items[,name2...]: run a subset
+    # in THIS process — per-query process isolation for anchor re-minting
+    # (round-10 verdict: q143's anchor comparison was measuring JVM/planner
+    # state shared across the 57-query session, not the plan).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
     loadavgs: dict[str, float] = {}
     peak_storage = 0
-    for name in HEADLINE:
+    for name in headline:
         qd = registry[name]
         loadavgs[name] = round(os.getloadavg()[0], 2)
         best = float("inf")
@@ -284,7 +306,54 @@ def main() -> None:
                         for n, r in report["vs_anchor_cold_queries"].items()
                     }
 
+    # Three emission surfaces (round-10 verdict task 5 — the driver keeps
+    # only the last ~2000 chars of stdout, so BENCH_r10.json came back
+    # with parsed:null and the payload truncated mid-tail):
+    #   1. the full report, first stdout line — self-bench artifacts
+    #      (BENCH_SELF_r{N}.json) capture this line;
+    #   2. the full report written to BENCH_FULL_LAST.json (overwritten
+    #      per run, untracked) so nothing depends on stdout capture;
+    #   3. a compact LAST line with short query keys that fits whole in
+    #      the driver's tail window: same metric/value/unit/sf/queries
+    #      shape plus the anchor ratios and the ctrl map.
     print(json.dumps(report))
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_LAST.json",
+        ),
+        "w",
+    ) as f:
+        json.dump(report, f)
+    keys: dict[str, str] = {}
+    for n in timings:
+        keys[n] = short_key(n, set(keys.values()))
+    compact = {
+        "metric": report["metric"],
+        "value": report["value"],
+        "unit": "sec",
+        "sf": report["sf"],
+        "queries": {keys[n]: t for n, t in timings.items()},
+        "loadavg": round(os.getloadavg()[0], 2),
+        "storage_within_budget": report["storage_within_budget"],
+        "key_map": "short keys = first token of full query name",
+        "full_report": "BENCH_FULL_LAST.json",
+    }
+    for field in ("vs_baseline", "vs_anchor_cold", "vs_anchor_cold_ctrl"):
+        if field in report:
+            compact[field] = report[field]
+    if "host_control" in report:
+        compact["host_control"] = report["host_control"]
+    if "vs_anchor_cold_ctrl_queries" in report:
+        compact["vs_anchor_cold_ctrl_queries"] = {
+            keys[n]: r
+            for n, r in report["vs_anchor_cold_ctrl_queries"].items()
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay under the observed 2000-char tail window
+        compact.pop("vs_anchor_cold_ctrl_queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
     if peak_storage > STORAGE_BUDGET_BYTES:
         print(

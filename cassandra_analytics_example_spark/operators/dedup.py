@@ -278,8 +278,22 @@ def minhash_lsh_dedup(
     near-dup buckets (templated boilerplate); audit drops with
     ``lsh_bucket_stats``. Returns (id_a, id_b, jaccard) over the
     representatives. Verification joins shingle sets only for candidate
-    pairs, so cost is proportional to collisions, not N²."""
+    pairs, so cost is proportional to collisions, not N².
+
+    Saturation guard placement (r10 ADVICE, high): candidates are
+    generated with ``on_saturation="ignore"`` and ``_guarded_union`` is
+    applied to the FINAL returned frame, after the size-prefilter and
+    verification joins. A guard riding the candidate frame is silently
+    deleted by Catalyst — the downstream inner joins on id_a/id_b infer
+    ``IsNotNull``, push it through the union into the guard branch, and
+    constant-fold it to an empty relation, raise_error included
+    (empirically confirmed on Spark 4.1.2). Guarding the output, combined
+    with ``_nonfoldable_null`` branch columns, means no in-pipeline or
+    downstream consumer can strip the raise; the guard's bucket aggregate
+    still rides the same band shuffle via ReuseExchange."""
     rows_per_band = num_hashes // num_bands
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
     # spread AFTER the pre-pass window: AQE coalesces the window's small
     # shuffle to one partition, and without the explicit re-spread the
     # expensive shingle-hash projection fuses into that single task.
@@ -299,7 +313,7 @@ def minhash_lsh_dedup(
     sigs = signatures_from_shingles(sh, id_col, "sh", num_hashes)
     cands = lsh_candidate_pairs(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size,
-        on_saturation=on_saturation,
+        on_saturation="ignore",  # guard goes on the FINAL frame (docstring)
     )
     # Size-ratio prefilter — RESULT-IDENTICAL, not a recall trade:
     # |A∩B| <= min(|A|,|B|) bounds jaccard <= min/max, so j >= t forces
@@ -341,10 +355,27 @@ def minhash_lsh_dedup(
     # passing(): the intersection fold must not be inlined into the join's
     # residual condition by predicate pushdown (it would run once per
     # REJECTED candidate in the join, then again in the projection).
-    return joined.select(
+    result = joined.select(
         "id_a",
         "id_b",
         passing(inter / union, lambda j: j >= jaccard_threshold, "jaccard"),
+    )
+    if max_bucket_size is None or on_saturation == "ignore":
+        return result
+    # Same _lsh_buckets lineage as inside lsh_candidate_pairs — Catalyst's
+    # ReuseExchange dedupes the band shuffle, so the guard costs one extra
+    # final-aggregate pass, not a second signature pipeline.
+    buckets = _lsh_buckets(sigs, id_col, num_bands, rows_per_band)
+    return _guarded_union(
+        result,
+        buckets,
+        "ids",
+        max_bucket_size,
+        "BlockingSaturationError",
+        "MinHash band ",
+        "Raise max_bucket_size, run exact_dedup first (byte-identical "
+        "docs inflate band buckets), or widen num_bands*rows_per_band; "
+        "audit via lsh_bucket_stats.",
     )
 
 
@@ -356,6 +387,8 @@ def token_jaccard_pairs(
     ngram_n: int = 3,
     n_blocks: int = 3,
     persist_tokens: bool = True,
+    max_block_size: int | None = None,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """Near-dup by word-n-gram Jaccard with K-rarest-gram blocking.
 
@@ -369,8 +402,20 @@ def token_jaccard_pairs(
     single rarest gram is brittle: one edit can mint a brand-new dfreq-1
     gram that becomes one side's block key and the true pair never
     co-buckets; K rarest keys tolerate K-1 novel grams per doc. Block size
-    stays bounded by each gram's document frequency, so no stopword-style
-    O(N²) block is possible. Fully ANSI-SQL-expressible (explode →
+    is bounded by each gram's document frequency — which keeps STOPWORD
+    blocks impossible (a gram everyone has is never anyone's rarest) but
+    is NOT a structural bound (r10 verdict task 4): on a degenerate corpus
+    where one gram is simultaneously rare-per-doc and corpus-universal
+    (e.g. byte-identical boilerplate docs, which this operator — unlike
+    ``minhash_lsh_dedup`` — does not exact-dedup away), its block regrows
+    to O(N) members and the pair expansion to O(N²). ``max_block_size``
+    is the same valve as ``lsh_candidate_pairs``: oversized blocks are
+    dropped (recall sacrificed explicitly), and a capped run whose valve
+    drops EVERY block raises ``BlockingSaturationError`` at action time
+    instead of silently emitting nothing (``on_saturation="ignore"``
+    restores the audited silent-empty path). Default ``None`` keeps the
+    historical uncapped behavior — registered q22-family results are
+    byte-identical. Fully ANSI-SQL-expressible (explode →
     df-count → sorted top-K → equi-join), hence oracle-checkable. Exact
     Jaccard verifies candidates. Returns (id_a, id_b, jaccard ≥ threshold).
 
@@ -383,6 +428,8 @@ def token_jaccard_pairs(
     materialization for multi-pass set-similarity; pass False to trade
     recompute for zero cache footprint.
     """
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
     toks = spread(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
@@ -416,8 +463,11 @@ def token_jaccard_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    capped = buckets
+    if max_block_size is not None:
+        capped = buckets.filter(F.size("ids") <= max_block_size)
     pairs = (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        capped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
@@ -426,7 +476,7 @@ def token_jaccard_pairs(
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
-    return (
+    result = (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
@@ -434,6 +484,23 @@ def token_jaccard_pairs(
             "id_b",
             passing(inter / union, lambda j: j >= threshold, "jaccard"),
         )
+    )
+    if max_block_size is None or on_saturation == "ignore":
+        return result
+    # Guard on the FINAL frame, downstream of the verification joins —
+    # the r10 ADVICE placement (a candidate-frame guard is deleted by the
+    # IsNotNull-through-union fold the joins trigger). Same block lineage
+    # as the pair expansion: ReuseExchange dedupes the shuffle.
+    return _guarded_union(
+        result,
+        buckets,
+        "ids",
+        max_block_size,
+        "BlockingSaturationError",
+        "rarest-gram ",
+        "Raise max_block_size, exact-dedup byte-identical docs first "
+        "(they share every rarest gram), or raise ngram_n/n_blocks to "
+        "spread the block keys.",
     )
 
 
@@ -445,6 +512,8 @@ def token_containment_pairs(
     ngram_n: int = 3,
     n_blocks: int = 3,
     persist_tokens: bool = True,
+    max_block_size: int | None = None,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """Asymmetric near-dup by n-gram CONTAINMENT (overlap coefficient):
     |A ∩ B| / min(|A|, |B|) — the measure that catches a short document
@@ -461,7 +530,13 @@ def token_containment_pairs(
     short doc's grams below K — raise ``n_blocks`` to trade compute for
     recall (the oracle recomputes the same algorithm, so parity is exact
     either way). Returns (id_a, id_b, containment ≥ threshold), id_a < id_b.
+
+    ``max_block_size``/``on_saturation``: same valve + zero-recall guard
+    pair as :func:`token_jaccard_pairs` (r10 verdict task 4) — the
+    rarest-gram key is NOT structurally bounded, see there.
     """
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
     toks = spread(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
@@ -489,8 +564,11 @@ def token_containment_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    capped = buckets
+    if max_block_size is not None:
+        capped = buckets.filter(F.size("ids") <= max_block_size)
     pairs = (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        capped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
@@ -499,7 +577,7 @@ def token_containment_pairs(
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     smaller = F.least(F.size("toks_a"), F.size("toks_b")).cast("double")
-    return (
+    result = (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
         .filter(smaller > 0)
@@ -508,6 +586,19 @@ def token_containment_pairs(
             "id_b",
             passing(inter / smaller, lambda c: c >= threshold, "containment"),
         )
+    )
+    if max_block_size is None or on_saturation == "ignore":
+        return result
+    return _guarded_union(
+        result,
+        buckets,
+        "ids",
+        max_block_size,
+        "BlockingSaturationError",
+        "rarest-gram ",
+        "Raise max_block_size, exact-dedup byte-identical docs first "
+        "(they share every rarest gram), or raise ngram_n/n_blocks to "
+        "spread the block keys.",
     )
 
 
@@ -623,7 +714,20 @@ def _guarded_union(
     explode count is 0 when healthy and raise_error when saturated.
     (when(ok, 0).otherwise(raise_error(...)): the branches must DIFFER —
     an assert_true folded into both branches gets simplified away by
-    SimplifyConditionals, observed in the physical plan.)"""
+    SimplifyConditionals, observed in the physical plan.)
+
+    The branch's output columns are NULLs built by ``_nonfoldable_null``,
+    NOT ``lit(None)`` (r10 ADVICE, confirmed on Spark 4.1.2): a consumer
+    that equi-joins or null-filters the guarded frame on these columns
+    makes Catalyst infer ``IsNotNull``, push it through the union into
+    this branch, constant-fold ``IsNotNull(lit(NULL))`` to false, and
+    delete the whole branch — raise_error included — restoring the exact
+    silent zero-recall cliff the guard exists to close. A NULL derived
+    from the runtime ``__g`` column cannot be folded, so the pushed
+    predicate stays a runtime Filter above the (zero-row, or raising)
+    explode. ``tests/test_r11_guard_hardening.py`` asserts raise_error
+    survives ``optimizedPlan`` under join/null-filter consumers for every
+    in-repo composition."""
     guard_ok = (F.col("__nb") == 0) | (F.col("__nd") < F.col("__nb"))
     msg = F.concat(
         F.lit(
@@ -652,12 +756,32 @@ def _guarded_union(
         )
         .select(
             *[
-                F.lit(None).cast(f.dataType).alias(f.name)
+                _nonfoldable_null(f.dataType).alias(f.name)
                 for f in out.schema.fields
             ]
         )
     )
     return out.unionAll(guard_branch)
+
+
+def _nonfoldable_null(dt) -> Column:
+    """A NULL of type ``dt`` that ConstantFolding cannot prove NULL.
+
+    ``sequence(0, __g)`` over the guard row (``__g`` is always 0) is the
+    one-element array ``[0]``; ``transform`` maps it to ``[NULL::dt]``
+    (the lambda types the element for ANY dt, scalar or complex, with no
+    int→dt cast to trip ANSI); ``get(..., 0)`` extracts it. The whole
+    expression references the runtime column ``__g``, so it is not
+    foldable, ``NullPropagation`` does not apply, and an inferred
+    ``IsNotNull`` over it survives as a runtime filter instead of
+    statically emptying the guard branch (see ``_guarded_union``)."""
+    return F.get(
+        F.transform(
+            F.sequence(F.lit(0), F.col("__g")),
+            lambda _: F.lit(None).cast(dt),
+        ),
+        F.lit(0),
+    )
 
 
 def auto_band_width(
@@ -1568,6 +1692,8 @@ def edit_distance_neardup(
     prefix_len: int = 32,
     block_prefix: int = 4,
     max_dist: int = 8,
+    max_block_size: int | None = None,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """Edit-distance near-dup pairs over a text PREFIX with equi-join
     blocking: candidates share ``block_cols`` plus the first
@@ -1582,18 +1708,43 @@ def edit_distance_neardup(
     rarest-gram blocking in :func:`token_jaccard_dedup`.
 
     Scale: one self-equi-join on the block key — block sizes track
-    (language x prefix) cardinality, never O(N^2). Spark's 3-arg
+    (language x prefix) cardinality. That tracking is NOT a structural
+    bound (r10 verdict task 4): a corpus whose documents all open with the
+    same ``block_prefix`` characters (templated boilerplate headers) puts
+    everything in ONE block and the self-join goes O(N²).
+    ``max_block_size`` is the valve — oversized prefix blocks are dropped
+    via a semi-join against the block-size table (singleton blocks
+    produce no pairs, so the capped path is otherwise result-identical) —
+    and a capped run whose valve drops EVERY multi-member block raises
+    ``BlockingSaturationError`` at action time instead of silently
+    emitting nothing (``on_saturation="ignore"`` opts out). Default
+    ``None`` keeps the historical uncapped behavior — registered q87
+    results are byte-identical. Spark's 3-arg
     ``levenshtein`` early-exits above the threshold (returns -1), so the
     per-candidate cost is bounded by ``max_dist`` band width, not
     ``prefix_len^2``. Distances are exact integers — engine-portable with
     no float hazard.
     """
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
     d = df.select(
         F.col(id_col),
         *[F.col(c) for c in (block_cols or [])],
         F.substring(F.col(text_col), 1, prefix_len).alias("__p"),
         F.substring(F.col(text_col), 1, block_prefix).alias("__blk"),
     )
+    buckets = None
+    if max_block_size is not None:
+        buckets = (
+            d.groupBy("__blk")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        d = d.join(
+            buckets.filter(F.size("ids") <= max_block_size).select("__blk"),
+            "__blk",
+            "left_semi",
+        )
     a = d.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"__ba_{c}") for c in (block_cols or [])],
@@ -1610,7 +1761,7 @@ def edit_distance_neardup(
     for c in block_cols or []:
         joined = joined.filter(F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
     lev = F.expr(f"levenshtein(__pa, __pb, {int(max_dist)})")
-    return (
+    result = (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -1620,6 +1771,18 @@ def edit_distance_neardup(
         )
         .filter(F.col("lev") >= 0)
     )
+    if max_block_size is None or on_saturation == "ignore":
+        return result
+    return _guarded_union(
+        result,
+        buckets,
+        "ids",
+        max_block_size,
+        "BlockingSaturationError",
+        "prefix ",
+        "Raise max_block_size or widen block_prefix to spread the "
+        "blocks.",
+    )
 
 
 def overlap_join(
@@ -1627,6 +1790,8 @@ def overlap_join(
     id_col: str,
     text_col: str,
     min_overlap: int,
+    max_posting_size: int | None = None,
+    on_saturation: str = "error",
 ) -> DataFrame:
     """Set-overlap self-join with PREFIX FILTERING (the PPJoin family's
     core idea, Xiao et al., public literature): pairs of documents whose
@@ -1646,7 +1811,20 @@ def overlap_join(
     arrays — integers, engine-exact. One persisted token lineage feeds
     ranking and verification (the q22 persist trade); the frequency table
     is vocabulary-sized and broadcast. Candidate cost tracks prefix
-    postings, never all-pairs."""
+    postings — but a prefix token's posting length is its document
+    frequency, which is NOT structurally bounded (r10 verdict task 4): a
+    corpus of byte-identical documents puts the same rare token in every
+    document's prefix and that one posting's self-join goes O(N²).
+    ``max_posting_size`` is the valve (oversized postings dropped, recall
+    sacrificed explicitly; singleton postings produce no pairs so the
+    capped path's posting filter is result-identical otherwise), and a
+    capped run whose valve drops EVERY multi-member posting raises
+    ``BlockingSaturationError`` at action time instead of silently
+    emitting nothing (``on_saturation="ignore"`` opts out). Default
+    ``None`` keeps the historical uncapped behavior — registered q104
+    results are byte-identical."""
+    if on_saturation not in ("error", "ignore"):
+        raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
     from pyspark.storagelevel import StorageLevel
 
     arrays = df.select(
@@ -1667,9 +1845,22 @@ def overlap_join(
     pref = ranked.filter(
         F.col("__rn") <= F.col("__sz") - F.lit(min_overlap) + 1
     ).select(F.col(id_col), "t")
+    postings = None
+    pref_used = pref
+    if max_posting_size is not None:
+        postings = (
+            pref.groupBy("t")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        pref_used = pref.join(
+            postings.filter(F.size("ids") <= max_posting_size).select("t"),
+            "t",
+            "left_semi",
+        )
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "t")
-        .join(pref.select(F.col(id_col).alias("id_b"), "t"), "t")
+        pref_used.select(F.col(id_col).alias("id_a"), "t")
+        .join(pref_used.select(F.col(id_col).alias("id_b"), "t"), "t")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -1677,7 +1868,7 @@ def overlap_join(
     a = arrays.select(F.col(id_col).alias("id_a"), F.col("__ts").alias("__ta"))
     b = arrays.select(F.col(id_col).alias("id_b"), F.col("__ts").alias("__tb"))
     overlap = F.size(F.array_intersect("__ta", "__tb")).cast("bigint")
-    return (
+    result = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -1685,6 +1876,18 @@ def overlap_join(
             "id_b",
             passing(overlap, lambda o: o >= min_overlap, "overlap"),
         )
+    )
+    if max_posting_size is None or on_saturation == "ignore":
+        return result
+    return _guarded_union(
+        result,
+        postings,
+        "ids",
+        max_posting_size,
+        "BlockingSaturationError",
+        "prefix-posting ",
+        "Raise max_posting_size, exact-dedup byte-identical docs first, "
+        "or raise min_overlap to shorten the prefixes.",
     )
 
 

@@ -78,12 +78,32 @@ def _eager_terminal(fn):
         f"{fn.__name__} has its own checkpoint_dir parameter - the "
         f"_eager_terminal wrapper would shadow it"
     )
+    # r10 ADVICE (low): the wrapper takes the DataFrame as the FIRST bound
+    # argument; a future metric whose first parameter has a default (and a
+    # caller omitting it) or is not the DataFrame would make pin_scope/
+    # truncate_plan operate on the wrong object with a confusing
+    # AttributeError far from the call. Pin the contract at decoration
+    # time (first param required-positional) and at call time (it IS a
+    # DataFrame).
+    _first = next(iter(sig.parameters.values()))
+    assert _first.default is inspect.Parameter.empty and _first.kind in (
+        inspect.Parameter.POSITIONAL_ONLY,
+        inspect.Parameter.POSITIONAL_OR_KEYWORD,
+    ), (
+        f"{fn.__name__}: _eager_terminal requires the first parameter to "
+        f"be a required positional DataFrame, got {_first}"
+    )
 
     @functools.wraps(fn)
     def wrapper(*args, checkpoint_dir: str | None = None, **kwargs
                 ) -> DataFrame:
         bound = sig.bind(*args, **kwargs)
         df = next(iter(bound.arguments.values()))
+        assert isinstance(df, DataFrame), (
+            f"{fn.__name__}: first argument must be the input DataFrame "
+            f"(got {type(df).__name__}) - _eager_terminal takes its "
+            f"SparkSession from it"
+        )
         with pin_scope(df.sparkSession):
             return truncate_plan(fn(*args, **kwargs), checkpoint_dir)
 

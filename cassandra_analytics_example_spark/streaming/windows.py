@@ -582,7 +582,11 @@ def run_stream_countmin(
     ``foreachBatch``; the live sketch is the merge-on-read aggregate
     ``sum(c) GROUP BY (d, cell)`` — cells are the associative-merge unit,
     so partial appends commute and the store never needs read-modify-write
-    (crash-safe: checkpointed offsets + append-only partials).
+    (crash-safe: checkpointed offsets + append-only partials; sum-merge is
+    NOT idempotent — with the checkpoint lost a replayed batch doubles the
+    published counts, measured in tests/test_streaming_semantics.py
+    ``test_countmin_store_duplicate_replay_doubles_without_checkpoint`` —
+    offset tracking is exactly what buys exactly-once here).
 
     This is the production shape for continuous frequency monitoring at
     100 TB/day: the per-batch partial is depth*width rows regardless of
@@ -831,6 +835,10 @@ def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative AND idempotent, so partial appends commute and a REPLAYED
     batch is harmless even without the checkpoint (stronger than the
     count-min sum-merge, which needs offset tracking for exactly-once).
+    Not just a docstring claim: tests/test_streaming_semantics.py
+    (``test_hll_store_duplicate_replay_is_idempotent``) deletes the
+    checkpoint, replays the identical batch so the store really holds
+    duplicate partials, and asserts the published registers bit-identical.
 
     The batch twin (``operators/sketches.hll_registers`` over the same
     keys) must produce the IDENTICAL register table — pinned by
