@@ -17,7 +17,7 @@ hash compare (float PageRank would differ by ulps between engines).
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassandra_analytics_example_spark.operators.checkpoints import (
@@ -49,20 +49,27 @@ def pagerank_integer(
     (damping_den - damping_num) div damping_den`` — the classic damped
     power iteration with flooring division standing in for float math.
 
-    Scale shape: the edge table is hash-partitioned by ``src`` ONCE and
-    cached in that layout, so every iteration's edge-keyed join (edges ⋈
-    send-quota on ``src``) finds the big side already distributed the way
-    the join needs it — the cached ``HashPartitioning`` satisfies the
-    join's requirement and only the node-sized quota side shuffles per
-    round (the standard Pregel co-partitioning; measured ~1.8x on the
-    fixture graph vs re-shuffling the cached edges five times).  The
-    degree aggregation rides the same layout (``groupBy(src)`` on
-    src-partitioned data needs no exchange).  Each iteration is then one
-    node-sized join + one co-partitioned edge join + one ``dst``-keyed
-    aggregation.  ``checkpoint_every`` truncates lineage every N
+    Scale shape: the edge table is hash-partitioned by ``src`` ONCE, the
+    out-degree column is added by a window count riding that same
+    exchange (one per-partition sort, no join, no second edge shuffle),
+    and the resulting ``(src, dst, outdeg)`` table is cached: every
+    iteration then needs exactly ONE join (cached edges ⋈ node-sized
+    ranks on ``src`` — the rank side broadcasts while it fits, and falls
+    back to the co-partitioned shuffle automatically at billion-node
+    scale) and one ``dst``-keyed aggregation. The per-edge send quota
+    ``(r * num) div (den * outdeg)`` is constant per source, so folding
+    it into the edge join is integer-identical to precomputing it
+    per node — it is the SQL oracle's own formulation (q143's CTE joins
+    ``deg`` inside the sum) — and removes the node-sized quota join that
+    previously cost a third shuffle stage per iteration (round 11:
+    measured ~25% off the iteration phase at sf0.1; at 1000 executors
+    the saved stage is a full cluster barrier per iteration).
+    ``checkpoint_every`` truncates lineage every N
     iterations (0 = never): mandatory for deep iteration counts on a
     real cluster, wasteful for the shallow 5-iteration form — see
-    operators/checkpoints.py for the local-vs-reliable trade.
+    operators/checkpoints.py for the local-vs-reliable trade (measured
+    at sf0.1: no win at 5 iterations — the unrolled lineage is not the
+    cost driver, r11 probe).
 
     Nodes are the set of edge SOURCES: with a symmetrized edge list every
     participant has outdeg >= 1, so no dangling-mass correction is needed
@@ -77,34 +84,43 @@ def pagerank_integer(
     nparts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    e = (
+    # ONE cached table, built in ONE lineage: the explicit repartition
+    # satisfies the window's hash(src) requirement directly, so the
+    # out-degree column costs a per-partition sort, not a join (an
+    # e-cache ⋈ deg build re-shuffles the cached edges: the outer
+    # planner does not recognize an AQE-finalized cache's output
+    # partitioning and inserts ENSURE_REQUIREMENTS —
+    # tests/test_plans.py::test_pagerank_edge_cache_partitioning_is_reused
+    # pins the no-reshuffle contract).
+    w = Window.partitionBy("src")
+    edeg = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .repartition(nparts, "src")
+        .withColumn("outdeg", F.count(F.lit(1)).over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nodes = deg.select(F.col("src").alias("node"))
+    # node inventory rides the cached layout (node-sized aggregate).
+    nodes = edeg.select(F.col("src").alias("node")).distinct()
     teleport = PAGERANK_QUANTUM * (damping_den - damping_num) // damping_den
     ranks = nodes.select(
         "node", F.lit(PAGERANK_QUANTUM).cast("bigint").alias("r")
     )
     for it in range(1, iterations + 1):
-        # Per-node send quota first (node-sized join: ranks ⋈ deg), so the
-        # edge table is touched by exactly ONE join per iteration.
-        quota = ranks.join(deg, ranks.node == deg.src).select(
-            "node",
-            F.expr(f"(r * {damping_num}) div ({damping_den} * outdeg)")
-            .cast("bigint")
-            .alias("w"),
-        )
+        # One edge join per iteration; the per-edge quota expression is
+        # constant per src, so this is integer-identical to the per-node
+        # precompute (and IS the oracle's formulation — see docstring).
         contrib = (
-            e.join(quota, e.src == quota.node)
+            edeg.join(ranks, edeg.src == ranks.node)
             .groupBy("dst")
-            .agg(F.sum("w").cast("bigint").alias("c"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(r * {damping_num}) div ({damping_den} * outdeg)"
+                    )
+                )
+                .cast("bigint")
+                .alias("c")
+            )
             .withColumnRenamed("dst", "node")
         )
         ranks = (

