@@ -280,17 +280,23 @@ def minhash_lsh_dedup(
     representatives. Verification joins shingle sets only for candidate
     pairs, so cost is proportional to collisions, not N².
 
-    Saturation guard placement (r10 ADVICE, high): candidates are
-    generated with ``on_saturation="ignore"`` and ``_guarded_union`` is
-    applied to the FINAL returned frame, after the size-prefilter and
-    verification joins. A guard riding the candidate frame is silently
-    deleted by Catalyst — the downstream inner joins on id_a/id_b infer
-    ``IsNotNull``, push it through the union into the guard branch, and
-    constant-fold it to an empty relation, raise_error included
-    (empirically confirmed on Spark 4.1.2). Guarding the output, combined
-    with ``_nonfoldable_null`` branch columns, means no in-pipeline or
-    downstream consumer can strip the raise; the guard's bucket aggregate
-    still rides the same band shuffle via ReuseExchange."""
+    Saturation guard (r10 ADVICE, high): the candidate-frame guard used
+    to be silently deleted by Catalyst — the downstream inner joins on
+    id_a/id_b inferred ``IsNotNull``, pushed it through the union into
+    the guard branch, and constant-folded its foldable ``lit(NULL)``
+    columns to an empty relation, raise_error included (empirically
+    confirmed on Spark 4.1.2). Fixed at the ROOT in ``_guarded_union``:
+    branch columns are now non-foldable NULLs (``_nonfoldable_null``),
+    so the pushed predicate stays a runtime filter and the guard
+    survives this pipeline's own joins and any downstream consumer. The
+    guard therefore stays INSIDE ``lsh_candidate_pairs`` where its audit
+    aggregate shares the band-bucket exchange with the pair expansion
+    (ReuseExchange, ~1.05x measured) — an end-of-pipeline re-derivation
+    was tried and rejected: its bucket lineage no longer canonically
+    matches the candidate side's inside the full joined plan, so the
+    signature pipeline ran TWICE (1.24x, SCALE_PROBE_r11.json).
+    ``tests/test_r11_guard_hardening.py`` pins the raise through this
+    full pipeline and raise_error's survival in the optimized plan."""
     rows_per_band = num_hashes // num_bands
     if on_saturation not in ("error", "ignore"):
         raise ValueError(f"on_saturation must be error|ignore, got {on_saturation!r}")
@@ -313,7 +319,7 @@ def minhash_lsh_dedup(
     sigs = signatures_from_shingles(sh, id_col, "sh", num_hashes)
     cands = lsh_candidate_pairs(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size,
-        on_saturation="ignore",  # guard goes on the FINAL frame (docstring)
+        on_saturation=on_saturation,  # guard survives the joins (docstring)
     )
     # Size-ratio prefilter — RESULT-IDENTICAL, not a recall trade:
     # |A∩B| <= min(|A|,|B|) bounds jaccard <= min/max, so j >= t forces
@@ -355,27 +361,10 @@ def minhash_lsh_dedup(
     # passing(): the intersection fold must not be inlined into the join's
     # residual condition by predicate pushdown (it would run once per
     # REJECTED candidate in the join, then again in the projection).
-    result = joined.select(
+    return joined.select(
         "id_a",
         "id_b",
         passing(inter / union, lambda j: j >= jaccard_threshold, "jaccard"),
-    )
-    if max_bucket_size is None or on_saturation == "ignore":
-        return result
-    # Same _lsh_buckets lineage as inside lsh_candidate_pairs — Catalyst's
-    # ReuseExchange dedupes the band shuffle, so the guard costs one extra
-    # final-aggregate pass, not a second signature pipeline.
-    buckets = _lsh_buckets(sigs, id_col, num_bands, rows_per_band)
-    return _guarded_union(
-        result,
-        buckets,
-        "ids",
-        max_bucket_size,
-        "BlockingSaturationError",
-        "MinHash band ",
-        "Raise max_bucket_size, run exact_dedup first (byte-identical "
-        "docs inflate band buckets), or widen num_bands*rows_per_band; "
-        "audit via lsh_bucket_stats.",
     )
 
 
@@ -704,7 +693,11 @@ def _guarded_union(
     """Union a ZERO-ROW guard branch onto ``out`` that raises at action
     time when the ``max_bucket_size`` valve dropped every collision
     bucket (``len(list_col) > cap`` for all buckets, and >= 1 bucket
-    existed). The guard must execute even when zero pairs survive — that
+    existed). ``list_col`` is either an array column (bucket member
+    lists — generators whose pair expansion consumes the lists anyway)
+    or an INTEGER count column (generators that pair via self-joins and
+    only need sizes: a count aggregate is map-side combinable where
+    collect_list is not, and its cache is rows of (key, n)). The guard must execute even when zero pairs survive — that
     IS the failure case — so it cannot ride the result rows (a crossJoin
     guard dies with AQE's empty-relation propagation: no result rows, no
     broadcast build, no assert). Instead the branch always runs a one-row
@@ -715,6 +708,20 @@ def _guarded_union(
     (when(ok, 0).otherwise(raise_error(...)): the branches must DIFFER —
     an assert_true folded into both branches gets simplified away by
     SimplifyConditionals, observed in the physical plan.)
+
+    Cost model (r11): the bucket frame is PERSISTED here
+    (MEMORY_AND_DISK), so the pair expansion and the audit aggregate scan
+    ONE cached materialization. The r10 claim that ReuseExchange shares
+    the bucket shuffle holds for a directly-consumed guarded frame
+    (plan-gated in test_saturation_guard_reuses_bucket_shuffle) but
+    proved brittle inside composed plans: in the full minhash_lsh_dedup
+    plan the two bucket subtrees stop matching canonically and the
+    signature pipeline ran TWICE (1.24x, SCALE_PROBE_r11.json) — a cache
+    is the deterministic form of the same sharing, and callers that pass
+    ``on_saturation="ignore"`` never reach it (zero footprint). The
+    cache is bucket-count-sized (collision groups only), strictly
+    smaller than the banded corpus, and is dropped with the session /
+    ``clearCache`` like the operators' other deliberate layers.
 
     The branch's output columns are NULLs built by ``_nonfoldable_null``,
     NOT ``lit(None)`` (r10 ADVICE, confirmed on Spark 4.1.2): a consumer
@@ -728,6 +735,11 @@ def _guarded_union(
     explode. ``tests/test_r11_guard_hardening.py`` asserts raise_error
     survives ``optimizedPlan`` under join/null-filter consumers for every
     in-repo composition."""
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    from pyspark.sql.types import ArrayType
+
+    is_list = isinstance(buckets.schema[list_col].dataType, ArrayType)
+    bucket_n = F.size(list_col) if is_list else F.col(list_col)
     guard_ok = (F.col("__nb") == 0) | (F.col("__nd") < F.col("__nb"))
     msg = F.concat(
         F.lit(
@@ -740,7 +752,7 @@ def _guarded_union(
         buckets.agg(
             F.count(F.lit(1)).alias("__nb"),
             F.coalesce(
-                F.sum((F.size(list_col) > max_bucket_size).cast("int")),
+                F.sum((bucket_n > max_bucket_size).cast("int")),
                 F.lit(0),
             ).alias("__nd"),
         )
@@ -1735,13 +1747,16 @@ def edit_distance_neardup(
     )
     buckets = None
     if max_block_size is not None:
+        # counts, not member lists: the self-join below generates the
+        # pairs, so only block SIZES are needed — a count aggregate is
+        # map-side combinable and its guard cache is (key, n) rows.
         buckets = (
             d.groupBy("__blk")
-            .agg(F.collect_list(id_col).alias("ids"))
-            .filter(F.size("ids") > 1)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
         )
         d = d.join(
-            buckets.filter(F.size("ids") <= max_block_size).select("__blk"),
+            buckets.filter(F.col("__n") <= max_block_size).select("__blk"),
             "__blk",
             "left_semi",
         )
@@ -1776,7 +1791,7 @@ def edit_distance_neardup(
     return _guarded_union(
         result,
         buckets,
-        "ids",
+        "__n",
         max_block_size,
         "BlockingSaturationError",
         "prefix ",
@@ -1848,13 +1863,15 @@ def overlap_join(
     postings = None
     pref_used = pref
     if max_posting_size is not None:
+        # counts, not member lists: the prefix self-join generates the
+        # pairs, so only posting SIZES are needed (map-side combinable).
         postings = (
             pref.groupBy("t")
-            .agg(F.collect_list(id_col).alias("ids"))
-            .filter(F.size("ids") > 1)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
         )
         pref_used = pref.join(
-            postings.filter(F.size("ids") <= max_posting_size).select("t"),
+            postings.filter(F.col("__n") <= max_posting_size).select("t"),
             "t",
             "left_semi",
         )
@@ -1882,7 +1899,7 @@ def overlap_join(
     return _guarded_union(
         result,
         postings,
-        "ids",
+        "__n",
         max_posting_size,
         "BlockingSaturationError",
         "prefix-posting ",

@@ -396,11 +396,15 @@ def test_lsh_and_embedding_all_dropped_raise(spark):
 
 def test_saturation_guard_reuses_bucket_shuffle(spark):
     """_guarded_union's cost claim, pinned in the executed plan: the
-    guard's audit aggregate rides the SAME bucket shuffle as the pair
-    lineage (AQE exchange reuse), so the guard costs one extra
-    final-aggregate pass — not a second candidate pipeline. Asserted on
-    the adaptive plan AFTER execution (pre-AQE plans show the exchange
-    twice; reuse is a runtime stage decision)."""
+    guard's audit aggregate and the pair expansion consume ONE shared
+    bucket materialization, so the guard costs one bucket-table scan —
+    not a second candidate pipeline. Round 11 changed the sharing
+    mechanism from AQE exchange reuse (which held here but broke
+    canonical matching inside the composed minhash_lsh_dedup plan,
+    re-running the signature pipeline — SCALE_PROBE_r11.json) to an
+    explicit persist of the bucket frame inside _guarded_union: both
+    branches must show an InMemoryTableScan of the bucket cache, and the
+    bucket groupBy exchange must appear at most once."""
     from cassandra_analytics_example_spark.operators.dedup import (
         lsh_candidate_pairs,
     )
@@ -412,8 +416,14 @@ def test_saturation_guard_reuses_bucket_shuffle(spark):
     )
     df = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=4)
     df.collect()  # partial drop: guard passes, plan finalizes
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+    # BOTH union branches must read the bucket cache: exactly two
+    # InMemoryRelation substitutions in the optimized plan (pair branch +
+    # guard branch). The banded shuffle then lives only INSIDE the cached
+    # plan, which materializes once by construction. (Counting exchanges
+    # in the text is misleading: each printed cache block inlines its
+    # child plan, so the band exchange "appears" once per branch.)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryRelation") == 2, plan
 
 
 def test_k_anonymity_audit_semantics(spark):
