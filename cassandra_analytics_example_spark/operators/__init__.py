@@ -8,6 +8,7 @@ from cassandra_analytics_example_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     overlap_join,
+    rarest_gram_block_stats,
     simhash_combi_bucket_stats,
     simhash_near_dup_pairs,
     simhash_near_dup_pairs_auto,
@@ -72,6 +73,7 @@ __all__ = [
     "file_bloom_stats",
     "k_anonymity_audit",
     "minhash_lsh_dedup",
+    "rarest_gram_block_stats",
     "observed_write",
     "overlap_join",
     "simhash_combi_bucket_stats",

@@ -428,30 +428,10 @@ def token_jaccard_pairs(
 
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    # per doc: K tokens with min (dfreq, tok) — aggregate + per-group array
-    # sort instead of a row_number window (partial aggregation map-side, no
-    # partition-wide sort).
-    block = (
-        tok.join(dfreq, "tok")
-        .groupBy(id_col)
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("dfreq", "tok"))),
-                1,
-                n_blocks,
-            ).alias("m")
-        )
-        .select(F.col(id_col), F.explode("m.tok").alias("block_tok"))
-    )
     # Pair generation from id-only buckets (single block lineage, one
     # shuffle); a pair may share several block keys, so dedupe pairs before
     # the verification join.
-    buckets = (
-        block.groupBy("block_tok")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = _rarest_gram_buckets(tok, id_col, n_blocks)
     capped = buckets
     if max_block_size is not None:
         capped = buckets.filter(F.size("ids") <= max_block_size)
@@ -476,10 +456,6 @@ def token_jaccard_pairs(
     )
     if max_block_size is None or on_saturation == "ignore":
         return result
-    # Guard on the FINAL frame, downstream of the verification joins —
-    # the r10 ADVICE placement (a candidate-frame guard is deleted by the
-    # IsNotNull-through-union fold the joins trigger). Same block lineage
-    # as the pair expansion: ReuseExchange dedupes the shuffle.
     return _guarded_union(
         result,
         buckets,
@@ -490,6 +466,74 @@ def token_jaccard_pairs(
         "Raise max_block_size, exact-dedup byte-identical docs first "
         "(they share every rarest gram), or raise ngram_n/n_blocks to "
         "spread the block keys.",
+    )
+
+
+def _rarest_gram_buckets(
+    tok: DataFrame, id_col: str, n_blocks: int
+) -> DataFrame:
+    """(block_tok, ids) collision buckets of the K-rarest-gram blocking,
+    >1 member only — shared by ``token_jaccard_pairs``,
+    ``token_containment_pairs`` and the ``rarest_gram_block_stats`` audit
+    twin so the three can never drift apart. Per doc: the ``n_blocks``
+    tokens with min (dfreq, tok) — aggregate + per-group array sort
+    instead of a row_number window (partial aggregation map-side, no
+    partition-wide sort). Input is the exploded (id, tok) frame."""
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    block = (
+        tok.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("dfreq", "tok"))),
+                1,
+                n_blocks,
+            ).alias("m")
+        )
+        .select(F.col(id_col), F.explode("m.tok").alias("block_tok"))
+    )
+    return (
+        block.groupBy("block_tok")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def rarest_gram_block_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 3,
+    n_blocks: int = 3,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Accounting twin of the rarest-gram blocked generators (the
+    ``lsh_bucket_stats`` pattern): one row per collision block with its
+    member count, quadratic pair budget, and whether ``max_block_size``
+    would drop it. Distributed aggregate (no collect) — at scale, write
+    it next to the dedup output so dropped-recall is auditable instead
+    of silent (r10 verdict task 4: the rarest-gram key is not
+    structurally bounded, so the valve needs its audit twin)."""
+    tok = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_ngrams(text_col, ngram_n)).alias("toks"),
+        )
+        .select(F.col(id_col), F.explode("toks").alias("tok"))
+    )
+    buckets = _rarest_gram_buckets(tok, id_col, n_blocks)
+    dropped = (
+        F.lit(False)
+        if max_block_size is None
+        else F.size("ids") > max_block_size
+    )
+    return buckets.select(
+        "block_tok",
+        F.size("ids").alias("n_ids"),
+        F.expr("(cast(size(ids) as bigint) * (size(ids) - 1)) div 2")
+        .alias("n_pairs"),
+        dropped.alias("dropped"),
     )
 
 
@@ -535,24 +579,7 @@ def token_containment_pairs(
 
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    block = (
-        tok.join(dfreq, "tok")
-        .groupBy(id_col)
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("dfreq", "tok"))),
-                1,
-                n_blocks,
-            ).alias("m")
-        )
-        .select(F.col(id_col), F.explode("m.tok").alias("block_tok"))
-    )
-    buckets = (
-        block.groupBy("block_tok")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = _rarest_gram_buckets(tok, id_col, n_blocks)
     capped = buckets
     if max_block_size is not None:
         capped = buckets.filter(F.size("ids") <= max_block_size)

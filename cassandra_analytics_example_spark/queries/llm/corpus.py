@@ -235,6 +235,111 @@ def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, n_blocks=3)
 
 
+# shared CTE prefix: q22's blocking pipeline up to the per-doc rarest-gram
+# block keys (kept in one literal so q289/q290 cannot drift from q22)
+_RAREST_BLOCK_CTES = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS toks
+  FROM w
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+),
+dfreq AS (
+  SELECT tok, count(*) AS dfreq FROM tok GROUP BY tok
+),
+blocked AS (
+  SELECT doc_id, tok AS block_tok FROM (
+    SELECT t.doc_id, t.tok,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.tok) AS rn
+    FROM tok t JOIN dfreq d USING (tok)) WHERE rn <= 3
+)"""
+
+_CAP_BLOCK = 4
+
+
+@register(
+    "q289_capped_rarest_gram_neardup",
+    oracle=_RAREST_BLOCK_CTES + f""",
+bsize AS (
+  SELECT block_tok, count(*) AS n FROM blocked GROUP BY block_tok
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a
+  JOIN blocked b ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.block_tok = a.block_tok
+  WHERE s.n <= {_CAP_BLOCK}
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM cands c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.3
+""",
+    doc="q22's rarest-gram near-dup under an ACTIVE max_block_size valve "
+    f"(cap {_CAP_BLOCK}): oversized collision blocks are dropped from "
+    "candidate generation — recall sacrificed explicitly, never silently "
+    "(all-blocks-dropped raises BlockingSaturationError; the armed guard "
+    "rides this registered plan through the driver) — and the oracle "
+    "mirrors the cap as a block-size filter. At sf0.1 the fixture drops "
+    "334 of ~4k blocks; at sf0.001/sf0.01 the valve is armed but nothing "
+    "exceeds the cap, so all three parity scales exercise distinct valve "
+    "states (r10 verdict task 4: the rarest-gram key is not structurally "
+    "bounded, so the capped path needs driver evidence, not just pytest)",
+    tags=("llm", "dedup"),
+)
+def q289_capped_rarest_gram_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, n_blocks=3,
+        max_block_size=_CAP_BLOCK,
+    )
+
+
+@register(
+    "q290_rarest_gram_block_audit",
+    oracle=_RAREST_BLOCK_CTES + f"""
+SELECT block_tok,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs,
+       count(*) > {_CAP_BLOCK} AS dropped
+FROM blocked GROUP BY block_tok HAVING count(*) > 1
+""",
+    doc="accounting twin of q289 (the lsh_bucket_stats pattern for the "
+    "rarest-gram family): one row per collision block with member count, "
+    "quadratic pair budget, and the cap's drop verdict — at scale this is "
+    "written next to the dedup output so dropped recall is auditable "
+    "instead of silent",
+    tags=("llm", "dedup", "audit"),
+)
+def q290_rarest_gram_block_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.dedup import (
+        rarest_gram_block_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    stats = rarest_gram_block_stats(
+        docs, "doc_id", "text", max_block_size=_CAP_BLOCK
+    )
+    return stats.select(
+        "block_tok",
+        F.col("n_ids").cast("bigint").alias("n_ids"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "dropped",
+    )
+
+
 _SIMHASH_BITS = 60
 # votes over a precomputed per-feature hash list `hv` (md5 once per 3-gram)
 _simhash_votes = " + ".join(
