@@ -477,28 +477,29 @@ def personalized_pagerank_integer(
     (the standard "dangling mass discarded" PPR variant — documented
     rather than redistributed, so the oracle can unroll it exactly).
 
-    The edge table is hash-partitioned by ``src`` once and cached in
-    that layout (same Pregel co-partitioning as ``pagerank_integer``):
-    the per-iteration edge join reuses the cached partitioning, so only
-    the node-sized quota side shuffles per round.
+    Same round-11 scale shape as ``pagerank_integer``: one cached
+    ``(src, dst, outdeg)`` table (out-degree via a window count riding
+    the single explicit hash(src) repartition — no join, no second edge
+    shuffle), and per iteration exactly ONE edge join (ranks broadcast
+    while node-sized; co-partitioned shuffle at billion-node scale) plus
+    one ``dst``-keyed aggregation — the per-edge quota is constant per
+    source, integer-identical to the per-node precompute, and is the
+    oracle's own formulation.
     """
     nparts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    e = (
+    w = Window.partitionBy("src")
+    edeg = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .repartition(nparts, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumn("outdeg", F.count(F.lit(1)).over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        edeg.select(F.col("src").alias("node"))
+        .unionByName(edeg.select(F.col("dst").alias("node")))
         .unionByName(sd)
         .distinct()
         .join(sd.withColumn("__is_seed", F.lit(1)), "node", "left")
@@ -516,16 +517,18 @@ def personalized_pagerank_integer(
         .alias("r"),
     )
     for _ in range(iterations):
-        quota = ranks.join(deg, ranks.node == deg.src).select(
-            "node",
-            F.expr(f"(r * {damping_num}) div ({damping_den} * outdeg)")
-            .cast("bigint")
-            .alias("w"),
-        )
         contrib = (
-            e.join(quota, e.src == quota.node)
+            edeg.join(ranks, edeg.src == ranks.node)
             .groupBy("dst")
-            .agg(F.sum("w").cast("bigint").alias("c"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(r * {damping_num}) div ({damping_den} * outdeg)"
+                    )
+                )
+                .cast("bigint")
+                .alias("c")
+            )
             .withColumnRenamed("dst", "node")
         )
         ranks = nodes.join(contrib, "node", "left").select(
