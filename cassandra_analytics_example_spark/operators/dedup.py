@@ -1744,7 +1744,7 @@ def edit_distance_neardup(
     typo-grade mutations token methods miss). Blocking is the standard
     equi-key trade: a pair differing inside its first ``block_prefix``
     chars is missed — recall for bounded candidates, same contract as the
-    rarest-gram blocking in :func:`token_jaccard_dedup`.
+    rarest-gram blocking in :func:`token_jaccard_pairs`.
 
     Scale: one self-equi-join on the block key — block sizes track
     (language x prefix) cardinality. That tracking is NOT a structural
