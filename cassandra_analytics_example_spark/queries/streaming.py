@@ -1,10 +1,19 @@
 """Streaming queries registered in the driver contract.
 
-Structured Streaming results aren't ANSI-SQL-expressible (watermarks,
-session-window merging, stateful dedup), so these register WITHOUT oracles —
-the driver records rows-only checks. Their deterministic batch twins
-(q15/q16/q17 in queries/events.py) carry the value-level correctness gate
-for the same logic.
+Structured Streaming MECHANICS aren't ANSI-SQL-expressible (watermarks,
+session-window merging, stateful dedup), so most entries register WITHOUT
+oracles — the driver records rows-only checks, and the deterministic batch
+twins (q15/q16/q17 in queries/events) carry the value-level correctness
+gate for the same logic. EXCEPTION (round 11): merge-on-read store
+maintainers whose PUBLISHED table is a deterministic fold of the full
+input (s12 count-min cells, s15 HLL registers, s16 hourly anomaly flags,
+s17 chunk refcount histogram) register WITH a value oracle — the driver
+then hash-checks the store the stream actually built, upgrading those
+entries from rows-only to the full three-gate class. s16/s17 reference
+their batch twins' oracle strings (q144/q155) from the registry, so the
+twin pairs cannot drift; the import of the events/llm packages below
+guarantees those registrations exist first (matching load_all's module
+order).
 """
 
 from __future__ import annotations
@@ -12,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_analytics_example_spark.queries import register
+from cassandra_analytics_example_spark.queries import REGISTRY, register
+from cassandra_analytics_example_spark.queries import events as _events  # noqa: F401
+from cassandra_analytics_example_spark.queries import llm as _llm  # noqa: F401
 from cassandra_analytics_example_spark.streaming import (
     run_sessionized_stream,
     run_sliding_stream,
@@ -186,13 +197,27 @@ def s11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s12_stream_countmin",
-    oracle=None,
+    # Round 11: upgraded from rows-only to a FULL value oracle — the
+    # stream's published store is deterministic (sum-merge over
+    # md5-derived cells of the same events the view exposes), so the
+    # driver can hash-compare it like any batch query; the stream
+    # mechanics stay covered by the replay/batch-twin tests.
+    oracle="""
+WITH k AS (SELECT event_type AS key FROM events),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d)
+SELECT d,
+       CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || key), 1, 15))
+            AS BIGINT) % 64 AS cell,
+       CAST(count(*) AS BIGINT) AS c
+FROM k, ds GROUP BY 1, 2
+""",
     doc="Structured Streaming: count-min sketch maintained incrementally — "
     "per-microbatch partial cells appended via foreachBatch (associative "
     "merge unit, no read-modify-write), live sketch = merge-on-read "
     "sum; final cell table is BIT-IDENTICAL to the batch sketch "
     "(batch twin gate: tests/test_streaming_batch_twins.py; batch op: "
-    "operators/sketches.py)",
+    "operators/sketches.py) — and since round 11 the driver hash-checks "
+    "the published store against a DuckDB oracle directly",
     tags=("streaming", "sketch"),
 )
 def s12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,13 +266,30 @@ def s14_stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s15_stream_hll",
-    oracle=None,
+    # Round 11: rows-only -> full value oracle, same rationale as s12 —
+    # the published register table is a deterministic max-merge over
+    # md5-derived (bucket, rho) of the events view's own keys.
+    oracle="""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(user_id AS VARCHAR) || ':' || event_type), 1, 15))
+         AS BIGINT) AS h
+  FROM events),
+rho AS (
+  SELECT h >> 52 AS bucket, h % 4503599627370496 AS rem FROM h)
+SELECT bucket,
+       CAST(max(CASE WHEN rem = 0 THEN 53
+                     ELSE 53 - length(bin(rem)) END) AS INTEGER) AS r
+FROM rho GROUP BY bucket
+""",
     doc="Structured Streaming: mergeable HyperLogLog distinct-count "
     "maintenance — per-microbatch 256-register partials appended via "
     "foreachBatch, live sketch = max-merge-on-read; max is idempotent, so "
     "replayed batches are harmless even without the checkpoint (batch "
-    "twin gate: tests/test_streaming_batch_twins.py; batch op: "
-    "operators/sketches.py:hll_registers)",
+    "twin gate: tests/test_streaming_batch_twins.py; duplicate-replay "
+    "measured in tests/test_streaming_semantics.py; batch op: "
+    "operators/sketches.py:hll_registers) — and since round 11 the "
+    "driver hash-checks the published registers against a DuckDB oracle",
     tags=("streaming", "sketch"),
 )
 def s15_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +302,10 @@ def s15_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s16_stream_hourly_anomalies",
-    oracle=None,
+    # Round 11: the published flags table == q144's (bit-identity already
+    # claimed and twin-gated) — reuse its oracle so the driver value-checks
+    # the stream-built table itself.
+    oracle=REGISTRY["q144_hourly_anomalies"].oracle,
     doc="Structured Streaming: hourly volume-anomaly monitoring — "
     "per-microbatch partial hourly counts appended via foreachBatch "
     "(associative sum-merge), live table = merge-on-read sum, anomaly "
@@ -280,7 +325,8 @@ def s16_stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s17_stream_chunk_store",
-    oracle=None,
+    # Round 11: same upgrade — the published histogram == q155's.
+    oracle=REGISTRY["q155_chunk_store_dedup"].oracle,
     doc="Structured Streaming: content-addressable chunk-store "
     "maintenance — per-microbatch partial (digest, refcount, bytes) rows "
     "appended via foreachBatch, live store = merge-on-read sum per "
