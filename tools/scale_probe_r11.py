@@ -21,6 +21,11 @@ mechanism-level change). Three sections, merged into SCALE_PROBE_r11.json:
   edge count, pinning that the per-iteration savings did not trade away
   scale behavior.
 
+* ``cap_growth_r11`` — the valve's reason-for-being, measured: a
+  degenerate shared-prefix corpus grown 4x reads ~16x uncapped
+  (quadratic block) vs ~2x capped (block dropped, healthy families
+  still paired).
+
 Usage: python3 tools/scale_probe_r11.py
 """
 
@@ -184,6 +189,56 @@ def probe_pagerank(spark) -> dict:
     }
 
 
+def probe_cap_growth(spark) -> dict:
+    """Degenerate-corpus growth for the new edit-distance valve: a corpus
+    with ONE shared-prefix family of size N (plus N healthy two-member
+    families) makes the uncapped prefix self-join do N^2/2 comparisons —
+    4x corpus => ~16x work — while the capped run drops that block and
+    scales with the healthy families only. This is the quadratic blowup
+    the r10 verdict's task-4 valve exists to prevent, measured."""
+    import time as _t
+
+    def corpus(n):
+        rows = [(i, "HDR common boilerplate line %d" % (i % 7),) for i in range(n)]
+        rows += [
+            (10_000_000 + 2 * j + k, f"fam{j} text body {k}")
+            for j in range(n)
+            for k in range(2)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from cassandra_analytics_example_spark.operators.dedup import (
+        edit_distance_neardup,
+    )
+
+    out = {}
+    for n in (1000, 4000):
+        d = corpus(n)
+        t0 = _t.time()
+        edit_distance_neardup(d, "doc_id", "text").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_uncapped = round(_t.time() - t0, 3)
+        t0 = _t.time()
+        edit_distance_neardup(
+            d, "doc_id", "text", max_block_size=100
+        ).write.format("noop").mode("overwrite").save()
+        t_capped = round(_t.time() - t0, 3)
+        out[f"x{n}"] = {"uncapped_sec": t_uncapped, "capped_sec": t_capped}
+    u1, u4 = out["x1000"]["uncapped_sec"], out["x4000"]["uncapped_sec"]
+    c1, c4 = out["x1000"]["capped_sec"], out["x4000"]["capped_sec"]
+    out["uncapped_t4x_over_t1x"] = round(u4 / max(0.001, u1), 2)
+    out["capped_t4x_over_t1x"] = round(c4 / max(0.001, c1), 2)
+    out["note"] = (
+        "one shared-4-char-prefix family of size N + N healthy 2-member "
+        "families; uncapped growth should read ~quadratic (16x work at "
+        "4x corpus), capped ~flat/linear (degenerate block dropped, "
+        "healthy pairs still emitted)"
+    )
+    out["loadavg"] = float(open("/proc/loadavg").read().split()[0])
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe-r11")
     spark.sparkContext.setLogLevel("ERROR")
@@ -193,6 +248,7 @@ def main() -> None:
     merge_section(OUT, "guard_overhead_r11", probe_guard(spark))
     merge_section(OUT, "new_cap_overhead_r11", probe_new_caps(spark))
     merge_section(OUT, "pagerank_shape_r11", probe_pagerank(spark))
+    merge_section(OUT, "cap_growth_r11", probe_cap_growth(spark))
     spark.stop()
 
 
