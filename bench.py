@@ -162,11 +162,19 @@ def main() -> None:
     # (round-10 verdict: q143's anchor comparison was measuring JVM/planner
     # state shared across the 57-query session, not the plan).
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    headline = (
-        [n for n in HEADLINE if n in set(only.split(","))]
-        if only
-        else HEADLINE
-    )
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            # fail loudly: a typo here would otherwise record a partial
+            # or empty run as a normal report (round-11 self-review)
+            sys.exit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: "
+                f"{sorted(unknown)}"
+            )
+        headline = [n for n in HEADLINE if n in wanted]
+    else:
+        headline = HEADLINE
     timings: dict[str, float] = {}
     loadavgs: dict[str, float] = {}
     peak_storage = 0
@@ -349,10 +357,23 @@ def main() -> None:
             keys[n]: r
             for n, r in report["vs_anchor_cold_ctrl_queries"].items()
         }
+    # stay under the observed 2000-char driver tail window: drop optional
+    # payloads in priority order and RE-CHECK after each (a single pop
+    # could still overflow as the suite grows — round-11 self-review);
+    # the required metric/value/unit/queries/sf shape is never dropped.
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # stay under the observed 2000-char tail window
-        compact.pop("vs_anchor_cold_ctrl_queries", None)
+    for drop in ("vs_anchor_cold_ctrl_queries", "host_control", "key_map",
+                 "full_report"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        print(
+            f"WARN: compact bench line {len(line)} chars exceeds the "
+            "driver tail window even after drops",
+            file=sys.stderr,
+        )
     print(line)
     spark.stop()
     if peak_storage > STORAGE_BUDGET_BYTES:

@@ -99,8 +99,16 @@ def pagerank_integer(
         .withColumn("outdeg", F.count(F.lit(1)).over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # node inventory rides the cached layout (node-sized aggregate).
-    nodes = edeg.select(F.col("src").alias("node")).distinct()
+    # node inventory, persisted: the unrolled N-iteration plan embeds
+    # `nodes` once per iteration's left join, and an unpersisted distinct
+    # would re-aggregate the edge cache each time (round-11 self-review;
+    # the old code's persisted deg table paid this once too) — the cache
+    # is node-sized.
+    nodes = (
+        edeg.select(F.col("src").alias("node"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     teleport = PAGERANK_QUANTUM * (damping_den - damping_num) // damping_den
     ranks = nodes.select(
         "node", F.lit(PAGERANK_QUANTUM).cast("bigint").alias("r")

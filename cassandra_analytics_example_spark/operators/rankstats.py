@@ -85,25 +85,30 @@ def _eager_terminal(fn):
     # AttributeError far from the call. Pin the contract at decoration
     # time (first param required-positional) and at call time (it IS a
     # DataFrame).
+    # raise, not assert: these contract checks must hold under python -O
+    # too (r10 ADVICE low; an assert would vanish and restore the
+    # far-from-call AttributeError it exists to prevent).
     _first = next(iter(sig.parameters.values()))
-    assert _first.default is inspect.Parameter.empty and _first.kind in (
+    if _first.default is not inspect.Parameter.empty or _first.kind not in (
         inspect.Parameter.POSITIONAL_ONLY,
         inspect.Parameter.POSITIONAL_OR_KEYWORD,
-    ), (
-        f"{fn.__name__}: _eager_terminal requires the first parameter to "
-        f"be a required positional DataFrame, got {_first}"
-    )
+    ):
+        raise TypeError(
+            f"{fn.__name__}: _eager_terminal requires the first parameter "
+            f"to be a required positional DataFrame, got {_first}"
+        )
 
     @functools.wraps(fn)
     def wrapper(*args, checkpoint_dir: str | None = None, **kwargs
                 ) -> DataFrame:
         bound = sig.bind(*args, **kwargs)
         df = next(iter(bound.arguments.values()))
-        assert isinstance(df, DataFrame), (
-            f"{fn.__name__}: first argument must be the input DataFrame "
-            f"(got {type(df).__name__}) - _eager_terminal takes its "
-            f"SparkSession from it"
-        )
+        if not isinstance(df, DataFrame):
+            raise TypeError(
+                f"{fn.__name__}: first argument must be the input "
+                f"DataFrame (got {type(df).__name__}) - _eager_terminal "
+                f"takes its SparkSession from it"
+            )
         with pin_scope(df.sparkSession):
             return truncate_plan(fn(*args, **kwargs), checkpoint_dir)
 

@@ -190,51 +190,6 @@ def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), F.col("cluster_id"))
 
 
-@register(
-    "q22_token_jaccard_neardup",
-    oracle="""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-toks AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(w) - 1),
-                                      i -> array_to_string(w[i:i+2], ' '))) AS toks
-  FROM w
-),
-tok AS (
-  SELECT doc_id, unnest(toks) AS tok FROM toks
-),
-dfreq AS (
-  SELECT tok, count(*) AS dfreq FROM tok GROUP BY tok
-),
-blocked AS (
-  SELECT doc_id, tok AS block_tok FROM (
-    SELECT t.doc_id, t.tok,
-           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.tok) AS rn
-    FROM tok t JOIN dfreq d USING (tok)) WHERE rn <= 3
-),
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM blocked a JOIN blocked b
-    ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
-)
-SELECT c.id_a, c.id_b,
-       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-FROM cands c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
-WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.3
-""",
-    doc="word-3-gram Jaccard near-dup with 3-rarest-gram (min document "
-    "frequency) blocking + exact Jaccard verification",
-    tags=("llm", "dedup"),
-)
-def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return token_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, n_blocks=3)
-
-
 # shared CTE prefix: q22's blocking pipeline up to the per-doc rarest-gram
 # block keys (kept in one literal so q289/q290 cannot drift from q22)
 _RAREST_BLOCK_CTES = """
@@ -261,6 +216,34 @@ blocked AS (
 )"""
 
 _CAP_BLOCK = 4
+
+
+@register(
+    "q22_token_jaccard_neardup",
+    # built from _RAREST_BLOCK_CTES (round 11): q22, its capped variant
+    # q289, and the audit twin q290 share ONE blocking-CTE literal, so
+    # the three oracles cannot drift apart.
+    oracle=_RAREST_BLOCK_CTES + """,
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a JOIN blocked b
+    ON a.block_tok = b.block_tok AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM cands c JOIN toks a ON c.id_a = a.doc_id JOIN toks b ON c.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.3
+""",
+    doc="word-3-gram Jaccard near-dup with 3-rarest-gram (min document "
+    "frequency) blocking + exact Jaccard verification",
+    tags=("llm", "dedup"),
+)
+def q22_token_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, n_blocks=3)
+
 
 
 @register(

@@ -416,14 +416,16 @@ def test_saturation_guard_reuses_bucket_shuffle(spark):
     )
     df = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=4)
     df.collect()  # partial drop: guard passes, plan finalizes
-    # BOTH union branches must read the bucket cache: exactly two
+    # BOTH union branches must read the bucket cache: at least two
     # InMemoryRelation substitutions in the optimized plan (pair branch +
-    # guard branch). The banded shuffle then lives only INSIDE the cached
-    # plan, which materializes once by construction. (Counting exchanges
-    # in the text is misleading: each printed cache block inlines its
-    # child plan, so the band exchange "appears" once per branch.)
+    # guard branch; >= not == so an unrelated upstream persist entering
+    # this lineage later doesn't fail the sharing contract). The banded
+    # shuffle then lives only INSIDE the cached plan, which materializes
+    # once by construction. (Counting exchanges in the text is
+    # misleading: each printed cache block inlines its child plan, so the
+    # band exchange "appears" once per branch.)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("InMemoryRelation") == 2, plan
+    assert plan.count("InMemoryRelation") >= 2, plan
 
 
 def test_k_anonymity_audit_semantics(spark):

@@ -10,16 +10,18 @@ the exact silent zero-recall cliff the guard exists to close. The
 flagship ``minhash_lsh_dedup`` (registered q21) hit this in-pipeline: its
 own size-prefilter joins stripped the candidate-frame guard.
 
-Two-part fix under test here:
-
-1. ``minhash_lsh_dedup`` generates candidates with
-   ``on_saturation="ignore"`` and applies ``_guarded_union`` to the FINAL
-   returned frame, after every internal join (operators/dedup.py).
-2. ``_guarded_union``'s branch columns are built by ``_nonfoldable_null``
-   (NULL derived from the runtime ``__g`` column), so ConstantFolding
-   cannot prove them NULL and an inferred ``IsNotNull`` survives as a
-   runtime filter over the (zero-row, or raising) guard branch — for ANY
-   downstream consumer, in-repo or user-written.
+Fix under test here — the ROOT fix, not a placement change:
+``_guarded_union``'s branch columns are built by ``_nonfoldable_null``
+(NULL derived from the runtime ``__g`` column), so ConstantFolding
+cannot prove them NULL and an inferred ``IsNotNull`` survives as a
+runtime filter over the (zero-row, or raising) guard branch — for ANY
+downstream consumer, in-repo or user-written. The guard therefore stays
+in its original in-generator position inside ``lsh_candidate_pairs``
+(an end-of-pipeline re-derivation was implemented and then REJECTED on
+measurement: its bucket lineage stopped matching canonically inside the
+composed minhash plan and the signature pipeline ran twice — 1.24x,
+SCALE_PROBE_r11.json; the shipped form shares the bucket frame via an
+explicit persist, 1.065x).
 
 Every assertion pattern here was first confirmed by hand on this tree
 (Spark 4.1.2): pre-fix, the JOIN/FILTER plans contained no raise_error
