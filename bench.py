@@ -123,9 +123,16 @@ def short_key(name: str, taken: set[str]) -> str:
     of stdout (BENCH_r10.json: ``parsed: null`` with the real payload cut
     off mid-``tail``), so the machine-readable line must carry the
     per-query ratio maps in under that budget — short keys get three
-    57-entry maps into ~1.6k chars where full names need ~6k."""
+    57-entry maps into ~1.6k chars where full names need ~6k.  The
+    collision fallback itself must be collision-checked (a full name can
+    equal another entry's short key), so it suffixes until unique."""
     k = name.split("_")[0]
-    return name if k in taken else k
+    if k not in taken:
+        return k
+    k = name
+    while k in taken:
+        k += "+"
+    return k
 
 
 def cached_storage_bytes(spark) -> int:

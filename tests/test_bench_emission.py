@@ -23,6 +23,11 @@ def test_short_key_collision_falls_back_to_full_name():
     taken.add(k1)
     assert bench.short_key("q143_other_variant", taken) == "q143_other_variant"
     assert bench.short_key("ref_copy_roundtrip", taken) == "ref"
+    # the fallback itself must be unique: a full name equal to an
+    # already-taken key may not silently merge timings (r11 ADVICE)
+    taken.update({"q143_other_variant", "ref"})
+    k = bench.short_key("q143_other_variant", taken)
+    assert k not in taken and k.startswith("q143_other_variant")
 
 
 def test_compact_line_fits_tail_window_with_ctrl_map():

@@ -19,6 +19,10 @@ subprocess — module import only, no SparkSession.
 
 Run at ROUND START, right after the new CORRECTNESS artifact lands (the
 round boundary commit must exist).  Idempotent; safe to re-run.
+
+``--check`` runs the same reconstruction but WRITES NOTHING: it exits 0 if
+``EVIDENCE_FINGERPRINTS.json`` already matches, nonzero with a diff summary
+otherwise — the reviewer-safe mode (r11 judge note).
 """
 
 from __future__ import annotations
@@ -196,6 +200,7 @@ def _fingerprints_at(sha: str, tag: str) -> dict[str, str]:
 
 
 def main() -> int:
+    check_only = "--check" in sys.argv[1:]
     latest = _latest_green_rounds()
     by_round: dict[int, list[str]] = {}
     for name, rnd in latest.items():
@@ -220,8 +225,33 @@ def main() -> int:
               f"{sum(1 for n in by_round[rnd] if n in fps)} queries")
 
     out = ROOT / "EVIDENCE_FINGERPRINTS.json"
-    out.write_text(json.dumps(dict(sorted(snapshot.items())), indent=1))
-    print(f"wrote {out.name}: {len(snapshot)} entries")
+    want = dict(sorted(snapshot.items()))
+    if check_only:
+        # read-only reviewer mode (r11 judge note: running the tool bare
+        # rewrites the artifact — a reviewer verifying stamps shouldn't
+        # have to restore it from git afterwards)
+        try:
+            have = json.loads(out.read_text())
+        except (OSError, json.JSONDecodeError):
+            have = None
+        if have == want:
+            print(f"OK: {out.name} matches the reconstructed stamps "
+                  f"({len(want)} entries)")
+            return 0
+        have = have or {}
+        added = sorted(set(want) - set(have))
+        removed = sorted(set(have) - set(want))
+        changed = sorted(
+            n for n in set(want) & set(have) if want[n] != have[n]
+        )
+        print(f"DRIFT: {out.name} differs from the reconstructed stamps "
+              f"(+{len(added)} -{len(removed)} ~{len(changed)})")
+        for label, names in (("+", added), ("-", removed), ("~", changed)):
+            for n in names[:10]:
+                print(f"  {label} {n}")
+        return 1
+    out.write_text(json.dumps(want, indent=1))
+    print(f"wrote {out.name}: {len(want)} entries")
     return 0
 
 
