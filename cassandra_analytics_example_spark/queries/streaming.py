@@ -345,14 +345,20 @@ def s17_stream_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s18_stream_freshness",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle (the s16/s17 pattern) —
+    # the published report == q162's (bit-identity twin-gated), so the
+    # driver hash-checks the stream-built table against q162's oracle.
+    oracle=REGISTRY["q162_freshness_sla"].oracle,
     doc="Structured Streaming: ingest-freshness SLA monitoring — "
     "per-microbatch partial (type, newest, n) rows appended via "
-    "foreachBatch (max/sum are associative merge units), live state = "
-    "merge-on-read max+sum per type, published report = the exact "
-    "integer minute-lag + 24h staleness verdict, BIT-IDENTICAL to the "
-    "batch audit q162 (batch twin gate: "
-    "tests/test_streaming_batch_twins.py)",
+    "foreachBatch (max/sum are associative merge units; max-merge is "
+    "idempotent under duplicate replay, the sum side is what the "
+    "checkpoint protects — tests/test_streaming_semantics.py), live "
+    "state = merge-on-read max+sum per type, published report = the "
+    "exact integer minute-lag + 24h staleness verdict, BIT-IDENTICAL "
+    "to the batch audit q162 (batch twin gate: "
+    "tests/test_streaming_batch_twins.py); since round 12 the driver "
+    "hash-checks the published report against q162's DuckDB oracle",
     tags=("streaming", "monitoring"),
 )
 def s18_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,13 +371,32 @@ def s18_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s19_stream_zonemap",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — the published stats are
+    # exactly q175's `stats` CTE (per-day count/max-cents/max-ts), a
+    # deterministic fold of the full input, directly SQL-expressible.
+    oracle="""
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS ts_us
+  FROM events
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n,
+       max(cents) AS max_c,
+       max(ts_us) AS day_max_ts
+FROM ev GROUP BY day
+""",
     doc="Structured Streaming: zone-map stats maintenance — per-microbatch "
     "partial per-day (count, max-cents, max-ts) rows appended via "
-    "foreachBatch (sum/max merge units), live stats = merge-on-read "
-    "sum/max per day, feeding the batch pruning audit q175; maintained "
-    "stats are BIT-IDENTICAL to a batch recompute (batch twin gate: "
-    "tests/test_streaming_batch_twins.py)",
+    "foreachBatch (sum/max merge units; the max-merged zone bounds are "
+    "replay-idempotent, the count is what the checkpoint protects — "
+    "duplicate-replay pinned in tests/test_streaming_semantics.py), "
+    "live stats = merge-on-read sum/max per day, feeding the batch "
+    "pruning audit q175; maintained stats are BIT-IDENTICAL to a batch "
+    "recompute (batch twin gate: tests/test_streaming_batch_twins.py); "
+    "since round 12 the driver hash-checks the published stats against "
+    "a DuckDB oracle (q175's stats CTE)",
     tags=("streaming", "layout", "monitoring"),
 )
 def s19_stream_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +409,30 @@ def s19_stream_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s20_stream_sliding_topk",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — the published top-3 is
+    # q38's sliding counts + a deterministic (n DESC, type ASC) rank,
+    # directly SQL-expressible.
+    oracle="""
+WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),
+wins AS (
+  SELECT CAST(make_timestamp((tus // 1800000000) * 1800000000 - j * 1800000000)
+              AS VARCHAR) AS window_start,
+         event_type
+  FROM e, UNNEST([0, 1]) AS t(j)
+),
+agg AS (
+  SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM wins GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, event_type, n,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n DESC, event_type ASC)
+              AS INTEGER) AS rnk
+  FROM agg
+)
+SELECT window_start, event_type, n, rnk FROM ranked WHERE rnk <= 3
+""",
     doc="Structured Streaming: sliding-window heavy hitters — watermarked "
     "1h/30min sliding counts maintained in streaming mode, top-3 event "
     "types per window published from the materialized aggregate with a "
@@ -403,7 +451,11 @@ def s20_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s21_stream_incremental_dedup",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — the accepted store ==
+    # q61's anti-join result (twin-gated; the growing inventory admits
+    # the same set because the fixture recrawl has no intra-stream
+    # duplicates beyond what the seed inventory already blocks).
+    oracle=REGISTRY["q61_incremental_dedup"].oracle,
     doc="Structured Streaming: incremental ingest dedup — each microbatch "
     "anti-joins its md5 content hashes against a persisted inventory, "
     "appends survivors to the accepted store and their hashes to the "
@@ -444,7 +496,9 @@ def s22_stream_stream_outer_join(
 
 @register(
     "s23_stream_psi_drift",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — published PSI == q192's
+    # (bit-identity twin-gated), reuse its oracle.
+    oracle=REGISTRY["q192_psi_value_drift"].oracle,
     doc="Structured Streaming: PSI drift monitor — baseline histogram "
     "pinned once, per-microbatch (type, bucket) count partials appended "
     "via foreachBatch (sum merge unit), published PSI computed from the "
@@ -463,12 +517,18 @@ def s23_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s24_stream_ohlc",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — published bars == q200's
+    # (bit-identity twin-gated), reuse its oracle.
+    oracle=REGISTRY["q200_ohlc_bars"].oracle,
     doc="Structured Streaming: OHLC bar maintenance — per-microbatch "
     "partial bars (argmin/argmax on the total ordering key, max/min/"
     "sum) appended via foreachBatch, merged on read into bars "
     "BIT-IDENTICAL to the batch q200 at any microbatch split (batch "
-    "twin gate: tests/test_streaming_batch_twins.py)",
+    "twin gate: tests/test_streaming_batch_twins.py; duplicate-replay: "
+    "open/high/low/close are argmin/argmax/max/min merges and replay-"
+    "idempotent, volume is the sum the checkpoint protects — "
+    "tests/test_streaming_semantics.py); since round 12 the driver "
+    "hash-checks the published bars against q200's DuckDB oracle",
     tags=("streaming", "aggregate", "window"),
 )
 def s24_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,7 +541,10 @@ def s24_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s25_stream_weighted_sample",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — the published sample ==
+    # q185's (deterministic ES keys; top-k is a mergeable unit), reuse
+    # its oracle.
+    oracle=REGISTRY["q185_weighted_sample"].oracle,
     doc="Structured Streaming: weighted sampling without replacement — "
     "per-microbatch local top-k on the deterministic "
     "Efraimidis-Spirakis key appended via foreachBatch (top-k is a "
@@ -502,6 +565,12 @@ def s25_stream_weighted_sample(
 
 @register(
     "s26_stream_threshold_alerts",
+    # Round 12 upgrade audit: NOT oracle-upgradable — the stateful
+    # processor emits only keys whose state produced output, so an
+    # event type with zero crossings is ABSENT from the stream result
+    # while q228's batch aggregate emits its (type, 0, 0) row; measured
+    # at sf0.001 ('purchase' row missing, 4 vs 5). The sf0.01 twin
+    # equality is scale-coincidental; stays rows-only by design.
     oracle=None,
     doc="Structured Streaming: stateful per-(user, type) threshold "
     "up-crossing alerts via applyInPandasWithState — one integer of "
@@ -519,7 +588,9 @@ def s26_stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s27_stream_ks_drift",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — published KS == q246's
+    # (bit-identity twin-gated), reuse its oracle.
+    oracle=REGISTRY["q246_ks_time_drift"].oracle,
     doc="Structured Streaming: two-sample KS drift monitor — baseline "
     "per-value counts pinned once, per-microbatch count partials "
     "appended via foreachBatch (sum merge unit), published KS computed "
@@ -538,7 +609,9 @@ def s27_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s28_stream_cusum",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — published scan == q249's
+    # (bit-identity twin-gated), reuse its oracle.
+    oracle=REGISTRY["q249_cusum_changepoint"].oracle,
     doc="Structured Streaming: CUSUM changepoint monitor — per-microbatch "
     "hourly count partials appended via foreachBatch (sum merge unit), "
     "published integer CUSUM scan over the densified merged-on-read "
@@ -556,7 +629,10 @@ def s28_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s29_stream_lag_features",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — published features ==
+    # q269's (bit-identity twin-gated; top-k-by-recency is a mergeable
+    # unit and replay-idempotent), reuse its oracle.
+    oracle=REGISTRY["q269_lag_features"].oracle,
     doc="Structured Streaming: serving-feature maintenance — per-user "
     "top-3-by-recency purchase partials appended via foreachBatch "
     "(top-k is the merge unit: the global top-3 is contained in the "
@@ -575,13 +651,18 @@ def s29_stream_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s30_stream_metrics_layer",
-    oracle=None,
+    # Round 12: rows-only -> full value oracle — published layer ==
+    # q272's (bit-identity twin-gated), reuse its oracle.
+    oracle=REGISTRY["q272_metrics_layer"].oracle,
     doc="Structured Streaming: semantic-layer maintenance with exact "
     "medians — per-(type, day, cents) count partials appended via "
-    "foreachBatch (sum merge unit), published additive metrics AND "
+    "foreachBatch (sum merge unit: at-least-once without the "
+    "checkpoint, duplicate-replay pinned in "
+    "tests/test_streaming_semantics.py), published additive metrics AND "
     "exact interpolated p50 derived from the merged-on-read count "
     "table, BIT-IDENTICAL to the batch q272 (batch twin gate: "
-    "tests/test_streaming_batch_twins.py)",
+    "tests/test_streaming_batch_twins.py); since round 12 the driver "
+    "hash-checks the published layer against q272's DuckDB oracle",
     tags=("streaming", "aggregate", "ranking", "analytics"),
 )
 def s30_stream_metrics_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
