@@ -1548,7 +1548,15 @@ def run_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    partials = spark.read.parquet(store)
+    # foreachBatch is at-least-once: a replayed batch appends its local
+    # top-k AGAIN, and a naive top-k over duplicated partials keeps two
+    # copies of each winner, crowding real rank-k rows out (pinned by
+    # tests/test_streaming_semantics.py::test_replay_topk_*) — so dedupe
+    # first: es_key is a pure function of doc_id, so replayed rows are
+    # full-row identical and distinct() is the identity dedup (a
+    # dropDuplicates(["doc_id"]) subset tickles
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under exceptAll in Spark 4.1)
+    partials = spark.read.parquet(store).distinct()
     top = partials.orderBy(
         F.col("es_key").desc(), F.col("doc_id").asc()
     ).limit(k)

@@ -917,3 +917,185 @@ def test_countmin_store_duplicate_replay_doubles_without_checkpoint(
     run_once()                            # t2: replay appends a duplicate
     doubled = published()                 # t3
     assert doubled == {k: 2 * v for k, v in once.items()}
+
+
+# ---------------------------------------------------------------------------
+# r11 verdict task 4: duplicate-replay behavior for every merge-on-read
+# merge UNIT the foreachBatch stores use. The HLL/CMS pair (above) pinned
+# the pattern with live streams + checkpoint deletion; the remaining
+# stores compose exactly four merge units, and a duplicate replay IS the
+# publish fold evaluated over (partials UNION ALL partials) — so each
+# unit's replay algebra is pinned directly on that relation. Store-level
+# mapping (docstring claims these tests back):
+#   sum        -> s12 cells, s16 hourly counts, s17 refcount/bytes,
+#                 s18.n_events, s19.n, s23/s27/s28/s30 count partials
+#                 (at-least-once: DOUBLES without the checkpoint — the
+#                 checkpoint's offset tracking is the protection)
+#   max/min    -> s15 registers, s18.newest, s19 zone bounds,
+#                 s24 high/low (idempotent: replay-safe even without ckpt)
+#   argmin/max -> s24 open/close via min_by/max_by on the total order
+#                 (idempotent: the winning (ord, value) pair is unchanged
+#                 by duplication BECAUSE ord is a total order — ties
+#                 cannot flip the winner)
+#   top-k      -> s25 sample, s29 recency features (idempotent ONLY with
+#                 identity dedup before the merge: a naive top-k over
+#                 duplicated partials keeps two copies of each winner and
+#                 crowds real rank-k rows out — both stores dedupe on the
+#                 row identity at publish, s29 on (user_id, event_id),
+#                 s25 on doc_id)
+# ---------------------------------------------------------------------------
+
+
+def _merge_partials(spark):
+    """Partials as a store would hold them: (key, ord, val) with
+    duplicate ords across keys and adversarial tie candidates."""
+    rows = [
+        ("a", 1, 10), ("a", 2, 30), ("a", 3, 20),
+        ("b", 1, 5), ("b", 9, 5),          # equal vals, distinct ords
+        ("c", 4, -7),                      # single-partial key
+    ]
+    return spark.createDataFrame(rows, "key string, ord bigint, val bigint")
+
+
+def test_replay_sum_merge_doubles(spark):
+    p = _merge_partials(spark)
+
+    def publish(df):
+        return {
+            (r.key, r.s)
+            for r in df.groupBy("key")
+            .agg(F.sum("val").cast("bigint").alias("s"))
+            .collect()
+        }
+
+    once = publish(p)
+    replayed = publish(p.unionAll(p))
+    assert replayed == {(k, 2 * v) for k, v in once}
+
+
+def test_replay_max_min_merge_idempotent(spark):
+    p = _merge_partials(spark)
+
+    def publish(df):
+        return {
+            (r.key, r.hi, r.lo)
+            for r in df.groupBy("key")
+            .agg(F.max("val").alias("hi"), F.min("val").alias("lo"))
+            .collect()
+        }
+
+    assert publish(p.unionAll(p)) == publish(p)
+
+
+def test_replay_argminmax_merge_idempotent(spark):
+    p = _merge_partials(spark)
+
+    def publish(df):
+        return {
+            (r.key, r.open_v, r.close_v)
+            for r in df.groupBy("key")
+            .agg(
+                F.min_by("val", "ord").alias("open_v"),
+                F.max_by("val", "ord").alias("close_v"),
+            )
+            .collect()
+        }
+
+    assert publish(p.unionAll(p)) == publish(p)
+
+
+def test_replay_topk_naive_merge_breaks_and_dedup_merge_holds(spark):
+    """Top-k is the one merge unit that is NOT naively replay-safe: a
+    duplicated partials store keeps two copies of each winner inside the
+    k budget, crowding out the true rank-k row. With an identity dedup
+    before the merge (what s25 and s29 ship) it IS idempotent. Both
+    directions pinned, so the dedup can't be 'simplified' away."""
+    p = _merge_partials(spark)
+    k = 3
+
+    def publish(df):
+        return [
+            (r.key, r.ord, r.val)
+            for r in df.orderBy(F.col("val").desc(), F.col("ord").asc(),
+                                F.col("key").asc())
+            .limit(k)
+            .collect()
+        ]
+
+    once = publish(p)
+    naive = publish(p.unionAll(p))
+    assert set(naive) != set(once), (
+        "naive top-k over duplicated partials should lose rank-k rows — "
+        "if this starts passing, the fixture no longer exercises crowding"
+    )
+    deduped = publish(p.unionAll(p).dropDuplicates(["key", "ord"]))
+    assert deduped == once
+
+
+def test_zonemap_store_duplicate_replay_mixed_units(spark, tmp_path):
+    """End-to-end for a MIXED-unit store (s19's exact fold): after a
+    checkpoint wipe + full replay, the max-merged zone bounds are
+    bit-identical (replay-safe) while the count doubles (at-least-once —
+    what the checkpoint protects). Same live-stream methodology as the
+    HLL/CMS pair above."""
+    import shutil
+
+    src = str(tmp_path / "in")
+    target = str(tmp_path / "stats")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(i % 5, 100 + i, 10_000 + i) for i in range(200)],
+        "day bigint, cents bigint, ts_us bigint",
+    ).coalesce(1).write.parquet(src)
+
+    def fold_batch(batch, epoch_id):
+        (
+            batch.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.max("cents").alias("max_c"),
+                F.max("ts_us").alias("day_max_ts"),
+            )
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("day bigint, cents bigint, ts_us bigint")
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    def published():
+        return {
+            r.day: (r.n, r.max_c, r.day_max_ts)
+            for r in spark.read.parquet(target)
+            .groupBy("day")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.max("max_c").alias("max_c"),
+                F.max("day_max_ts").alias("day_max_ts"),
+            )
+            .collect()
+        }
+
+    run_once()
+    once = published()
+    shutil.rmtree(ck)
+    run_once()
+    replayed = published()
+    assert set(replayed) == set(once)
+    for day, (n, mc, mts) in once.items():
+        rn, rmc, rmts = replayed[day]
+        assert rn == 2 * n, "count is at-least-once without the checkpoint"
+        assert (rmc, rmts) == (mc, mts), "zone bounds are replay-idempotent"
