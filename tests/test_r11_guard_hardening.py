@@ -290,3 +290,29 @@ def test_edit_distance_cap_saturation_raises_and_partial_drop_ok(spark):
         docs, "doc_id", "text", max_block_size=4
     ).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(10, 11)}
+
+
+def test_capped_error_path_widens_nullability_documented(spark):
+    """r11 ADVICE (documented in the dedup module docstring's capped-path
+    contract): the guarded union's zero-row NULL branch makes every
+    output column nullable, while uncapped results keep the source
+    nullability. Pinned here so a guard rework that silently changes the
+    schema contract fails a test, not a consumer's required-field write."""
+    from cassandra_analytics_example_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(3)]
+        + [(10, "one two three four five six seven eight"),
+           (11, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    ).withColumn("doc_id", F.col("doc_id").cast("bigint"))
+
+    capped = token_jaccard_pairs(docs, "doc_id", "text", max_block_size=4)
+    assert all(f.nullable for f in capped.schema.fields), capped.schema
+    # uncapped: the id columns ride the non-null source ids through the
+    # verification equi-join — no guard branch, no widening
+    uncapped = token_jaccard_pairs(docs, "doc_id", "text")
+    assert not uncapped.schema["id_a"].nullable
+    assert not uncapped.schema["id_b"].nullable
