@@ -321,6 +321,57 @@ def main() -> None:
                         for n, r in report["vs_anchor_cold_queries"].items()
                     }
 
+    # BENCH_ANCHOR_ISOLATED.json (round 12, r11 verdict task 6): fresh-JVM
+    # per-query anchors for the FULL headline set, minted by
+    # tools/mint_isolated_anchors.py (minima across >=3 isolated
+    # sessions). Isolated numbers are only comparable to isolated numbers
+    # (fresh-process inflation is per-stage, so it varies per query) —
+    # but the q01 in-session control carries the SAME in-suite-vs-isolated
+    # methodology factor, so the _ctrl ratios are the like-for-like
+    # per-round read and retire the in-suite r8 cold anchors' position-
+    # dependence (three rounds of drift triage — q143, q16 — traced to it).
+    iso_anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_ANCHOR_ISOLATED.json",
+    )
+    if os.path.exists(iso_anchor_path):
+        with open(iso_anchor_path) as f:
+            ia = json.load(f)
+        ia_q = {
+            n: e.get("min")
+            for n, e in ia.get("queries", {}).items()
+            if isinstance(e, dict) and e.get("min")
+        }
+        if ia.get("sf") == report["sf"] and ia_q:
+            common = [n for n in timings if ia_q.get(n)]
+            if common:
+                report["isolated_anchor_round"] = ia.get("round")
+                report["vs_anchor_isolated"] = round(
+                    sum(timings[n] for n in common)
+                    / sum(ia_q[n] for n in common),
+                    3,
+                )
+                report["vs_anchor_isolated_queries"] = {
+                    n: round(timings[n] / ia_q[n], 3) for n in common
+                }
+                ictrl = report["vs_anchor_isolated_queries"].get(
+                    "q01_pricing_summary"
+                )
+                if ictrl and ictrl > 0:
+                    report["isolated_host_control"] = {
+                        "query": "q01_pricing_summary",
+                        "ratio": ictrl,
+                    }
+                    report["vs_anchor_isolated_ctrl"] = round(
+                        report["vs_anchor_isolated"] / ictrl, 3
+                    )
+                    report["vs_anchor_isolated_ctrl_queries"] = {
+                        n: round(r / ictrl, 3)
+                        for n, r in report[
+                            "vs_anchor_isolated_queries"
+                        ].items()
+                    }
+
     # Three emission surfaces (round-10 verdict task 5 — the driver keeps
     # only the last ~2000 chars of stdout, so BENCH_r10.json came back
     # with parsed:null and the payload truncated mid-tail):
@@ -354,12 +405,23 @@ def main() -> None:
         "key_map": "short keys = first token of full query name",
         "full_report": "BENCH_FULL_LAST.json",
     }
-    for field in ("vs_baseline", "vs_anchor_cold", "vs_anchor_cold_ctrl"):
+    for field in (
+        "vs_baseline", "vs_anchor_cold", "vs_anchor_cold_ctrl",
+        "vs_anchor_isolated", "vs_anchor_isolated_ctrl",
+    ):
         if field in report:
             compact[field] = report[field]
     if "host_control" in report:
         compact["host_control"] = report["host_control"]
-    if "vs_anchor_cold_ctrl_queries" in report:
+    # one per-query ctrl map fits the tail window, not two: prefer the
+    # isolated-anchor map (the like-for-like basis since round 12); the
+    # cold map stays in the full report for r11-and-earlier comparisons
+    if "vs_anchor_isolated_ctrl_queries" in report:
+        compact["vs_anchor_isolated_ctrl_queries"] = {
+            keys[n]: r
+            for n, r in report["vs_anchor_isolated_ctrl_queries"].items()
+        }
+    elif "vs_anchor_cold_ctrl_queries" in report:
         compact["vs_anchor_cold_ctrl_queries"] = {
             keys[n]: r
             for n, r in report["vs_anchor_cold_ctrl_queries"].items()
@@ -369,7 +431,8 @@ def main() -> None:
     # could still overflow as the suite grows — round-11 self-review);
     # the required metric/value/unit/queries/sf shape is never dropped.
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("vs_anchor_cold_ctrl_queries", "host_control", "key_map",
+    for drop in ("vs_anchor_isolated_ctrl_queries",
+                 "vs_anchor_cold_ctrl_queries", "host_control", "key_map",
                  "full_report"):
         if len(line) <= 1900:
             break

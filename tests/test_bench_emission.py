@@ -64,3 +64,43 @@ def test_compact_line_fits_tail_window_with_ctrl_map():
     assert parsed["vs_anchor_cold_ctrl_queries"]["q143"] == report[
         "vs_anchor_cold_ctrl_queries"
     ]["q143_pagerank_items"]
+
+
+def test_compact_line_prefers_isolated_ctrl_map_and_fits():
+    """Round 12: the compact line carries ONE per-query ctrl map — the
+    isolated-anchor one when minted (BENCH_ANCHOR_ISOLATED.json with the
+    full headline set), falling back to the cold map. Simulates the
+    emission with both maps present at full suite width and pins the
+    size budget with the extra scalar fields included."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_SELF_r10.json")) as f:
+        report = json.load(f)
+    timings = report["queries"]
+    keys: dict[str, str] = {}
+    for n in timings:
+        keys[n] = bench.short_key(n, set(keys.values()))
+    iso_map = {n: 1.001 for n in timings}  # full-width stand-in
+    compact = {
+        "metric": report["metric"],
+        "value": report["value"],
+        "unit": "sec",
+        "sf": report["sf"],
+        "queries": {keys[n]: t for n, t in timings.items()},
+        "loadavg": 1.23,
+        "storage_within_budget": True,
+        "key_map": "short keys = first token of full query name",
+        "full_report": "BENCH_FULL_LAST.json",
+        "vs_baseline": report.get("vs_baseline"),
+        "vs_anchor_cold": report.get("vs_anchor_cold"),
+        "vs_anchor_cold_ctrl": report.get("vs_anchor_cold_ctrl"),
+        "vs_anchor_isolated": 0.901,
+        "vs_anchor_isolated_ctrl": 0.955,
+        "host_control": report.get("host_control"),
+        "vs_anchor_isolated_ctrl_queries": {
+            keys[n]: r for n, r in iso_map.items()
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert "vs_anchor_isolated_ctrl_queries" in parsed

@@ -151,6 +151,14 @@ def finalize(ns: dict, args: argparse.Namespace) -> None:
     if cold_path.exists():
         with open(cold_path) as f:
             cold = json.load(f).get("queries", {})
+    # preserve the r11 q143-settlement artifact (pre/post probe legs) —
+    # it documents WHY the isolated methodology exists
+    history = None
+    out_path = Path(args.out)
+    if out_path.exists():
+        with open(out_path) as f:
+            prev = json.load(f)
+        history = prev.get("history_r11", prev if prev.get("round") == 11 else None)
     out = {
         "artifact": "per-process isolated anchors, full headline set (r11 verdict task 6)",
         "round": 12,
@@ -177,6 +185,8 @@ def finalize(ns: dict, args: argparse.Namespace) -> None:
             entry["anchor_cold"] = cold[name]
             entry["min_vs_cold"] = round(min(secs) / cold[name], 3)
         out["queries"][name] = entry
+    if history:
+        out["history_r11"] = history
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {args.out}: {len(out['queries'])} queries")
