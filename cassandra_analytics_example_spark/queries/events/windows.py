@@ -14,7 +14,6 @@ from cassandra_analytics_example_spark.operators.quantiles import (
 from cassandra_analytics_example_spark.operators.relational import (
     asof_join,
     lww_latest,
-    sessionize,
 )
 from cassandra_analytics_example_spark.queries import register
 from cassandra_analytics_example_spark.queries._tables import table
