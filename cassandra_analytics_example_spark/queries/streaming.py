@@ -548,7 +548,10 @@ def s24_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Structured Streaming: weighted sampling without replacement — "
     "per-microbatch local top-k on the deterministic "
     "Efraimidis-Spirakis key appended via foreachBatch (top-k is a "
-    "mergeable unit), published sample = top-k of partials, "
+    "mergeable unit), published sample = top-k of identity-DEDUPED "
+    "partials (r12: a naive top-k over replayed duplicate partials "
+    "keeps each winner twice and crowds out true rank-k rows — "
+    "tests/test_streaming_semantics.py pins both directions), "
     "BIT-IDENTICAL to the batch q185 at any microbatch split (batch "
     "twin gate: tests/test_streaming_batch_twins.py)",
     tags=("streaming", "sampling"),
