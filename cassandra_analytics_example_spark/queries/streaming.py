@@ -13,7 +13,36 @@ entries from rows-only to the full three-gate class. s16/s17 reference
 their batch twins' oracle strings (q144/q155) from the registry, so the
 twin pairs cannot drift; the import of the events/llm packages below
 guarantees those registrations exist first (matching load_all's module
-order).
+order). Round 12 extended the class to s18–s21, s23–s25 and s27–s30
+(15 of 30 oracled).
+
+Upgrade audit of the 15 still-rows-only entries (round 12, for r13):
+
+* s02 (session windows) — twin compares EXACTLY against the oracled
+  q107; upgradable by returning epoch-µs bounds instead of timestamps.
+* s07 (file sink) / s08 (first seen) — twins compare exactly; both
+  publishes are deterministic folds (countDistinct per type; struct-min
+  per key), directly SQL-expressible. Prime candidates.
+* s13 (jsonl ingest) — clean digest is SQL over documents; the corrupt
+  count is a fixture constant (runner plants exactly 2 malformed
+  lines), expressible as a literal. Upgradable, mildly contract-y.
+* s01/s04/s05 (tumbling/stateful/sliding) — blocked on FLOAT sums: the
+  twins round to 4 decimals, so a hash oracle needs the published
+  aggregate moved to exact decimal (money_sum) first. s06 (join) same:
+  float purchase_value plus timestamp-string columns.
+* s03 (dedup row identity) — WHICH row survives is arrival-order
+  state; the per-type counts are deterministic but the published
+  row-level store is not. Stays rows-only unless reduced.
+* s09/s10 — upsert/static-join row stores, twin-gated; publishes are
+  row-level scans (no fold), auditable but low value.
+* s11 (transformWithState) — protobuf-gated with a runtime fallback
+  path; output is environment-dependent by design. Stays rows-only.
+* s14/s22 (late-data audit, outer join) — emission depends on the
+  watermark's batch-boundary position (SPARK-40925 buffer batch);
+  deterministic only per microbatch plan. Stays rows-only.
+* s26 (threshold alerts) — measured NON-upgradable at sf0.001: the
+  stateful processor emits nothing for zero-crossing keys while the
+  batch twin q228 emits (type, 0, 0) rows. Stays rows-only by design.
 """
 
 from __future__ import annotations
