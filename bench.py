@@ -344,7 +344,25 @@ def main() -> None:
         }
         if ia.get("sf") == report["sf"] and ia_q:
             common = [n for n in timings if ia_q.get(n)]
-            if common:
+            # r12 ADVICE: a partially minted anchor file (e.g. from a
+            # --queries run) must not silently become the headline ratio
+            # over whatever intersection happens to exist — require full
+            # coverage of this run's timings, and always record how much
+            # of the run the anchors covered so a partial read is legible.
+            report["isolated_anchor_coverage"] = {
+                "n_common": len(common),
+                "n_timed": len(timings),
+            }
+            if common and len(common) < len(timings):
+                missing = sorted(set(timings) - set(common))[:5]
+                print(
+                    "WARN: BENCH_ANCHOR_ISOLATED.json covers "
+                    f"{len(common)}/{len(timings)} timed queries "
+                    f"(missing e.g. {missing}) - skipping the isolated "
+                    "map; falling back to the cold ctrl read",
+                    file=sys.stderr,
+                )
+            if common and len(common) == len(timings):
                 report["isolated_anchor_round"] = ia.get("round")
                 report["vs_anchor_isolated"] = round(
                     sum(timings[n] for n in common)

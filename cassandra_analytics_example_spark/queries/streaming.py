@@ -13,26 +13,22 @@ entries from rows-only to the full three-gate class. s16/s17 reference
 their batch twins' oracle strings (q144/q155) from the registry, so the
 twin pairs cannot drift; the import of the events/llm packages below
 guarantees those registrations exist first (matching load_all's module
-order). Round 12 extended the class to s18–s21, s23–s25 and s27–s30
-(15 of 30 oracled).
+order). Round 12 extended the class to s18–s21, s23–s25 and s27–s30;
+round 13 closed the r12 upgrade audit: s01/s02/s05 (exact-decimal /
+epoch-µs publishes), s03/s07 (per-type survivor-count folds), s04
+(exact-cents state + final-state publish), s06 (epoch-µs join publish),
+s08 (struct-min fold) and s13 (fixture-constant corrupt accounting) —
+24 of 30 oracled.
 
-Upgrade audit of the 15 still-rows-only entries (round 12, for r13):
+Entries whose oracle rests on ONE-MICROBATCH arrival (s03, s06, s07,
+s08, s21) assert the invariant in their runners instead of assuming it
+(single-file source / lastProgress batchId / foreachBatch epoch count —
+r12 ADVICE): with several microbatches, watermark-expired dedup state,
+first-ARRIVAL-wins emission, join state eviction, or the growing
+inventory would legitimately diverge from the batch formulation.
 
-* s02 (session windows) — twin compares EXACTLY against the oracled
-  q107; upgradable by returning epoch-µs bounds instead of timestamps.
-* s07 (file sink) / s08 (first seen) — twins compare exactly; both
-  publishes are deterministic folds (countDistinct per type; struct-min
-  per key), directly SQL-expressible. Prime candidates.
-* s13 (jsonl ingest) — clean digest is SQL over documents; the corrupt
-  count is a fixture constant (runner plants exactly 2 malformed
-  lines), expressible as a literal. Upgradable, mildly contract-y.
-* s01/s04/s05 (tumbling/stateful/sliding) — blocked on FLOAT sums: the
-  twins round to 4 decimals, so a hash oracle needs the published
-  aggregate moved to exact decimal (money_sum) first. s06 (join) same:
-  float purchase_value plus timestamp-string columns.
-* s03 (dedup row identity) — WHICH row survives is arrival-order
-  state; the per-type counts are deterministic but the published
-  row-level store is not. Stays rows-only unless reduced.
+The 6 still-rows-only entries (round-13 audit):
+
 * s09/s10 — upsert/static-join row stores, twin-gated; publishes are
   row-level scans (no fold), auditable but low value.
 * s11 (transformWithState) — protobuf-gated with a runtime fallback
@@ -64,9 +60,16 @@ from cassandra_analytics_example_spark.streaming import (
 
 @register(
     "s01_stream_tumbling_windows",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. The complete-mode output
+    # of a bounded single-batch stream is the batch windowed aggregate
+    # exactly, and the publish moved to the exact-decimal money_sum fold
+    # (the float sum was the only blocker) — so the driver hash-checks
+    # the store the stream built against the batch twin q15's own oracle
+    # string (registry reuse: the twins cannot drift).
+    oracle=REGISTRY["q15_hourly_event_windows"].oracle,
     doc="Structured Streaming: watermarked tumbling 1h windows over a "
-    "file-source stream, memory sink (batch twin: q15)",
+    "file-source stream, memory sink, exact-decimal sums (batch twin + "
+    "shared oracle: q15)",
     tags=("streaming",),
 )
 def s01_stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,9 +78,14 @@ def s01_stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s02_stream_session_windows",
-    oracle=None,
-    doc="Structured Streaming: F.session_window 30-min-gap sessions "
-    "(batch twin: q16)",
+    # Round 13: rows-only -> full value oracle — the publish moved to
+    # epoch-µs session bounds, making it column-for-column the oracled
+    # batch twin q107 (F.session_window in batch mode); oracle string
+    # reused from the registry so the twins cannot drift.
+    oracle=REGISTRY["q107_batch_session_window"].oracle,
+    doc="Structured Streaming: F.session_window 30-min-gap sessions, "
+    "epoch-µs bounds (batch twin + shared oracle: q107; sessionize twin: "
+    "q16)",
     tags=("streaming",),
 )
 def s02_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,9 +94,19 @@ def s02_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s03_stream_dedup",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. The REGISTERED publish is
+    # the per-type count of dedup survivors — count(DISTINCT user_id) per
+    # type, a deterministic fold — not the row-level store (WHICH row
+    # survives stays arrival-order state, which is why the r12 audit kept
+    # the row store itself rows-only). Exact under one-microbatch arrival,
+    # asserted in the runner (_require_single_file_source).
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_first_seen
+FROM events GROUP BY event_type
+""",
     doc="Structured Streaming: dropDuplicatesWithinWatermark on "
-    "(user_id, event_type) (batch twin: q17)",
+    "(user_id, event_type), published as per-type survivor counts "
+    "(batch twin: q17)",
     tags=("streaming",),
 )
 def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,21 +116,44 @@ def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s04_stream_stateful_totals",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle — the running sum state
+    # moved to exact integer cents (the float accumulator was the only
+    # blocker), and the publish reduces update-mode emissions to each
+    # user's FINAL state (max n_events wins; n_events is strictly
+    # increasing per user), so the published table is the per-user batch
+    # aggregate regardless of how many microbatches emitted.
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+""",
     doc="Structured Streaming: custom stateful operator "
     "(applyInPandasWithState) - per-user running count/sum state "
-    "across microbatches",
+    "across microbatches, exact-cents accumulator, final-state publish",
     tags=("streaming", "stateful"),
 )
 def s04_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_stateful_totals(spark, sf_dir)
+    totals = run_stateful_totals(spark, sf_dir)
+    return (
+        totals.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.sum_value").alias("sum_value"),
+        )
+    )
 
 
 @register(
     "s05_stream_sliding_windows",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle via the exact-decimal
+    # publish (sliding_aggregate_exact); oracle string reused from the
+    # batch twin q38's registration.
+    oracle=REGISTRY["q38_sliding_windows"].oracle,
     doc="Structured Streaming: watermarked SLIDING 1h/30min windows over a "
-    "file-source stream, memory sink (batch twin: q38)",
+    "file-source stream, memory sink, exact-decimal sums (batch twin + "
+    "shared oracle: q38)",
     tags=("streaming",),
 )
 def s05_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,10 +162,17 @@ def s05_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s06_stream_stream_join",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle — the publish moved to
+    # epoch-µs event times (purchase_value is a raw-double pass-through,
+    # exact by construction), matching the oracled batch interval join
+    # q45 column-for-column; one-microbatch arrival asserted in the
+    # runner (a cross-batch pair aged past the watermark would be
+    # dropped — correct streaming semantics the batch oracle can't see).
+    oracle=REGISTRY["q45_view_purchase_attribution"].oracle,
     doc="Structured Streaming: watermarked stream-stream inner join — "
     "purchases attributed to same-user views within 1h; the time-range "
-    "predicate bounds the join state store (batch twin: q45)",
+    "predicate bounds the join state store (batch twin + shared oracle: "
+    "q45)",
     tags=("streaming", "join"),
 )
 def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +185,15 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s07_stream_file_sink",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle — same deterministic
+    # per-type survivor-count fold as s03, but read back from the
+    # checkpointed parquet FILE sink the stream committed (so the driver
+    # hash-checks the production sink path end-to-end); one-microbatch
+    # invariant asserted on the query's lastProgress.
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_first_seen
+FROM events GROUP BY event_type
+""",
     doc="Structured Streaming: streaming dedup written to a checkpointed "
     "parquet FILE sink (exactly-once commit log; the production sink "
     "shape) and read back — same output shape as s03",
@@ -153,11 +209,24 @@ def s07_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s08_stream_first_seen",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. The struct-min publish
+    # ((ts, value) total order — value tiebreak pinned in the operator,
+    # the twin test, and this oracle alike) is a deterministic fold under
+    # one-microbatch arrival, asserted in the runner.
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), value) AS rn
+  FROM events)
+SELECT user_id, event_type, ts_us AS first_ts_us,
+       CAST(value AS DOUBLE) AS first_value
+FROM r WHERE rn = 1
+""",
     doc="Structured Streaming: custom stateful first-touch dedup — first "
     "event per (user, event_type) across microbatches, O(distinct keys) "
     "state with an opt-in processing-time TTL lease for unbounded key "
-    "domains (batch twin: min-ts per pair)",
+    "domains (batch twin: min-struct per pair)",
     tags=("streaming", "stateful"),
 )
 def s08_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +328,19 @@ def s12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s13_stream_jsonl_ingest",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. The clean side is SQL
+    # over documents (every fixture doc round-trips clean through the
+    # PERMISSIVE reader — q123's batch contract); the corrupt side is the
+    # runner's own fixture constant (it PLANTS exactly 2 malformed lines,
+    # so the literal is the contract, not a measurement). Complete-mode
+    # global aggregate — multi-batch safe, no one-microbatch caveat.
+    oracle="""
+SELECT count(*) + 2 AS n_rows,
+       count(*) AS n_clean,
+       CAST(2 AS BIGINT) AS n_corrupt,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+""",
     doc="Structured Streaming: JSONL ingestion through the explicit-schema "
     "PERMISSIVE reader with corrupt-record quarantine accounting — "
     "clean/corrupt counts + clean digest as a single-row streaming "

@@ -70,16 +70,43 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _require_single_file_source(sf_dir: str, table: str, what: str) -> None:
+    """Pin the ONE-MICROBATCH invariant some oracled streaming stores rest
+    on (r12 ADVICE, s21 class): with the fixture as a single parquet file
+    and no ``maxFilesPerTrigger``, ``availableNow`` plans exactly one
+    microbatch, so arrival-order-dependent folds (watermark-expiring
+    dedup state, first-touch emission, growing inventories) reduce to
+    their batch formulation and the registered oracle is exact. A
+    multi-file fixture would break that silently — later batches dedupe
+    against expired state / drop cross-batch duplicates the oracle keeps —
+    so the precondition is asserted loudly instead of assumed."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.isfile(path):
+        raise ValueError(
+            f"{what}: oracle requires a single-file {table} fixture "
+            f"(one microbatch); {path} is not a single file - the "
+            "registered value oracle does not hold for multi-batch arrival"
+        )
+
+
 def tumbling_aggregate(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling-window counts/sums per event type. Late rows
     beyond the watermark are dropped; in append mode a window emits once
-    its watermark passes."""
+    its watermark passes.
+
+    ``sum_value`` is an EXACT decimal fold (``money_sum``), not a float
+    sum: the published aggregate is order-independent across microbatch
+    merge order and shuffle partitioning, so the store is hash-comparable
+    against the batch twin q15's oracle (round-13 upgrade — the float
+    publish was the only blocker keeping s01 rows-only)."""
+    from cassandra_analytics_example_spark.functions.numeric import money_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
         .select(
             F.col("w.start").cast("string").alias("window_start"),
             "event_type",
@@ -111,19 +138,51 @@ def sliding_aggregate(
     )
 
 
+def sliding_aggregate_exact(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """``sliding_aggregate`` with the EXACT decimal sum publish
+    (``money_sum``) — the hash-comparable form s05 registers with q38's
+    oracle (round-13 upgrade). A separate symbol rather than a flag on
+    ``sliding_aggregate`` so s20's evidence (which consumes only the
+    count column of the float variant) is untouched; the count/window
+    algebra is identical by construction."""
+    from cassandra_analytics_example_spark.functions.numeric import money_sum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sessionized_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
     """Session windows (gap-merged) per user — the streaming twin of the
-    batch ``sessionize`` operator (stateful merge via F.session_window)."""
+    batch ``sessionize`` operator (stateful merge via F.session_window).
+
+    Publishes epoch-µs session bounds (not timestamp strings) so the
+    output is column-for-column the shape of the oracled batch twin q107
+    (round-13 upgrade: the string-formatted bounds were the only blocker
+    keeping s02 rows-only)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("string").alias("session_start"),
-            F.col("w.end").cast("string").alias("session_end"),
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
             "n_events",
         )
     )
@@ -172,8 +231,9 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the watermarked sliding-window aggregate (1h window / 30min
-    slide) end-to-end in streaming mode — streaming twin of batch q38."""
-    agg = sliding_aggregate(stream_events(spark, sf_dir))
+    slide) end-to-end in streaming mode — streaming twin of batch q38,
+    exact-decimal publish (oracled since round 13)."""
+    agg = sliding_aggregate_exact(stream_events(spark, sf_dir))
     return _run_to_memory(agg, spark, "complete")
 
 
@@ -183,6 +243,9 @@ def run_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-type count oracle (s03) counts DISTINCT keys, which the
+    # watermark-expiring dedup state only guarantees within one microbatch
+    _require_single_file_source(sf_dir, "events", "run_stream_dedup")
     deduped = dedup_within_watermark(stream_events(spark, sf_dir))
     return _run_to_memory(
         deduped.select("event_id", "user_id", "event_type"), spark
@@ -233,14 +296,24 @@ def stream_stream_attribution(
         F.col("v.user_id").alias("user_id"),
         "view_id",
         "purchase_id",
-        "purchase_value",
-        F.col("view_ts").cast("string").alias("view_ts"),
-        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+        F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
     )
+    # epoch-µs bounds + raw-double pass-through (no arithmetic, so the
+    # floats are bitwise the parquet values): column-for-column the shape
+    # of the oracled batch twin q45 (round-13 upgrade — the formatted
+    # timestamp strings were the only blocker keeping s06 rows-only)
 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive the watermarked stream-stream attribution join end-to-end."""
+    """Drive the watermarked stream-stream attribution join end-to-end.
+
+    Oracled against the batch interval join q45: exact only under
+    one-microbatch arrival (a cross-batch pair whose view aged past the
+    watermark before the purchase arrived would be dropped — correct
+    streaming semantics, but not what the batch oracle computes)."""
+    _require_single_file_source(sf_dir, "events", "run_stream_stream_join")
     joined = stream_stream_attribution(stream_events(spark, sf_dir))
     return _run_to_memory(joined, spark, "append")
 
@@ -263,6 +336,9 @@ def run_stream_dedup_to_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(stream_events(spark, sf_dir)).select(
         "event_id", "user_id", "event_type"
     )
+    _require_single_file_source(
+        sf_dir, "events", "run_stream_dedup_to_files"
+    )
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out)
@@ -276,6 +352,17 @@ def run_stream_dedup_to_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+    # count DATA batches, not batch ids: a watermark-advancing no-data
+    # commit batch trails the data batch under availableNow with stateful
+    # operators (numInputRows == 0), and is not an arrival-order hazard
+    data_batches = [
+        p for p in q.recentProgress if int(p.get("numInputRows", 0)) > 0
+    ]
+    if len(data_batches) != 1:
+        raise ValueError(
+            "run_stream_dedup_to_files: oracle requires exactly one "
+            f"data microbatch, saw {len(data_batches)}"
+        )
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -290,26 +377,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     built-in windowed aggregates can't express (counters, custom sessions,
     ML feature state).
 
-    State is one (bigint, double) tuple per user — fixed-size, keyed,
+    State is one (bigint, bigint) tuple per user — fixed-size, keyed,
     partitioned by the stream's groupBy hash shuffle, so state volume
     scales with distinct users, not event volume. Emits the updated totals
-    for every user seen in the microbatch (update semantics)."""
+    for every user seen in the microbatch (update semantics).
+
+    The running sum is carried in integer CENTS, not a float accumulator
+    (round-13 upgrade): the fixture values are 2-decimal money, so the
+    state fold is exact and order-independent across microbatches and
+    chunk iteration — the published ``sum_value`` (cents / 100, one
+    correctly-rounded division) is bit-identical to the batch twin's
+    exact-decimal ``money_sum`` publish, which is what lets s04 register
+    a value oracle. Per-row cents come from ``round(value * 100)``: the
+    doubles are nearest-representations of 2-decimal values, so the
+    product is within an ulp of an integer and rounds exactly."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType="user_id bigint, n_events bigint, sum_value double",
-        stateStructType="n bigint, s double",
+        stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -348,15 +449,21 @@ def first_seen_per_type(events: DataFrame, ttl_ms: int | None = None) -> DataFra
         if state.hasTimedOut:
             state.remove()
             return
+        # struct-min over (ts_us, value): the value tiebreak makes the
+        # published first_value deterministic under equal-timestamp rows
+        # regardless of chunk/arrival order within the batch — the same
+        # total order the batch twin's min(struct(ts_us, value)) and the
+        # registered oracle's row_number(ORDER BY ts, value) use (r13)
         first_ts = None
         first_val = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            i = pdf["ts_us"].idxmin()
-            if first_ts is None or int(pdf["ts_us"][i]) < first_ts:
-                first_ts = int(pdf["ts_us"][i])
-                first_val = float(pdf["value"][i])
+            sub = pdf[pdf["ts_us"] == pdf["ts_us"].min()]
+            i = sub["value"].idxmin()
+            cand = (int(sub["ts_us"][i]), float(sub["value"][i]))
+            if first_ts is None or cand < (first_ts, first_val):
+                first_ts, first_val = cand
         if first_ts is not None and not state.exists:
             state.update((first_ts,))
             if ttl_ms is not None:
@@ -394,7 +501,13 @@ def first_seen_per_type(events: DataFrame, ttl_ms: int | None = None) -> DataFra
 
 def run_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the stateful first-seen operator over the bounded fixture
-    stream; returns one row per distinct (user, event_type)."""
+    stream; returns one row per distinct (user, event_type).
+
+    Oracled against the batch min-struct fold: exact only under
+    one-microbatch arrival — across batches the FIRST ARRIVAL wins (the
+    operator's contract), which equals the event-time minimum only when
+    every row of a key shares a batch."""
+    _require_single_file_source(sf_dir, "events", "run_first_seen_stream")
     out = first_seen_per_type(stream_events(spark, sf_dir))
     return _run_to_memory(out, spark, "append")
 
@@ -528,22 +641,27 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class RunningTotals(StatefulProcessor):
+        # state carries exact integer CENTS (r13, in lockstep with the
+        # v1 fallback path running_user_totals) so both paths publish
+        # the identical bit-exact totals the twin test compares
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
-                "totals", "n BIGINT, total DOUBLE"
+                "totals", "n BIGINT, cents BIGINT"
             )
 
         def handleInputRows(self, key, rows, timer_values):
             if self._totals.exists():
-                n, total = self._totals.get()
+                n, cents = self._totals.get()
             else:
-                n, total = 0, 0.0
+                n, cents = 0, 0
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            self._totals.update((n, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n": [n], "total": [total]}
+                {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
             )
 
         def close(self) -> None:
@@ -1218,7 +1336,10 @@ def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("text").alias("content_hash"))
     )
 
+    epochs: list[int] = []
+
     def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        epochs.append(epoch_id)
         seen = batch.sparkSession.read.parquet(inv)
         fresh = batch.join(seen, "content_hash", "left_anti")
         fresh = fresh.persist()
@@ -1239,6 +1360,16 @@ def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+    # the registered oracle is q61's STATIC anti-join, sound only because
+    # the single-file source makes the stream exactly one microbatch (with
+    # several, the growing inventory would also drop cross-batch duplicate
+    # texts that q61 keeps) — assert the invariant instead of assuming it
+    # (r12 ADVICE)
+    if len(epochs) != 1:
+        raise ValueError(
+            "run_stream_incremental_dedup: q61 oracle requires exactly one "
+            f"microbatch, saw epochs {epochs}"
+        )
     return spark.read.parquet(acc)
 
 
@@ -1552,11 +1683,19 @@ def run_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k AGAIN, and a naive top-k over duplicated partials keeps two
     # copies of each winner, crowding real rank-k rows out (pinned by
     # tests/test_streaming_semantics.py::test_replay_topk_*) — so dedupe
-    # first: es_key is a pure function of doc_id, so replayed rows are
-    # full-row identical and distinct() is the identity dedup (a
-    # dropDuplicates(["doc_id"]) subset tickles
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under exceptAll in Spark 4.1)
-    partials = spark.read.parquet(store).distinct()
+    # first, on the ROW IDENTITY KEY (doc_id), not full-row distinct():
+    # es_key goes through java.lang.Math.log, which is not guaranteed
+    # bit-reproducible across JVMs/executors, so a replay on a
+    # heterogeneous cluster could re-emit a last-ulp-divergent duplicate
+    # that full-row distinct would keep (r12 ADVICE). min() over the
+    # replicas is deterministic either way; w is exact bigint. (The
+    # Spark 4.1 INTERNAL_ERROR previously noted here was triggered by
+    # exceptAll in the test harness, not by this groupBy publish.)
+    partials = (
+        spark.read.parquet(store)
+        .groupBy("doc_id")
+        .agg(F.min("w").alias("w"), F.min("es_key").alias("es_key"))
+    )
     top = partials.orderBy(
         F.col("es_key").desc(), F.col("doc_id").asc()
     ).limit(k)

@@ -95,3 +95,78 @@ def test_session_counts_single_window_no_distinct_rewrite(spark):
     # local-relation input: the only exchange is the hash(user) one the
     # window needs; the aggregate must NOT add a second
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_sessionize_exact_past_2_53_ticks(spark):
+    """r13: sessionize's gap compare is exact INTEGER arithmetic (the r12
+    verdict's remaining nit — the old double cast collapsed adjacent
+    ticks above 2^53, where doubles step by 2). Ticks straddling 2^53
+    with gaps of exactly GAP (same session, strict >) and GAP+1 (new
+    session) must split identically in both session formulations."""
+    GAP = 100
+    BIG = 1 << 53
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = BIG - 3  # odd start: every double cast above BIG rounds
+        for step in [GAP, GAP + 1, 1, GAP, GAP + 1, 3, GAP + 1]:
+            rows.append((u, t, eid))
+            eid += 1
+            t += step
+        rows.append((u, t, eid))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint"
+    )
+    # ground truth in exact Python ints
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for u, t, e in rows:
+        by_user[u].append((t, e))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n = 0
+        prev = None
+        for t, _ in evs:
+            if prev is None or t - prev > GAP:
+                n += 1
+            prev = t
+        want[u] = n
+    got_fuse = {
+        r.user_id: r.n_sessions
+        for r in session_counts(
+            df, "user_id", "ts", gap=GAP, order_tiebreak="event_id"
+        ).collect()
+    }
+    sess = sessionize(
+        df, user_col="user_id", ts_col="ts", gap_seconds=GAP,
+        order_tiebreak="event_id",
+    )
+    got_ids = {
+        r.user_id: r.n_sessions
+        for r in sess.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+        .collect()
+    }
+    assert got_fuse == want
+    assert got_ids == want
+
+
+def test_sessionize_timestamp_column_micros_compare(spark):
+    """r13: a TIMESTAMP ts_col compares in whole µs with gap_seconds
+    scaled — the cohorts-caller contract (gap in seconds) preserved by
+    the integer rewrite. One event exactly gap apart stays in-session;
+    1µs beyond splits."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 0),
+        (1, "2024-01-01 00:30:00", 1),        # exactly 1800s -> same session
+        (1, "2024-01-01 01:00:00.000001", 2),  # 1800.000001s -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts_str string, event_id bigint"
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"), "event_id")
+    sess = sessionize(df, "user_id", "ts", 1800, "event_id")
+    ids = [r.session_id for r in sess.orderBy("event_id").collect()]
+    assert ids == [1, 1, 2]

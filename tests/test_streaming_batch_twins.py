@@ -5,10 +5,10 @@ the oracle-scale fixture — s01↔q15, s02↔q107, s03↔batch distinct,
 s04↔batch groupBy, s05↔q38, s06↔q45, s07↔batch first-occurrence
 counts, s08↔batch min-ts, s10↔batch join, s12↔batch countmin_cells.
 
-Equality is exact on keys/counts; double aggregates are rounded to 4
-decimals before the symmetric-difference compare (the batch side sums in
-exact DECIMAL, the streaming side in double — partition-order float
-drift is below 1e-6 at this scale, never above 1e-4).
+Equality is exact on keys/counts AND — since round 13 — on the money
+aggregates: the streaming publishes fold in exact decimal / integer
+cents (the oracle upgrade), so the twin compare needs no rounding
+anywhere. The batch sides use the same money_sum fold.
 """
 
 from __future__ import annotations
@@ -26,8 +26,6 @@ def _assert_same(got, want) -> None:
     assert want.exceptAll(got).count() == 0
 
 
-def _round_sum(df):
-    return df.withColumn("sum_value", F.round(F.col("sum_value"), 4))
 
 
 def test_s05_sliding_stream_matches_q38(spark):
@@ -38,9 +36,9 @@ def test_s05_sliding_stream_matches_q38(spark):
         run_sliding_stream,
     )
 
-    got = _round_sum(run_sliding_stream(spark, SF01))
-    want = _round_sum(q38_sliding_windows(spark, SF01))
-    _assert_same(got, want)
+    got = run_sliding_stream(spark, SF01)
+    want = q38_sliding_windows(spark, SF01)
+    _assert_same(got, want.select(*got.columns))
 
 
 def test_s06_stream_stream_join_matches_q45(spark):
@@ -51,17 +49,10 @@ def test_s06_stream_stream_join_matches_q45(spark):
         run_stream_stream_join,
     )
 
-    got = run_stream_stream_join(spark, SF01).select(
-        "user_id",
-        "view_id",
-        "purchase_id",
-        F.round(F.col("purchase_value"), 4).alias("purchase_value"),
-        F.unix_micros(F.to_timestamp("view_ts")).alias("view_ts_us"),
-        F.unix_micros(F.to_timestamp("purchase_ts")).alias("purchase_ts_us"),
-    )
-    want = q45_view_purchase_attribution(spark, SF01).withColumn(
-        "purchase_value", F.round(F.col("purchase_value"), 4)
-    )
+    # r13: the stream publishes epoch-µs times and the raw double value
+    # (the oracled shape) — exact column-for-column compare, no rounding
+    got = run_stream_stream_join(spark, SF01)
+    want = q45_view_purchase_attribution(spark, SF01)
     _assert_same(got, want.select(*got.columns))
 
 
@@ -99,11 +90,13 @@ def test_s01_tumbling_stream_matches_q15_counts(spark):
         run_tumbling_stream,
     )
 
-    got = _round_sum(run_tumbling_stream(spark, SF01))
-    want = _round_sum(
+    from cassandra_analytics_example_spark.functions.numeric import money_sum
+
+    got = run_tumbling_stream(spark, SF01)
+    want = (
         events(spark, SF01)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
         .select(
             F.col("w.start").cast("string").alias("window_start"),
             "event_type",
@@ -141,15 +134,16 @@ def test_s11_transform_with_state_matches_batch(spark):
         transform_with_state_totals,
     )
 
-    got = transform_with_state_totals(spark, SF01).withColumn(
-        "total", F.round(F.col("total"), 4)
-    )
+    from cassandra_analytics_example_spark.functions.numeric import money_sum
+
+    # r13: both state paths accumulate exact cents — exact compare
+    got = transform_with_state_totals(spark, SF01)
     want = (
         events(spark, SF01)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
+            money_sum("value", "total"),
         )
     )
     _assert_same(got, want.select(*got.columns))
@@ -190,14 +184,9 @@ def test_s02_session_stream_matches_q107(spark):
         run_sessionized_stream,
     )
 
-    got = run_sessionized_stream(spark, SF01).select(
-        "user_id",
-        F.unix_micros(F.to_timestamp("session_start")).alias(
-            "session_start_us"
-        ),
-        F.unix_micros(F.to_timestamp("session_end")).alias("session_end_us"),
-        F.col("n_events").cast("bigint").alias("n_events"),
-    )
+    # r13: the stream publishes epoch-µs bounds directly (the oracled
+    # shape) — the twin compare is now column-for-column, no conversion
+    got = run_sessionized_stream(spark, SF01)
     want = q107_batch_session_window(spark, SF01)
     _assert_same(got, want.select(*got.columns))
 
@@ -251,15 +240,17 @@ def test_s04_stateful_totals_match_batch_groupby(spark):
         .select(
             "user_id",
             F.col("m.n_events").alias("n_events"),
-            F.round(F.col("m.sum_value"), 4).alias("sum_value"),
+            F.col("m.sum_value").alias("sum_value"),
         )
     )
+    from cassandra_analytics_example_spark.functions.numeric import money_sum
+
     want = (
         events(spark, SF01)
         .groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            money_sum("value", "sum_value"),
         )
     )
     _assert_same(got, want.select(*got.columns))

@@ -484,9 +484,12 @@ def test_session_window_merges_across_batches_and_drops_late(spark, tmp_path):
     assert u1[0]["n_events"] == 2, (
         f"cross-batch merge lost a row or the late row leaked in: {u1}"
     )
-    # the merged extent: start at t0, end at t0+10m+gap
-    assert u1[0]["session_start"].endswith("22:13:20"), u1
-    assert u1[0]["session_end"].endswith("22:53:20"), u1
+    # the merged extent: start at t0, end at t0+10m+gap (r13: the publish
+    # is epoch-µs bounds — the oracled q107 shape)
+    assert u1[0]["session_start_us"] == 1_700_000_000 * 1_000_000, u1
+    assert (
+        u1[0]["session_end_us"] == (1_700_000_000 + 40 * 60) * 1_000_000
+    ), u1
     # open sessions (u2, u3, u1's second) must not have emitted
     assert len(rows) == 1, f"an open session emitted early: {rows}"
 

@@ -114,6 +114,17 @@ def main() -> None:
     ns = state.setdefault(args.label or "default", {})
 
     if args.finalize:
+        # r12 ADVICE: finalizing with a mismatched/omitted --label on a
+        # state file minted under another label would silently overwrite
+        # the anchor artifact with an empty 0-query one (history kept,
+        # minima lost) — refuse, and say which namespaces hold samples.
+        if not ns:
+            have = sorted(k for k, v in state.items() if v)
+            sys.exit(
+                f"--finalize: namespace {args.label or 'default'!r} in "
+                f"{state_path} holds no samples; namespaces with samples: "
+                f"{have or 'none'} (pass the matching --label)"
+            )
         finalize(ns, args)
         return
 
