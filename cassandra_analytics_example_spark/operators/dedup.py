@@ -24,6 +24,17 @@ valve + ``on_saturation="error"`` — ``lsh_candidate_pairs`` /
   the guarded frame is BUILT, even if it is never acted on. Deliberate
   trade: an unpersist-after-action hook would need an eager terminal,
   which candidate generators deliberately are not.
+
+  A ``guard_persist=False`` caller flag (r12 verdict nit) is PLANNED but
+  deliberately deferred to round 14 on void-budget arithmetic:
+  ``_guarded_union`` sits in the fingerprint surface of 12 oracled
+  queries, all outside round 13's 34-entry stale cohort, and the round's
+  required work (9 streaming oracle upgrades + the sessionize integer
+  unification) already commits 46 of the driver window's 50 slots —
+  landing the flag this round would push 8 stale entries past the window
+  and break the cohort-drain contract. Round 14's window (35-entry r5
+  cohort) absorbs the 12 voids exactly. Until then the documented
+  ``clearCache()`` escape is the lifetime control.
 * **Nullability widening**: the guarded result unions a zero-row branch
   whose columns are runtime-derived NULLs (``_nonfoldable_null``), so
   every output column's schema becomes nullable even though no NULL row
