@@ -14,23 +14,24 @@ their batch twins' oracle strings (q144/q155) from the registry, so the
 twin pairs cannot drift; the import of the events/llm packages below
 guarantees those registrations exist first (matching load_all's module
 order). Round 12 extended the class to s18–s21, s23–s25 and s27–s30;
-round 13 closed the r12 upgrade audit: s01/s02/s05 (exact-decimal /
-epoch-µs publishes), s03/s07 (per-type survivor-count folds), s04
-(exact-cents state + final-state publish), s06 (epoch-µs join publish),
-s08 (struct-min fold) and s13 (fixture-constant corrupt accounting) —
-24 of 30 oracled.
+round 13 closed the r12 upgrade audit and went two further: s01/s02/s05
+(exact-decimal / epoch-µs publishes), s03/s07 (per-type survivor-count
+folds), s04 (exact-cents state + final-state publish), s06 (epoch-µs
+join publish), s08 (struct-min fold), s09 (upsert counts — the same
+countDistinct fold as s03, the r12 audit undervalued it), s10 (stateless
+segment join — a pure function of the input, batch-exact under any
+microbatch split) and s13 (fixture-constant corrupt accounting) —
+26 of 30 oracled.
 
 Entries whose oracle rests on ONE-MICROBATCH arrival (s03, s06, s07,
-s08, s21) assert the invariant in their runners instead of assuming it
-(single-file source / lastProgress batchId / foreachBatch epoch count —
-r12 ADVICE): with several microbatches, watermark-expired dedup state,
-first-ARRIVAL-wins emission, join state eviction, or the growing
-inventory would legitimately diverge from the batch formulation.
+s08, s09, s21) assert the invariant in their runners instead of assuming
+it (single-file source / lastProgress data-batch count / foreachBatch
+epoch count — r12 ADVICE): with several microbatches, watermark-expired
+dedup state, first-ARRIVAL-wins emission, join state eviction, or the
+growing inventory would legitimately diverge from the batch formulation.
 
-The 6 still-rows-only entries (round-13 audit):
+The 4 still-rows-only entries (round-13 audit):
 
-* s09/s10 — upsert/static-join row stores, twin-gated; publishes are
-  row-level scans (no fold), auditable but low value.
 * s11 (transformWithState) — protobuf-gated with a runtime fallback
   path; output is environment-dependent by design. Stays rows-only.
 * s14/s22 (late-data audit, outer join) — emission depends on the
@@ -239,7 +240,15 @@ def s08_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s09_stream_foreach_batch_upsert",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. The upserted target holds
+    # exactly the dedup survivors (event_ids are unique, so the anti-join
+    # merge drops nothing on first insert), making the published per-type
+    # count the same countDistinct fold as s03/s07; one-microbatch
+    # invariant asserted on the foreachBatch epoch count.
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_upserted
+FROM events GROUP BY event_type
+""",
     doc="Structured Streaming: foreachBatch custom sink performing an "
     "idempotent parquet UPSERT (batch anti-joined against the target "
     "key inventory) — the production pattern for sinks without a native "
@@ -259,7 +268,16 @@ def s09_stream_foreach_batch_upsert(
 
 @register(
     "s10_stream_static_join",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. The join is STATELESS
+    # (every microbatch joins the same static dimension; no watermark, no
+    # state) and the dimension is a pure function of user_id, so the
+    # published per-(segment, type) counts are batch-exact under ANY
+    # microbatch split — no one-batch caveat needed.
+    oracle="""
+SELECT user_id % 5 AS segment, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
     doc="Structured Streaming: stream-STATIC dimension join — events "
     "stream enriched with a broadcast per-user segment table, stateless "
     "(no watermark/state store); per-(segment, type) counts (batch "

@@ -534,8 +534,16 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = os.path.join(out, "ck")
 
     latest = dedup_within_watermark(stream_events(spark, sf_dir))
+    epochs: list[int] = []
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # the stateful dedup upstream makes availableNow schedule a
+        # trailing watermark-finalization batch with NO rows — it reaches
+        # foreachBatch too; skip it (merging empty adds nothing) and
+        # count only DATA batches toward the one-microbatch invariant
+        if batch.isEmpty():
+            return
+        epochs.append(epoch_id)
         sess = batch.sparkSession
         try:
             existing = sess.read.parquet(target).select("event_id")
@@ -559,6 +567,15 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+    # the per-type upsert-count oracle (s09, r13) counts DISTINCT
+    # (user, type) keys, exact only when the dedup feeding the upsert saw
+    # all rows in one microbatch — same invariant class as s03/s07/s21,
+    # asserted rather than assumed (r12 ADVICE)
+    if len(epochs) != 1:
+        raise ValueError(
+            "run_foreach_batch_upsert: oracle requires exactly one "
+            f"data microbatch, saw epochs {epochs}"
+        )
     return (
         spark.read.parquet(target)
         .groupBy("event_type")

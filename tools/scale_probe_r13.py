@@ -7,15 +7,19 @@ near-dup), q143 (exact-integer PageRank over the co-purchase graph), q231
 
 Method: deterministic 1x/3x/10x fixtures derived from sf0.1 —
 
-* documents (q21): per-copy doc_id offset + copy-specific INTER-WORD
-  token (the r7 clone-multiplicity CONTROL recipe,
-  tools/scale_probe30_control.py) — copies are NOT near-dups of each
-  other, so duplicate-cluster sizes stay at the base corpus's own
-  structure and the exponent measures corpus growth, not the
-  C(copies,2) candidate-pair confound a plain suffix clone builds in.
-  A separate 10x SUFFIX-CLONE stress leg (r04 recipe) is recorded WITH
-  its output-pair growth, showing the capped path absorbing a corpus
-  whose clusters grow 10x.
+* documents (q21): per-copy doc_id offset + per-copy ALPHABET ROTATION
+  (``F.translate`` with a copy-rotated lowercase alphabet; copy 0 is the
+  identity). A bijective character map preserves every intra-copy
+  shingle-set Jaccard EXACTLY (the base corpus's duplicate structure
+  replicates per copy) while cross-copy shingles share almost nothing —
+  so output pairs scale exactly linearly by construction and the
+  exponent measures pipeline growth, not a cluster-growth confound.
+  (The r7 inter-word-token control recipe is NOT reused here: the shared
+  token's shingles dominate every doc's set at 5-gram granularity and
+  inflate ALL intra-copy similarities — measured 723k output pairs at 1x
+  vs the base corpus's own structure.) A separate 10x SUFFIX-CLONE
+  stress leg (r04 recipe) is recorded WITH its output-pair growth,
+  showing the capped path absorbing a corpus whose clusters grow 10x.
 * lineitem (q143): per-copy l_orderkey AND l_partkey offsets — disjoint
   copies of the co-purchase graph (10x nodes, 10x edges, same degree
   distribution). Offsetting only orders would DISTINCT the copied edges
@@ -92,8 +96,11 @@ def _build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
             out = out.unionByName(p)
         return out
 
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
     def doc_copy(d, c):
-        mangled = F.regexp_replace(F.col("text"), " ", f" probe{c} ")
+        rot = alpha[c:] + alpha[:c]
+        mangled = F.translate(F.col("text"), alpha, rot)
         return d.select(
             (F.col("doc_id") + c * OFFSET).alias("doc_id"),
             mangled.alias("text"),
