@@ -20,23 +20,25 @@ folds), s04 (exact-cents state + final-state publish), s06 (epoch-µs
 join publish), s08 (struct-min fold), s09 (upsert counts — the same
 countDistinct fold as s03, the r12 audit undervalued it), s10 (stateless
 segment join — a pure function of the input, batch-exact under any
-microbatch split) and s13 (fixture-constant corrupt accounting) —
-26 of 30 oracled.
+microbatch split), s13 (fixture-constant corrupt accounting), s14 (the
+staged two-batch routing is a closed form once the batch PLAN is pinned
+— which the runner stages and now asserts) and s22 (outer-join emission
+is the twin's closed form under one-batch arrival, where the
+finalization watermark is global-max − 2h) — 28 of 30 oracled.
 
-Entries whose oracle rests on ONE-MICROBATCH arrival (s03, s06, s07,
-s08, s09, s21) assert the invariant in their runners instead of assuming
-it (single-file source / lastProgress data-batch count / foreachBatch
-epoch count — r12 ADVICE): with several microbatches, watermark-expired
-dedup state, first-ARRIVAL-wins emission, join state eviction, or the
-growing inventory would legitimately diverge from the batch formulation.
+Entries whose oracle rests on a PINNED BATCH PLAN assert it in their
+runners instead of assuming it (r12 ADVICE): one-microbatch arrival for
+s03/s06/s07/s08/s09/s21/s22 (single-file source / lastProgress
+data-batch count / foreachBatch epoch count), the staged TWO-batch
+arrival for s14 (epoch count == 2). With a different batchization,
+watermark-expired dedup state, first-ARRIVAL-wins emission, join state
+eviction, intermediate-watermark-gated outer emission, or the growing
+inventory would legitimately diverge from the batch formulation.
 
-The 4 still-rows-only entries (round-13 audit):
+The 2 still-rows-only entries (round-13 audit):
 
 * s11 (transformWithState) — protobuf-gated with a runtime fallback
   path; output is environment-dependent by design. Stays rows-only.
-* s14/s22 (late-data audit, outer join) — emission depends on the
-  watermark's batch-boundary position (SPARK-40925 buffer batch);
-  deterministic only per microbatch plan. Stays rows-only.
 * s26 (threshold alerts) — measured NON-upgradable at sf0.001: the
   stateful processor emits nothing for zero-crossing keys while the
   batch twin q228 emits (type, 0, 0) rows. Stays rows-only by design.
@@ -375,7 +377,28 @@ def s13_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s14_stream_late_data_audit",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. The runner STAGES the
+    # out-of-order arrival deterministically (newest quarter first with
+    # pinned mtimes, maxFilesPerTrigger=1, explicit persisted watermark),
+    # so the routing is a closed form over the fixture: batch0 advances
+    # the watermark to the global max, batch1 rows are late iff
+    # ts < split AND ts < max - lateness (split = lo + 3*span/4,
+    # lateness = span/2, integer floor both engines). The two-batch plan
+    # is asserted in the runner.
+    oracle="""
+WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+e AS (SELECT event_type, epoch_us(ts) AS tus FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN tus < b.lo + (3 * (b.hi - b.lo)) // 4
+                      AND tus < b.hi - (b.hi - b.lo) // 2
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime,
+       CAST(sum(CASE WHEN tus < b.lo + (3 * (b.hi - b.lo)) // 4
+                      AND tus < b.hi - (b.hi - b.lo) // 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM e, b
+GROUP BY event_type
+""",
     doc="Structured Streaming: late-data DEAD-LETTER accounting — a "
     "foreachBatch sink with an explicit persisted high-watermark routes "
     "rows older than (watermark - lateness) to a quarantine sink instead "
@@ -604,7 +627,27 @@ def s21_stream_incremental_dedup(
 
 @register(
     "s22_stream_stream_outer_join",
-    oracle=None,
+    # Round 13: rows-only -> full value oracle. Under the asserted
+    # one-microbatch invariant the finalization watermark is
+    # (global max ts - 2h), so the emitted set is the twin's closed form:
+    # matched pairs always emit; unmatched views emit null-padded iff
+    # view_ts + 1h < watermark (state expiry).
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+v AS (SELECT user_id, event_id AS view_id, tus AS view_ts_us
+      FROM ev WHERE event_type = 'view'),
+p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, tus AS pt
+      FROM ev WHERE event_type = 'purchase')
+SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts_us
+FROM v LEFT JOIN p
+  ON v.user_id = p.p_user_id
+ AND p.pt >= v.view_ts_us
+ AND p.pt <= v.view_ts_us + 3600000000
+WHERE p.purchase_id IS NOT NULL
+   OR v.view_ts_us + 3600000000 <
+      (SELECT max(tus) - 7200000000 FROM ev)
+""",
     doc="Structured Streaming: watermarked stream-stream LEFT OUTER join — "
     "unmatched views emit null-padded only when the watermark passes "
     "their last possible match time (emit-on-state-expiry), state "

@@ -902,7 +902,10 @@ def late_data_audit(
         .parquet(os.path.join(staged, "*"))
     )
 
+    audit_epochs: list[int] = []
+
     def audit_batch(batch: DataFrame, epoch_id: int) -> None:
+        audit_epochs.append(epoch_id)
         sess = batch.sparkSession
         # existence probe first: a plain read of the not-yet-written state
         # dir would log a scary (but caught) FileNotFoundException
@@ -941,6 +944,18 @@ def late_data_audit(
     finally:
         q.stop()
         q.awaitTermination(30)
+
+    # the registered oracle (r13) encodes EXACTLY the staged two-batch
+    # plan: batch0 = newest quarter (advances the explicit watermark to
+    # the global max), batch1 = the rest, late iff ts < max - lateness.
+    # A different batchization routes differently — assert, don't assume
+    # (the staging pins mtimes and maxFilesPerTrigger=1, so this is a
+    # tripwire for environment drift, not an expected path)
+    if len(audit_epochs) != 2:
+        raise ValueError(
+            "late_data_audit: oracle requires the staged two-microbatch "
+            f"arrival, saw epochs {audit_epochs}"
+        )
 
     def counts(path: str, col: str) -> DataFrame:
         try:
@@ -1406,7 +1421,14 @@ def run_stream_stream_outer_join(
 
     Batch twin: left join + the same watermark inequality
     (tests/test_streaming_batch_twins.py pins matched AND null-padded
-    rows to the batch recompute)."""
+    rows to the batch recompute). Oracled (r13) under the one-microbatch
+    invariant: with a single data batch, the finalization watermark is
+    (global max ts - 2h) and the emitted set is exactly the twin formula;
+    multi-batch arrival would gate null-side emission on intermediate
+    watermarks the batch oracle cannot see — asserted, not assumed."""
+    _require_single_file_source(
+        sf_dir, "events", "run_stream_stream_outer_join"
+    )
     events = stream_events(spark, sf_dir)
     views = (
         events.filter(F.col("event_type") == "view")
