@@ -35,6 +35,25 @@ valve + ``on_saturation="error"`` — ``lsh_candidate_pairs`` /
   and break the cohort-drain contract. Round 14's window (35-entry r5
   cohort) absorbs the 12 voids exactly. Until then the documented
   ``clearCache()`` escape is the lifetime control.
+
+  The r14 AQE-coalesce fix for q21 was PRE-VALIDATED zero-void via
+  call-time patching (``tools/probe_r14_q21_pinned_width.py``,
+  ``PROBE_R14_Q21.json``), and the measurement REVISES the plan recorded
+  in ``SCALE_PROBE_r13.json``: the width-pinned bucket exchange inside
+  ``_lsh_buckets`` is measured unnecessary (wall gain 0.89-1.10x — the
+  bucket explode is byte-light AND compute-light; full-value-identical
+  results), while ``spread()`` on the CANDIDATE frame before the
+  size-prefilter/verification joins is the whole fix: 7.05->2.50 s on
+  the raw sf0.1 bench fixture (2.8x), 24.7->4.0 s at x3 (6.2x),
+  17.6->7.9 s at x10 (2.2x), full-value-identical at every scale, and
+  the x3>x10 wall inversion gone (2.5/4.0/7.9 s is monotone ~linear).
+  The compute-dense stage AQE was serializing is the shingle
+  ``array_intersect`` verification downstream of the candidate
+  ``distinct()`` — NOT the in-bucket pair explode. r14 therefore edits
+  ONLY ``minhash_lsh_dedup`` (``cands = spread(cands)`` after the
+  ``lsh_candidate_pairs`` call): ~4 one-hop query users instead of the
+  ~14-query ``_lsh_buckets``/``lsh_candidate_pairs`` family, leaving
+  window room for the guard_persist flag's 12 voids in the same round.
 * **Nullability widening**: the guarded result unions a zero-row branch
   whose columns are runtime-derived NULLs (``_nonfoldable_null``), so
   every output column's schema becomes nullable even though no NULL row

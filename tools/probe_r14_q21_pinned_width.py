@@ -203,15 +203,19 @@ def main() -> None:
                     if run == 1:
                         agg = df.agg(
                             F.count("*").alias("n"),
+                            # decimal(38,0) sum: the session runs ANSI
+                            # mode, where a bigint sum of xxhash64
+                            # values raises ARITHMETIC_OVERFLOW
                             F.sum(
                                 F.xxhash64(
                                     "id_a",
                                     "id_b",
                                     F.col("jaccard").cast("string"),
-                                )
+                                ).cast("decimal(38,0)")
                             ).alias("h"),
                         ).collect()[0]
-                        rows, vhash = agg["n"], agg["h"]
+                        # Decimal -> str for JSON round-trip
+                        rows, vhash = agg["n"], str(agg["h"])
                 rec[sname] = {
                     "wall_sec": round(min(walls), 3),
                     "shuffle_mb": round(sb / 1e6, 2),
