@@ -51,9 +51,13 @@ valve + ``on_saturation="error"`` — ``lsh_candidate_pairs`` /
   ``array_intersect`` verification downstream of the candidate
   ``distinct()`` — NOT the in-bucket pair explode. r14 therefore edits
   ONLY ``minhash_lsh_dedup`` (``cands = spread(cands)`` after the
-  ``lsh_candidate_pairs`` call): ~4 one-hop query users instead of the
-  ~14-query ``_lsh_buckets``/``lsh_candidate_pairs`` family, leaving
-  window room for the guard_persist flag's 12 voids in the same round.
+  ``lsh_candidate_pairs`` call). Void radii MEASURED by simulating the
+  edits on a throwaway tree and diffing live fingerprints against
+  EVIDENCE_FINGERPRINTS (baseline queue excluded): the spread edit
+  voids 10 entries, the guard_persist flag 12, and their UNION is 14
+  (the dedup-surface calibration/eval queries reference both symbols)
+  — so r14 lands BOTH bundled: 35-entry r5 cohort + 14 = 49 of the
+  50-slot window, one slot spare.
 * **Nullability widening**: the guarded result unions a zero-row branch
   whose columns are runtime-derived NULLs (``_nonfoldable_null``), so
   every output column's schema becomes nullable even though no NULL row
