@@ -49,15 +49,19 @@ valve + ``on_saturation="error"`` — ``lsh_candidate_pairs`` /
   the x3>x10 wall inversion gone (2.5/4.0/7.9 s is monotone ~linear).
   The compute-dense stage AQE was serializing is the shingle
   ``array_intersect`` verification downstream of the candidate
-  ``distinct()`` — NOT the in-bucket pair explode. r14 therefore edits
-  ONLY ``minhash_lsh_dedup`` (``cands = spread(cands)`` after the
-  ``lsh_candidate_pairs`` call). Void radii MEASURED by simulating the
-  edits on a throwaway tree and diffing live fingerprints against
-  EVIDENCE_FINGERPRINTS (baseline queue excluded): the spread edit
-  voids 10 entries, the guard_persist flag 12, and their UNION is 14
-  (the dedup-surface calibration/eval queries reference both symbols)
-  — so r14 lands BOTH bundled: 35-entry r5 cohort + 14 = 49 of the
-  50-slot window, one slot spare.
+  ``distinct()`` — NOT the in-bucket pair explode. The direct caller
+  ``q137_minhash_calibration`` pays the same tax through its own
+  verification join (measured 5.28->2.41 s, 2.19x, with the identical
+  call-time wrapper), so r14 applies the spread at the END of
+  ``lsh_candidate_pairs`` — one edit fixes every caller. Void radii
+  MEASURED by simulating the edits on a throwaway tree and diffing
+  live fingerprints against EVIDENCE_FINGERPRINTS (baseline queue
+  excluded): minhash-only spread = 10 voids, guard_persist flag = 12,
+  minhash-spread ∪ flag = 14, ``lsh_candidate_pairs``-level spread ∪
+  flag = **13** (the calibration/eval queries reference both symbols;
+  the pairs-level union swaps q122/q46 for q108) — so r14 lands the
+  pairs-level spread AND the flag bundled: 35-entry r5 cohort + 13 =
+  48 of the 50-slot window.
 * **Nullability widening**: the guarded result unions a zero-row branch
   whose columns are runtime-derived NULLs (``_nonfoldable_null``), so
   every output column's schema becomes nullable even though no NULL row
