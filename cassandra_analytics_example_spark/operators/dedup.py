@@ -25,43 +25,34 @@ valve + ``on_saturation="error"`` — ``lsh_candidate_pairs`` /
   trade: an unpersist-after-action hook would need an eager terminal,
   which candidate generators deliberately are not.
 
-  A ``guard_persist=False`` caller flag (r12 verdict nit) is PLANNED but
-  deliberately deferred to round 14 on void-budget arithmetic:
-  ``_guarded_union`` sits in the fingerprint surface of 12 oracled
-  queries, all outside round 13's 34-entry stale cohort, and the round's
-  required work (9 streaming oracle upgrades + the sessionize integer
-  unification) already commits 46 of the driver window's 50 slots —
-  landing the flag this round would push 8 stale entries past the window
-  and break the cohort-drain contract. Round 14's window (35-entry r5
-  cohort) absorbs the 12 voids exactly. Until then the documented
-  ``clearCache()`` escape is the lifetime control.
+  A ``guard_persist=False`` caller flag (r12 verdict nit, deferred in
+  r13 on void-budget arithmetic) LANDED in round 14: every capped
+  generator takes ``guard_persist: bool = True`` and passes it to
+  ``_guarded_union`` as ``persist`` — ``False`` skips the
+  session-lifetime bucket-frame persist entirely (zero cache footprint;
+  the audit aggregate recomputes its lineage instead, the measured
+  ~1.24x trade from SCALE_PROBE_r11 accepted knowingly by the caller).
+  Default ``True`` keeps the r11-measured cached sharing and the
+  registered queries' behavior byte-identical.
 
-  The r14 AQE-coalesce fix for q21 was PRE-VALIDATED zero-void via
-  call-time patching (``tools/probe_r14_q21_pinned_width.py``,
-  ``PROBE_R14_Q21.json``), and the measurement REVISES the plan recorded
-  in ``SCALE_PROBE_r13.json``: the width-pinned bucket exchange inside
-  ``_lsh_buckets`` is measured unnecessary (wall gain 0.89-1.10x — the
-  bucket explode is byte-light AND compute-light; full-value-identical
-  results), while ``spread()`` on the CANDIDATE frame before the
-  size-prefilter/verification joins is the whole fix: 7.05->2.50 s on
-  the raw sf0.1 bench fixture (2.8x), 24.7->4.0 s at x3 (6.2x),
-  17.6->7.9 s at x10 (2.2x), full-value-identical at every scale, and
-  the x3>x10 wall inversion gone (2.5/4.0/7.9 s is monotone ~linear).
-  The compute-dense stage AQE was serializing is the shingle
-  ``array_intersect`` verification downstream of the candidate
-  ``distinct()`` — NOT the in-bucket pair explode. The direct caller
-  ``q137_minhash_calibration`` pays the same tax through its own
-  verification join (measured 5.28->2.41 s, 2.19x, with the identical
-  call-time wrapper), so r14 applies the spread at the END of
-  ``lsh_candidate_pairs`` — one edit fixes every caller. Void radii
-  MEASURED by simulating the edits on a throwaway tree and diffing
-  live fingerprints against EVIDENCE_FINGERPRINTS (baseline queue
-  excluded): minhash-only spread = 10 voids, guard_persist flag = 12,
-  minhash-spread ∪ flag = 14, ``lsh_candidate_pairs``-level spread ∪
-  flag = **13** (the calibration/eval queries reference both symbols;
-  the pairs-level union swaps q122/q46 for q108) — so r14 lands the
-  pairs-level spread AND the flag bundled: 35-entry r5 cohort + 13 =
-  48 of the 50-slot window.
+  The r14 AQE-coalesce fix for q21 (PRE-VALIDATED zero-void via
+  call-time patching, ``tools/probe_r14_q21_pinned_width.py``,
+  ``PROBE_R14_Q21.json``) also LANDED in round 14: ``spread()`` on the
+  candidate frame at the END of ``lsh_candidate_pairs``. The probe
+  REVISED the plan recorded in ``SCALE_PROBE_r13.json``: the
+  width-pinned bucket exchange inside ``_lsh_buckets`` is measured
+  unnecessary (wall gain 0.89-1.10x — the bucket explode is byte-light
+  AND compute-light; full-value-identical results), while ``spread()``
+  on the CANDIDATE frame before the size-prefilter/verification joins
+  is the whole fix: 7.05->2.50 s on the raw sf0.1 bench fixture (2.8x),
+  24.7->4.0 s at x3 (6.2x), 17.6->7.9 s at x10 (2.2x),
+  full-value-identical at every scale, and the x3>x10 wall inversion
+  gone (2.5/4.0/7.9 s is monotone ~linear). The compute-dense stage AQE
+  was serializing is the shingle ``array_intersect`` verification
+  downstream of the candidate ``distinct()`` — NOT the in-bucket pair
+  explode. The direct caller ``q137_minhash_calibration`` pays the same
+  tax through its own verification join (measured 5.28->2.41 s, 2.19x),
+  which the pairs-level placement fixes at once.
 * **Nullability widening**: the guarded result unions a zero-row branch
   whose columns are runtime-derived NULLs (``_nonfoldable_null``), so
   every output column's schema becomes nullable even though no NULL row
@@ -214,6 +205,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band, group
     ids by (band_index, band_hash) bucket, and emit all in-bucket pairs.
@@ -247,18 +239,34 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+    # spread() the candidate frame (r13 triage / PROBE_R14_Q21.json): AQE's
+    # BYTE-based partition coalescing shrinks the candidate exchange to 2-5
+    # tasks (collision pairs are byte-light), and every caller's
+    # compute-dense verification join (shingle array_intersect, signature
+    # zip_with) then rides that serialized read while the rest of the
+    # cluster idles — measured 2.46x wall tax on q21 at sf0.1, 4.5x at x3,
+    # and the same byte heuristic serializes identically at 1000 executors.
+    # An explicit repartition is exempt from coalescing; placed HERE (not in
+    # _lsh_buckets — the bucket explode is byte- AND compute-light, width-pin
+    # there measured 0.89-1.10x) it re-widens verification for every caller:
+    # q21 7.05->2.50 s, q137 5.28->2.41 s, full-value-identical at
+    # x1/x3/x10/x30 and monotone in scale. At 100 TB spread() is a no-op
+    # (size-estimate gate) — candidates already span >= width full splits.
     if max_bucket_size is None or on_saturation == "ignore":
-        return out
-    return _guarded_union(
-        out,
-        buckets,
-        "ids",
-        max_bucket_size,
-        "BlockingSaturationError",
-        "MinHash band ",
-        "Raise max_bucket_size, run exact_dedup first (byte-identical "
-        "docs inflate band buckets), or widen num_bands*rows_per_band; "
-        "audit via lsh_bucket_stats.",
+        return spread(out)
+    return spread(
+        _guarded_union(
+            out,
+            buckets,
+            "ids",
+            max_bucket_size,
+            "BlockingSaturationError",
+            "MinHash band ",
+            "Raise max_bucket_size, run exact_dedup first (byte-identical "
+            "docs inflate band buckets), or widen num_bands*rows_per_band; "
+            "audit via lsh_bucket_stats.",
+            persist=guard_persist,
+        )
     )
 
 
@@ -327,6 +335,7 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: exact-dedup pre-pass → signatures
     → banded candidates (bucket-capped) → exact Jaccard verification on
@@ -381,6 +390,7 @@ def minhash_lsh_dedup(
     cands = lsh_candidate_pairs(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size,
         on_saturation=on_saturation,  # guard survives the joins (docstring)
+        guard_persist=guard_persist,
     )
     # Size-ratio prefilter — RESULT-IDENTICAL, not a recall trade:
     # |A∩B| <= min(|A|,|B|) bounds jaccard <= min/max, so j >= t forces
@@ -439,6 +449,7 @@ def token_jaccard_pairs(
     persist_tokens: bool = True,
     max_block_size: int | None = None,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """Near-dup by word-n-gram Jaccard with K-rarest-gram blocking.
 
@@ -530,6 +541,7 @@ def token_jaccard_pairs(
         "Raise max_block_size, exact-dedup byte-identical docs first "
         "(they share every rarest gram), or raise ngram_n/n_blocks to "
         "spread the block keys.",
+        persist=guard_persist,
     )
 
 
@@ -611,6 +623,7 @@ def token_containment_pairs(
     persist_tokens: bool = True,
     max_block_size: int | None = None,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup by n-gram CONTAINMENT (overlap coefficient):
     |A ∩ B| / min(|A|, |B|) — the measure that catches a short document
@@ -682,6 +695,7 @@ def token_containment_pairs(
         "Raise max_block_size, exact-dedup byte-identical docs first "
         "(they share every rarest gram), or raise ngram_n/n_blocks to "
         "spread the block keys.",
+        persist=guard_persist,
     )
 
 
@@ -783,6 +797,7 @@ def _guarded_union(
     error_name: str,
     bucket_kind: str,
     remedy: str,
+    persist: bool = True,
 ) -> DataFrame:
     """Union a ZERO-ROW guard branch onto ``out`` that raises at action
     time when the ``max_bucket_size`` valve dropped every collision
@@ -828,8 +843,18 @@ def _guarded_union(
     predicate stays a runtime Filter above the (zero-row, or raising)
     explode. ``tests/test_r11_guard_hardening.py`` asserts raise_error
     survives ``optimizedPlan`` under join/null-filter consumers for every
-    in-repo composition."""
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    in-repo composition.
+
+    ``persist=False`` (the ``guard_persist`` caller flag, r12 verdict nit /
+    r13 deferral) skips the session-lifetime MEMORY_AND_DISK persist of the
+    bucket frame: the guard still runs and still raises, but the bucket
+    pipeline is recomputed for the audit aggregate instead of cached —
+    zero cache footprint for callers (long-lived multi-tenant sessions)
+    that would otherwise accumulate one entry per capped call. The cost is
+    the measured r11 trade in reverse (~1.24x on the guarded path when the
+    lineages stop sharing); correctness is unchanged either way."""
+    if persist:
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     from pyspark.sql.types import ArrayType
 
     is_list = isinstance(buckets.schema[list_col].dataType, ArrayType)
@@ -986,6 +1011,7 @@ def _bucket_pairs(
     max_hamming: int,
     max_bucket_size: int | None,
     on_saturation: str,
+    guard_persist: bool = True,
 ) -> DataFrame:
     """Shared capped bucket→pair expansion for both SimHash blocking
     schemes (contiguous single bands and piece combinations): apply the
@@ -1035,6 +1061,7 @@ def _bucket_pairs(
         "Use simhash_near_dup_pairs_auto (escalates the blocking), "
         "widen the blocking (simhash_near_dup_pairs_combi), or "
         "raise max_bucket_size; audit via simhash_bucket_stats.",
+        persist=guard_persist,
     )
 
 
@@ -1175,6 +1202,7 @@ def simhash_near_dup_pairs_combi(
     gram_n: int = 3,
     max_bucket_size: int | None = None,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via piece-COMBINATION blocking (Manku et al.
     WWW'07 §3) — the saturated-regime escalation of
@@ -1190,7 +1218,10 @@ def simhash_near_dup_pairs_combi(
     buckets = _simhash_combi_buckets(
         df, id_col, text_col, n_bits, n_pieces, max_hamming, gram_n
     )
-    return _bucket_pairs(buckets, max_hamming, max_bucket_size, on_saturation)
+    return _bucket_pairs(
+        buckets, max_hamming, max_bucket_size, on_saturation,
+        guard_persist=guard_persist,
+    )
 
 
 def simhash_bucket_stats(
@@ -1267,6 +1298,7 @@ def simhash_near_dup_pairs(
     max_bucket_size: int | None = None,
     band_width: int | None = None,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole band blocking + exact hamming
     verification (Manku et al., WWW'07 style).
@@ -1314,7 +1346,10 @@ def simhash_near_dup_pairs(
     buckets = _simhash_buckets(
         df, id_col, text_col, n_bits, n_bands, gram_n, band_width
     )
-    return _bucket_pairs(buckets, max_hamming, max_bucket_size, on_saturation)
+    return _bucket_pairs(
+        buckets, max_hamming, max_bucket_size, on_saturation,
+        guard_persist=guard_persist,
+    )
 
 
 def simhash_near_dup_pairs_auto(
@@ -1330,6 +1365,7 @@ def simhash_near_dup_pairs_auto(
     n_docs: int | None = None,
     max_tables: int = 70,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """``simhash_near_dup_pairs`` with the BLOCKING derived from the
     corpus size — the corpus-proof entry point. Two regimes:
@@ -1378,6 +1414,7 @@ def simhash_near_dup_pairs_auto(
             max_bucket_size=max_bucket_size,
             band_width=width,
             on_saturation=on_saturation,
+            guard_persist=guard_persist,
         )
     n_pieces, key_bits = combi_blocking_plan(
         n,
@@ -1411,6 +1448,7 @@ def simhash_near_dup_pairs_auto(
         gram_n=gram_n,
         max_bucket_size=max_bucket_size,
         on_saturation=on_saturation,
+        guard_persist=guard_persist,
     )
 
 
@@ -1422,6 +1460,7 @@ def embedding_near_dup_pairs(
     n_bits: int = 8,
     max_bucket_size: int | None = 1000,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup: sign-bucket LSH blocking + exact cosine
     verification within buckets. Returns (id_a, id_b, cosine ≥ threshold).
@@ -1482,6 +1521,7 @@ def embedding_near_dup_pairs(
         "sign-LSH ",
         "Raise max_bucket_size or widen n_bits (expected occupancy is "
         "N/2^n_bits); audit via embedding_bucket_stats.",
+        persist=guard_persist,
     )
 
 
@@ -1800,6 +1840,7 @@ def edit_distance_neardup(
     max_dist: int = 8,
     max_block_size: int | None = None,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """Edit-distance near-dup pairs over a text PREFIX with equi-join
     blocking: candidates share ``block_cols`` plus the first
@@ -1893,6 +1934,7 @@ def edit_distance_neardup(
         "prefix ",
         "Raise max_block_size or widen block_prefix to spread the "
         "blocks.",
+        persist=guard_persist,
     )
 
 
@@ -1903,6 +1945,7 @@ def overlap_join(
     min_overlap: int,
     max_posting_size: int | None = None,
     on_saturation: str = "error",
+    guard_persist: bool = True,
 ) -> DataFrame:
     """Set-overlap self-join with PREFIX FILTERING (the PPJoin family's
     core idea, Xiao et al., public literature): pairs of documents whose
@@ -2003,6 +2046,7 @@ def overlap_join(
         "prefix-posting ",
         "Raise max_posting_size, exact-dedup byte-identical docs first, "
         "or raise min_overlap to shorten the prefixes.",
+        persist=guard_persist,
     )
 
 

@@ -1653,6 +1653,27 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def replay_safe_partials(appended: DataFrame) -> DataFrame:
+    """Collapse at-least-once-replayed top-k partials to one row per
+    document. foreachBatch replays append a batch's local top-k AGAIN,
+    and a naive top-k over duplicated partials keeps two copies of each
+    winner, crowding real rank-k rows out (pinned by
+    tests/test_streaming_semantics.py::test_replay_topk_*) — so dedupe
+    on the ROW IDENTITY KEY (doc_id), not full-row ``distinct()``:
+    es_key goes through ``java.lang.Math.log``, which is not guaranteed
+    bit-reproducible across JVMs/executors, so a replay on a
+    heterogeneous cluster could re-emit a last-ulp-divergent duplicate
+    that full-row distinct would keep (r12 ADVICE; the ulp case is
+    pinned by tests/test_streaming_semantics.py::test_replay_ulp_*).
+    ``min()`` over the replicas is deterministic either way; w is exact
+    bigint. (The Spark 4.1 INTERNAL_ERROR previously noted here was
+    triggered by exceptAll in the test harness, not by this groupBy
+    publish.)"""
+    return appended.groupBy("doc_id").agg(
+        F.min("w").alias("w"), F.min("es_key").alias("es_key")
+    )
+
+
 def run_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming weighted sampling without replacement: each microbatch
     computes the deterministic Efraimidis–Spirakis key (ln(md5-uniform)/w,
@@ -1718,23 +1739,7 @@ def run_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    # foreachBatch is at-least-once: a replayed batch appends its local
-    # top-k AGAIN, and a naive top-k over duplicated partials keeps two
-    # copies of each winner, crowding real rank-k rows out (pinned by
-    # tests/test_streaming_semantics.py::test_replay_topk_*) — so dedupe
-    # first, on the ROW IDENTITY KEY (doc_id), not full-row distinct():
-    # es_key goes through java.lang.Math.log, which is not guaranteed
-    # bit-reproducible across JVMs/executors, so a replay on a
-    # heterogeneous cluster could re-emit a last-ulp-divergent duplicate
-    # that full-row distinct would keep (r12 ADVICE). min() over the
-    # replicas is deterministic either way; w is exact bigint. (The
-    # Spark 4.1 INTERNAL_ERROR previously noted here was triggered by
-    # exceptAll in the test harness, not by this groupBy publish.)
-    partials = (
-        spark.read.parquet(store)
-        .groupBy("doc_id")
-        .agg(F.min("w").alias("w"), F.min("es_key").alias("es_key"))
-    )
+    partials = replay_safe_partials(spark.read.parquet(store))
     top = partials.orderBy(
         F.col("es_key").desc(), F.col("doc_id").asc()
     ).limit(k)
