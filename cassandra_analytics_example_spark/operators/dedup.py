@@ -510,12 +510,17 @@ def token_jaccard_pairs(
     capped = buckets
     if max_block_size is not None:
         capped = buckets.filter(F.size("ids") <= max_block_size)
-    pairs = (
+    pairs = spread(
         capped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+    # ^ spread: the candidate frame is byte-light, so AQE's byte-based
+    # coalescing otherwise serializes the array_intersect verification
+    # join below onto a handful of tasks — same defect and fix as
+    # lsh_candidate_pairs (r14, PROBE_R14_Q21.json; measured 3-6-task
+    # verification stages here at sf0.1)
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
@@ -663,12 +668,17 @@ def token_containment_pairs(
     capped = buckets
     if max_block_size is not None:
         capped = buckets.filter(F.size("ids") <= max_block_size)
-    pairs = (
+    pairs = spread(
         capped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+    # ^ spread: the candidate frame is byte-light, so AQE's byte-based
+    # coalescing otherwise serializes the array_intersect verification
+    # join below onto a handful of tasks — same defect and fix as
+    # lsh_candidate_pairs (r14, PROBE_R14_Q21.json; measured 3-6-task
+    # verification stages here at sf0.1)
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")

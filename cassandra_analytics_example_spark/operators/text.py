@@ -316,7 +316,11 @@ def unigram_logprob_scores(
     Plan: one explode→(doc, term) count shuffle; the vocabulary (term →
     quantized logp) is a second small aggregate of that same layer,
     broadcast back; final per-doc integer sum re-groups on the uniform doc
-    id. Vocabulary size tracks distinct terms, not corpus size.
+    id. Vocabulary size tracks distinct terms, not corpus size. (r14
+    measured and REJECTED a spread() on the input here: the whitespace
+    explode is cheap enough that the re-widening shuffle cost 1.6x the
+    single-split serialization it saved — isolated-anchor ctrl 1.61 with
+    it, sub-1.0 without; PROBE_R14_TEXT_SCORERS.json.)
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     per_doc = toks.groupBy(id_col, "term").agg(
@@ -408,67 +412,98 @@ def bm25_scores(
     Per-(doc, term) contributions are quantized to integer 1e-4 units
     BEFORE the per-doc sum (the q67 discipline), so the reduction is
     order-independent and engine-exact; only ln/division ulps remain,
-    below the quantum. Plan: one explode→(doc, term) count (tf), doc
-    lengths from the same pass, df per query term from the tf layer, and
-    a broadcast join of the k-term score table back onto the tf rows —
-    the corpus shuffles once on the doc id. avgdl is a single division
-    of exact integers."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf_all = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    from cassandra_analytics_example_spark.session import pin_small
+    below the quantum.
 
-    tf_all = pin_small(tf_all)
-    dl = tf_all.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
-    totals = dl.agg(
+    Plan (r14 rewrite — guide §2.3/§2.4, measured in
+    PROBE_R14_TEXT_SCORERS.json): for a FIXED k-term query set, per-doc
+    term frequencies are ROW-LOCAL column algebra —
+    ``size(filter(tokens, t))`` per term — so the corpus never explodes
+    and never shuffles at all. One tokenize pass builds the per-doc stat
+    frame (``dl`` + k tf counts, (k+1) ints per doc — pinned, strictly
+    smaller than the (doc, term) tf layer the previous plan cached); ONE
+    tiny aggregate over it yields n_docs / total_tokens / per-term df
+    (each term's df is a conditional sum — no per-term join); the score
+    is then a broadcast-crossJoin projection over the same pinned frame.
+    The previous plan's explode → (doc, term) groupBy + two joins cost
+    41 s of executor time at sf0.1 (its three consumers raced the cached
+    tf layer's materialization); this shape is the first-principles
+    floor: one corpus pass, zero corpus-sized exchanges. Arithmetic is
+    expression-for-expression identical, so results hash-match the old
+    plan and the DuckDB oracle."""
+    from cassandra_analytics_example_spark.session import pin_small, spread
+
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    tf_cols = [f"__tf_{i}" for i in range(len(query_terms))]
+    tok = spread(df).select(F.col(id_col), tokens(text_col).alias("__tok"))
+    per_doc = tok.select(
+        F.col(id_col),
+        F.size("__tok").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("__tok", lambda x: x == F.lit(t)))
+            .cast("bigint")
+            .alias(c)
+            for t, c in zip(query_terms, tf_cols)
+        ],
+    )
+    per_doc = pin_small(per_doc)
+    totals = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum((F.col(c) > 0).cast("int")).cast("bigint").alias(f"__df_{i}")
+            for i, c in enumerate(tf_cols)
+        ],
     )
-    q = F.array(*[F.lit(t) for t in query_terms])
-    tf_q = tf_all.filter(F.array_contains(q, F.col("term")))
-    dfreq = tf_q.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    scored = (
-        tf_q.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(totals))
+
+    def contrib(tf_col: str, df_col: str):
+        # verbatim the pre-r14 per-(doc, term) expression — operand order
+        # and associativity preserved so the floored doubles are
+        # bit-identical to the joined plan and the oracle
+        return F.floor(
+            F.log(
+                (
+                    F.col("n_docs").cast("double")
+                    - F.col(df_col).cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col(df_col).cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * (F.col(tf_col).cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col(tf_col).cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("dl").cast("double")
+                    / (
+                        F.col("total_tokens").cast("double")
+                        / F.col("n_docs").cast("double")
+                    )
+                )
+            )
+            * F.lit(quantum)
+        ).cast("bigint")
+
+    score = None
+    hits = None
+    for i, c in enumerate(tf_cols):
+        term_q = F.when(F.col(c) > 0, contrib(c, f"__df_{i}")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        hit = (F.col(c) > 0).cast("bigint")
+        score = term_q if score is None else score + term_q
+        hits = hit if hits is None else hits + hit
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
-            F.floor(
-                F.log(
-                    (
-                        F.col("n_docs").cast("double")
-                        - F.col("df").cast("double")
-                        + F.lit(0.5)
-                    )
-                    / (F.col("df").cast("double") + F.lit(0.5))
-                    + F.lit(1.0)
-                )
-                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b)
-                        * F.col("dl").cast("double")
-                        / (
-                            F.col("total_tokens").cast("double")
-                            / F.col("n_docs").cast("double")
-                        )
-                    )
-                )
-                * F.lit(quantum)
-            )
-            .cast("bigint")
-            .alias("contrib_q"),
+            score.cast("bigint").alias("score_q"),
+            hits.cast("bigint").alias("n_hit_terms"),
         )
-    )
-    return scored.groupBy(id_col).agg(
-        F.sum("contrib_q").cast("bigint").alias("score_q"),
-        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+        .where(F.col("n_hit_terms") > 0)
     )
 
 
@@ -626,10 +661,18 @@ def bigram_logprob_scores(
     unigram vocabularies are vocab-sized aggregates of the TRAIN half,
     pinned and broadcast back; the final integer sum re-groups on the
     uniform doc id. Nothing corpus-sized is ever broadcast or buffered.
+    r14 (guide §1.2/§2.4, PROBE_R14_TEXT_SCORERS.json): the input is
+    spread() so a single-split scan cannot serialize the ngram explode
+    (three 1-task stages measured at sf0.1), and the unigram layer
+    aggregates the PINNED bigram vocabulary instead of re-folding the
+    train half of the corpus — sum(bf) grouped by w1 over (doc, bg) rows
+    equals sum(cbg) grouped by w1 over the bg vocabulary (integer sums,
+    associative regroup), so one full corpus tokenize+shuffle disappears
+    with bit-identical results.
     """
-    from cassandra_analytics_example_spark.session import pin_small
+    from cassandra_analytics_example_spark.session import pin_small, spread
 
-    bigrams = df.select(
+    bigrams = spread(df).select(
         F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("bg")
     )
     per_doc = bigrams.groupBy(id_col, "bg").agg(
@@ -639,16 +682,17 @@ def bigram_logprob_scores(
     bg_vocab = pin_small(
         train.groupBy("bg").agg(F.sum("bf").cast("bigint").alias("cbg"))
     )
-    # unigram layer derives from the SAME train bigram layer (each bigram
+    # unigram layer derives from the PINNED bigram vocabulary (each bigram
     # contributes its LEFT word, so c(w1) counts w1 in non-final position —
-    # exactly the denominator the conditional needs)
+    # exactly the denominator the conditional needs); regrouping cbg is
+    # integer-exact and saves re-folding the train corpus
     uni = pin_small(
-        train.select(
+        bg_vocab.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w"),
-            "bf",
+            "cbg",
         )
         .groupBy("w")
-        .agg(F.sum("bf").cast("bigint").alias("cu"))
+        .agg(F.sum("cbg").cast("bigint").alias("cu"))
     )
     total = uni.agg(F.sum("cu").alias("n_total"))
     scored = (

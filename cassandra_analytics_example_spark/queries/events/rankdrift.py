@@ -919,12 +919,17 @@ def q253_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts_us").alias("m"))
-    u = (
-        ev.crossJoin(F.broadcast(mx))
-        .groupBy("user_id")
+    # ONE events fold (r14, guide §2.4 / PROBE_R14_TEXT_SCORERS.json):
+    # the global max-timestamp used to be its own full events scan
+    # crossJoined in BEFORE the per-user fold; max over all events equals
+    # max over the per-user maxes, so derive it from the fold instead —
+    # recency = m - last_ts is the same bigint either way, and the
+    # persisted frame no longer embeds a broadcast whose build raced the
+    # cache materialization (two full folds observed at sf0.1)
+    u0 = (
+        ev.groupBy("user_id")
         .agg(
-            (F.first("m") - F.max("ts_us")).cast("bigint").alias("recency"),
+            F.max("ts_us").cast("bigint").alias("__last_ts"),
             F.count("*").cast("bigint").alias("frequency"),
             F.coalesce(
                 F.sum(
@@ -938,13 +943,20 @@ def q253_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("monetary"),
         )
+        .persist()
+    )
+    mx = u0.agg(F.max("__last_ts").alias("m"))
+    u = u0.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("m") - F.col("__last_ts")).cast("bigint").alias("recency"),
+        "frequency",
+        "monetary",
     )
     # the per-user fold feeds the quantile selection plus the scoring
     # pass — persist it once instead of re-folding events (the dedup.py/
     # windows.py persist discipline), and melt the three metrics into
     # ONE group-quantile selection (group = metric) so all 12 thresholds
     # come from a single multi-pass instead of three serial ones
-    u = u.persist()
     qs = {"q20": 0.2, "q40": 0.4, "q60": 0.6, "q80": 0.8}
     melted = u.selectExpr(
         "stack(3, 'r', recency, 'f', frequency, 'm', monetary) "
