@@ -62,6 +62,7 @@ HEADLINE = [
     "q18_asof_purchase_signup", # as-of join
     "q20_exact_dedup",          # hash dedup
     "q21_minhash_lsh_neardup",  # MinHash+LSH near-dup
+    "q137_minhash_calibration", # MinHash estimator-error audit (r13 verdict task 2)
     "q22_token_jaccard_neardup",# 3-gram Jaccard, rarest-gram blocking
     "q23_simhash_hamming",      # SimHash pigeonhole-band near-dup
     "q287_simhash_combi_blocking",  # SimHash combination-blocking escalation
