@@ -307,14 +307,17 @@ def test_edit_distance_blocking_is_equi_join(spark, registry):
 
 
 def test_bm25_corpus_single_tokenize_lineage(spark, registry):
-    """q95: the (doc, term) tf layer must be computed once (pinned) — the
-    df/score table, the doc-length table and the scored rows all read the
-    cached layer. Every tokenize explode in the printed plan must sit
-    INSIDE an InMemoryRelation subtree (the cache's child is printed once
-    per consumer); an explode outside one means the diamond recomputed."""
+    """q95 (r14 shape): per-doc tf for the fixed query-term set is
+    ROW-LOCAL column algebra — the corpus must never explode and never
+    shuffle. The pinned (k+2)-int per-doc stat frame is the only shared
+    layer: the totals aggregate and the scored projection both read it
+    (two InMemoryTableScan consumers); zero Generate nodes and no
+    corpus-sized Exchange may appear (the only exchanges allowed are the
+    1-row totals aggregate's and the tiny broadcast)."""
     plan = plan_of(spark, registry, "q95_bm25_retrieval")
-    assert plan.count("InMemoryTableScan") >= 2  # shared tf layer, reused
-    assert plan.count("Generate explode") == plan.count("InMemoryRelation")
+    assert plan.count("InMemoryTableScan") >= 2  # shared per-doc stat layer
+    assert plan.count("Generate") == 0  # no explode: tf is size(filter(...))
+    assert "hashpartitioning" not in plan  # corpus never shuffles on a key
 
 
 def test_incremental_merge_partial_aggregation(spark, registry):

@@ -73,14 +73,18 @@ def test_guard_persist_false_still_raises_on_saturation(spark):
         "doc_id bigint, text string",
     )
     spark.catalog.clearCache()
+    # relative count: a shared test session can hold localCheckpoint
+    # blocks from earlier tests that clearCache does not (and must not)
+    # drop — only the DELTA this call creates is under test
+    n0 = _cache_entry_count(spark)
     guarded = minhash_lsh_dedup(
         docs, "doc_id", "text", max_bucket_size=1, guard_persist=False
     )
     with pytest.raises(Exception, match="BlockingSaturationError"):
         guarded.write.format("noop").mode("overwrite").save()
-    # the one surviving entry is minhash_lsh_dedup's own documented
+    # the one new entry allowed is minhash_lsh_dedup's own documented
     # shingle-layer persist; the guard added none
-    assert _cache_entry_count(spark) <= 1
+    assert _cache_entry_count(spark) <= n0 + 1
     spark.catalog.clearCache()
 
 

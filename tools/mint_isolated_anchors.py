@@ -100,6 +100,14 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--state", default=str(DEFAULT_STATE))
     ap.add_argument("--finalize", action="store_true")
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="with --finalize: keep the existing artifact's entries for "
+        "queries NOT in the minted namespace (partial re-mint after a "
+        "plan change — r13 verdict task 2 — without losing full headline "
+        "coverage; re-minted entries carry their mint round)",
+    )
     ap.add_argument("--out", default=str(ROOT / "BENCH_ANCHOR_ISOLATED.json"))
     ap.add_argument(
         "--label",
@@ -165,6 +173,7 @@ def finalize(ns: dict, args: argparse.Namespace) -> None:
     # preserve the r11 q143-settlement artifact (pre/post probe legs) —
     # it documents WHY the isolated methodology exists
     history = None
+    prev = {}
     out_path = Path(args.out)
     if out_path.exists():
         with open(out_path) as f:
@@ -185,6 +194,13 @@ def finalize(ns: dict, args: argparse.Namespace) -> None:
         ),
         "queries": {},
     }
+    if args.merge:
+        out["queries"].update(prev.get("queries", {}))
+        if prev.get("round"):
+            out["round"] = prev["round"]
+            out["reminted_rounds"] = sorted(
+                set(prev.get("reminted_rounds", [])) | {14}
+            )
     for name, samples in sorted(ns.items()):
         secs = [s["sec"] for s in samples]
         entry = {
@@ -192,6 +208,8 @@ def finalize(ns: dict, args: argparse.Namespace) -> None:
             "loadavg_pre": [s["loadavg_pre"] for s in samples],
             "min": min(secs),
         }
+        if args.merge:
+            entry["minted_round"] = 14
         if name in cold:
             entry["anchor_cold"] = cold[name]
             entry["min_vs_cold"] = round(min(secs) / cold[name], 3)
