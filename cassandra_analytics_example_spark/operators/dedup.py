@@ -175,12 +175,23 @@ def signatures_from_shingles(
     id_col: str,
     sh_col: str = "__sh",
     num_hashes: int = 16,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signatures from a PRECOMPUTED distinct-shingle array column —
     lets a pipeline that also needs the raw shingle sets (exact-Jaccard
-    verification) materialize them once and derive both from it."""
+    verification) materialize them once and derive both from it.
+
+    ``keep`` names extra ``sh_df`` columns carried through to the output
+    (r15): a caller that persists ONE frame holding (id, shingles, sig)
+    pays the expensive array-column cache decode only where a consumer
+    actually reads the array — measured at sf0.1, decoding an
+    array<string> column back OUT of Spark's columnar cache costs ~70% of
+    recomputing it from the scan, so every avoided decode (and every
+    consumer that can column-prune down to the int columns) is real wall
+    time. See q137/q21 in OPTIMIZATION_r15.md."""
     hashed = sh_df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.transform(F.col(sh_col), lambda s: md5_u60(s) % MINHASH_P).alias(
             "__hv"
         ),
@@ -195,7 +206,11 @@ def signatures_from_shingles(
         ).alias(f"h{i}")
 
     components = [component(i) for i in range(num_hashes)]
-    return hashed.select(F.col(id_col), F.array(*components).alias("sig"))
+    return hashed.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array(*components).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -375,18 +390,31 @@ def minhash_lsh_dedup(
     # expensive shingle-hash projection fuses into that single task.
     df = exact_dedup(spread(df), id_col, text_col).drop("content_hash")
     df = spread(df)
-    # Materialize the distinct-shingle layer ONCE (MEMORY_AND_DISK): it
-    # feeds the signature derivation and both sides of the exact-Jaccard
-    # verification — three consumers; recomputing shingle arrays from the
-    # scan per consumer costs more than caching them (same tradeoff as
-    # token_jaccard_pairs.persist_tokens).
+    # Materialize ONE combined layer (id, sh, __sz, sig) (MEMORY_AND_DISK).
+    # Until r15 only the shingle arrays were cached and sig/size were
+    # derived per consumer — but decoding an array<string> column back out
+    # of the columnar cache costs ~70% of recomputing it (measured at
+    # sf0.1: 7.8 s CPU decode vs 11 s fill for the corpus), so the sig
+    # derivation and BOTH size-prefilter broadcasts were each paying a
+    # full array decode. With sig and __sz computed once at fill time,
+    # those three consumers column-prune down to int columns (near-free
+    # cache reads) and only the two verification joins decode the arrays.
+    # q21: 5 array decodes -> 2; executor 50.5 -> ~30 s, wall 2.41 -> ~1.7 s.
     from pyspark.storagelevel import StorageLevel
 
     sh = df.select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    )
+    base = signatures_from_shingles(
+        sh.select(F.col(id_col), "sh", F.size("sh").alias("__sz")),
+        id_col,
+        "sh",
+        num_hashes,
+        keep=("sh", "__sz"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = signatures_from_shingles(sh, id_col, "sh", num_hashes)
+    sh = base.select(F.col(id_col), "sh")
+    sigs = base.select(F.col(id_col), "sig")
     cands = lsh_candidate_pairs(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size,
         on_saturation=on_saturation,  # guard survives the joins (docstring)
@@ -395,9 +423,10 @@ def minhash_lsh_dedup(
     # Size-ratio prefilter — RESULT-IDENTICAL, not a recall trade:
     # |A∩B| <= min(|A|,|B|) bounds jaccard <= min/max, so j >= t forces
     # min >= t*max. Sizes ride a tiny broadcastable projection of the
-    # persisted shingle layer; candidates failing the bound never reach
-    # the array-intersect verification join.
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("__sz"))
+    # persisted combined layer (int column only — no array decode);
+    # candidates failing the bound never reach the array-intersect
+    # verification join.
+    sizes = base.select(F.col(id_col), "__sz")
     cands = (
         cands.join(
             F.broadcast(

@@ -986,21 +986,41 @@ def q137_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "text")
     )
+    # ONE pinned frame (doc_id, __sh, sig) instead of the pre-r15 two
+    # nested pins (shingles; signatures derived from them): decoding an
+    # array<string> column back out of the columnar cache costs ~70% of
+    # recomputing it (measured, PROBE_R15_Q137.json), so the old shape
+    # paid a full array decode in the sigs fill and in each of ha/hb,
+    # while sa/sb/banding re-read the sigs cache. Combined, the banding
+    # path column-prunes to the int sig column (near-free) and only the
+    # two verification joins decode __sh. 4 verification joins -> 2.
+    # Measured isolated: wall 2.40 -> 1.88 s best-of-3, executor
+    # 32.2 -> 26.9 s, full-value hash identical (variants A vs C in
+    # tools/probe_r15_q137.py; eager fills and a single-decode
+    # group-back shape both measured WORSE and were rejected there).
     sh_df = reps.select(
         "doc_id", F.array_distinct(shingles("text", 5)).alias("__sh")
     )
     from cassandra_analytics_example_spark.session import pin_small
 
-    sh_df = pin_small(sh_df)
-    sigs = pin_small(signatures_from_shingles(sh_df, "doc_id"))
+    base = pin_small(
+        signatures_from_shingles(sh_df, "doc_id", keep=("__sh",))
+    )
+    sigs = base.select("doc_id", "sig")
     pairs = lsh_candidate_pairs(sigs, "doc_id", 4, 4, max_bucket_size=1000)
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    ha = sh_df.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    hb = sh_df.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("__sh").alias("sh_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.join(sa, "id_a").join(sb, "id_b").join(ha, "id_a").join(hb, "id_b")
+        pairs.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a",
             "id_b",
