@@ -49,6 +49,14 @@ def truncate_plan(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     return df.localCheckpoint(eager=True)
 
 
+#: r15 (ADVICE): plan-only tooling (plan dumps, plan-shape tests) can set
+#: this False to skip the eager ``count()`` in ``pin_partition_ids`` —
+#: building a quantile/rank-spine frame then runs no Spark job.  Execution
+#: paths must leave it True: the eager fill is the measured r14 fix for
+#: consumers parking task slots in RDD block locks (PROBE_R14_EAGER_PID).
+EAGER_PINS = True
+
+
 def pin_partition_ids(part: DataFrame) -> DataFrame:
     """Persist a ``repartitionByRange`` frame that carries a
     ``spark_partition_id()`` column consumed by MORE THAN ONE plan branch
@@ -103,7 +111,8 @@ def pin_partition_ids(part: DataFrame) -> DataFrame:
     drain.
     """
     pinned = _register_pin(part.persist(StorageLevel.MEMORY_AND_DISK))
-    pinned.count()
+    if EAGER_PINS:
+        pinned.count()
     return pinned
 
 

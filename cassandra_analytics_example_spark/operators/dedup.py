@@ -549,7 +549,15 @@ def token_jaccard_pairs(
     # coalescing otherwise serializes the array_intersect verification
     # join below onto a handful of tasks — same defect and fix as
     # lsh_candidate_pairs (r14, PROBE_R14_Q21.json; measured 3-6-task
-    # verification stages here at sf0.1)
+    # verification stages here at sf0.1).
+    # r15 A/Bs, both REJECTED at q01-control parity: an ADDITIONAL
+    # spread on the bucket frame (re-widening the 3-6-task double-
+    # explode expansion itself) read 1.27 -> 1.88 s — the extra exchange
+    # costs more than the serialized expansion, same verdict as q21's
+    # band width-pin; an eager toks.count() fill read 1.69 vs 1.61 lazy
+    # — wash, matching the r14 A/B (the fill race the r14 profile
+    # suggested is mostly columnar-cache DECODE cost, which an eager
+    # fill does not remove).
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")

@@ -432,10 +432,24 @@ def bm25_scores(
     plan and the DuckDB oracle."""
     from cassandra_analytics_example_spark.session import pin_small, spread
 
-    if len(set(query_terms)) != len(query_terms):
-        raise ValueError("query_terms must be distinct")
+    # r15 ADVICE fixes, restoring the exact pre-r14 (exploded-plan)
+    # semantics on edge inputs:
+    # * duplicate query_terms are silently DEDUPLICATED (the old
+    #   array_contains plan counted each distinct term once; r14's
+    #   ValueError was a breaking change),
+    # * an empty term set is a clear error instead of a plan-build crash,
+    # * null-text documents are EXCLUDED from n_docs/total_tokens (the
+    #   old explode plan dropped them; without the filter size(null) = -1
+    #   silently corrupts total_tokens and shifts every doc's IDF/avgdl).
+    query_terms = list(dict.fromkeys(query_terms))
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     tf_cols = [f"__tf_{i}" for i in range(len(query_terms))]
-    tok = spread(df).select(F.col(id_col), tokens(text_col).alias("__tok"))
+    tok = (
+        spread(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("__tok"))
+    )
     per_doc = tok.select(
         F.col(id_col),
         F.size("__tok").cast("bigint").alias("dl"),

@@ -96,3 +96,55 @@ def test_q137_combined_pin_two_verification_joins(spark, registry):
     banding = [o for o in outs if "sig#" in o and "__sh#" not in o]
     assert banding, "banding path should read (doc_id, sig) without __sh"
     assert plan.count("BroadcastHashJoin") <= 4
+
+
+def test_bm25_edge_semantics_restored(spark):
+    """r15 ADVICE fixes: null-text docs excluded from n_docs/total_tokens
+    (the pre-r14 exploded plan dropped them), duplicate query_terms
+    silently deduplicated, empty query_terms a clear ValueError."""
+    from cassandra_analytics_example_spark.operators.text import bm25_scores
+
+    clean = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma")], "id long, text string"
+    )
+    with_null = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma"), (3, None)],
+        "id long, text string",
+    )
+    base = {r["id"]: (r["score_q"], r["n_hit_terms"]) for r in
+            bm25_scores(clean, "id", "text", ["alpha", "beta"]).collect()}
+    nulled = {r["id"]: (r["score_q"], r["n_hit_terms"]) for r in
+              bm25_scores(with_null, "id", "text", ["alpha", "beta"]).collect()}
+    assert nulled == base, "null-text doc must not shift IDF/avgdl"
+    duped = {r["id"]: (r["score_q"], r["n_hit_terms"]) for r in
+             bm25_scores(clean, "id", "text",
+                         ["alpha", "beta", "alpha"]).collect()}
+    assert duped == base, "duplicate query terms must deduplicate"
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(clean, "id", "text", [])
+
+
+def test_eager_pins_toggle_for_plan_tooling(spark):
+    """checkpoints.EAGER_PINS=False skips the construction-time fill job
+    (plan-only tooling escape hatch, r15 ADVICE) while keeping the
+    persist itself — consumers still read one pinned lineage."""
+    from cassandra_analytics_example_spark.operators import checkpoints
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    part = df.repartitionByRange(4, "k").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    tracker = spark.sparkContext.statusTracker()
+    assert checkpoints.EAGER_PINS is True  # execution-path default
+    checkpoints.EAGER_PINS = False
+    try:
+        before = len(tracker.getJobIdsForGroup() or [])
+        pinned = checkpoints.pin_partition_ids(part)
+        after = len(tracker.getJobIdsForGroup() or [])
+        assert after == before, "lazy pin must not run a job at build time"
+        assert pinned.storageLevel.useMemory
+        assert pinned.count() == 1000
+    finally:
+        checkpoints.EAGER_PINS = True
+        pinned.unpersist()

@@ -4,7 +4,9 @@
 Usage: python tools/dump_plans_r14.py before q21_minhash_lsh_neardup [...]
        python tools/dump_plans_r14.py after q21_minhash_lsh_neardup [...]
 
-Plan-only (no jobs beyond parquet schema reads); the artifacts are the
+Plan-only: checkpoints.EAGER_PINS is switched off so building the
+quantile/rank-spine frames runs no fill job (r15 ADVICE fix) — nothing
+runs beyond parquet schema reads; the artifacts are the
 judge-checkable evidence for round-14 plan claims (optimization brief).
 """
 
@@ -27,6 +29,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = ROOT / "plans" / "r14"
     out_dir.mkdir(parents=True, exist_ok=True)
+    from cassandra_analytics_example_spark.operators import checkpoints
+
+    checkpoints.EAGER_PINS = False  # plan-only: skip eager pin fills
     registry = load_all()
     spark = get_spark(app_name="dump-plans-r14")
     for name in names:
