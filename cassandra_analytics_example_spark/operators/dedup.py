@@ -746,6 +746,59 @@ def token_containment_pairs(
     )
 
 
+def _simhash_batches(n_bits: int, gram_n: int):
+    """Arrow batch function for :func:`simhash`: per document, the distinct
+    word-``gram_n``-gram feature set, one 60-bit md5 hash per feature
+    (identical to ``md5_u60``: first 15 hex chars of md5(utf-8 bytes) as a
+    non-negative bigint), per-bit majority vote vectorized in numpy.
+    Returned as a closure over two ints (cheaply picklable); all heavy
+    state (shift/weight vectors) is built once per task inside."""
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(n_bits, dtype=np.int64)
+        weights = np.int64(1) << shifts
+
+        def fp_of(text):
+            if text is None:
+                return None
+            toks = text.split(" ")
+            if gram_n > 1:
+                if len(toks) < gram_n:
+                    return None  # empty feature set -> NULL fingerprint
+                feats = {
+                    " ".join(toks[i: i + gram_n])
+                    for i in range(len(toks) - gram_n + 1)
+                }
+            else:
+                feats = set(toks)
+            if not feats:
+                return None
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(f.encode("utf-8")).hexdigest()[:15], 16)
+                    for f in feats
+                ),
+                dtype=np.int64,
+                count=len(feats),
+            )
+            ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+            return int(weights[(2 * ones) > len(feats)].sum())
+
+        for b in it:
+            ids = b.column(0)
+            fps = [fp_of(t) for t in b.column(1).to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fps, pa.int64())], names=["__id", "simhash"]
+            )
+
+    return batches
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, n_bits: int = 32, gram_n: int = 3
 ) -> DataFrame:
@@ -758,53 +811,41 @@ def simhash(
     collapse into giant identical-value clusters). Bit b of the fingerprint
     = 1 iff sum over features of (bit b of md5-hash(feature) ? +1 : -1) > 0,
     equivalently iff 2·ones(b) > |features|.
-    Computed as pure column algebra: feature array → per-feature 60-bit
-    hash → ONE ``aggregate`` fold carrying an ``n_bits``-wide counter
-    array (each element unpacks its bits once via an inner
-    ``zip_with``/``transform``) — no explode, no shuffle.  A per-bit fold
-    (``n_bits`` separate ``aggregate`` passes over the hash array) walks
-    the interpreted higher-order-function machinery ``n_bits`` times per
-    element; the single fold measured ~20-25% faster for the whole
-    fingerprint stage at 60 bits on the sf0.1 corpus with bit-identical
-    output. Returns (id, simhash bigint); simhash is NULL for documents
-    with an EMPTY feature set (fewer than ``gram_n`` tokens) — an all-zero
-    vote vector is not a fingerprint, and emitting 0 for every such doc
-    would make them all mutually "identical".
+
+    Computed per document (zero shuffles) in ``mapInArrow`` since r15:
+    only (id, text) crosses the Python boundary (explicit select keeps
+    scan pruning), md5 runs through hashlib (byte-identical to
+    ``md5_u60``'s first-15-hex-chars contract) and the n_bits-wide
+    majority vote is one vectorized numpy pass — everything integer, so
+    fingerprints are EXACTLY the old plan's (probe: full-corpus equality
+    at both registered geometries, 60/3 and 32/1). The r12 JVM form (ONE
+    interpreted ``aggregate`` fold carrying an n_bits-wide counter array
+    — itself 20-25% faster than per-bit folds) measured 0.94 s for the
+    fingerprint stage at sf0.1; the Arrow form measures 0.34 s (2.7x,
+    PROBE_R15_ARROW_SIMHASH.json), the guide §4.2 sweet spot: Spark does
+    distribution, native code does the per-batch math.
+
+    Returns (id, simhash bigint); simhash is NULL for documents with an
+    EMPTY feature set (fewer than ``gram_n`` tokens) — an all-zero vote
+    vector is not a fingerprint, and emitting 0 for every such doc would
+    make them all mutually "identical".
     """
     if not 0 < n_bits <= 60:
         raise ValueError("n_bits must be in (0, 60] (60-bit portable hashes)")
-    df = spread(df)
-    features = (
-        F.array_distinct(word_ngrams(text_col, gram_n))
-        if gram_n > 1
-        else distinct_tokens(text_col)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType),
+            StructField("simhash", LongType()),
+        ]
     )
-    # Materialize the hash array in its own projection so the md5 pass runs
-    # once, not once per counter read (CollapseProject won't inline a
-    # non-cheap alias referenced repeatedly — same trick as
-    # minhash_signatures).
-    hv = df.select(
-        F.col(id_col), F.transform(features, lambda t: md5_u60(t)).alias("__hv")
+    return (
+        spread(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInArrow(_simhash_batches(n_bits, gram_n), schema)
+        .withColumnRenamed("__id", id_col)
     )
-    counts = F.expr(
-        f"aggregate(__hv, array_repeat(cast(0 as int), {n_bits}), "
-        f"(acc, h) -> zip_with(acc, transform(sequence(0, {n_bits - 1}), "
-        f"b -> cast((h >> b) & 1 as int)), (a, x) -> a + x))"
-    )
-    counted = hv.select(
-        F.col(id_col),
-        counts.alias("__cnt"),
-        F.size("__hv").alias("__n"),
-    )
-    fp = None
-    for b in range(n_bits):
-        term = F.when(
-            F.element_at(F.col("__cnt"), b + 1) * 2 > F.col("__n"),
-            F.lit(2**b),
-        ).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    fp = F.when(F.col("__n") > 0, fp.cast("bigint"))
-    return counted.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming64(a, b):

@@ -182,6 +182,59 @@ def redact_pii(
     return df.select("*", *counts, red.alias(out_col))
 
 
+def _repetition_stat_batches(batches):
+    """Per-document integer repetition stats for ``repetition_signals``,
+    one Arrow batch at a time (module-level so executors import it
+    instead of re-pickling a closure — guide §4.5 shape).
+
+    Semantics replicate the Spark column algebra EXACTLY so the caller's
+    double arithmetic is bit-identical: tokens = literal single-space
+    split (``"".split(" ") == [""]`` matches ``F.split``), runs/best =
+    distinct-count / max multiplicity (what the sorted run-length fold
+    computed), 2-grams joined with one space, and a NULL text yields
+    (NULL, NULL, NULL, 0, 0) — matching ``size(null)``/``aggregate(null)``
+    NULL propagation and ``word_ngrams``' empty-array otherwise-branch."""
+    import pyarrow as pa
+    from collections import Counter
+
+    for batch in batches:
+        ids = batch.column(0)
+        n_tokens, runs, best, ng, ndg = [], [], [], [], []
+        for t in batch.column(1).to_pylist():
+            if t is None:
+                n_tokens.append(None)
+                runs.append(None)
+                best.append(None)
+                ng.append(0)
+                ndg.append(0)
+                continue
+            toks = t.split(" ")
+            c = Counter(toks)
+            n_tokens.append(len(toks))
+            runs.append(len(c))
+            best.append(max(c.values()))
+            if len(toks) >= 2:
+                grams = [
+                    toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+                ]
+                ng.append(len(grams))
+                ndg.append(len(set(grams)))
+            else:
+                ng.append(0)
+                ndg.append(0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(n_tokens, pa.int64()),
+                pa.array(runs, pa.int64()),
+                pa.array(best, pa.int64()),
+                pa.array(ng, pa.int64()),
+                pa.array(ndg, pa.int64()),
+            ],
+            names=["__id", "n_tokens", "runs", "best", "ng", "ndg"],
+        )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -190,50 +243,50 @@ def repetition_signals(
     filters that catch boilerplate and degenerate generations.
 
     Every signal is PER-DOCUMENT, and a document's token count is bounded
-    by its length — so this is pure zero-shuffle column algebra, not an
-    explode + groupBy (which would shuffle the whole corpus twice on a key
-    that only ever re-groups rows back to themselves). The token counts
-    come from one ``array_sort`` + one ``aggregate`` run-length pass:
-    distinct tokens = number of runs, top token count = longest run.
+    by its length — zero shuffles, never an explode + groupBy (which
+    would shuffle the whole corpus twice on a key that only ever
+    re-groups rows back to themselves).
+
+    r15 (guide §4.2, the verdict-mandated Arrow experiment): the per-doc
+    INTEGER stats now run in ``mapInArrow`` (only (id, text) crosses the
+    boundary — explicit select before the opaque function keeps scan
+    pruning) with ``collections.Counter`` doing the token counting in C;
+    the previous interpreted-HOF run-length fold walked Catalyst's
+    higher-order-function machinery per token. Only integers cross back,
+    and the double ratios below are the UNCHANGED Spark expressions, so
+    results are bit-identical — proven by the probe's full-row
+    struct-packed comparison AND measured faster: 0.44 vs 0.66 s
+    best-of-3 at sf0.1, 28 -> 9 s executor (PROBE_R15_ARROW_Q57.json).
     """
-    sorted_toks = F.array_sort(tokens(text_col))
-    # run-length fold over the sorted array: (prev, run, runs, best)
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("bigint").alias("run"),
-        F.lit(0).cast("bigint").alias("runs"),
-        F.lit(0).cast("bigint").alias("best"),
+    from pyspark.sql.types import StructField, StructType, LongType
+
+    stats_schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType),
+            *[
+                StructField(c, LongType())
+                for c in ("n_tokens", "runs", "best", "ng", "ndg")
+            ],
+        ]
     )
-
-    def step(acc, x):
-        same = acc["prev"].isNotNull() & (x == acc["prev"])
-        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(same, acc["runs"]).otherwise(acc["runs"] + 1).alias("runs"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    base = spread(df).select(
-        F.col(id_col),
-        F.aggregate(sorted_toks, acc0, step).alias("__rl"),
-        F.size(word_ngrams(text_col, 2)).alias("__ng"),
-        F.size(F.array_distinct(word_ngrams(text_col, 2))).alias("__ndg"),
-        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+    base = (
+        spread(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInArrow(_repetition_stat_batches, stats_schema)
+        .withColumnRenamed("__id", id_col)
     )
     nt = F.col("n_tokens").cast("double")
     return base.select(
         F.col(id_col),
         F.col("n_tokens"),
-        (F.lit(1.0) - F.col("__rl.runs").cast("double") / nt).alias(
+        (F.lit(1.0) - F.col("runs").cast("double") / nt).alias(
             "dup_token_ratio"
         ),
-        (F.col("__rl.best").cast("double") / nt).alias("top_token_share"),
+        (F.col("best").cast("double") / nt).alias("top_token_share"),
         F.when(
-            F.col("__ng") > 0,
+            F.col("ng") > 0,
             F.lit(1.0)
-            - F.col("__ndg").cast("double") / F.col("__ng").cast("double"),
+            - F.col("ndg").cast("double") / F.col("ng").cast("double"),
         ).alias("dup_2gram_ratio"),
     )
 
