@@ -255,8 +255,9 @@ def repetition_signals(
     higher-order-function machinery per token. Only integers cross back,
     and the double ratios below are the UNCHANGED Spark expressions, so
     results are bit-identical — proven by the probe's full-row
-    struct-packed comparison AND measured faster: 0.44 vs 0.66 s
-    best-of-3 at sf0.1, 28 -> 9 s executor (PROBE_R15_ARROW_Q57.json).
+    struct-packed comparison AND measured faster: 0.441 vs 0.655 s
+    best-of-3 same-session at sf0.1 (1.49x, PROBE_R15_ARROW_Q57.json);
+    in-suite 0.430 -> 0.344/0.375 across the two after-bench runs.
     """
     from pyspark.sql.types import StructField, StructType, LongType
 

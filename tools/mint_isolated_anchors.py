@@ -41,6 +41,9 @@ sys.path.insert(0, str(ROOT))
 
 DEFAULT_STATE = ROOT / ".scratch" / "anchor_mint_state.json"
 
+#: stamped on every entry written by a --merge finalize in THIS round
+MINT_ROUND = 15
+
 
 def headline_names() -> list[str]:
     import bench
@@ -199,7 +202,7 @@ def finalize(ns: dict, args: argparse.Namespace) -> None:
         if prev.get("round"):
             out["round"] = prev["round"]
             out["reminted_rounds"] = sorted(
-                set(prev.get("reminted_rounds", [])) | {14}
+                set(prev.get("reminted_rounds", [])) | {MINT_ROUND}
             )
     for name, samples in sorted(ns.items()):
         secs = [s["sec"] for s in samples]
@@ -209,7 +212,7 @@ def finalize(ns: dict, args: argparse.Namespace) -> None:
             "min": min(secs),
         }
         if args.merge:
-            entry["minted_round"] = 14
+            entry["minted_round"] = MINT_ROUND
         if name in cold:
             entry["anchor_cold"] = cold[name]
             entry["min_vs_cold"] = round(min(secs) / cold[name], 3)
